@@ -1,0 +1,32 @@
+"""Parquet sink writers — the exporter analogue.
+
+The reference's file exporter buffers rows and flushes periodically to
+``{type}-{timestamp}.parquet`` under per-type subdirs
+(src/exporters/file/task.rs:12-72, mod.rs:1-264). Batch translation:
+``Dataset.write_parquet`` into a per-sink directory, written to a temp dir
+and atomically renamed so re-executed work is idempotent (the ack-once /
+at-least-once semantics of src/topology/payload.rs:297-453 collapse to
+"deterministic partition dir + atomic rename" in batch world).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def write_sink_atomic(ds, final_dir: str, compression: str = "snappy") -> int:
+    """Write `ds` to `final_dir` atomically (tmp dir + rename). Returns the
+    row count actually written (data-plane counter — exporter-counter
+    parity source, src/exporters/otlp/exporter.rs:87-205)."""
+    tmp = final_dir.rstrip("/") + ".writing"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    written = ds.write_parquet(tmp, arrow_parquet_args_fn=lambda: {"compression": compression})
+    # count rows from the files just written (data plane, not side-state)
+    import pyarrow.parquet as pq
+
+    n = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.replace(tmp, final_dir)
+    return n

@@ -1,0 +1,209 @@
+"""Aggregate stage: two-phase grouped aggregation, EMF-style metric
+grouping, and the cumulative->delta window operator.
+
+Reference semantics re-expressed:
+
+- EMF group-by (src/exporters/awsemf/transformer.rs:116-137,224-295): data
+  points grouped by GroupKey{namespace, sorted label k/v, timestamp, type};
+  histogram -> {Count, Sum, Min, Max} stat set (transformer.rs:392-438).
+- Delta calculator (transformer.rs:797-844): stateful cumulative->delta per
+  MetricKey — prev-value cache, emit max(delta, 0), first sighting dropped
+  unless retain_initial_value. Batch world: sort within group + lag diff
+  (no wall-clock expiry needed; the 5-min cache TTL at transformer.rs:813-819
+  exists only because the reference streams unboundedly).
+- Trace grouping (src/exporters/datadog/transform/transformer.rs:105-135):
+  spans grouped by trace id -> for us, groupby(conv_id).
+
+Scale strategy (SURVEY.md §7.4): every aggregation here is **two-phase** —
+partial (combiner) aggregation inside ``map_batches`` bounds per-key state at
+batch granularity, then a final ``groupby().aggregate()`` over the (much
+smaller) partials. This is what makes Zipf-skewed conv_ids survivable: a
+2000-turn conversation contributes ~1 partial row per batch instead of 2000
+rows into one reducer. ``map_groups`` operators additionally cap group size
+via the salt helper.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+# ---------------------------------------------------------------------------
+# generic two-phase aggregation
+# ---------------------------------------------------------------------------
+
+_PARTIAL_FUNCS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+_MERGE = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
+
+
+def two_phase_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]], batch_size: int = 65536):
+    """``specs`` = [(column, fn, alias)] with fn in {sum,count,min,max}.
+
+    Phase 1 (map_batches): pyarrow Table.group_by within each batch -> one
+    partial row per key per batch. Phase 2: ray groupby over partials.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = [(col, _PARTIAL_FUNCS[fn]) for col, fn, _ in specs]
+        g = t.group_by(keys).aggregate(aggs)
+        # arrow names results f"{col}_{fn}"; rename to aliases
+        names = {f"{col}_{_PARTIAL_FUNCS[fn]}": alias for col, fn, alias in specs}
+        return g.rename_columns([names.get(c, c) for c in g.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+    merge_aggs = [_MERGE[fn](alias, alias_name=alias) for _, fn, alias in specs]
+    return partials.groupby(keys).aggregate(*merge_aggs)
+
+
+# ---------------------------------------------------------------------------
+# conversation aggregate (the north-rule groupby(conv_id))
+# ---------------------------------------------------------------------------
+
+
+def _conv_partial(t: pa.Table) -> pa.Table:
+    one = pc.cast(pc.is_valid(t.column("conv_id")), pa.int64())
+    is_tool = pc.cast(pc.equal(t.column("event_type"), "tool_call"), pa.int64())
+    is_err = pc.cast(pc.is_valid(t.column("error_code")), pa.int64())
+    dur = pc.fill_null(t.column("duration_ms"), 0)
+    tmp = pa.table(
+        {
+            "conv_id": t.column("conv_id"),
+            "n_turns": one,
+            "n_tool_calls": is_tool,
+            "n_errors": is_err,
+            "total_duration_ms": dur,
+            "max_severity": t.column("severity_number"),
+            "first_ts": t.column("ts"),
+            "last_ts": t.column("ts"),
+        }
+    )
+    g = tmp.group_by(["conv_id"]).aggregate(
+        [
+            ("n_turns", "sum"),
+            ("n_tool_calls", "sum"),
+            ("n_errors", "sum"),
+            ("total_duration_ms", "sum"),
+            ("max_severity", "max"),
+            ("first_ts", "min"),
+            ("last_ts", "max"),
+        ]
+    )
+    return g.rename_columns(
+        ["conv_id", "n_turns", "n_tool_calls", "n_errors", "total_duration_ms", "max_severity", "first_ts", "last_ts"]
+    )
+
+
+def conv_aggregate(parsed_ds, batch_size: int = 65536):
+    """groupby(conv_id) summary — two-phase (combiner inside map_batches,
+    final merge over partials), so Zipf-head conversations never concentrate
+    raw rows on one reducer."""
+    partials = parsed_ds.map_batches(
+        _conv_partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return partials.groupby("conv_id").aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("n_tool_calls", alias_name="n_tool_calls"),
+        Sum("n_errors", alias_name="n_errors"),
+        Sum("total_duration_ms", alias_name="total_duration_ms"),
+        Max("max_severity", alias_name="max_severity"),
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EMF-style grouped metrics (the metrics sink payload)
+# ---------------------------------------------------------------------------
+
+
+def _metrics_partial(t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    namespace = pa.nulls(n, pa.string()).fill_null("rotel_ray")  # namespace derivation
+    name = t.column("event_type")
+    # GroupKey's sorted-label determinism (transformer.rs:118): single label
+    # role=<role> serialized canonically
+    group_key = pc.binary_join_element_wise(
+        pa.nulls(n, pa.string()).fill_null("role="), t.column("role"), ""
+    )
+    ts_minute = pc.floor_temporal(t.column("ts"), unit="minute")
+    value = pc.cast(
+        pc.coalesce(t.column("duration_ms"), t.column("body_bytes_sent"), pa.scalar(0, pa.int64())),
+        pa.float64(),
+    )
+    tmp = pa.table(
+        {
+            "namespace": namespace,
+            "name": name,
+            "group_key": group_key,
+            "ts_minute": ts_minute,
+            "value_count": pc.cast(pc.is_valid(value), pa.int64()),
+            "value_sum": value,
+            "value_min": value,
+            "value_max": value,
+        }
+    )
+    g = tmp.group_by(["namespace", "name", "group_key", "ts_minute"]).aggregate(
+        [("value_count", "sum"), ("value_sum", "sum"), ("value_min", "min"), ("value_max", "max")]
+    )
+    return g.rename_columns(
+        ["namespace", "name", "group_key", "ts_minute", "value_count", "value_sum", "value_min", "value_max"]
+    )
+
+
+def metrics_aggregate(parsed_ds, batch_size: int = 65536):
+    """EMF GroupedMetric analogue: {Count, Sum, Min, Max} per
+    (namespace, name, sorted-label key, minute bucket). Two-phase."""
+    partials = parsed_ds.map_batches(
+        _metrics_partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return partials.groupby(["namespace", "name", "group_key", "ts_minute"]).aggregate(
+        Sum("value_count", alias_name="value_count"),
+        Sum("value_sum", alias_name="value_sum"),
+        Min("value_min", alias_name="value_min"),
+        Max("value_max", alias_name="value_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cumulative -> delta (windowed lag within group)
+# ---------------------------------------------------------------------------
+
+
+def delta_within_group(
+    ds,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    value: str = "km_seq",
+    retain_initial_value: bool = False,
+):
+    """Per-key cumulative->delta: sort by `order` within each key group,
+    delta = max(v - lag(v), 0); the first sighting is dropped unless
+    `retain_initial_value` (then delta = v). Exactly the delta-calculator
+    contract of awsemf/transformer.rs:797-844, minus the streaming TTL.
+
+    Groups are bounded by conversation length (<= a few thousand rows), so
+    map_groups with pandas is safe; for unbounded keys use the two-phase
+    pattern with per-batch deltas + boundary stitching instead.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order)
+        prev = g[value].shift(1)
+        delta = (g[value] - prev).clip(lower=0)
+        if retain_initial_value:
+            delta = delta.fillna(g[value])
+            out = g.assign(delta=delta)
+        else:
+            out = g.assign(delta=delta)
+            out = out[out["delta"].notna()]
+        return out[[key, order, value, "delta"]]
+
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(value))).select([key, order, value]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return filtered.groupby(key).map_groups(per_group, batch_format="pandas")
