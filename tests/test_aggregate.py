@@ -1,0 +1,80 @@
+"""Aggregation tests: two-phase parity with pandas, delta-calculator
+semantics (awsemf/transformer.rs:797-844), skew survival."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from rotel_ray.stages.aggregate import delta_within_group, two_phase_aggregate
+
+
+def test_two_phase_matches_pandas():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 5000),
+            "v": rng.integers(0, 100, 5000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    out = (
+        two_phase_aggregate(
+            ds, ["k"], [("v", "sum", "sum_v"), ("v", "count", "n"), ("v", "min", "min_v"), ("v", "max", "max_v")],
+            batch_size=500,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k")["v"].agg(sum_v="sum", n="count", min_v="min", max_v="max").reset_index()
+    )
+    pd.testing.assert_frame_equal(out[["k", "sum_v", "n", "min_v", "max_v"]], exp, check_dtype=False)
+
+
+def test_two_phase_skewed_key():
+    # one key holds 90% of rows — partial aggregation keeps reducers small
+    df = pd.DataFrame({"k": ["hot"] * 9000 + [f"k{i}" for i in range(1000)], "v": 1})
+    ds = rd.from_pandas(df).repartition(16)
+    out = two_phase_aggregate(ds, ["k"], [("v", "sum", "s")], batch_size=256).to_pandas()
+    assert out.set_index("k")["s"]["hot"] == 9000
+    assert len(out) == 1001
+
+
+def test_delta_drops_first_and_clamps():
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"] * 2,
+            "turn_idx": [0, 1, 2, 3, 0, 1],
+            "km_seq": [10, 15, 12, 20, 100, 100],
+        }
+    )
+    ds = rd.from_pandas(df)
+    out = (
+        delta_within_group(ds, value="km_seq")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # first sighting dropped (no retain_initial_value); negative delta -> 0
+    assert out[out.conv_id == "c1"]["delta"].tolist() == [5.0, 0.0, 8.0]
+    assert out[out.conv_id == "c2"]["delta"].tolist() == [0.0]
+
+
+def test_delta_retain_initial_value():
+    df = pd.DataFrame({"conv_id": ["c"] * 2, "turn_idx": [0, 1], "km_seq": [7, 9]})
+    out = (
+        delta_within_group(rd.from_pandas(df), value="km_seq", retain_initial_value=True)
+        .to_pandas()
+        .sort_values("turn_idx")
+    )
+    assert out["delta"].tolist() == [7.0, 2.0]
+
+
+def test_delta_unordered_input():
+    # rows arrive out of turn order; sort-within-group must fix it
+    df = pd.DataFrame({"conv_id": ["c"] * 3, "turn_idx": [2, 0, 1], "km_seq": [30, 10, 20]})
+    out = delta_within_group(rd.from_pandas(df), value="km_seq").to_pandas().sort_values("turn_idx")
+    assert out["delta"].tolist() == [10.0, 10.0]

@@ -1,0 +1,95 @@
+"""End-to-end pipeline tests: routed-row counter parity, per-turn text
+equality under stable ordering, checkpoint resume correctness."""
+
+import glob
+import json
+import os
+import shutil
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from rotel_ray.pipelines.flagship import run_flagship
+
+
+@pytest.fixture(scope="module")
+def flagship_out(transcripts_dir):
+    out = "/tmp/rotel_test_flagship"
+    shutil.rmtree(out, ignore_errors=True)
+    totals = run_flagship(transcripts_dir, out, waves=3, enrich_concurrency=2, resume=False)
+    return out, totals, transcripts_dir
+
+
+def _sink_rows(out, sink):
+    files = glob.glob(os.path.join(out, sink, "wave=*", "*.parquet"))
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def test_counter_parity(flagship_out):
+    """Per-sink aggregate counts match exporter-counter semantics exactly:
+    manifest counters == rows actually in the sink files == routed totals."""
+    out, totals, tdir = flagship_out
+    rows_in = sum(pq.read_metadata(f).num_rows for f in glob.glob(tdir + "/*.parquet"))
+    assert totals["rows_in"] == rows_in
+    for sink in ("traces", "logs", "metrics", "conv_agg"):
+        assert totals["sink_counts"][sink] == _sink_rows(out, sink), sink
+    # every input row routed to exactly one of traces/logs
+    assert totals["sink_counts"]["traces"] + totals["sink_counts"]["logs"] == rows_in
+
+
+def test_per_turn_text_equality(flagship_out):
+    """Every routed row preserves `text` verbatim under stable
+    (conv_id, turn_idx) ordering — the BASELINE.json correctness gate."""
+    out, _, tdir = flagship_out
+    con = duckdb.connect()
+    q = f"""
+      WITH src AS (SELECT conv_id, turn_idx, text FROM read_parquet('{tdir}/*.parquet')),
+      routed AS (
+        SELECT conv_id, turn_idx, text FROM read_parquet('{out}/traces/wave=*/*.parquet')
+        UNION ALL
+        SELECT conv_id, turn_idx, body AS text FROM read_parquet('{out}/logs/wave=*/*.parquet')
+      )
+      SELECT count(*) FROM src FULL JOIN routed USING (conv_id, turn_idx)
+      WHERE src.text IS DISTINCT FROM routed.text
+    """
+    assert con.execute(q).fetchone()[0] == 0
+
+
+def test_sorted_output_deterministic(flagship_out):
+    out, _, _ = flagship_out
+    con = duckdb.connect()
+    a = con.execute(
+        f"SELECT * FROM read_parquet('{out}/logs/wave=*/*.parquet') ORDER BY conv_id, turn_idx"
+    ).fetchdf()
+    assert a[["conv_id", "turn_idx"]].duplicated().sum() == 0
+
+
+def test_resume_skips_done_and_matches(flagship_out):
+    """Kill-and-resume: drop one wave's commit + files; rerun with
+    resume=True; only that wave re-executes and totals are identical."""
+    out, totals, tdir = flagship_out
+    manifest_path = os.path.join(out, "manifest.jsonl")
+    recs = [json.loads(x) for x in open(manifest_path) if x.strip()]
+    victim = recs[-1]["partition_id"]
+    keep = [r for r in recs if r["partition_id"] != victim]
+    with open(manifest_path, "w") as f:
+        for r in keep:
+            f.write(json.dumps(r) + "\n")
+    for sink in ("traces", "logs", "metrics", "conv_agg"):
+        shutil.rmtree(os.path.join(out, sink, f"wave={victim}"), ignore_errors=True)
+
+    totals2 = run_flagship(tdir, out, waves=3, enrich_concurrency=2, resume=True)
+    assert totals2 == {**totals2, **{k: totals[k] for k in ("rows_in", "rows_parsed", "rows_failed")}}
+    assert totals2["sink_counts"] == totals["sink_counts"]
+    # the untouched waves were not rewritten (resume actually skipped them)
+    recs2 = [json.loads(x) for x in open(manifest_path) if x.strip()]
+    assert len(recs2) == len(recs)
+    redone = [r for r in recs2 if r["partition_id"] == victim]
+    assert len(redone) == 1
+
+
+def test_rerun_is_idempotent(flagship_out):
+    out, totals, tdir = flagship_out
+    totals3 = run_flagship(tdir, out, waves=3, enrich_concurrency=2, resume=True)
+    assert totals3["sink_counts"] == totals["sink_counts"]

@@ -1,0 +1,49 @@
+"""Routed-row equality vs the DuckDB oracle at sf0.001 for every query with
+an oracle (the in-repo mirror of the driver's correctness gate)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from rotel_ray.queries import QUERIES, oracle_sql
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def sqls():
+    return oracle_sql(SF)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(oracle_sql.__wrapped__(SF) if hasattr(oracle_sql, "__wrapped__") else oracle_sql(SF)))
+def test_query_matches_oracle(name, con, sqls):
+    res = QUERIES[name](SF)
+    ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    sql_df = con.execute(sqls[name]).fetchdf()
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} vs {len(sql_df)}"
+    assert sorted(ray_df.columns) == sorted(sql_df.columns)
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert np.allclose(av.astype(float), bv.astype(float), equal_nan=True), f"{name}.{c}"
+        else:
+            assert (pd.Series(av).fillna("∅").astype(str) == pd.Series(bv).fillna("∅").astype(str)).all(), f"{name}.{c}"
