@@ -25,18 +25,6 @@ from ..stages.route import LOGS, TRACES, route_stage, split_sinks
 from ..state.manifest import Manifest
 
 
-def _count_batch(t):
-    """Per-batch row/parse-failure counters (data-plane metrics rows —
-    the debug-inspector analogue, src/topology/debug/traces.rs:9-60)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    ok = pc.sum(pc.cast(t.column("parse_ok"), pa.int64())).as_py() or 0
-    return pa.table(
-        {"rows": pa.array([t.num_rows], pa.int64()), "failed": pa.array([t.num_rows - ok], pa.int64())}
-    )
-
-
 def build_routed(input_paths, *, enrich_concurrency=4, batch_size: int = 16384,
                  resource_attrs: dict | None = None):
     """read -> parse -> enrich -> route (lazy)."""
@@ -81,32 +69,41 @@ def run_flagship(
             continue
         t0 = time.time()
         routed = build_routed(frag, enrich_concurrency=enrich_concurrency, batch_size=batch_size)
-        # materialize the routed blocks once; both sink projections and the
-        # aggregates re-read these blocks from the object store instead of
-        # re-running parse/enrich per consumer
+        # materialize the routed blocks once; every consumer below re-reads
+        # these object-store blocks instead of re-running parse/enrich
         routed = routed.materialize()
         sinks = split_sinks(routed)
-        sink_counts = {}
+        sink_counts: dict[str, int] = {}
         sink_files = []
-        for name in (TRACES, LOGS):
-            d = os.path.join(out_dir, name, f"wave={w}")
-            sink_counts[name] = write_sink_atomic(sinks[name], d)
-            sink_files.append(d)
-        mdir = os.path.join(out_dir, "metrics", f"wave={w}")
-        sink_counts["metrics"] = write_sink_atomic(metrics_aggregate(routed), mdir)
-        sink_files.append(mdir)
-        adir = os.path.join(out_dir, "conv_agg", f"wave={w}")
-        sink_counts["conv_agg"] = write_sink_atomic(
-            conv_aggregate(routed).sort("conv_id"), adir
-        )
-        sink_files.append(adir)
 
-        cdf = (
-            routed.map_batches(_count_batch, batch_format="pyarrow", zero_copy_batch=True)
-            .to_pandas()
-            .sum()
+        # the four consumers are independent Dataset executions — run them
+        # concurrently from driver threads so they fill each other's idle
+        # CPU slots (Ray schedules their tasks into one pool)
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = {
+            TRACES: (sinks[TRACES], os.path.join(out_dir, TRACES, f"wave={w}")),
+            LOGS: (sinks[LOGS], os.path.join(out_dir, LOGS, f"wave={w}")),
+            "metrics": (metrics_aggregate(routed), os.path.join(out_dir, "metrics", f"wave={w}")),
+            "conv_agg": (conv_aggregate(routed).sort("conv_id"), os.path.join(out_dir, "conv_agg", f"wave={w}")),
+        }
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            futs = {name: ex.submit(write_sink_atomic, ds, d) for name, (ds, d) in jobs.items()}
+            for name, fut in futs.items():
+                sink_counts[name] = fut.result()
+                sink_files.append(jobs[name][1])
+
+        # data-plane counters (exporter-counter parity): routed totals come
+        # from the rows actually written; parse failures are the 'chat'
+        # fall-through count already aggregated into the metrics sink
+        rows_in = sink_counts[TRACES] + sink_counts[LOGS]
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        mtbl = pq.read_table(jobs["metrics"][1], columns=["name", "value_count"])
+        rows_failed = (
+            pc.sum(mtbl.filter(pc.equal(mtbl.column("name"), "chat")).column("value_count")).as_py() or 0
         )
-        rows_in, rows_failed = int(cdf["rows"]), int(cdf["failed"])
         manifest.commit(
             w,
             frag,

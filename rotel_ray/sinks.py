@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 
 def write_sink_atomic(ds, final_dir: str, compression: str = "snappy") -> int:
@@ -20,9 +21,21 @@ def write_sink_atomic(ds, final_dir: str, compression: str = "snappy") -> int:
     row count actually written (data-plane counter — exporter-counter
     parity source, src/exporters/otlp/exporter.rs:87-205)."""
     tmp = final_dir.rstrip("/") + ".writing"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    written = ds.write_parquet(tmp, arrow_parquet_args_fn=lambda: {"compression": compression})
+    for attempt in range(3):
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        try:
+            ds.write_parquet(tmp, arrow_parquet_args_fn=lambda: {"compression": compression})
+            break
+        except ImportError:
+            # Ray's path resolution optionally imports fsspec's HTTP
+            # filesystem; concurrent first-imports from several writer
+            # threads can observe a partially-initialized module and raise a
+            # spurious ImportError (Ray only tolerates ModuleNotFoundError).
+            # The race is transient — retry after a short pause.
+            if attempt == 2:
+                raise
+            time.sleep(0.1 * (attempt + 1))
     # count rows from the files just written (data plane, not side-state)
     import pyarrow.parquet as pq
 

