@@ -389,31 +389,261 @@ def q_doc_quality(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _query_vec(sf_dir: str) -> np.ndarray:
+    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(pc.equal(pc.field("vec_id"), 0))
+    return np.asarray(emb0.column("embedding").to_pylist()[0], dtype=np.float64)
+
+
 def q_sim_topk(sf_dir: str, k: int = 10):
-    """Brute-force cosine top-k vs a broadcast query vector (ANN baseline):
-    numpy matmul per batch against the ray.put query, global top-k via
-    sort+limit. Returns vec_ids only (float-tie-safe)."""
-    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
-        pc.equal(pc.field("vec_id"), 0)
-    )
-    q = np.asarray(emb0.column("embedding").to_pylist()[0], dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    qref = ray.put(qn)
-
-    class Cosine:
-        def __init__(self):
-            self.q = ray.get(qref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sim = m @ self.q
-            return pa.table({"vec_id": t.column("vec_id"), "sim": pa.array(sim)})
+    """Brute-force cosine top-k vs a broadcast query vector (exact ANN
+    baseline): zero-copy (n,d) matrix per batch, GEMM, per-batch partial
+    top-k, tiny final sort. Returns vec_ids only (float-tie-safe)."""
+    from .stages.similarity import brute_force_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ds = ds.map_batches(Cosine, batch_format="pyarrow", concurrency=2)
-    top = ds.sort("sim", descending=True).limit(k)
-    return top.select_columns(["vec_id"])
+    return brute_force_topk(ds, _query_vec(sf_dir), k).select_columns(["vec_id"])
+
+
+def q_sim_topk_lsh(sf_dir: str, k: int = 10):
+    """Approximate top-k: random-hyperplane LSH bucket probing + exact cosine
+    on candidates (the scale path; recall vs exact measured in tests)."""
+    from .stages.similarity import lsh_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, _query_vec(sf_dir), k).select_columns(["vec_id", "sim"])
+
+
+# ---------------------------------------------------------------------------
+# dedup / text-analysis / multimodal / window / join queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs with distributed exact-Jaccard verify."""
+    from .stages.dedup import minhash_lsh_neardup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_neardup(ds, threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3; full recall by 4-band pigeonhole)."""
+    from .stages.dedup import simhash_neardup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_neardup(ds, max_hamming=3)
+
+
+def q_token_jaccard(sf_dir: str):
+    """Exact token-set Jaccard on the deterministic (2i, 2i+1) pairing."""
+    from .stages.dedup import token_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_jaccard_pairs(ds)
+
+
+NEARDUP_TAU = 0.45
+
+
+def q_embedding_neardup(sf_dir: str):
+    """All embedding pairs with cosine >= tau (exact broadcast baseline);
+    pairs only — the float similarity stays out of the hash compare."""
+    from .stages.dedup import embedding_neardup_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_exact(ds, tau=NEARDUP_TAU)
+    return pairs.select_columns(["vec_a", "vec_b"])
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """LSH-bucketed near-dup pairs (scale path; recall tested vs exact)."""
+    from .stages.dedup import embedding_neardup_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup_lsh(ds, tau=NEARDUP_TAU)
+
+
+def q_lang_id(sf_dir: str):
+    from .stages.textstats import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(ds)
+
+
+def q_token_count_bpe(sf_dir: str):
+    from .stages.textstats import token_count_bpe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_count_bpe(ds)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Winnowing document fingerprints (rolling-hash k-grams, window mins)."""
+    from .stages.textstats import doc_fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_fingerprint(ds)
+
+
+def q_quality_full(sf_dir: str):
+    from .stages.textstats import quality_score
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_score(ds)
+
+
+def q_mm_features(sf_dir: str):
+    """Multimodal decode -> byte-histogram features (actor-pool stages over
+    binary payload columns; codec stubbed, plumbing real)."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import ensure_media, media_pipeline
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    return media_pipeline(media_dir)
+
+
+def q_mm_frames(sf_dir: str):
+    """Video frame sampling fan-out (every 4th frame)."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import ensure_media, frame_sample_pipeline
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = frame_sample_pipeline(media_dir, every=4)
+    return ds.select_columns(["media_id", "frame_idx"])
+
+
+def q_sessionize(sf_dir: str):
+    from .stages.window import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value", "event_id"])
+    return sessionize(ds, gap_minutes=30.0)
+
+
+def q_top_events_per_user(sf_dir: str):
+    from .stages.window import topk_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value", "event_id"])
+    return topk_per_group(ds, key="user_id", order_col="value", id_col="event_id", k=3)
+
+
+def q_asof_purchase_click(sf_dir: str):
+    """For each purchase, the user's most recent click at or before it."""
+    from .stages.window import asof_join_backward
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type", "event_id", "value"])
+    left = ds.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    right = ds.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    out = asof_join_backward(left, right, key="user_id", ts_col="ts",
+                             left_cols=["event_id", "value"], right_cols=["event_id", "value"])
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        for c in ("event_id_right",):
+            if c in t.column_names:
+                t = t.set_column(t.column_names.index(c), c, pc.cast(t.column(c), pa.int64()))
+        return t
+
+    return out.map_batches(fix_types, batch_format="pyarrow")
+
+
+def q_order_revenue_join(sf_dir: str):
+    """Big-big hash-shuffle join: lineitem ⋈ orders on orderkey, revenue per
+    order priority (Ray Dataset.join — both sides hash-partitioned)."""
+    from .stages.join import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev_cents": _cents_arr(rev)})
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    return two_phase_aggregate(
+        joined, ["o_orderpriority"],
+        [("rev_cents", "sum", "revenue_cents"), ("rev_cents", "count", "n_items")],
+    )
+
+
+def q_attrs_actions(sf_dir: str):
+    """Attributes-processor action chain (upsert + hash + extract) applied to
+    the transcript table (attributes_processor.py:312-378 semantics)."""
+    from .stages.enrich import AttrAction, AttributesProcessor
+
+    proc = AttributesProcessor(
+        [
+            AttrAction("upsert", key="env", value="prod"),
+            AttrAction("hash", key="role", hash_function="sha256"),
+            AttrAction("extract", from_attribute="text", pattern=r"^TOOL_CALL tool=(?P<xtool>\w+)"),
+        ]
+    )
+    ds = _transcripts_ds(sf_dir)
+    ds = ds.map_batches(proc, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "env", "role", "xtool"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_redaction(sf_dir: str):
+    """Redaction processor: mask private-IP values in remote_addr + per-row
+    masked count (redaction_processor.py:159-269 semantics)."""
+    from .stages.enrich import RedactionConfig, RedactionProcessor
+
+    proc = RedactionProcessor(
+        RedactionConfig(blocked_value_patterns=[r"^10\."], apply_to=["remote_addr"])
+    )
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "nginx_access")).select(
+            ["conv_id", "turn_idx", "remote_addr"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.map_batches(proc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_parse_json(sf_dir: str):
+    ds = _parsed(sf_dir)
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "json")).select(
+            ["conv_id", "turn_idx", "remote_addr", "request", "status", "body_bytes_sent",
+             "time_local"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_parse_nginx_error(sf_dir: str):
+    ds = _parsed(sf_dir)
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "nginx_error")).select(
+            ["conv_id", "turn_idx", "ng_level", "ng_pid", "ng_tid", "ng_cid", "ng_message",
+             "severity_number"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_metrics_dim_filter(sf_dir: str):
+    """Wildcard dimension filter over metric names (case-insensitive, `*`
+    = 0+ chars, exclude wins — awsemf/dim_filter.rs:4-60 semantics)."""
+    import fnmatch
+    import re as _re
+
+    exclude = ["km*", "json"]
+    rx = _re.compile("|".join(fnmatch.translate(p.lower()) for p in exclude))
+
+    def f(t: pa.Table) -> pa.Table:
+        names = t.column("name").to_pylist()
+        mask = pa.array([not rx.fullmatch((x or "").lower()) for x in names])
+        return t.filter(mask)
+
+    ds = _cast_final(metrics_aggregate(_parsed(sf_dir)), {"ts_minute": pa.timestamp("us")})
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -441,6 +671,29 @@ QUERIES = {
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
     "sim_topk": q_sim_topk,
+    # --- approximate / non-SQL ops (rows-only oracle) ---
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "doc_fingerprint": q_doc_fingerprint,
+    "mm_features": q_mm_features,
+    "mm_frames": q_mm_frames,
+    # --- SQL-verified additions ---
+    "token_jaccard": q_token_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "lang_id": q_lang_id,
+    "token_count_bpe": q_token_count_bpe,
+    "quality_full": q_quality_full,
+    "sessionize": q_sessionize,
+    "top_events_per_user": q_top_events_per_user,
+    "asof_purchase_click": q_asof_purchase_click,
+    "order_revenue_join": q_order_revenue_join,
+    "attrs_actions": q_attrs_actions,
+    "redaction": q_redaction,
+    "parse_json": q_parse_json,
+    "parse_nginx_error": q_parse_nginx_error,
+    "metrics_dim_filter": q_metrics_dim_filter,
 }
 
 
@@ -569,4 +822,102 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         ORDER BY list_cosine_similarity(embedding,
             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC
         LIMIT 10"""
+    sql["token_jaccard"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS tk
+          FROM documents)
+        SELECT a.doc_id // 2 AS pair_key,
+               CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tk, b.tk))) END AS jaccard
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0"""
+    sql["embedding_neardup"] = f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_TAU}"""
+    from .stages.textstats import BPE_PATTERN, STOPWORDS_PATTERN, lang_id_oracle_sql
+
+    sql["lang_id"] = lang_id_oracle_sql("documents")
+    bpe_sql = BPE_PATTERN.replace("'", "''")
+    sql["token_count_bpe"] = rf"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents"""
+    sql["quality_full"] = rf"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS DOUBLE)
+                 / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(regexp_extract_all(text, '{STOPWORDS_PATTERN}')) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '\S+')), 1) AS stopword_ratio
+        FROM documents"""
+    sql["sessionize"] = """
+        SELECT user_id, session_idx,
+               count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_cents
+        FROM (
+          SELECT user_id, ts, value,
+                 CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) - 1 AS session_idx
+          FROM (SELECT user_id, ts, value, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events))
+        GROUP BY 1, 2"""
+    sql["top_events_per_user"] = """
+        SELECT user_id, value, event_id FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) <= 3"""
+    sql["asof_purchase_click"] = """
+        SELECT p.user_id, p.ts, p.event_id, p.value,
+               c.ts AS ts_right, c.event_id AS event_id_right, c.value AS value_right
+        FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""
+    sql["order_revenue_join"] = f"""
+        SELECT o_orderpriority,
+               CAST(sum({cents.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+                 AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1"""
+    sql["attrs_actions"] = rf"""
+        SELECT conv_id, turn_idx, 'prod' AS env, sha256(role) AS role,
+               NULLIF(regexp_extract(text, '^TOOL_CALL tool=(\w+)', 1), '') AS xtool
+        FROM {T}"""
+    sql["redaction"] = rf"""
+        SELECT conv_id, turn_idx,
+               CASE WHEN regexp_matches(remote_addr, '^10\.') THEN '[REDACTED]'
+                    ELSE remote_addr END AS remote_addr,
+               CAST(CASE WHEN regexp_matches(remote_addr, '^10\.') THEN 1 ELSE 0 END AS BIGINT)
+                 AS redaction_masked_count
+        FROM (SELECT conv_id, turn_idx, regexp_extract(text, '^(\S+) ', 1) AS remote_addr
+              FROM {T} WHERE ({SQL_EVENT_TYPE}) = 'nginx_access')"""
+    sql["parse_json"] = f"""
+        SELECT conv_id, turn_idx,
+               json_extract_string(text, '$.remote_addr') AS remote_addr,
+               json_extract_string(text, '$.request') AS request,
+               CAST(json_extract_string(text, '$.status') AS INTEGER) AS status,
+               CAST(json_extract_string(text, '$.body_bytes_sent') AS BIGINT) AS body_bytes_sent,
+               json_extract_string(text, '$.time_local') AS time_local
+        FROM {T} WHERE ({SQL_EVENT_TYPE}) = 'json'"""
+    sql["parse_nginx_error"] = rf"""
+        SELECT conv_id, turn_idx,
+               regexp_extract(text, '\[(\w+)\]', 1) AS ng_level,
+               CAST(regexp_extract(text, ' (\d+)#', 1) AS INTEGER) AS ng_pid,
+               CAST(regexp_extract(text, '#(\d+):', 1) AS INTEGER) AS ng_tid,
+               CAST(NULLIF(regexp_extract(text, ': \*(\d+) ', 1), '') AS BIGINT) AS ng_cid,
+               regexp_extract(text,
+                 '^\d{{4}}/\d{{2}}/\d{{2}} \d{{2}}:\d{{2}}:\d{{2}} \[\w+\] \d+#\d+:(?: \*\d+)? (.*)$',
+                 1) AS ng_message,
+               {SQL_SEVERITY} AS severity_number
+        FROM {T} WHERE ({SQL_EVENT_TYPE}) = 'nginx_error'"""
+    sql["metrics_dim_filter"] = (
+        sql["metrics_emf"]
+        + " HAVING NOT (lower(name) LIKE 'km%' OR lower(name) = 'json')"
+    )
     return sql

@@ -1,0 +1,73 @@
+"""Join operators.
+
+The reference has no relational joins (SURVEY.md §2.7) — all its enrichment
+is small-map lookup. Here both patterns are first-class:
+
+- ``broadcast_join`` — the reference's pattern generalized: the small side is
+  ``ray.put`` ONCE as (key array, payload columns); each actor fetches it
+  once in ``__init__`` and per batch does a dictionary join via
+  ``pc.index_in`` + ``pc.take``. No shuffle, O(batch) per batch. Use whenever
+  one side fits in a worker heap (dimension tables, lookup maps).
+- ``hash_join`` — big-big equi-join via Ray Data's hash-shuffle
+  ``Dataset.join`` (both sides hash-partitioned on the key;
+  ``num_partitions`` is the explicit shuffle-parallelism knob — size it to
+  the cluster, not the data).
+
+Design rule at 100 TB: broadcast every side that fits (dimension tables are
+GBs at most); reserve the shuffle join for fact⋈fact.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def broadcast_join(ds, right: pa.Table, *, left_on: str, right_on: str,
+                   take_cols: list[str], how: str = "inner", concurrency=2,
+                   suffix: str = ""):
+    """Join `ds` against a small in-memory `right` table.
+
+    ``take_cols`` are the right-side columns appended to each batch (renamed
+    with ``suffix`` on collision). ``how``: 'inner' drops unmatched left rows,
+    'left' keeps them with nulls.
+    """
+    keys = right.column(right_on).combine_chunks()
+    payload = {c: right.column(c).combine_chunks() for c in take_cols}
+    ref = ray.put((keys, payload))
+
+    class Joiner:
+        def __init__(self):
+            self.keys, self.payload = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t.column(left_on).combine_chunks(), self.keys)
+            if how == "inner":
+                valid = pc.is_valid(idx)
+                t = t.filter(valid)
+                idx = idx.filter(valid)
+            for c, arr in self.payload.items():
+                name = c + suffix if c in t.column_names else c
+                t = t.append_column(name, pc.take(arr, idx))
+            return t
+
+    return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=concurrency,
+                          zero_copy_batch=True)
+
+
+def hash_join(left, right, *, on: str, right_on: str | None = None,
+              join_type: str = "inner", num_partitions: int = 32):
+    """Big-big equi-join: hash-shuffle both sides on the key.
+
+    Thin wrapper over ``Dataset.join`` so call sites carry the partitioning
+    decision explicitly (the all-to-all exchange is the cost center — pick
+    ``num_partitions`` ≈ cluster cores, reuse the same key downstream)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+    )

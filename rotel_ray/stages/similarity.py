@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two variants, per the large-scale-training-pipeline operator set:
+
+- ``brute_force_topk`` — the exact baseline: numpy matmul per batch against a
+  broadcast (``ray.put`` once) query matrix, global top-k via per-batch
+  partial top-k + a tiny final reduce. O(n·d) work, fully streaming, no
+  shuffle; this is the shape that holds at 10^9 vectors (each batch does one
+  GEMM; the only global step reduces ``num_batches × k`` candidate rows).
+- ``lsh_topk`` — the scale path: random-hyperplane LSH (seeded, deterministic)
+  assigns each vector a b-bit signature; the query probes all buckets within
+  Hamming distance ``probe_hamming`` of its own signature, and only candidate
+  rows get the exact cosine. Recall < 1 by construction (verified ≥ threshold
+  against the exact baseline in tests), cost drops by the bucket selectivity.
+
+The reference has no vector ops (SURVEY.md §2.9); these are the additive
+training-data operators the engine needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+LSH_SEED = 1234
+
+
+def embedding_matrix(col) -> np.ndarray:
+    """Zero-copy-ish list<float> column -> (n, d) float32 matrix.
+
+    Uses the Arrow values buffer directly (one reshape, no per-row Python);
+    requires uniform list widths (enforced).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), d)
+    offs = col.offsets.to_numpy()
+    widths = np.diff(offs)
+    if len(widths) == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    d = int(widths[0])
+    if not (widths == d).all():
+        raise ValueError("ragged embedding column")
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def cosine_scores_stage(ds, query_vec: np.ndarray, *, id_col: str = "vec_id",
+                        emb_col: str = "embedding", concurrency=2):
+    """Append an exact cosine ``sim`` column vs one broadcast query vector."""
+    qn = np.asarray(query_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    qref = ray.put(qn)
+
+    class Cosine:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
+            return pa.table({id_col: t.column(id_col), "sim": pa.array(m @ self.q)})
+
+    return ds.map_batches(Cosine, batch_format="pyarrow", concurrency=concurrency,
+                          zero_copy_batch=True)
+
+
+def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
+                     emb_col: str = "embedding", concurrency=2):
+    """Exact top-k by cosine. Per-batch partial top-k (argpartition) bounds
+    the reduce input to num_batches*k rows; the final sort+limit is over that
+    tiny set only — never a full-dataset sort."""
+    scored = cosine_scores_stage(ds, query_vec, id_col=id_col, emb_col=emb_col,
+                                 concurrency=concurrency)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        sims = t.column("sim").to_numpy()
+        if len(sims) > k:
+            idx = np.argpartition(-sims, k)[:k]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    return (
+        scored.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("sim", descending=True)
+        .limit(k)
+    )
+
+
+def lsh_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """b-bit signature per row: sign bits of m @ planes packed into int64."""
+    bits = (m @ planes) > 0  # (n, b)
+    weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
+    return (bits.astype(np.int64) * weights).sum(axis=1)
+
+
+def make_planes(dim: int, num_bits: int, seed: int = LSH_SEED) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, num_bits))
+
+
+def _probe_buckets(sig: int, num_bits: int, probe_hamming: int) -> np.ndarray:
+    """All bucket ids within Hamming distance <= probe_hamming of sig."""
+    out = [sig]
+    if probe_hamming >= 1:
+        out += [sig ^ (1 << i) for i in range(num_bits)]
+    if probe_hamming >= 2:
+        out += [sig ^ (1 << i) ^ (1 << j) for i in range(num_bits) for j in range(i + 1, num_bits)]
+    return np.asarray(out, dtype=np.int64)
+
+
+def lsh_topk(ds, query_vec: np.ndarray, k: int = 10, *, num_bits: int = 8,
+             probe_hamming: int = 2, id_col: str = "vec_id", emb_col: str = "embedding",
+             concurrency=2, seed: int = LSH_SEED):
+    """Approximate top-k: candidates = rows whose LSH bucket is within
+    ``probe_hamming`` of the query's bucket; exact cosine on candidates only.
+
+    Streaming shape: one map_batches computes signatures + filters (the
+    selective step), then the exact path runs on the surviving fraction.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    dim = q.shape[0]
+    planes = make_planes(dim, num_bits, seed)
+    qsig = int(lsh_signatures(qn[None, :], planes)[0])
+    probes = _probe_buckets(qsig, num_bits, probe_hamming)
+    bref = ray.put((planes, probes, qn))
+
+    class Candidates:
+        def __init__(self):
+            self.planes, self.probes, self.q = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
+            sigs = lsh_signatures(m, self.planes)
+            mask = np.isin(sigs, self.probes)
+            sims = m[mask] @ self.q
+            return pa.table(
+                {id_col: t.column(id_col).filter(pa.array(mask)), "sim": pa.array(sims)}
+            )
+
+    cand = ds.map_batches(Candidates, batch_format="pyarrow", concurrency=concurrency,
+                          zero_copy_batch=True)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        sims = t.column("sim").to_numpy()
+        if len(sims) > k:
+            idx = np.argpartition(-sims, k)[:k]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    return (
+        cand.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("sim", descending=True)
+        .limit(k)
+    )

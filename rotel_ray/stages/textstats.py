@@ -1,0 +1,209 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline text ops, all vectorized over Arrow string columns
+(RE2 kernels via ``pyarrow.compute``; zero per-row Python in the hot path
+except the winnowing fingerprint, which is numpy per doc):
+
+- ``lang_id``          — marker-word n-gram heuristic: per-language match
+                         counts -> argmax with a fixed tie order. The scoring
+                         is deliberately RE2-expressible so the DuckDB oracle
+                         mirrors it exactly.
+- ``token_count_bpe``  — BPE-ish pre-tokenizer regex (GPT-2-style word /
+                         number / punctuation / whitespace classes) +
+                         whitespace token count + char count.
+- ``doc_fingerprint``  — winnowing document fingerprint (Schleimer et al.,
+                         SIGMOD'03): k-gram rolling hashes, min per sliding
+                         window, FNV-combined to one 64-bit fingerprint.
+- ``quality_score``    — length / punctuation / stopword-ratio features.
+
+The reference has no text-analysis ops; these are additive (task brief).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+# fixed evaluation order = tie-break order (first max wins)
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", r"\b(the|and|of|to|in)\b"),
+    ("de", r"\b(der|die|und|das|ist)\b"),
+    ("fr", r"\b(le|la|et|les|des)\b"),
+    ("es", r"\b(el|los|las|es|una)\b"),
+    ("zh", r"[\x{4e00}-\x{9fff}]"),
+]
+
+
+def lang_scores(text: pa.Array) -> dict[str, pa.Array]:
+    return {
+        lang: pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+        for lang, pattern in LANG_MARKERS
+    }
+
+
+def lang_id_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    text = t.column(text_col).combine_chunks()
+    scores = lang_scores(text)
+    mat = np.stack([scores[lang].to_numpy() for lang, _ in LANG_MARKERS])  # (L, n)
+    best = mat.argmax(axis=0)  # first max wins (fixed order)
+    langs = np.array([lang for lang, _ in LANG_MARKERS], dtype=object)[best]
+    langs[mat.max(axis=0) == 0] = "und"
+    out = {id_col: t.column(id_col), "lang_pred": pa.array(langs, pa.string())}
+    for lang, _ in LANG_MARKERS:
+        out[f"score_{lang}"] = scores[lang]
+    return pa.table(out)
+
+
+def lang_id(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda t: lang_id_batch(t, text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lang_id_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB SQL mirroring lang_id_batch exactly (same RE2 patterns, same
+    first-max-wins tie order)."""
+    score_exprs = {
+        lang: f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT)"
+        for lang, pat in LANG_MARKERS
+    }
+    langs = [lang for lang, _ in LANG_MARKERS]
+    case = "CASE WHEN " + " + ".join(f"s_{l}" for l in langs) + " = 0 THEN 'und'"
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+        prior = [f"s_{lang} > s_{other}" for other in langs[:i]]
+        allc = prior + conds
+        case += f" WHEN {' AND '.join(allc) if allc else 'TRUE'} THEN '{lang}'"
+    case += " END"
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score_exprs.items())
+    outer_scores = ", ".join(f"s_{l} AS score_{l}" for l in langs)
+    return f"""
+        SELECT {id_col}, {case} AS lang_pred, {outer_scores}
+        FROM (SELECT {id_col}, {inner} FROM {table})"""
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer classes, RE2-compatible (no lookahead):
+# contractions | optional-space word | optional-space number |
+# optional-space punctuation run | whitespace run
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def token_count_bpe(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, BPE_PATTERN), pa.int64()),
+                "n_ws_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _winnow_fingerprint(text: str, k: int = 5, w: int = 4) -> int:
+    """Winnowing: rolling FNV hash of each k-char gram, min per w-window,
+    distinct mins FNV-combined in order -> one int64 fingerprint."""
+    data = text.encode()
+    n = len(data)
+    if n < k:
+        grams = np.array([_fnv_bytes(data)], dtype=np.uint64)
+    else:
+        # vectorized k-gram hashing: polynomial over byte columns
+        arr = np.frombuffer(data, dtype=np.uint8)
+        P = np.uint64(1_099_511_628_211)
+        acc = np.full(n - k + 1, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        for j in range(k):
+            acc = (acc ^ arr[j : n - k + 1 + j].astype(np.uint64)) * P
+        grams = acc
+    if len(grams) <= w:
+        mins = np.array([grams.min()], dtype=np.uint64)
+    else:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wins = sliding_window_view(grams, w).min(axis=1)
+        # keep positions where the window min changes (standard winnowing set)
+        keep = np.ones(len(wins), dtype=bool)
+        keep[1:] = wins[1:] != wins[:-1]
+        mins = wins[keep]
+    h = 0xCBF29CE484222325
+    for m in mins:
+        h = ((h ^ int(m)) * 1_099_511_628_211) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def _fnv_bytes(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def doc_fingerprint(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5, w: int = 4, concurrency=2):
+    """Per-doc winnowing fingerprint (actor pool; numpy per doc)."""
+
+    class Fingerprinter:
+        def __init__(self):
+            self.k, self.w = k, w
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_pylist()
+            fps = np.fromiter(
+                (_winnow_fingerprint(x or "", self.k, self.w) for x in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+            return pa.table({id_col: t.column(id_col), "fingerprint": pa.array(fps)})
+
+    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=concurrency,
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS_PATTERN = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+
+def quality_score(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Length / punctuation / stopword-ratio features (RE2-expressible so the
+    oracle mirrors)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        denom = pc.max_element_wise(n_chars, 1.0)
+        toks = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
+        tok_denom = pc.max_element_wise(toks, 1.0)
+        punct = pc.cast(pc.count_substring_regex(text, r"[^\sA-Za-z0-9]"), pa.float64())
+        stop = pc.cast(pc.count_substring_regex(text, STOPWORDS_PATTERN), pa.float64())
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "punct_ratio": pc.divide(punct, denom),
+                "stopword_ratio": pc.divide(stop, tok_denom),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

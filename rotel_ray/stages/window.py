@@ -1,0 +1,141 @@
+"""Windowed / ordered operators: sessionization, per-group top-k, as-of join.
+
+Operators Ray Data lacks natively, composed per SURVEY.md's custom-operator
+rule: ``map_batches`` partials + ``groupby().map_groups`` with an explicit
+partitioning assumption — each group (a user's event stream) fits in one
+task. That assumption holds for per-user/per-conversation keys whose size is
+bounded by human activity; for unbounded keys, salt + two-phase instead
+(see stages/aggregate.py).
+
+- ``sessionize``      — gap-based sessions per key (the streaming-window
+                        analogue of the reference's count+timeout batching,
+                        src/topology/batch.rs:15-23, restated for batch).
+- ``topk_per_group``  — per-batch partial top-k bounds shuffle input to
+                        num_batches*k rows per group, then a final per-group
+                        top-k. Deterministic ties via the id column.
+- ``asof_join_backward`` — for each left event, the most recent right event
+                        of the same key at ts <= left.ts (pandas merge_asof
+                        within co-grouped keys; inclusive match, mirroring
+                        DuckDB ASOF JOIN semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: str = "value",
+               id_col: str = "event_id", gap_minutes: float = 30.0):
+    """Gap-based sessionization: a new session starts when the time since the
+    key's previous event exceeds the gap. Returns one row per session:
+    (key, session_idx, n_events, start_ts, end_ts, value_sum_cents)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        prev = g[ts_col].shift(1)
+        new_sess = prev.isna() | ((g[ts_col] - prev) > gap)
+        sess = new_sess.cumsum() - 1
+        cents = np.floor(g[value_col].to_numpy() * 100 + 0.5).astype(np.int64)
+        out = (
+            pd.DataFrame({key: g[key], "session_idx": sess.astype(np.int64),
+                          ts_col: g[ts_col], "cents": cents})
+            .groupby([key, "session_idx"], as_index=False)
+            .agg(n_events=(ts_col, "size"), start_ts=(ts_col, "min"),
+                 end_ts=(ts_col, "max"), value_sum_cents=("cents", "sum"))
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    proj = ds.map_batches(
+        lambda t: t.select([key, ts_col, value_col, id_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return proj.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def topk_per_group(ds, *, key: str = "user_id", order_col: str = "value",
+                   id_col: str = "event_id", k: int = 3, cols: list[str] | None = None):
+    """Top-k rows per key by (order_col desc, id_col asc) — deterministic.
+
+    Phase 1 keeps at most k rows per key per batch (bounded shuffle);
+    phase 2 finishes per key."""
+    cols = cols or [key, order_col, id_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        idx = pc.sort_indices(
+            t, sort_keys=[(key, "ascending"), (order_col, "descending"), (id_col, "ascending")]
+        )
+        t = t.take(idx)
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        # rank within key (keys sorted): position - first position of key
+        first = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        starts = np.repeat(first, np.diff(np.r_[first, len(keys)]))
+        rank = np.arange(len(keys)) - starts
+        return t.filter(pa.array(rank < k))
+
+    def final(t: pa.Table) -> pa.Table:
+        return partial(t)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(key).map_groups(final, batch_format="pyarrow")
+
+
+def asof_join_backward(left_ds, right_ds, *, key: str = "user_id", ts_col: str = "ts",
+                       left_cols: list[str] | None = None,
+                       right_cols: list[str] | None = None,
+                       right_suffix: str = "_right"):
+    """For each left row, attach the latest right row of the same key with
+    right.ts <= left.ts (inclusive; unmatched left rows dropped).
+
+    Implementation: tag + union both sides, co-group by key, merge_asof
+    within each group — one shuffle on the shared key, the partitioning
+    assumption (one key's rows fit a task) documented above."""
+    l_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    r_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    left_cols = left_cols or [c for c in l_schema if c not in (key, ts_col)]
+    right_cols = right_cols or [c for c in r_schema if c not in (key, ts_col)]
+    # union schema: both sides padded with typed nulls for the other's columns
+    all_cols = [key, ts_col] + left_cols + [c for c in right_cols if c not in left_cols]
+    col_type = {**r_schema, **l_schema}
+
+    def tag(side: str, keep: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays = []
+            for c in all_cols:
+                arrays.append(
+                    t.column(c) if c in keep or c in (key, ts_col) else pa.nulls(n, col_type[c])
+                )
+            out = pa.table(dict(zip(all_cols, arrays)))
+            return out.append_column("__side", pa.array([side] * n, pa.string()))
+
+        return f
+
+    lt = left_ds.map_batches(tag("l", left_cols), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right_ds.map_batches(tag("r", right_cols), batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"].sort_values(ts_col)
+        r = g[g["__side"] == "r"].sort_values(ts_col)
+        if l.empty or r.empty:
+            l, r = l.iloc[:0], r.iloc[:0]
+        merged = pd.merge_asof(
+            l[[key, ts_col] + left_cols],
+            r[[ts_col] + right_cols].rename(
+                columns={ts_col: ts_col + right_suffix,
+                         **{c: c + right_suffix for c in right_cols if c in left_cols}}
+            ),
+            left_on=ts_col,
+            right_on=ts_col + right_suffix,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged.dropna(subset=[ts_col + right_suffix])
+
+    return both.groupby(key).map_groups(per_group, batch_format="pandas")

@@ -1,0 +1,119 @@
+"""Dedup operator tests: planted duplicates + brute-force Python oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rotel_ray.stages.dedup import (
+    _shingle_hashes,
+    _simhash64,
+    _token_hashes,
+    embedding_neardup_exact,
+    embedding_neardup_lsh,
+    exact_dedup,
+    minhash_lsh_neardup,
+    simhash_neardup,
+    token_jaccard_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the "
+    "window and the birds sing in the morning light over the quiet garden path"
+)
+
+
+def _docs_with_dups():
+    texts, ids = [], []
+    rng = np.random.default_rng(3)
+    words = BASE.split()
+    for i in range(40):
+        w = list(rng.permutation(words))
+        texts.append(" ".join(w))
+        ids.append(i)
+    # planted near-dups: 100/101 differ by one token, 102/103 identical
+    texts += [BASE, BASE.replace("garden", "hidden"), BASE + " end", BASE + " end"]
+    ids += [100, 101, 102, 103]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+def test_exact_dedup_finds_planted():
+    t = _docs_with_dups()
+    out = exact_dedup(rd.from_arrow(t)).to_pandas()
+    dups = out[out.n_dups > 1]
+    assert len(dups) == 1 and dups.iloc[0]["doc_id"] == 102 and dups.iloc[0]["n_dups"] == 2
+    assert out.n_dups.sum() == t.num_rows
+
+
+def _brute_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(_shingle_hashes(a, k)), set(_shingle_hashes(b, k))
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_minhash_lsh_neardup_planted():
+    t = _docs_with_dups()
+    out = minhash_lsh_neardup(rd.from_arrow(t), threshold=0.5).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (100, 101) in pairs and (102, 103) in pairs
+    # reported jaccard equals the exact brute-force shingle jaccard
+    for _, row in out.iterrows():
+        texts = {i: x for i, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())}
+        exact = _brute_jaccard(texts[row.doc_a], texts[row.doc_b])
+        assert row.jaccard == pytest.approx(exact)
+        assert row.jaccard >= 0.5
+
+
+def test_simhash_full_recall_vs_bruteforce():
+    t = _docs_with_dups()
+    out = simhash_neardup(rd.from_arrow(t), max_hamming=3).to_pandas()
+    got = {(a, b): h for a, b, h in zip(out.doc_a, out.doc_b, out.hamming)}
+    # brute force all pairs
+    ids = t.column("doc_id").to_pylist()
+    sigs = {i: _simhash64(_token_hashes(x)) for i, x in zip(ids, t.column("text").to_pylist())}
+    expected = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                expected[(min(a, b), max(a, b))] = h
+    assert got == expected  # full recall by 4-band pigeonhole
+    assert (102, 103) in got and got[(102, 103)] == 0
+
+
+def test_token_jaccard_pairs_oracle():
+    t = _docs_with_dups().filter(pa.compute.less(pa.compute.field("doc_id"), 40))
+    out = token_jaccard_pairs(rd.from_arrow(t)).to_pandas().set_index("pair_key")
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    for pk in out.index:
+        a, b = texts[2 * pk], texts[2 * pk + 1]
+        sa, sb = set(a.split()), set(b.split())
+        assert out.loc[pk, "jaccard"] == pytest.approx(len(sa & sb) / len(sa | sb))
+    assert len(out) == 20
+
+
+def _vecs_with_dups(n=60, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    # planted: vec n-1 ≈ vec 0 (tiny perturbation), vec n-2 == vec 1
+    m[n - 1] = m[0] + 0.01 * rng.standard_normal(d)
+    m[n - 2] = m[1]
+    ids = list(range(n))
+    return pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([row.tolist() for row in m.astype(np.float32)], pa.list_(pa.float32()))}
+    )
+
+
+def test_embedding_neardup_exact_and_lsh():
+    t = _vecs_with_dups()
+    exact = embedding_neardup_exact(rd.from_arrow(t), tau=0.95).to_pandas()
+    exact_pairs = set(zip(exact.vec_a, exact.vec_b))
+    assert (0, 59) in exact_pairs and (1, 58) in exact_pairs
+    lsh = embedding_neardup_lsh(rd.from_arrow(t), tau=0.95, num_bands=16,
+                                bits_per_band=4).to_pandas()
+    lsh_pairs = set(zip(lsh.vec_a, lsh.vec_b))
+    assert lsh_pairs <= exact_pairs  # no false positives (exact verify in-bucket)
+    # high recall on true near-dups (cos≈1 ⇒ same bucket in ≥1 of 16 bands)
+    assert (0, 59) in lsh_pairs and (1, 58) in lsh_pairs

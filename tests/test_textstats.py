@@ -1,0 +1,67 @@
+"""Text-analysis tests: langid on handcrafted texts, BPE counts vs re,
+fingerprint determinism."""
+
+import re
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from rotel_ray.stages.textstats import (
+    BPE_PATTERN,
+    _winnow_fingerprint,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe,
+)
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+
+
+def test_lang_id_heuristic():
+    texts = [
+        "the cat and the dog sat in the garden of the house",
+        "der hund und die katze, das ist gut und der tag ist lang",
+        "le chat et le chien et les oiseaux des villes",
+        "el gato y los perros y las casas, es una historia",
+        "你好世界 这是中文",
+        "zzz qqq xxx",
+    ]
+    out = lang_id(_docs(texts)).to_pandas().sort_values("doc_id")
+    assert list(out.lang_pred) == ["en", "de", "fr", "es", "zh", "und"]
+    assert out.iloc[0].score_en > 0 and out.iloc[5].score_en == 0
+
+
+def test_token_count_bpe_matches_re():
+    texts = ["hello, world! it's 42 degrees", "  spaced   out  ", ""]
+    out = token_count_bpe(_docs(texts)).to_pandas().sort_values("doc_id")
+    for i, x in enumerate(texts):
+        assert out.iloc[i].n_bpe_tokens == len(re.findall(BPE_PATTERN, x))
+        assert out.iloc[i].n_ws_tokens == len(x.split())
+        assert out.iloc[i].n_chars == len(x)
+
+
+def test_fingerprint_deterministic_and_discriminative():
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "a completely different sentence with other words"
+    assert _winnow_fingerprint(a) == _winnow_fingerprint(a)
+    assert _winnow_fingerprint(a) != _winnow_fingerprint(b)
+    out = doc_fingerprint(_docs([a, a, b])).to_pandas().sort_values("doc_id")
+    fps = list(out.fingerprint)
+    assert fps[0] == fps[1] != fps[2]
+    assert all(f >= 0 for f in fps)
+
+
+def test_quality_score_features():
+    out = quality_score(_docs(["the cat!!", "abc"])).to_pandas().sort_values("doc_id")
+    r0 = out.iloc[0]
+    assert r0.n_chars == 9 and r0.n_tokens == 2
+    assert r0.punct_ratio == 2 / 9
+    assert r0.stopword_ratio == 1 / 2
+    r1 = out.iloc[1]
+    assert r1.punct_ratio == 0.0 and r1.stopword_ratio == 0.0

@@ -1,0 +1,79 @@
+"""Windowed-operator tests: sessionize / top-k per group / as-of join vs
+pandas references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from rotel_ray.stages.window import asof_join_backward, sessionize, topk_per_group
+
+
+def _events():
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        offs = [0, 5, 10, 50, 55, 120]  # minutes; gaps at 40 and 65
+        for o in offs:
+            rows.append((eid, uid, base + pd.Timedelta(minutes=o), float(eid % 7) + 0.5))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)), df
+
+
+def test_sessionize_gap_semantics():
+    ds, df = _events()
+    out = sessionize(ds, gap_minutes=30.0).to_pandas().sort_values(["user_id", "session_idx"])
+    for uid in (1, 2):
+        u = out[out.user_id == uid].reset_index(drop=True)
+        assert list(u.session_idx) == [0, 1, 2]
+        assert list(u.n_events) == [3, 2, 1]
+    # value sums in cents
+    u1 = out[(out.user_id == 1) & (out.session_idx == 0)].iloc[0]
+    expected = int(sum(np.floor((df[df.user_id == 1].value.iloc[:3]) * 100 + 0.5)))
+    assert u1.value_sum_cents == expected
+
+
+def test_topk_per_group_matches_pandas():
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {
+            "event_id": range(500),
+            "user_id": rng.integers(0, 10, 500),
+            "value": rng.random(500).round(3),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = topk_per_group(ds, key="user_id", order_col="value", id_col="event_id", k=3,
+                         cols=["user_id", "value", "event_id"]).to_pandas()
+    ref = (
+        df.sort_values(["user_id", "value", "event_id"], ascending=[True, False, True])
+        .groupby("user_id")
+        .head(3)
+    )
+    got = set(map(tuple, out[["user_id", "event_id"]].values))
+    want = set(map(tuple, ref[["user_id", "event_id"]].values))
+    assert got == want
+
+
+def test_asof_join_backward_matches_merge_asof():
+    ds, df = _events()
+    left = ds.filter(expr="value > 2.0")
+    right = ds.filter(expr="value <= 2.0")
+    out = asof_join_backward(
+        left, right, key="user_id", ts_col="ts",
+        left_cols=["event_id", "value"], right_cols=["event_id", "value"],
+    ).to_pandas()
+
+    ldf = df[df.value > 2.0].sort_values("ts")
+    rdf = df[df.value <= 2.0].sort_values("ts")
+    ref = pd.merge_asof(
+        ldf, rdf.rename(columns={"ts": "ts_right", "event_id": "event_id_right",
+                                 "value": "value_right"}),
+        left_on="ts", right_on="ts_right", by="user_id", direction="backward",
+    ).dropna(subset=["ts_right"])
+    got = sorted(map(tuple, out[["user_id", "event_id", "event_id_right"]].astype(int).values.tolist()))
+    want = sorted(map(tuple, ref[["user_id", "event_id", "event_id_right"]].astype(int).values.tolist()))
+    assert got == want
