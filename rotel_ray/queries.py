@@ -628,6 +628,24 @@ def q_parse_nginx_error(sf_dir: str):
     )
 
 
+def q_file_source(sf_dir: str):
+    """File-receiver path: raw .log files -> read_text -> vectorized parse ->
+    severity histogram. Must equal the parquet path filtered to the same
+    grammars (the per-turn text-equality invariant via a second source)."""
+    from .sources.text_logs import ensure_log_files, parse_log_files
+
+    ldir = ensure_log_files(ensure_transcripts(sf_dir))
+    ds = parse_log_files(ldir)
+    ds = ds.map_batches(
+        lambda t: t.select(["event_type", "severity_number"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    agg = two_phase_aggregate(
+        ds, ["event_type", "severity_number"], [("event_type", "count", "n")]
+    )
+    return _cast_final(agg, {"severity_number": pa.int32()})
+
+
 def q_metrics_dim_filter(sf_dir: str):
     """Wildcard dimension filter over metric names (case-insensitive, `*`
     = 0+ chars, exclude wins — awsemf/dim_filter.rs:4-60 semantics)."""
@@ -694,6 +712,7 @@ QUERIES = {
     "parse_json": q_parse_json,
     "parse_nginx_error": q_parse_nginx_error,
     "metrics_dim_filter": q_metrics_dim_filter,
+    "file_source": q_file_source,
 }
 
 
@@ -920,4 +939,10 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         sql["metrics_emf"]
         + " HAVING NOT (lower(name) LIKE 'km%' OR lower(name) = 'json')"
     )
+    sql["file_source"] = f"""
+        SELECT {SQL_EVENT_TYPE} AS event_type, {SQL_SEVERITY} AS severity_number,
+               count(*) AS n
+        FROM {T}
+        WHERE ({SQL_EVENT_TYPE}) IN ('nginx_access', 'nginx_error', 'kmsg')
+        GROUP BY 1, 2"""
     return sql
