@@ -29,9 +29,16 @@ SECONDARY = [
     "logs_sink",
     "lineitem_pricing",
     "nation_orders",
+    "order_revenue_join",
     "events_minute",
+    "sessionize",
     "dedup_exact",
+    "dedup_minhash",
     "sim_topk",
+    "embedding_neardup",
+    "lang_id",
+    "file_source",
+    "mm_features",
 ]
 
 

@@ -1,0 +1,186 @@
+"""Scalar function library — the reference's §2.10 kernel set, vectorized.
+
+Every function operates on whole Arrow arrays (numpy / pyarrow.compute); no
+per-row Python in any hot path.
+
+| function | reference |
+|---|---|
+| hex_encode / hex_decode        | clickhouse/transformer.rs:218-235, file/parquet/log.rs:185-186 |
+| span_id_from / trace_id_from   | id derivation for the traces sink (hex ids at every sink) |
+| ns_to_seconds / duration_ns    | xray/transformer.rs:191-193, clickhouse/transform_traces.rs:96-100 |
+| translate_unit                 | awsemf/transformer.rs:732-744 |
+| wildcard_match / compile_...   | awsemf/dim_filter.rs:28-60 (case-insensitive, `*` = 0+ chars) |
+| severity_text_of / severity_of | kmsg/parser.rs:94-166 |
+| truthy_cast                    | attributes_processor.py:240-272 |
+| xray_trace_id                  | xray/transformer.rs:177-190 (`1-{8hex epoch}-{24hex}`) |
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# hex
+# ---------------------------------------------------------------------------
+
+_HEX_CHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def hex_encode(arr: pa.Array) -> pa.Array:
+    """Fixed-size binary -> lowercase hex string, fully vectorized: the byte
+    matrix is split into nibbles and mapped through a 16-char LUT."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_fixed_size_binary(arr.type):
+        raise TypeError("hex_encode expects fixed_size_binary")
+    w = arr.type.byte_width
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    off = arr.offset * w
+    m = buf[off : off + len(arr) * w].reshape(len(arr), w)
+    out = np.empty((len(arr), w, 2), dtype=np.uint8)
+    out[:, :, 0] = _HEX_CHARS[m >> 4]
+    out[:, :, 1] = _HEX_CHARS[m & 0xF]
+    flat = out.reshape(len(arr), 2 * w).view(f"S{2 * w}").ravel()
+    return pa.array(flat.astype(str))
+
+
+def hex_decode(arr: pa.Array, byte_width: int) -> pa.Array:
+    """Hex string -> fixed-size binary (inverse of hex_encode)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = arr.to_numpy(zero_copy_only=False).astype(f"S{2 * byte_width}")
+    chars = s.view(np.uint8).reshape(len(arr), 2 * byte_width)
+    nib = np.where(chars >= ord("a"), chars - ord("a") + 10, chars - ord("0")).astype(np.uint8)
+    raw = ((nib[:, 0::2] << 4) | nib[:, 1::2]).astype(np.uint8)
+    return pa.array(raw.view(f"S{byte_width}").ravel().tolist(), pa.binary(byte_width))
+
+
+def _md5_bytes(arr: pa.Array, width: int) -> pa.Array:
+    """First `width` bytes of md5 per distinct value (dictionary-encoded)."""
+    import hashlib
+
+    d = pc.dictionary_encode(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+    uniq = [
+        None if v is None else hashlib.md5(str(v).encode()).digest()[:width]
+        for v in d.dictionary.to_pylist()
+    ]
+    out = pa.DictionaryArray.from_arrays(d.indices, pa.array(uniq, pa.binary(width)))
+    return pc.cast(out, pa.binary(width))
+
+
+def trace_id_from(arr: pa.Array) -> pa.Array:
+    """Deterministic 16-byte trace id from a key column (md5 prefix)."""
+    return _md5_bytes(arr, 16)
+
+
+def span_id_from(arr: pa.Array) -> pa.Array:
+    """Deterministic 8-byte span id from a key column (md5 prefix)."""
+    return _md5_bytes(arr, 8)
+
+
+# ---------------------------------------------------------------------------
+# time / duration
+# ---------------------------------------------------------------------------
+
+
+def ns_to_seconds(arr) -> pa.Array:
+    """u64 ns -> float seconds (xray/transformer.rs:191-193)."""
+    return pc.divide(pc.cast(arr, pa.float64()), 1e9)
+
+
+def duration_ns(start, end) -> pa.Array:
+    """max(end - start, 0) (clickhouse/transform_traces.rs:96-100)."""
+    return pc.max_element_wise(pc.subtract(pc.cast(end, pa.int64()), pc.cast(start, pa.int64())), 0)
+
+
+def xray_trace_id(trace_id_hex: pa.Array, epoch_s) -> pa.Array:
+    """`1-{8-hex epoch}-{24 hex}` (xray/transformer.rs:177-190)."""
+    n = len(trace_id_hex)
+    epoch_hex = pa.array([format(int(e), "08x") for e in
+                          (epoch_s.to_pylist() if hasattr(epoch_s, "to_pylist") else epoch_s)])
+    tail = pc.utf8_slice_codeunits(trace_id_hex, 0, 24)
+    one = pa.nulls(n, pa.string()).fill_null("1")
+    return pc.binary_join_element_wise(one, epoch_hex, tail, "-")
+
+
+# ---------------------------------------------------------------------------
+# unit translation (awsemf/transformer.rs:732-744)
+# ---------------------------------------------------------------------------
+
+_UNIT_MAP = {
+    "ms": "Milliseconds", "s": "Seconds", "us": "Microseconds", "ns": "Nanoseconds",
+    "By": "Bytes", "bit": "Bits", "Count": "Count", "count": "Count",
+    "1": "None", "": "None", "percent": "Percent", "%": "Percent",
+}
+_UNIT_KEYS = pa.array(list(_UNIT_MAP.keys()))
+_UNIT_VALS = pa.array(list(_UNIT_MAP.values()))
+
+
+def translate_unit(arr: pa.Array) -> pa.Array:
+    """OTel unit -> CloudWatch unit; unknown units pass through unchanged."""
+    mapped = pc.take(_UNIT_VALS, pc.index_in(arr, _UNIT_KEYS))
+    return pc.coalesce(mapped, arr)
+
+
+# ---------------------------------------------------------------------------
+# wildcard dimension filter (awsemf/dim_filter.rs:4-60)
+# ---------------------------------------------------------------------------
+
+
+def compile_wildcards(patterns: list[str]) -> re.Pattern:
+    """Case-insensitive fnmatch set -> one alternation regex."""
+    if not patterns:
+        return re.compile(r"(?!)")  # matches nothing
+    return re.compile("|".join(fnmatch.translate(p.lower()) for p in patterns))
+
+
+def wildcard_match(arr: pa.Array, include: list[str] | None = None,
+                   exclude: list[str] | None = None) -> pa.Array:
+    """Boolean mask: include (default `*`) minus exclude (exclude wins),
+    case-insensitive — the dimension-filter contract. Vectorized via
+    dictionary encoding (one regex test per distinct value)."""
+    inc = compile_wildcards(include if include is not None else ["*"])
+    exc = compile_wildcards(exclude or [])
+    d = pc.dictionary_encode(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+    uniq = d.dictionary.to_pylist()
+    keep = pa.array(
+        [False if v is None else bool(inc.fullmatch(v.lower())) and not exc.fullmatch(v.lower())
+         for v in uniq],
+        pa.bool_(),
+    )
+    return pc.fill_null(pc.cast(pa.DictionaryArray.from_arrays(d.indices, keep), pa.bool_()), False)
+
+
+# ---------------------------------------------------------------------------
+# severity maps (kmsg/parser.rs:94-166)
+# ---------------------------------------------------------------------------
+
+_SEV_NUMS = pa.array([5, 9, 10, 13, 17, 21], type=pa.int32())
+_SEV_TEXTS = pa.array(["DEBUG", "INFO", "INFO2", "WARN", "ERROR", "FATAL"])
+_PRIO_TO_SEV = pa.array([21, 21, 21, 17, 13, 10, 9, 5], type=pa.int32())
+
+
+def severity_of(priority: pa.Array) -> pa.Array:
+    """syslog priority (0-7) -> OTLP severity number."""
+    return pc.take(_PRIO_TO_SEV, pc.cast(priority, pa.int32()))
+
+
+def severity_text_of(severity_number: pa.Array) -> pa.Array:
+    return pc.take(_SEV_TEXTS, pc.index_in(pc.cast(severity_number, pa.int32()), _SEV_NUMS))
+
+
+# ---------------------------------------------------------------------------
+# truthy cast (attributes_processor.py:240-272)
+# ---------------------------------------------------------------------------
+
+_TRUTHY = pa.array(sorted({"true", "1", "t", "y", "yes"}))
+
+
+def truthy_cast(arr: pa.Array) -> pa.Array:
+    """String -> bool with truthy-string semantics."""
+    return pc.is_in(pc.utf8_lower(arr), value_set=_TRUTHY)

@@ -549,8 +549,9 @@ def q_asof_purchase_click(sf_dir: str):
 
 def q_order_revenue_join(sf_dir: str):
     """Big-big hash-shuffle join: lineitem ⋈ orders on orderkey, revenue per
-    order priority (Ray Dataset.join — both sides hash-partitioned)."""
-    from .stages.join import hash_join
+    order priority (bucket co-partitioned join — 2x faster than
+    Dataset.join for skinny fact⋈fact, see BASELINE.md)."""
+    from .stages.join import bucket_hash_join
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -561,7 +562,7 @@ def q_order_revenue_join(sf_dir: str):
 
     li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
-    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    joined = bucket_hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_buckets=64)
     return two_phase_aggregate(
         joined, ["o_orderpriority"],
         [("rev_cents", "sum", "revenue_cents"), ("rev_cents", "count", "n_items")],
@@ -626,6 +627,33 @@ def q_parse_nginx_error(sf_dir: str):
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def q_span_ids(sf_dir: str):
+    """Deterministic trace/span id derivation for the traces sink (hex ids
+    at every sink — clickhouse/transformer.rs:218-235): trace_id =
+    md5(conv_id), span_id = md5(conv_id:turn_idx) prefix, hex-encoded with
+    the vectorized nibble-LUT kernel."""
+    from .functions.scalar import hex_encode, span_id_from, trace_id_from
+
+    ds = _parsed(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "tool_call"))
+        conv = t.column("conv_id").combine_chunks()
+        key = pc.binary_join_element_wise(
+            conv, pc.cast(t.column("turn_idx").combine_chunks(), pa.string()), ":"
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": t.column("turn_idx"),
+                "trace_id": hex_encode(trace_id_from(conv)),
+                "span_id": hex_encode(span_id_from(key)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_file_source(sf_dir: str):
@@ -713,6 +741,7 @@ QUERIES = {
     "parse_nginx_error": q_parse_nginx_error,
     "metrics_dim_filter": q_metrics_dim_filter,
     "file_source": q_file_source,
+    "span_ids": q_span_ids,
 }
 
 
@@ -945,4 +974,9 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM {T}
         WHERE ({SQL_EVENT_TYPE}) IN ('nginx_access', 'nginx_error', 'kmsg')
         GROUP BY 1, 2"""
+    sql["span_ids"] = f"""
+        SELECT conv_id, turn_idx,
+               md5(conv_id) AS trace_id,
+               substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id
+        FROM {T} WHERE {SQL_IS_TOOL}"""
     return sql

@@ -79,6 +79,35 @@ def add_hash_bucket(t: pa.Table, keys: list[str], num_buckets: int, col: str = "
     return t.append_column(col, bucket)
 
 
+def grouped_apply(ds, keys: list[str], fn, *, num_buckets: int = DEFAULT_BUCKETS,
+                  batch_format: str = "pandas", select: list[str] | None = None):
+    """Group-apply with bounded task count: rows are hash-bucketed by `keys`
+    (the shuffle moves ONE extra int column, and produces `num_buckets`
+    reduce tasks instead of one per distinct key), and ``fn`` is called once
+    per bucket with every row of every key in that bucket — so ``fn`` must
+    group by `keys` internally (vectorized, e.g. pandas groupby / sorted
+    numpy segments). This is the scale shape for per-key window operators:
+    task count is O(buckets), key skew is diluted by hashing, and no task
+    ever holds more than ~1/buckets of the data."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if select:
+            t = t.select(select)
+        if len(keys) == 1 and pa.types.is_integer(t.schema.field(keys[0]).type):
+            v = pc.cast(t.column(keys[0]), pa.int64())
+            bucket = pc.bit_wise_and(v, num_buckets - 1)  # num_buckets power of 2
+            return t.append_column("__bucket", bucket)
+        return add_hash_bucket(t, keys, num_buckets)
+
+    def run_bucket(g):
+        if hasattr(g, "drop_columns"):  # pyarrow
+            return fn(g.drop_columns(["__bucket"]))
+        return fn(g.drop(columns=["__bucket"]))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("__bucket").map_groups(run_bucket, batch_format=batch_format)
+
+
 def two_phase_aggregate(
     ds,
     keys: list[str],
@@ -267,13 +296,15 @@ def delta_within_group(
     pattern with per-batch deltas + boundary stitching instead.
     """
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across keys: one sort, shift masked at key boundaries
+        g = g.sort_values([key, order], kind="mergesort")
+        first_of_key = (g[key] != g[key].shift()).to_numpy()
         prev = g[value].shift(1)
         delta = (g[value] - prev).clip(lower=0)
+        delta[first_of_key] = np.nan
         if retain_initial_value:
-            delta = delta.fillna(g[value])
-            out = g.assign(delta=delta)
+            out = g.assign(delta=delta.fillna(g[value]))
         else:
             out = g.assign(delta=delta)
             out = out[out["delta"].notna()]
@@ -284,4 +315,4 @@ def delta_within_group(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return filtered.groupby(key).map_groups(per_group, batch_format="pandas")
+    return grouped_apply(filtered, [key], per_bucket)

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from .aggregate import two_phase_aggregate
+from .aggregate import grouped_apply, two_phase_aggregate
 from .enrich import _hash_values
 from .similarity import embedding_matrix, lsh_signatures, make_planes
 
@@ -107,19 +107,20 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 def _minhash_params(num_perm: int, seed: int = SEED):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    # odd multipliers => (a*x + b) mod 2^64 is a bijection of Z_2^64, so each
+    # (a_i, b_i) is a genuine permutation for minhash; uint64 wraparound is
+    # the mod — fully vectorized, no object-dtype bigint math
+    a = (rng.integers(0, 1 << 62, num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, num_perm, dtype=np.uint64)
     return a, b
 
 
 def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_perm,) signature = min over shingles of (a*x+b) mod p."""
+    """(num_perm,) signature = min over shingles of the permuted values."""
     if len(shingles) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # python-int modmul to avoid uint64 overflow; num_perm x n_shingles
-    x = shingles.astype(object)
-    vals = (a[:, None].astype(object) * x[None, :] + b[:, None].astype(object)) % MERSENNE
-    return np.min(vals.astype(np.uint64), axis=1)
+    vals = a[:, None] * shingles[None, :] + b[:, None]  # uint64 wraps (the mod)
+    return np.min(vals, axis=1)
 
 
 class MinHashSignatures:
@@ -211,8 +212,8 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, bands, id_col), batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = band_ds.groupby("band_key").map_groups(
-        lambda t: _pairs_in_buckets(t, id_col), batch_format="pyarrow"
+    pairs = grouped_apply(
+        band_ds, ["band_key"], lambda t: _pairs_in_buckets(t, id_col), batch_format="pyarrow"
     )
     # distinct pairs (a pair can collide in several bands)
     return two_phase_aggregate(pairs, ["doc_a", "doc_b"], [("doc_a", "count", "n_bands")])
@@ -307,7 +308,7 @@ def minhash_lsh_neardup(ds, *, threshold: float = 0.7, num_perm: int = 64,
             }
         )
 
-    return sh_ds.groupby("pair_id").map_groups(verify, batch_format="pyarrow")
+    return grouped_apply(sh_ds, ["pair_id"], verify, batch_format="pyarrow")
 
 
 def _collect_table(ds) -> pa.Table:
@@ -404,7 +405,7 @@ def simhash_neardup(ds, *, max_hamming: int = 3, text_col: str = "text",
             }
         )
 
-    found = band_ds.groupby("band_key").map_groups(pairs, batch_format="pyarrow")
+    found = grouped_apply(band_ds, ["band_key"], pairs, batch_format="pyarrow")
     # distinct (pairs can agree on multiple bands); keep the hamming distance
     return two_phase_aggregate(found, ["doc_a", "doc_b"], [("hamming", "min", "hamming")])
 
@@ -451,7 +452,7 @@ def token_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({"pair_key": pa.array(out_k, pa.int64()), "jaccard": pa.array(out_j, pa.float64())})
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    return prepped.groupby("pair_key").map_groups(jac, batch_format="pyarrow")
+    return grouped_apply(prepped, ["pair_key"], jac, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -561,5 +562,5 @@ def embedding_neardup_lsh(ds, *, tau: float = 0.9, num_bands: int = 16,
             }
         )
 
-    found = bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    found = grouped_apply(bucketed, ["bucket"], pairs, batch_format="pyarrow")
     return two_phase_aggregate(found, ["vec_a", "vec_b"], [("cos_sim", "max", "cos_sim")])

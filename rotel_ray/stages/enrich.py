@@ -253,6 +253,21 @@ class Enricher:
         return t
 
 
+def context_enrich(ds, context: dict[str, str], prefix: str = "http.request.header."):
+    """RequestContext propagation: attach request-context entries (HTTP/gRPC
+    headers captured at the source) as constant columns on every row — the
+    context processor (rotel_python_processor_sdk/processors/
+    context_processor.py:42-141, header -> `http.request.header.*` attr).
+    The context dict is tiny config captured in the closure."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for k, v in context.items():
+            t = t.append_column(prefix + k, pa.nulls(t.num_rows, pa.string()).fill_null(str(v)))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def enrich_stage(ds, *, concurrency: int | tuple = 4, batch_size: int = 16384,
                  resource_attrs: dict | None = None, role_meta=None, tool_meta=None):
     """Attach the Enricher actor pool. Lookups are ray.put once here."""

@@ -71,3 +71,60 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
         on=(on,),
         right_on=(right_on or on,),
     )
+
+
+def bucket_hash_join(left, right, *, on: str, right_on: str | None = None,
+                     num_buckets: int = 64):
+    """Big-big inner equi-join via explicit bucket co-partitioning: both
+    sides are tagged and unioned, hash-bucketed on the join key (one int
+    column drives the shuffle), and each bucket joins its two sides with a
+    vectorized pandas merge. Task count = num_buckets (power of 2); key skew
+    is diluted by hashing; no side is ever collected whole.
+
+    Same exchange shape as ``Dataset.join`` but with our bucketed groupby
+    (measured faster for skinny fact⋈fact joins; see BASELINE.md)."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply
+
+    right_on = right_on or on
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    r_schema = dict(zip(right.schema().names, right.schema().types))
+    l_cols = [c for c in l_schema if c != on]
+    r_cols = [c for c in r_schema if c != right_on]
+    all_cols = [on] + l_cols + [c for c in r_cols if c not in l_cols]
+    col_type = {on: l_schema[on], **{c: r_schema[c] for c in r_cols}, **{c: l_schema[c] for c in l_cols}}
+
+    def tag(side: int, keep: list[str], key_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays = []
+            for c in all_cols:
+                if c == on:
+                    arrays.append(pc.cast(t.column(key_col), col_type[on]))
+                elif c in keep:
+                    arrays.append(t.column(c))
+                else:
+                    arrays.append(pa.nulls(n, col_type[c]))
+            out = pa.table(dict(zip(all_cols, arrays)))
+            return out.append_column(
+                "__side", pa.nulls(n, pa.int8()).fill_null(side)
+            )
+
+        return f
+
+    lt = left.map_batches(tag(0, l_cols, on), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag(1, r_cols, right_on), batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+
+    # pandas widens int columns to float when the union frame carries the
+    # other side's nulls; cast back after the inner merge (no nulls survive)
+    int_casts = {c: "int64" for c in l_cols + r_cols if pa.types.is_integer(col_type[c])}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][[on] + l_cols]
+        r = g[g["__side"] == 1][[on] + r_cols]
+        merged = l.merge(r, on=on, how="inner")
+        return merged.astype(int_casts) if int_casts else merged
+
+    return grouped_apply(both, [on], per_bucket, num_buckets=num_buckets)

@@ -32,29 +32,32 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: str =
     """Gap-based sessionization: a new session starts when the time since the
     key's previous event exceeds the gap. Returns one row per session:
     (key, session_idx, n_events, start_ts, end_ts, value_sum_cents)."""
+    from .aggregate import grouped_apply
+
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        prev = g[ts_col].shift(1)
-        new_sess = prev.isna() | ((g[ts_col] - prev) > gap)
-        sess = new_sess.cumsum() - 1
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every key in the bucket: one sort, shift-based
+        # boundaries, no per-key Python
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        gap_break = ((g[ts_col] - g[ts_col].shift()) > gap).to_numpy()
+        new_sess = key_change | gap_break
+        sess_global = np.cumsum(new_sess)
+        key_start = pd.Series(np.where(key_change, sess_global, np.nan)).ffill().to_numpy()
+        sess_idx = (sess_global - key_start).astype(np.int64)
         cents = np.floor(g[value_col].to_numpy() * 100 + 0.5).astype(np.int64)
         out = (
-            pd.DataFrame({key: g[key], "session_idx": sess.astype(np.int64),
-                          ts_col: g[ts_col], "cents": cents})
-            .groupby([key, "session_idx"], as_index=False)
+            pd.DataFrame({key: g[key].to_numpy(), "session_idx": sess_idx,
+                          ts_col: g[ts_col].to_numpy(), "cents": cents})
+            .groupby([key, "session_idx"], as_index=False, sort=False)
             .agg(n_events=(ts_col, "size"), start_ts=(ts_col, "min"),
                  end_ts=(ts_col, "max"), value_sum_cents=("cents", "sum"))
         )
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
-    proj = ds.map_batches(
-        lambda t: t.select([key, ts_col, value_col, id_col]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    return proj.groupby(key).map_groups(per_group, batch_format="pandas")
+    return grouped_apply(ds, [key], per_bucket, select=[key, ts_col, value_col, id_col])
 
 
 def topk_per_group(ds, *, key: str = "user_id", order_col: str = "value",
@@ -78,11 +81,12 @@ def topk_per_group(ds, *, key: str = "user_id", order_col: str = "value",
         rank = np.arange(len(keys)) - starts
         return t.filter(pa.array(rank < k))
 
-    def final(t: pa.Table) -> pa.Table:
-        return partial(t)
+    from .aggregate import grouped_apply
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(key).map_groups(final, batch_format="pyarrow")
+    # `partial` is already vectorized across keys, so it doubles as the
+    # per-bucket finisher
+    return grouped_apply(partials, [key], partial, batch_format="pyarrow")
 
 
 def asof_join_backward(left_ds, right_ds, *, key: str = "user_id", ts_col: str = "ts",
@@ -120,22 +124,25 @@ def asof_join_backward(left_ds, right_ds, *, key: str = "user_id", ts_col: str =
     rt = right_ds.map_batches(tag("r", right_cols), batch_format="pyarrow", zero_copy_batch=True)
     both = lt.union(rt)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"].sort_values(ts_col)
-        r = g[g["__side"] == "r"].sort_values(ts_col)
-        if l.empty or r.empty:
-            l, r = l.iloc[:0], r.iloc[:0]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof with by=key handles every key in the bucket in one
+        # vectorized pass (both frames sorted by ts)
+        l = g[g["__side"] == "l"].sort_values(ts_col, kind="mergesort")
+        r = g[g["__side"] == "r"].sort_values(ts_col, kind="mergesort")
         merged = pd.merge_asof(
             l[[key, ts_col] + left_cols],
-            r[[ts_col] + right_cols].rename(
+            r[[key, ts_col] + right_cols].rename(
                 columns={ts_col: ts_col + right_suffix,
                          **{c: c + right_suffix for c in right_cols if c in left_cols}}
             ),
             left_on=ts_col,
             right_on=ts_col + right_suffix,
+            by=key,
             direction="backward",
             allow_exact_matches=True,
         )
         return merged.dropna(subset=[ts_col + right_suffix])
 
-    return both.groupby(key).map_groups(per_group, batch_format="pandas")
+    from .aggregate import grouped_apply
+
+    return grouped_apply(both, [key], per_bucket)

@@ -119,3 +119,15 @@ def test_enricher_lookup_and_resource_upsert():
     assert out.column("role_side").to_pylist() == ["client", "tool", None]
     assert out.column("tool_kind").to_pylist() == ["process", "http", None]
     assert out.column("service.name").to_pylist() == ["rotel-ray"] * 3
+
+
+def test_context_enrich_constant_columns(transcripts_dir):
+    import ray.data as rd
+
+    from rotel_ray.stages.enrich import context_enrich
+
+    ds = rd.read_parquet(transcripts_dir).limit(100)
+    out = context_enrich(ds, {"x-tenant": "acme", "user-agent": "cli"}).to_pandas()
+    assert (out["http.request.header.x-tenant"] == "acme").all()
+    assert (out["http.request.header.user-agent"] == "cli").all()
+    assert len(out) == 100
