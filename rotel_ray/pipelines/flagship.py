@@ -21,7 +21,7 @@ from ..sinks import write_sink_atomic
 from ..stages.aggregate import conv_aggregate, metrics_aggregate
 from ..stages.enrich import enrich_stage
 from ..stages.parse import parse_stage
-from ..stages.route import LOGS, TRACES, route_stage, split_sinks
+from ..stages.route import LOGS, TRACES, route_stage
 from ..state.manifest import Manifest
 
 
@@ -64,42 +64,69 @@ def run_flagship(
     waves = min(waves, len(files))
     chunks = [files[w::waves] for w in range(waves)]
 
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     for w, frag in enumerate(chunks):
         if manifest.is_done(w):
             continue
         t0 = time.time()
-        routed = build_routed(frag, enrich_concurrency=enrich_concurrency, batch_size=batch_size)
-        # materialize the routed blocks once; every consumer below re-reads
-        # these object-store blocks instead of re-running parse/enrich
-        routed = routed.materialize()
-        sinks = split_sinks(routed)
         sink_counts: dict[str, int] = {}
         sink_files = []
 
-        # the four consumers are independent Dataset executions — run them
-        # concurrently from driver threads so they fill each other's idle
-        # CPU slots (Ray schedules their tasks into one pool)
-        from concurrent.futures import ThreadPoolExecutor
+        # ONE fully-streaming execution: read -> parse -> enrich -> route ->
+        # partitioned write (sink=traces|logs). No materialize barrier — the
+        # write overlaps parse under backpressure, and the object store never
+        # holds more than the in-flight blocks (the shape that streams 100 TB).
+        # Per-sink column projection happens at READ time via parquet column
+        # pruning instead of at write time (columnar format makes the unused
+        # columns ~free to carry).
+        routed = build_routed(frag, enrich_concurrency=enrich_concurrency, batch_size=batch_size)
+        tmp = os.path.join(out_dir, f".routed_wave{w}.writing")
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+        routed.write_parquet(tmp, partition_cols=["sink"],
+                             arrow_parquet_args_fn=lambda: {"compression": "snappy"})
+        for sink in (TRACES, LOGS):
+            src = os.path.join(tmp, f"sink={sink}")
+            dst = os.path.join(out_dir, sink, f"wave={w}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            _sh.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)  # wave routed zero rows there
+            sink_counts[sink] = sum(
+                pq.read_metadata(os.path.join(dst, f)).num_rows
+                for f in os.listdir(dst) if f.endswith(".parquet")
+            )
+            sink_files.append(dst)
+        _sh.rmtree(tmp, ignore_errors=True)
+
+        # aggregates consume the just-written sink files with column pruning
+        # (second pass reads ~5 narrow columns, not the text payload)
+        wave_files = [
+            f for s in (TRACES, LOGS)
+            for f in sorted(glob.glob(os.path.join(out_dir, s, f"wave={w}", "*.parquet")))
+        ]
+        agg_cols = ["conv_id", "turn_idx", "ts", "role", "event_type",
+                    "severity_number", "error_code", "duration_ms", "body_bytes_sent"]
+        agg_src = rd.read_parquet(wave_files, columns=agg_cols)
 
         jobs = {
-            TRACES: (sinks[TRACES], os.path.join(out_dir, TRACES, f"wave={w}")),
-            LOGS: (sinks[LOGS], os.path.join(out_dir, LOGS, f"wave={w}")),
-            "metrics": (metrics_aggregate(routed), os.path.join(out_dir, "metrics", f"wave={w}")),
-            "conv_agg": (conv_aggregate(routed).sort("conv_id"), os.path.join(out_dir, "conv_agg", f"wave={w}")),
+            "metrics": (metrics_aggregate(agg_src), os.path.join(out_dir, "metrics", f"wave={w}")),
+            "conv_agg": (conv_aggregate(agg_src).sort("conv_id"),
+                         os.path.join(out_dir, "conv_agg", f"wave={w}")),
         }
-        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-            futs = {name: ex.submit(write_sink_atomic, ds, d) for name, (ds, d) in jobs.items()}
-            for name, fut in futs.items():
-                sink_counts[name] = fut.result()
-                sink_files.append(jobs[name][1])
+        for name, (consumer_ds, d) in jobs.items():
+            sink_counts[name] = write_sink_atomic(consumer_ds, d)
+            sink_files.append(d)
 
         # data-plane counters (exporter-counter parity): routed totals come
         # from the rows actually written; parse failures are the 'chat'
         # fall-through count already aggregated into the metrics sink
         rows_in = sink_counts[TRACES] + sink_counts[LOGS]
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
         mtbl = pq.read_table(jobs["metrics"][1], columns=["name", "value_count"])
         rows_failed = (
             pc.sum(mtbl.filter(pc.equal(mtbl.column("name"), "chat")).column("value_count")).as_py() or 0

@@ -48,7 +48,7 @@ def test_per_turn_text_equality(flagship_out):
       routed AS (
         SELECT conv_id, turn_idx, text FROM read_parquet('{out}/traces/wave=*/*.parquet')
         UNION ALL
-        SELECT conv_id, turn_idx, body AS text FROM read_parquet('{out}/logs/wave=*/*.parquet')
+        SELECT conv_id, turn_idx, text FROM read_parquet('{out}/logs/wave=*/*.parquet')
       )
       SELECT count(*) FROM src FULL JOIN routed USING (conv_id, turn_idx)
       WHERE src.text IS DISTINCT FROM routed.text

@@ -56,3 +56,25 @@ def test_max_log_size_truncates_not_drops(tmp_path):
     lens = sorted(out.text.str.len())
     assert lens == [10, 50]
     assert out.source_file.str.endswith("big.log").all()
+
+
+def test_fluent_forward_roundtrip(tmp_path):
+    from rotel_ray.sources.fluent import read_forward_files, write_forward_fixture
+
+    p = write_forward_fixture(
+        str(tmp_path / "fwd.jsonl"),
+        [
+            ("app.web", [(1700000000, {"msg": "hello", "level": "info"}),
+                         (1700000001, {"msg": "bye"})]),
+            ("app.db", [(1700000002, {"query": "select 1"})]),
+            ("bad", []),
+        ],
+    )
+    with open(p, "a") as f:
+        f.write("not json\n")         # lenient skip
+        f.write('{"also": "bad"}\n')  # wrong shape skip
+    out = read_forward_files([p]).to_pandas().sort_values("ts").reset_index(drop=True)
+    assert len(out) == 3
+    assert list(out.tag) == ["app.web", "app.web", "app.db"]
+    assert "hello" in out.record[0]
+    assert str(out.ts[0]) == "2023-11-14 22:13:20"
