@@ -78,6 +78,79 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(acc)
 
 
+def _batch_token_hashes(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized token hashing for a whole batch.
+
+    Tokenizes with the Arrow whitespace-split kernel, dictionary-encodes the
+    flat token stream, FNV-hashes each DISTINCT token once (vocabularies are
+    tiny relative to the stream), and maps back by index. Returns
+    (flat token hashes, per-doc token counts) — identical values to
+    ``_token_hashes`` per doc, ~50x less per-token Python.
+    """
+    toks = pc.utf8_split_whitespace(text)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    # Arrow split emits '' for leading/trailing runs; Python .split() doesn't
+    nonempty = pc.not_equal(flat, "")
+    counts_all = np.diff(toks.offsets.to_numpy())
+    doc_of = np.repeat(np.arange(len(toks)), counts_all)
+    keep = nonempty.to_numpy(zero_copy_only=False)
+    flat = flat.filter(nonempty)
+    doc_of = doc_of[keep]
+    counts = np.bincount(doc_of, minlength=len(toks)).astype(np.int64)
+    d = pc.dictionary_encode(flat)
+    vocab = np.fromiter(
+        (_fnv1a(t) for t in d.dictionary.to_pylist()), dtype=np.uint64,
+        count=len(d.dictionary),
+    )
+    th = vocab[d.indices.to_numpy(zero_copy_only=False)] if len(flat) else np.empty(0, np.uint64)
+    return th, counts
+
+
+def _batch_shingle_stream(text: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Flat shingle-hash stream + per-doc counts for a whole batch.
+
+    Docs with >= k tokens contribute their k-token rolling-poly shingles
+    (same polynomial as ``_shingle_hashes``); shorter docs contribute their
+    raw token hashes (the same fallback). Duplicates are kept — harmless for
+    minhash (min ignores multiplicity) and for banding.
+    """
+    th, counts = _batch_token_hashes(text)
+    n = len(th)
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    if n >= k:
+        P = np.uint64(1_000_003)
+        acc = th[: n - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * P + th[j : n - k + 1 + j]
+        # windows fully inside one doc
+        valid = doc_of[: n - k + 1] == doc_of[k - 1 :]
+    else:
+        acc = np.empty(0, np.uint64)
+        valid = np.zeros(0, bool)
+    sh_counts = np.maximum(counts - (k - 1), 0)
+    long_doc = counts >= k
+    out_counts = np.where(long_doc, sh_counts, counts)
+    total = int(out_counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    out_starts = np.r_[0, np.cumsum(out_counts)[:-1]]
+    # long docs: their valid windows are contiguous starting at `starts[d]`
+    if n >= k:
+        win_doc = doc_of[: n - k + 1][valid]
+        win_vals = acc[valid]
+        win_pos = np.arange(len(win_doc)) - np.r_[0, np.cumsum(np.bincount(win_doc, minlength=len(counts)))[:-1]][win_doc]
+        mask_long = long_doc[win_doc]
+        out[out_starts[win_doc[mask_long]] + win_pos[mask_long]] = win_vals[mask_long]
+    # short docs: copy raw token hashes
+    for didx in np.flatnonzero(~long_doc):
+        c = counts[didx]
+        if c:
+            out[out_starts[didx] : out_starts[didx] + c] = th[starts[didx] : starts[didx] + c]
+    return out, out_counts
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -134,13 +207,21 @@ class MinHashSignatures:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column(self.text_col).to_pylist()
-        if not texts:
+        text = t.column(self.text_col)
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        n = len(text)
+        if n == 0:
             sigs = np.empty((0, len(self.a)), dtype=np.uint64)
         else:
-            sigs = np.stack(
-                [_minhash_sig(_shingle_hashes(x or "", self.k), self.a, self.b) for x in texts]
-            )
+            stream, counts = _batch_shingle_stream(text, self.k)
+            sigs = np.full((n, len(self.a)), np.iinfo(np.uint64).max, dtype=np.uint64)
+            if len(stream):
+                vals = self.a[:, None] * stream[None, :] + self.b[:, None]  # (p, total)
+                starts = np.r_[0, np.cumsum(counts)[:-1]]
+                nonempty = counts > 0
+                idx = np.minimum(starts, len(stream) - 1)
+                mins = np.minimum.reduceat(vals, idx, axis=1)  # (p, n)
+                sigs[nonempty] = mins.T[nonempty]
         return pa.table(
             {
                 self.id_col: t.column(self.id_col),
@@ -197,18 +278,28 @@ def _pairs_in_buckets(t: pa.Table, id_col: str = "doc_id", max_bucket: int = 64)
     return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())})
 
 
+_MINHASH_CACHE: dict = {}
+
+
 def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
                            k_shingle: int = 3, concurrency=2,
                            text_col: str = "text", id_col: str = "doc_id"):
-    """Candidate near-dup pairs via banded MinHash LSH (distinct pairs)."""
-    sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "k_shingle": k_shingle,
-                               "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        zero_copy_batch=True,
-    )
+    """Candidate near-dup pairs via banded MinHash LSH (distinct pairs).
+
+    The signature stage runs as fused tasks with per-worker cached
+    permutation params (cheap state; an actor pool here would force the
+    read output through the object store — see enrich.py)."""
+    key = (num_perm, k_shingle, text_col, id_col)
+
+    def sig_fn(t: pa.Table) -> pa.Table:
+        inst = _MINHASH_CACHE.get(key)
+        if inst is None:
+            inst = _MINHASH_CACHE[key] = MinHashSignatures(
+                num_perm=num_perm, k_shingle=k_shingle, text_col=text_col, id_col=id_col
+            )
+        return inst(t)
+
+    sigs = ds.map_batches(sig_fn, batch_format="pyarrow", zero_copy_batch=True)
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, bands, id_col), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -341,13 +432,27 @@ def _simhash64(token_hashes: np.ndarray) -> int:
 
 
 def simhash_stage(ds, *, text_col: str = "text", id_col: str = "doc_id", concurrency=2):
-    """(doc_id, simhash) — one 64-bit signature per doc."""
+    """(doc_id, simhash) — one 64-bit signature per doc. Vectorized over the
+    batch: flat token-hash stream -> unpacked bits -> per-doc vote sums via
+    ``np.add.reduceat`` (same values as the per-doc ``_simhash64``)."""
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        sigs = np.fromiter(
-            (_simhash64(_token_hashes(x or "")) for x in texts), dtype=np.uint64, count=len(texts)
-        )
+        text = t.column(text_col)
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        n = len(text)
+        sigs = np.zeros(n, dtype=np.uint64)
+        if n:
+            th, counts = _batch_token_hashes(text)
+            if len(th):
+                bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1,
+                                     bitorder="little").astype(np.int32) * 2 - 1
+                starts = np.r_[0, np.cumsum(counts)[:-1]]
+                idx = np.minimum(starts, len(th) - 1)
+                votes = np.add.reduceat(bits, idx, axis=0)  # (n, 64)
+                sig_bits = (votes > 0).astype(np.uint64)
+                out = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+                out[counts == 0] = 0
+                sigs = out
         return pa.table({id_col: t.column(id_col), "simhash": pa.array(sigs.astype(np.int64))})
 
     return ds.map_batches(f, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
