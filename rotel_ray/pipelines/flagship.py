@@ -26,13 +26,14 @@ from ..state.manifest import Manifest
 
 
 def build_routed(input_paths, *, enrich_concurrency=4, batch_size: int = 16384,
-                 resource_attrs: dict | None = None):
+                 resource_attrs: dict | None = None, enrich_compute: str = "tasks"):
     """read -> parse -> enrich -> route (lazy)."""
     ds = rd.read_parquet(input_paths)
     ds = parse_stage(ds, batch_size=batch_size)
     ds = enrich_stage(ds, concurrency=enrich_concurrency, batch_size=batch_size,
-                      resource_attrs=resource_attrs)
-    return route_stage(ds, batch_size=batch_size)
+                      resource_attrs=resource_attrs, compute=enrich_compute)
+    return route_stage(ds, batch_size=batch_size,
+                       extra_cols=sorted(resource_attrs) if resource_attrs else None)
 
 
 def run_flagship(
@@ -43,6 +44,8 @@ def run_flagship(
     enrich_concurrency=4,
     batch_size: int = 16384,
     resume: bool = True,
+    resource_attrs: dict | None = None,
+    enrich_compute: str = "tasks",
 ) -> dict:
     """Run the full job, checkpointed by input-file wave.
 
@@ -81,7 +84,9 @@ def run_flagship(
         # Per-sink column projection happens at READ time via parquet column
         # pruning instead of at write time (columnar format makes the unused
         # columns ~free to carry).
-        routed = build_routed(frag, enrich_concurrency=enrich_concurrency, batch_size=batch_size)
+        routed = build_routed(frag, enrich_concurrency=enrich_concurrency,
+                              batch_size=batch_size, resource_attrs=resource_attrs,
+                              enrich_compute=enrich_compute)
         tmp = os.path.join(out_dir, f".routed_wave{w}.writing")
         import shutil as _sh
 

@@ -16,16 +16,23 @@ import shutil
 import time
 
 
-def write_sink_atomic(ds, final_dir: str, compression: str = "snappy") -> int:
+def write_sink_atomic(ds, final_dir: str, compression: str = "snappy",
+                      fmt: str = "parquet") -> int:
     """Write `ds` to `final_dir` atomically (tmp dir + rename). Returns the
     row count actually written (data-plane counter — exporter-counter
-    parity source, src/exporters/otlp/exporter.rs:87-205)."""
+    parity source, src/exporters/otlp/exporter.rs:87-205).
+
+    fmt: "parquet" (default) or "json" (ndjson) — the reference file
+    exporter's two formats (src/exporters/file/mod.rs:1-264)."""
     tmp = final_dir.rstrip("/") + ".writing"
     for attempt in range(3):
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
         try:
-            ds.write_parquet(tmp, arrow_parquet_args_fn=lambda: {"compression": compression})
+            if fmt == "json":
+                ds.write_json(tmp)
+            else:
+                ds.write_parquet(tmp, arrow_parquet_args_fn=lambda: {"compression": compression})
             break
         except ImportError:
             # Ray's path resolution optionally imports fsspec's HTTP
@@ -37,9 +44,19 @@ def write_sink_atomic(ds, final_dir: str, compression: str = "snappy") -> int:
                 raise
             time.sleep(0.1 * (attempt + 1))
     # count rows from the files just written (data plane, not side-state)
-    import pyarrow.parquet as pq
+    if fmt == "json":
+        n = 0
+        for f in os.listdir(tmp):
+            if f.endswith(".json"):
+                with open(os.path.join(tmp, f), "rb") as fh:
+                    n += sum(1 for line in fh if line.strip())
+    else:
+        import pyarrow.parquet as pq
 
-    n = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows for f in os.listdir(tmp) if f.endswith(".parquet"))
+        n = sum(
+            pq.read_metadata(os.path.join(tmp, f)).num_rows
+            for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
     shutil.rmtree(final_dir, ignore_errors=True)
     os.replace(tmp, final_dir)
     return n

@@ -42,16 +42,22 @@ ROUTED_COLUMNS = [
 ]
 
 
-def tag_sink(t: pa.Table) -> pa.Table:
+def tag_sink(t: pa.Table, extra_cols: list[str] | None = None) -> pa.Table:
     """Append the `sink` routing column (predicate cascade) and project to
-    the routed working set."""
+    the routed working set (+ any upserted resource-attr columns, which the
+    reference propagates to every exporter)."""
     sink = pc.if_else(pc.equal(t.column("event_type"), "tool_call"), TRACES, LOGS)
     t = t.append_column("sink", pc.cast(sink, pa.string()))
-    return t.select([c for c in ROUTED_COLUMNS if c in t.column_names])
+    keep = [c for c in ROUTED_COLUMNS if c in t.column_names]
+    keep += [c for c in (extra_cols or []) if c in t.column_names and c not in keep]
+    return t.select(keep)
 
 
-def route_stage(ds, batch_size: int = 16384):
-    return ds.map_batches(tag_sink, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+def route_stage(ds, batch_size: int = 16384, extra_cols: list[str] | None = None):
+    return ds.map_batches(
+        lambda t: tag_sink(t, extra_cols), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True,
+    )
 
 
 def _project_traces(t: pa.Table) -> pa.Table:

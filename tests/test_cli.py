@@ -1,0 +1,42 @@
+"""CLI entry tests: flag parsing, resource-attr propagation, end-to-end run."""
+
+import json
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from rotel_ray.cli import build_parser, main, parse_resource_attrs
+
+
+def test_parse_resource_attrs():
+    assert parse_resource_attrs("env=prod, region=us-east-1") == {
+        "env": "prod", "region": "us-east-1"
+    }
+    assert parse_resource_attrs(None) is None
+    with pytest.raises(ValueError, match="bad resource attr"):
+        parse_resource_attrs("oops")
+
+
+def test_parser_defaults():
+    a = build_parser().parse_args(["--input", "/i", "--out", "/o"])
+    assert a.waves == 4 and a.enrich_compute == "tasks" and not a.resume
+
+
+def test_cli_end_to_end(transcripts_dir, capsys):
+    """Full job through the CLI surface (ray already initialised by the
+    session fixture; cli's guarded init is a no-op)."""
+    out = "/tmp/rotel_cli_test"
+    shutil.rmtree(out, ignore_errors=True)
+    rc = main(["--input", transcripts_dir, "--out", out, "--waves", "2",
+               "--resource-attrs", "env=prod,team=core"])
+    assert rc == 0
+    totals = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert totals["sink_counts"]["traces"] + totals["sink_counts"]["logs"] == totals["rows_in"]
+    # resource attrs propagate into every sink file (generic_pipeline.rs:70-108)
+    import glob
+
+    f = glob.glob(f"{out}/logs/wave=*/*.parquet")[0]
+    t = pq.read_table(f, columns=["env", "team"])
+    assert t.column("env").to_pylist()[0] == "prod"
+    assert t.column("team").to_pylist()[0] == "core"

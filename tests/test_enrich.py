@@ -131,3 +131,27 @@ def test_context_enrich_constant_columns(transcripts_dir):
     assert (out["http.request.header.x-tenant"] == "acme").all()
     assert (out["http.request.header.user-agent"] == "cli").all()
     assert len(out) == 100
+
+
+def test_debug_inspector_summary(caplog):
+    import logging
+
+    import pyarrow as pa
+
+    from rotel_ray.stages.debug import debug_batch, summarize_batch
+
+    t = pa.table(
+        {
+            "sink": pa.array(["traces", "logs", "logs"]),
+            "event_type": pa.array(["tool_call", "chat", "error"]),
+            "x": pa.array([1, 2, 3]),
+        }
+    )
+    s = summarize_batch(t, "logs")
+    assert "records=3" in s and "logs=2" in s and "traces=1" in s
+    assert "event_types=chat:1,error:1,tool_call:1" in s
+    with caplog.at_level(logging.INFO, logger="rotel_ray.debug"):
+        out = debug_batch(t, verbosity="detailed")
+    assert out is t  # pass-through, zero-copy
+    assert any("Received logs" in r.message for r in caplog.records)
+    assert any("first_record" in r.message for r in caplog.records)

@@ -93,3 +93,20 @@ def test_rerun_is_idempotent(flagship_out):
     out, totals, tdir = flagship_out
     totals3 = run_flagship(tdir, out, waves=3, enrich_concurrency=2, resume=True)
     assert totals3["sink_counts"] == totals["sink_counts"]
+
+
+def test_json_sink_format(transcripts_dir):
+    """The file exporter's JSON format variant (ndjson, atomic, counted)."""
+    import ray.data as rd
+
+    from rotel_ray.sinks import write_sink_atomic
+
+    ds = rd.read_parquet(transcripts_dir).limit(500)
+    out = "/tmp/rotel_json_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    n = write_sink_atomic(ds, out, fmt="json")
+    assert n == 500
+    files = glob.glob(out + "/*.json")
+    assert files
+    rec = json.loads(open(files[0]).readline())
+    assert {"conv_id", "turn_idx", "role", "text"} <= set(rec)
