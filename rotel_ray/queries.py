@@ -547,6 +547,28 @@ def q_asof_purchase_click(sf_dir: str):
     return out.map_batches(fix_types, batch_format="pyarrow")
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate: 5-min windows sliding by 1 min over events
+    (each event fans out to the 5 windows containing it)."""
+    from .stages.window import hopping_window_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return hopping_window_aggregate(ds, window_minutes=5, hop_minutes=1)
+
+
+def q_range_join(sf_dir: str):
+    """Time-range join: every error within ±1 hour of a purchase by the same
+    user (bucketed time-grid co-partitioning, no all-pairs)."""
+    from .stages.window import range_join_time
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type", "event_id"])
+    purchases = ds.filter(expr="event_type == 'purchase'")
+    errors = ds.filter(expr="event_type == 'error'")
+    return range_join_time(purchases, errors, key="user_id",
+                           before_minutes=60.0, after_minutes=60.0)
+
+
 def q_order_revenue_join(sf_dir: str):
     """Big-big hash-shuffle join: lineitem ⋈ orders on orderkey, revenue per
     order priority (bucket co-partitioned join — 2x faster than
@@ -742,6 +764,8 @@ QUERIES = {
     "metrics_dim_filter": q_metrics_dim_filter,
     "file_source": q_file_source,
     "span_ids": q_span_ids,
+    "events_hopping": q_events_hopping,
+    "range_join": q_range_join,
 }
 
 
@@ -979,4 +1003,19 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                md5(conv_id) AS trace_id,
                substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id
         FROM {T} WHERE {SQL_IS_TOOL}"""
+    sql["events_hopping"] = f"""
+        SELECT event_type,
+               make_timestamp((epoch_us(ts) // 60000000) * 60000000 - i.i * 60000000)
+                 AS window_start,
+               CAST(sum({cents.format(expr='value')}) AS BIGINT) AS sum_value_cents,
+               count(*) AS n
+        FROM events CROSS JOIN (SELECT unnest(range(5)) AS i) i
+        GROUP BY 1, 2"""
+    sql["range_join"] = """
+        SELECT p.event_id AS left_id, p.ts AS left_ts,
+               e.event_id AS right_id, e.ts AS right_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON p.user_id = e.user_id
+         AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR"""
     return sql

@@ -89,6 +89,140 @@ def topk_per_group(ds, *, key: str = "user_id", order_col: str = "value",
     return grouped_apply(partials, [key], partial, batch_format="pyarrow")
 
 
+def hopping_window_aggregate(ds, *, ts_col: str = "ts", value_col: str = "value",
+                             group_col: str = "event_type", window_minutes: int = 5,
+                             hop_minutes: int = 1):
+    """Hopping (sliding) window aggregate: each event fans out to every
+    window that contains it (window/hop grid), then a two-phase grouped sum.
+    The fan-out factor is window/hop (5 here) — a map-side flat_map, no
+    duplicate shuffle passes. Tumbling windows are the hop==window case
+    (see queries.events_minute)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .aggregate import two_phase_aggregate
+
+    fanout = window_minutes // hop_minutes
+    hop_us = hop_minutes * 60_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        base = (ts // hop_us) * hop_us  # hop-aligned bin containing the event
+        # windows starting at base, base-hop, ..., base-(fanout-1)*hop
+        starts = (base[:, None] - np.arange(fanout)[None, :] * hop_us).reshape(-1)
+        idx = np.repeat(np.arange(n), fanout)
+        cents = np.floor(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)[idx]
+        return pa.table(
+            {
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                group_col: pc.take(t.column(group_col).combine_chunks(), pa.array(idx)),
+                "value_cents": pa.array(cents),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_aggregate(
+        exploded, [group_col, "window_start"],
+        [("value_cents", "sum", "sum_value_cents"), ("value_cents", "count", "n")],
+    )
+
+
+def range_join_time(left_ds, right_ds, *, ts_col: str = "ts", key: str | None = None,
+                    before_minutes: float = 1.0, after_minutes: float = 1.0,
+                    left_id: str = "event_id", right_id: str = "event_id",
+                    bin_minutes: float | None = None):
+    """Time-range join: pair each left row with every right row whose ts is
+    within [left.ts - before, left.ts + after] (optionally same `key`).
+
+    Ray-native shape: both sides are binned on a time grid sized to the
+    range; each left row is routed to its bin plus enough neighbor bins to
+    cover the range, so every qualifying pair co-locates in exactly one
+    bin-group; the exact predicate filters within groups. Shuffle key = one
+    int column; no all-pairs anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .aggregate import grouped_apply
+
+    bin_minutes = bin_minutes or max(before_minutes, after_minutes)
+    bin_us = int(bin_minutes * 60_000_000)
+    before_us = int(before_minutes * 60_000_000)
+    after_us = int(after_minutes * 60_000_000)
+    # right rows go to their own bin; left rows replicate over the bins its
+    # range can touch
+    lo_off = -(-before_us // bin_us)  # ceil
+    hi_off = -(-after_us // bin_us)
+
+    def tag(side: int, id_col: str, replicate: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            keys = t.column(key).to_numpy(zero_copy_only=False) if key else None
+            base = ts // bin_us
+            if replicate:
+                offs = np.arange(-lo_off, hi_off + 1)
+                bins = (base[:, None] + offs[None, :]).reshape(-1)
+                idx = np.repeat(np.arange(len(ts)), len(offs))
+            else:
+                bins = base
+                idx = np.arange(len(ts))
+            cols = {
+                "bin": pa.array(bins.astype(np.int64)),
+                "rid": pa.array(ids[idx]),
+                "rts": pa.array(ts[idx]),
+                "side": pa.array(np.full(len(idx), side, np.int8)),
+            }
+            if key:
+                cols["k"] = pa.array(keys[idx])
+            return pa.table(cols)
+
+        return f
+
+    lt = left_ds.map_batches(tag(0, left_id, True), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right_ds.map_batches(tag(1, right_id, False), batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # a right row lives in exactly ONE bin while the left row is
+        # replicated across every bin its range touches, so each qualifying
+        # pair materializes in exactly one bin-group — no dedup needed
+        out = []
+        for _, gb in g.groupby("bin", sort=False):
+            l = gb[gb["side"] == 0]
+            r = gb[gb["side"] == 1]
+            if l.empty or r.empty:
+                continue
+            if key:
+                m = l.merge(r, on="k", how="inner", suffixes=("_l", "_r"))
+            else:
+                m = l.merge(r, how="cross", suffixes=("_l", "_r"))
+            m = m[(m["rts_r"] >= m["rts_l"] - before_us) & (m["rts_r"] <= m["rts_l"] + after_us)]
+            out.append(m[["rid_l", "rts_l", "rid_r", "rts_r"]])
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("left_id", "left_ts", "right_id", "right_ts")})
+        res = pd.concat(out)
+        res.columns = ["left_id", "left_ts", "right_id", "right_ts"]
+        return res
+
+    joined = grouped_apply(both, ["bin"], per_bucket)
+
+    def finish(t: pa.Table) -> pa.Table:
+        for c in ("left_ts", "right_ts"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.cast(pc.cast(t.column(c), pa.int64()), pa.timestamp("us")))
+        return t
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def asof_join_backward(left_ds, right_ds, *, key: str = "user_id", ts_col: str = "ts",
                        left_cols: list[str] | None = None,
                        right_cols: list[str] | None = None,

@@ -77,3 +77,47 @@ def test_asof_join_backward_matches_merge_asof():
     got = sorted(map(tuple, out[["user_id", "event_id", "event_id_right"]].astype(int).values.tolist()))
     want = sorted(map(tuple, ref[["user_id", "event_id", "event_id_right"]].astype(int).values.tolist()))
     assert got == want
+
+
+def test_hopping_window_fanout():
+    from rotel_ray.stages.window import hopping_window_aggregate
+
+    base = pd.Timestamp("2024-01-01 00:07:30")
+    df = pd.DataFrame({"event_type": ["a"], "ts": [base], "value": [2.0]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = hopping_window_aggregate(ds, window_minutes=5, hop_minutes=1).to_pandas()
+    # one event -> exactly window/hop = 5 windows, each containing it
+    assert len(out) == 5
+    assert (out.n == 1).all() and (out.sum_value_cents == 200).all()
+    starts = sorted(out.window_start)
+    assert starts[0] == pd.Timestamp("2024-01-01 00:03:00")
+    assert starts[-1] == pd.Timestamp("2024-01-01 00:07:00")
+
+
+def test_range_join_matches_bruteforce():
+    from rotel_ray.stages.window import range_join_time
+
+    rng = np.random.default_rng(4)
+    n = 400
+    base = pd.Timestamp("2024-01-01").value // 1000
+    df = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": rng.integers(0, 5, n),
+            "ts": pd.to_datetime(base + rng.integers(0, 3_600_000_000, n), unit="us"),
+        }
+    )
+    left = df.iloc[: n // 2]
+    right = df.iloc[n // 2 :]
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    out = range_join_time(lds, rds, key="user_id", before_minutes=3, after_minutes=3)
+    got = set(zip(*[out.to_pandas()[c] for c in ("left_id", "right_id")]))
+    # brute force
+    want = set()
+    tol = pd.Timedelta(minutes=3)
+    for _, l in left.iterrows():
+        for _, r in right.iterrows():
+            if l.user_id == r.user_id and abs(l.ts - r.ts) <= tol:
+                want.add((l.event_id, r.event_id))
+    assert got == want and len(want) > 0
