@@ -591,6 +591,55 @@ def q_order_revenue_join(sf_dir: str):
     )
 
 
+def q_region_revenue(sf_dir: str):
+    """TPC-H Q5-shaped composed join chain: lineitem ⋈ orders (bucket
+    co-partitioned big-big) with customer→nation→region broadcast on the
+    orders side; revenue per nation within one region. Demonstrates the
+    design rule: broadcast every side that fits, shuffle only fact⋈fact."""
+    from .stages.join import broadcast_join, bucket_hash_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    rk = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    nat = nation.append_column("r_name", pa.array(
+        [rk[v] for v in nation.column("n_regionkey").to_pylist()]
+    ))
+    nat = nat.filter(pc.equal(nat.column("r_name"), "ASIA"))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, left_on="o_custkey", right_on="c_custkey",
+                            take_cols=["c_nationkey"])
+    orders = broadcast_join(orders, nat, left_on="c_nationkey", right_on="n_nationkey",
+                            take_cols=["n_name"])  # inner: drops non-ASIA orders
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev_cents": _cents_arr(rev)})
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucket_hash_join(li, orders.select_columns(["o_orderkey", "n_name"]),
+                              on="l_orderkey", right_on="o_orderkey", num_buckets=64)
+    return two_phase_aggregate(
+        joined, ["n_name"],
+        [("rev_cents", "sum", "revenue_cents"), ("rev_cents", "count", "n_items")],
+    )
+
+
+def q_sim_topk_ivf(sf_dir: str, k: int = 10):
+    """IVF ANN variant: seeded sampled centroids, nearest-centroid
+    assignment, probe the closest n_probe lists only (rows-only; recall vs
+    exact measured in tests)."""
+    from .stages.similarity import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vec(sf_dir), k=k, n_centroids=16, n_probe=4)
+
+
 def q_attrs_actions(sf_dir: str):
     """Attributes-processor action chain (upsert + hash + extract) applied to
     the transcript table (attributes_processor.py:312-378 semantics)."""
@@ -766,6 +815,8 @@ QUERIES = {
     "span_ids": q_span_ids,
     "events_hopping": q_events_hopping,
     "range_join": q_range_join,
+    "region_revenue": q_region_revenue,
+    "sim_topk_ivf": q_sim_topk_ivf,
 }
 
 
@@ -1018,4 +1069,16 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         JOIN (SELECT * FROM events WHERE event_type = 'error') e
           ON p.user_id = e.user_id
          AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR"""
+    sql["region_revenue"] = f"""
+        SELECT n_name,
+               CAST(sum({cents.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+                 AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1"""
     return sql

@@ -25,6 +25,22 @@ import pyarrow.compute as pc
 import ray
 
 
+# per-worker cache of fetched broadcast tables (keyed by object ref) so the
+# join runs as fused tasks: ray.put once on the driver, ray.get once per
+# worker process, dictionary join per batch — and the stage fuses with its
+# neighbors instead of forcing an object-store hop (see enrich.py; fixed
+# actor pools also deadlock small CPU sessions when stacked)
+_BROADCAST_CACHE: dict = {}
+
+
+def _fetch_broadcast(ref):
+    key = ref.hex()
+    v = _BROADCAST_CACHE.get(key)
+    if v is None:
+        v = _BROADCAST_CACHE[key] = ray.get(ref)
+    return v
+
+
 def broadcast_join(ds, right: pa.Table, *, left_on: str, right_on: str,
                    take_cols: list[str], how: str = "inner", concurrency=2,
                    suffix: str = ""):
@@ -32,29 +48,25 @@ def broadcast_join(ds, right: pa.Table, *, left_on: str, right_on: str,
 
     ``take_cols`` are the right-side columns appended to each batch (renamed
     with ``suffix`` on collision). ``how``: 'inner' drops unmatched left rows,
-    'left' keeps them with nulls.
-    """
+    'left' keeps them with nulls. ``concurrency`` is unused in the default
+    fused tasks mode (kept for call-site compatibility)."""
     keys = right.column(right_on).combine_chunks()
     payload = {c: right.column(c).combine_chunks() for c in take_cols}
     ref = ray.put((keys, payload))
 
-    class Joiner:
-        def __init__(self):
-            self.keys, self.payload = ray.get(ref)
+    def join_fn(t: pa.Table) -> pa.Table:
+        keys_, payload_ = _fetch_broadcast(ref)
+        idx = pc.index_in(t.column(left_on).combine_chunks(), keys_)
+        if how == "inner":
+            valid = pc.is_valid(idx)
+            t = t.filter(valid)
+            idx = idx.filter(valid)
+        for c, arr in payload_.items():
+            name = c + suffix if c in t.column_names else c
+            t = t.append_column(name, pc.take(arr, idx))
+        return t
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column(left_on).combine_chunks(), self.keys)
-            if how == "inner":
-                valid = pc.is_valid(idx)
-                t = t.filter(valid)
-                idx = idx.filter(valid)
-            for c, arr in self.payload.items():
-                name = c + suffix if c in t.column_names else c
-                t = t.append_column(name, pc.take(arr, idx))
-            return t
-
-    return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=concurrency,
-                          zero_copy_batch=True)
+    return ds.map_batches(join_fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def hash_join(left, right, *, on: str, right_on: str | None = None,

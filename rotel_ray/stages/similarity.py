@@ -115,6 +115,75 @@ def _probe_buckets(sig: int, num_bits: int, probe_hamming: int) -> np.ndarray:
     return np.asarray(out, dtype=np.int64)
 
 
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int = 5,
+                 seed: int = LSH_SEED) -> np.ndarray:
+    """Seeded deterministic mini k-means on a normalized sample (driver
+    side): seeded random init + a few Lloyd iterations with cosine metric."""
+    rng = np.random.default_rng(seed)
+    s = _normalize(sample.astype(np.float64))
+    init = rng.choice(len(s), size=min(n_centroids, len(s)), replace=False)
+    c = s[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(s @ c.T, axis=1)
+        for j in range(len(c)):
+            members = s[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(ds, query_vec: np.ndarray, k: int = 10, *, n_centroids: int = 16,
+             n_probe: int = 4, train_rows: int = 2048, id_col: str = "vec_id",
+             emb_col: str = "embedding", concurrency=2, seed: int = LSH_SEED):
+    """IVF (inverted-file) approximate top-k: centroids trained on a small
+    seeded sample (driver side), each batch assigns its vectors to the
+    nearest centroid and keeps only rows in the query's ``n_probe`` closest
+    lists; exact cosine + partial top-k on the survivors.
+
+    At corpus scale the train sample stays tiny, centroids broadcast via
+    ray.put, and the per-batch work is two GEMMs over the zero-copy matrix —
+    cost drops by ~n_probe/n_centroids vs brute force."""
+    sample_tbl = pa.Table.from_pandas(
+        ds.limit(train_rows).to_pandas(), preserve_index=False
+    )
+    sample = np.stack(sample_tbl.column(emb_col).to_pylist()).astype(np.float64)
+    centroids = _kmeans_lite(sample, n_centroids, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = np.argsort(-(centroids @ qn))[:n_probe]
+    ref = ray.put((centroids, probes, qn))
+
+    class Probe:
+        def __init__(self):
+            self.centroids, self.probes, self.q = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
+            assign = np.argmax(m @ self.centroids.T, axis=1)
+            mask = np.isin(assign, self.probes)
+            sims = m[mask] @ self.q
+            return pa.table(
+                {id_col: t.column(id_col).filter(pa.array(mask)), "sim": pa.array(sims)}
+            )
+
+    cand = ds.map_batches(Probe, batch_format="pyarrow", concurrency=concurrency,
+                          zero_copy_batch=True)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        sims = t.column("sim").to_numpy()
+        if len(sims) > k:
+            idx = np.argpartition(-sims, k)[:k]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    return (
+        cand.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("sim", descending=True)
+        .limit(k)
+    )
+
+
 def lsh_topk(ds, query_vec: np.ndarray, k: int = 10, *, num_bits: int = 8,
              probe_hamming: int = 2, id_col: str = "vec_id", emb_col: str = "embedding",
              concurrency=2, seed: int = LSH_SEED):

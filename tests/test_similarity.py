@@ -64,3 +64,14 @@ def test_lsh_topk_recall():
     assert len(set(out.vec_id) & expected) >= 5
     # the query vector itself (sim=1) always survives probing
     assert 7 in set(out.vec_id)
+
+
+def test_ivf_topk_recall():
+    from rotel_ray.stages.similarity import ivf_topk
+
+    t, m = _emb_table()
+    q = np.asarray(m[7], dtype=np.float64)
+    expected = _numpy_topk(m, q, 10)
+    out = ivf_topk(rd.from_arrow(t), q, k=10, n_centroids=8, n_probe=3).to_pandas()
+    assert len(set(out.vec_id) & expected) >= 5
+    assert 7 in set(out.vec_id)  # the query vector's own list is always probed
