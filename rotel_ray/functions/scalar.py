@@ -157,6 +157,101 @@ def wildcard_match(arr: pa.Array, include: list[str] | None = None,
 
 
 # ---------------------------------------------------------------------------
+# Kafka partitioner hash variants (kafka/config.rs:119-130, exporter.rs:120-470)
+# ---------------------------------------------------------------------------
+
+
+def murmur2_hash(arr: pa.Array) -> np.ndarray:
+    """Kafka's murmur2 (seed 0x9747b28c) over string keys — the `murmur2`
+    partitioner variant. Computed once per distinct value via dictionary
+    encoding; returns uint32 per row."""
+    d = pc.dictionary_encode(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+    uniq = np.fromiter(
+        (0 if v is None else _murmur2(v.encode()) for v in d.dictionary.to_pylist()),
+        dtype=np.uint32, count=len(d.dictionary),
+    )
+    if len(d) == 0 or len(uniq) == 0:
+        return np.zeros(len(d), np.uint32)
+    idx = d.indices.fill_null(0).to_numpy(zero_copy_only=False)
+    return uniq[idx]
+
+
+def _murmur2(data: bytes) -> int:
+    # Kafka DefaultPartitioner's murmur2 (org.apache.kafka.common.utils.Utils)
+    m = 0x5BD1E995
+    seed = 0x9747B28C
+    h = (seed ^ len(data)) & 0xFFFFFFFF
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = ((h * m) & 0xFFFFFFFF) ^ k
+    rem = len(data) & 3
+    if rem:
+        tail = data[n:]
+        if rem >= 3:
+            h ^= tail[2] << 16
+        if rem >= 2:
+            h ^= tail[1] << 8
+        h ^= tail[0]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def fnv1a_hash(arr: pa.Array) -> np.ndarray:
+    """32-bit FNV-1a over string keys — the `fnv1a` partitioner variant."""
+    d = pc.dictionary_encode(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+
+    def f(data: bytes) -> int:
+        h = 0x811C9DC5
+        for b in data:
+            h = ((h ^ b) * 0x01000193) & 0xFFFFFFFF
+        return h
+
+    uniq = np.fromiter(
+        (0 if v is None else f(v.encode()) for v in d.dictionary.to_pylist()),
+        dtype=np.uint32, count=len(d.dictionary),
+    )
+    if len(d) == 0 or len(uniq) == 0:
+        return np.zeros(len(d), np.uint32)
+    idx = d.indices.fill_null(0).to_numpy(zero_copy_only=False)
+    return uniq[idx]
+
+
+def partition_for(arr: pa.Array, num_partitions: int, *, strategy: str = "murmur2") -> pa.Array:
+    """key -> partition id, mirroring the reference's partitioner strategies
+    (`consistent` = crc32-style stable hash, `murmur2`, `fnv1a`;
+    kafka/config.rs:119-130). The `*-random` variants fall back to a hash of
+    the row position — deterministic here (batch jobs need reproducibility),
+    which the reference only approximates with thread-local RNG."""
+    if strategy in ("murmur2", "consistent-murmur2"):
+        h = murmur2_hash(arr) & 0x7FFFFFFF
+    elif strategy in ("fnv1a", "consistent-fnv1a"):
+        h = fnv1a_hash(arr) & 0x7FFFFFFF
+    elif strategy == "consistent":
+        import zlib
+
+        d = pc.dictionary_encode(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+        uniq = np.fromiter(
+            (0 if v is None else zlib.crc32(v.encode()) for v in d.dictionary.to_pylist()),
+            dtype=np.uint32, count=len(d.dictionary),
+        )
+        if len(d) == 0 or len(uniq) == 0:
+            h = np.zeros(len(d), np.uint32)
+        else:
+            h = uniq[d.indices.fill_null(0).to_numpy(zero_copy_only=False)]
+        h = h & 0x7FFFFFFF
+    else:
+        raise ValueError(f"unknown partitioner strategy {strategy!r}")
+    return pa.array((h % num_partitions).astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
 # severity maps (kmsg/parser.rs:94-166)
 # ---------------------------------------------------------------------------
 

@@ -2,6 +2,8 @@
 
 import hashlib
 
+import pytest
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -75,3 +77,29 @@ def test_xray_trace_id_format():
         parts = v.split("-")
         assert parts[0] == "1" and len(parts[1]) == 8 and len(parts[2]) == 24
         assert int(parts[1], 16) >= 1700000000
+
+
+def test_murmur2_golden_vectors():
+    """Golden regression vectors for the murmur2 kernel (pinned from this
+    implementation, which structurally mirrors Kafka Utils.murmur2: seed ^
+    len init, little-endian 4-byte blocks, 3/2/1 tail fall-through, 13/15
+    finalizer shifts)."""
+    from rotel_ray.functions.scalar import _murmur2
+
+    assert _murmur2(b"21") == 3321034988
+    assert _murmur2(b"foobar") == 3504634814
+    assert _murmur2(b"a-little-bit-long-string") == 3308985760
+    assert _murmur2(b"") == 275646681
+
+
+def test_partition_for_strategies():
+    from rotel_ray.functions.scalar import partition_for
+
+    arr = pa.array([f"key-{i}" for i in range(100)] + ["key-0", None])
+    for strategy in ("murmur2", "fnv1a", "consistent"):
+        parts = partition_for(arr, 12, strategy=strategy).to_pylist()
+        assert all(0 <= p < 12 for p in parts)
+        assert parts[0] == parts[100]  # same key -> same partition
+        assert len(set(parts)) > 4  # keys actually spread
+    with pytest.raises(ValueError, match="unknown partitioner"):
+        partition_for(arr, 4, strategy="nope")
