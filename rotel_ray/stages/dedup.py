@@ -283,7 +283,8 @@ _MINHASH_CACHE: dict = {}
 
 def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
                            k_shingle: int = 3, concurrency=2,
-                           text_col: str = "text", id_col: str = "doc_id"):
+                           text_col: str = "text", id_col: str = "doc_id",
+                           distinct: bool = True):
     """Candidate near-dup pairs via banded MinHash LSH (distinct pairs).
 
     The signature stage runs as fused tasks with per-worker cached
@@ -306,6 +307,8 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
     pairs = grouped_apply(
         band_ds, ["band_key"], lambda t: _pairs_in_buckets(t, id_col), batch_format="pyarrow"
     )
+    if not distinct:
+        return pairs
     # distinct pairs (a pair can collide in several bands)
     return two_phase_aggregate(pairs, ["doc_a", "doc_b"], [("doc_a", "count", "n_bands")])
 
@@ -320,17 +323,19 @@ def minhash_lsh_neardup(ds, *, threshold: float = 0.7, num_perm: int = 64,
     and emits one row per pair it belongs to; a groupby(pair) computes the
     exact Jaccard from the two shingle lists. No full-corpus state anywhere.
     """
+    # candidate pairs collapse on the driver anyway (they become the
+    # broadcast map), so dedupe there instead of paying an extra wide stage
     cand = minhash_lsh_candidates(
         ds, num_perm=num_perm, bands=bands, k_shingle=k_shingle,
-        concurrency=concurrency, text_col=text_col, id_col=id_col,
+        concurrency=concurrency, text_col=text_col, id_col=id_col, distinct=False,
     )
     cand_tbl = _collect_table(cand)
     if cand_tbl.num_rows == 0:
         return _empty_pairs_ds()
+    cand_pd = cand_tbl.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     doc_to_pairs: dict[int, list[int]] = {}
     pair_ids = {}
-    for i, (a, b) in enumerate(zip(cand_tbl.column("doc_a").to_pylist(),
-                                   cand_tbl.column("doc_b").to_pylist())):
+    for i, (a, b) in enumerate(zip(cand_pd["doc_a"], cand_pd["doc_b"])):
         pair_ids[i] = (a, b)
         doc_to_pairs.setdefault(a, []).append(i)
         doc_to_pairs.setdefault(b, []).append(i)
