@@ -502,6 +502,24 @@ def q_mm_features(sf_dir: str):
     return media_pipeline(media_dir)
 
 
+def q_mm_meta(sf_dir: str):
+    """Multimodal decode correctness gate: the actor-pool decoder's header
+    parse (kind/width/height/n_bytes from the binary payload) must equal the
+    generator's metadata columns — SQL-verifiable because both live in the
+    same media parquet."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import MediaDecoder, ensure_media
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = rd.read_parquet(media_dir)
+    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
+                        concurrency=(1, 4), zero_copy_batch=True)
+    return ds.map_batches(
+        lambda t: t.select(["media_id", "kind", "width", "height", "nframes", "n_bytes"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_mm_frames(sf_dir: str):
     """Video frame sampling fan-out (every 4th frame)."""
     from .generator import sf_from_dir
@@ -796,6 +814,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "mm_features": q_mm_features,
     "mm_frames": q_mm_frames,
+    "mm_meta": q_mm_meta,
     # --- SQL-verified additions ---
     "token_jaccard": q_token_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -1054,6 +1073,14 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                md5(conv_id) AS trace_id,
                substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id
         FROM {T} WHERE {SQL_IS_TOOL}"""
+    from .generator import sf_from_dir as _sfd
+    from .stages.multimodal import ensure_media as _em
+
+    media_dir = _em(_sfd(sf_dir))
+    sql["mm_meta"] = f"""
+        SELECT media_id, kind, width, height, nframes,
+               CAST(width AS BIGINT) * height * nframes AS n_bytes
+        FROM read_parquet('{media_dir}/*.parquet')"""
     sql["events_hopping"] = f"""
         SELECT event_type,
                make_timestamp((epoch_us(ts) // 60000000) * 60000000 - i.i * 60000000)

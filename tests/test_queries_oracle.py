@@ -47,3 +47,19 @@ def test_query_matches_oracle(name, con, sqls):
             assert np.allclose(av.astype(float), bv.astype(float), equal_nan=True), f"{name}.{c}"
         else:
             assert (pd.Series(av).fillna("∅").astype(str) == pd.Series(bv).fillna("∅").astype(str)).all(), f"{name}.{c}"
+
+
+def test_registry_contract():
+    """Driver-contract guard: every oracle key has a query; all callables
+    and SQL strings are well-formed."""
+    sqls = oracle_sql(SF)
+    assert set(sqls) <= set(QUERIES)
+    assert all(callable(f) for f in QUERIES.values())
+    assert all(isinstance(s, str) and s.strip().upper().startswith("SELECT")
+               or s.strip().upper().startswith("WITH") for s in sqls.values())
+    rows_only = set(QUERIES) - set(sqls)
+    # every rows-only op is an approximate/codec op with a pytest oracle
+    assert rows_only == {
+        "sim_topk_lsh", "sim_topk_ivf", "dedup_minhash", "dedup_simhash",
+        "embedding_neardup_lsh", "doc_fingerprint", "mm_features", "mm_frames",
+    }
