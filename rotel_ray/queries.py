@@ -502,6 +502,24 @@ def q_mm_features(sf_dir: str):
     return media_pipeline(media_dir)
 
 
+def q_doc_sample(sf_dir: str):
+    """Deterministic hash-based sampling — the reproducible sampling method
+    that scales (no RNG state, no coordination: membership is a pure
+    function of content). Keeps docs whose md5(text) starts with '0'|'1'
+    (expected 1/8 of the corpus), preserving doc_id + lang for downstream
+    stratification checks."""
+    from .stages.enrich import _hash_values
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        h = _hash_values(t.column("text"), "md5")
+        keep = pc.is_in(pc.utf8_slice_codeunits(h, 0, 1), value_set=pa.array(["0", "1"]))
+        return t.filter(keep).select(["doc_id", "lang"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_mm_meta(sf_dir: str):
     """Multimodal decode correctness gate: the actor-pool decoder's header
     parse (kind/width/height/n_bytes from the binary payload) must equal the
@@ -815,6 +833,7 @@ QUERIES = {
     "mm_features": q_mm_features,
     "mm_frames": q_mm_frames,
     "mm_meta": q_mm_meta,
+    "doc_sample": q_doc_sample,
     # --- SQL-verified additions ---
     "token_jaccard": q_token_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -1081,6 +1100,9 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT media_id, kind, width, height, nframes,
                CAST(width AS BIGINT) * height * nframes AS n_bytes
         FROM read_parquet('{media_dir}/*.parquet')"""
+    sql["doc_sample"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(text), 1, 1) IN ('0', '1')"""
     sql["events_hopping"] = f"""
         SELECT event_type,
                make_timestamp((epoch_us(ts) // 60000000) * 60000000 - i.i * 60000000)
