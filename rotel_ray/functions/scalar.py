@@ -57,7 +57,10 @@ def hex_decode(arr: pa.Array, byte_width: int) -> pa.Array:
     chars = s.view(np.uint8).reshape(len(arr), 2 * byte_width)
     nib = np.where(chars >= ord("a"), chars - ord("a") + 10, chars - ord("0")).astype(np.uint8)
     raw = ((nib[:, 0::2] << 4) | nib[:, 1::2]).astype(np.uint8)
-    return pa.array(raw.view(f"S{byte_width}").ravel().tolist(), pa.binary(byte_width))
+    # build from the raw buffer — a numpy "S" view would strip trailing NULs
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(byte_width), len(arr), [None, pa.py_buffer(raw.tobytes())]
+    )
 
 
 def _md5_bytes(arr: pa.Array, width: int) -> pa.Array:
