@@ -50,12 +50,22 @@ def hex_encode(arr: pa.Array) -> pa.Array:
 
 
 def hex_decode(arr: pa.Array, byte_width: int) -> pa.Array:
-    """Hex string -> fixed-size binary (inverse of hex_encode)."""
+    """Hex string -> fixed-size binary (inverse of hex_encode). Case-tolerant
+    like the reference's hex handling; raises on non-hex input instead of
+    silently decoding garbage."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     s = arr.to_numpy(zero_copy_only=False).astype(f"S{2 * byte_width}")
     chars = s.view(np.uint8).reshape(len(arr), 2 * byte_width)
-    nib = np.where(chars >= ord("a"), chars - ord("a") + 10, chars - ord("0")).astype(np.uint8)
+    nib = np.where(
+        chars >= ord("a"), chars - ord("a") + 10,
+        np.where(chars >= ord("A"), chars - ord("A") + 10, chars - ord("0")),
+    ).astype(np.uint8)
+    valid = (((chars >= 48) & (chars <= 57)) | ((chars >= 65) & (chars <= 70))
+             | ((chars >= 97) & (chars <= 102)))
+    if len(arr) and not valid.all():
+        raise ValueError("hex_decode: input contains non-hex characters "
+                         "(or strings shorter than 2*byte_width)")
     raw = ((nib[:, 0::2] << 4) | nib[:, 1::2]).astype(np.uint8)
     # build from the raw buffer — a numpy "S" view would strip trailing NULs
     return pa.FixedSizeBinaryArray.from_buffers(

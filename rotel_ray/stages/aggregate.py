@@ -25,8 +25,6 @@ via the salt helper.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -66,16 +64,53 @@ def _key_strings(t: pa.Table, keys: list[str]) -> pa.Array:
     return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
 
 
+def _vec_hash_strings(arr: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash per string, fully vectorized over the Arrow
+    byte buffer (positional polynomial + splitmix64 finalizer). No per-row or
+    per-distinct-value Python — the round-1 per-distinct crc32 loop was a
+    hidden row loop whenever the key itself was high-cardinality (text_hash
+    buckets, minhash pair keys)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    if pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    out = np.zeros(n, np.uint64)
+    total = int(lens.sum())
+    if total:
+        seg = data[offs[0] : offs[-1]].astype(np.uint64)
+        starts_rel = offs[:-1] - offs[0]
+        # position of each byte within its own string -> P^pos weight
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts_rel, lens)
+        P = np.uint64(0x100000001B3)
+        maxlen = int(lens.max())
+        pows = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(maxlen - 1, P, np.uint64)))
+        ) if maxlen > 1 else np.array([np.uint64(1)])
+        vals = (seg + np.uint64(0x9E3779B97F4A7C15)) * pows[pos]
+        ne = lens > 0
+        out[ne] = np.add.reduceat(vals, starts_rel[ne])
+    h = out ^ lens.astype(np.uint64)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
 def add_hash_bucket(t: pa.Table, keys: list[str], num_buckets: int, col: str = "__bucket") -> pa.Table:
-    """Append a deterministic hash-bucket column over `keys` (crc32 of the
-    canonical key string, computed once per *distinct* key via dictionary
-    encoding — the order-independent key hashing of the reference's Kafka
-    partition-by-resource-attributes, src/exporters/kafka/exporter.rs:140-162)."""
-    d = pc.dictionary_encode(_key_strings(t, keys))
-    uh = np.array(
-        [zlib.crc32(s.encode()) % num_buckets for s in d.dictionary.to_pylist()], dtype=np.int64
-    )
-    bucket = pc.take(pa.array(uh), pc.cast(d.indices, pa.int64()))
+    """Append a deterministic hash-bucket column over `keys` (vectorized
+    64-bit hash of the canonical key string — the order-independent key
+    hashing of the reference's Kafka partition-by-resource-attributes,
+    src/exporters/kafka/exporter.rs:140-162)."""
+    h = _vec_hash_strings(_key_strings(t, keys))
+    bucket = pa.array((h % np.uint64(num_buckets)).astype(np.int64))
     return t.append_column(col, bucket)
 
 

@@ -206,6 +206,11 @@ class MinHashSignatures:
         self.k = k_shingle
         self.text_col, self.id_col = text_col, id_col
 
+    # permutation-matrix chunk cap: num_perm x CHUNK_SHINGLES uint64 values
+    # per transient matrix (64 perms x 2^18 -> 128 MiB) regardless of batch
+    # size / doc length, so the signature stage's heap is bounded.
+    CHUNK_SHINGLES = 1 << 18
+
     def __call__(self, t: pa.Table) -> pa.Table:
         text = t.column(self.text_col)
         text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
@@ -216,12 +221,25 @@ class MinHashSignatures:
             stream, counts = _batch_shingle_stream(text, self.k)
             sigs = np.full((n, len(self.a)), np.iinfo(np.uint64).max, dtype=np.uint64)
             if len(stream):
-                vals = self.a[:, None] * stream[None, :] + self.b[:, None]  # (p, total)
+                # reduceat only over NON-EMPTY docs' starts: those are strictly
+                # increasing and < len(stream), so each segment runs exactly to
+                # the next non-empty doc's start (empty docs contribute zero
+                # elements; a trailing empty doc must not clamp the previous
+                # segment — that truncated it by one shingle).
                 starts = np.r_[0, np.cumsum(counts)[:-1]]
-                nonempty = counts > 0
-                idx = np.minimum(starts, len(stream) - 1)
-                mins = np.minimum.reduceat(vals, idx, axis=1)  # (p, n)
-                sigs[nonempty] = mins.T[nonempty]
+                ne_idx = np.flatnonzero(counts > 0)
+                ne_starts = starts[ne_idx]
+                ne_ends = ne_starts + counts[ne_idx]
+                lo = 0
+                while lo < len(ne_idx):
+                    hi = int(np.searchsorted(ne_ends, ne_starts[lo] + self.CHUNK_SHINGLES,
+                                             side="right"))
+                    hi = max(hi, lo + 1)  # a single over-cap doc still gets one chunk
+                    seg = stream[ne_starts[lo] : ne_ends[hi - 1]]
+                    vals = self.a[:, None] * seg[None, :] + self.b[:, None]  # (p, |seg|)
+                    mins = np.minimum.reduceat(vals, ne_starts[lo:hi] - ne_starts[lo], axis=1)
+                    sigs[ne_idx[lo:hi]] = mins.T
+                    lo = hi
         return pa.table(
             {
                 self.id_col: t.column(self.id_col),
@@ -258,24 +276,89 @@ def _band_rows(t: pa.Table, bands: int, id_col: str = "doc_id") -> pa.Table:
     )
 
 
-def _pairs_in_buckets(t: pa.Table, id_col: str = "doc_id", max_bucket: int = 64) -> pa.Table:
-    """Candidate pairs within one (or more) LSH bucket groups. Buckets larger
-    than `max_bucket` are truncated (logged via the n_truncated column) —
-    the skew guard for degenerate buckets."""
-    import itertools
+def _build_popcnt16() -> np.ndarray:
+    v = np.arange(1 << 16, dtype=np.uint32)
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return ((v + (v >> 8)) & 0xFF).astype(np.uint8)
 
+
+_POPCNT16 = _build_popcnt16()  # 64 KiB LUT, built vectorized at import
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via the 16-bit LUT (numpy<2 has no
+    ``bitwise_count``)."""
+    x = x.astype(np.uint64)
+    M = np.uint64(0xFFFF)
+    return (
+        _POPCNT16[(x & M).astype(np.int64)]
+        + _POPCNT16[((x >> np.uint64(16)) & M).astype(np.int64)]
+        + _POPCNT16[((x >> np.uint64(32)) & M).astype(np.int64)]
+        + _POPCNT16[((x >> np.uint64(48)) & M).astype(np.int64)]
+    ).astype(np.int64)
+
+
+_log = __import__("logging").getLogger(__name__)
+
+
+def _bucket_segments(keys: np.ndarray, ids: np.ndarray, *extra: np.ndarray):
+    """Sort by (key, id), drop duplicate (key, id) rows, and yield
+    (start, size) segments of equal-key runs with >= 2 members. Returns the
+    deduped sorted columns plus the segment list — shared by the LSH and
+    simhash pair reducers (all segment math in numpy)."""
+    order = np.lexsort((ids, keys))
+    k, i = keys[order], ids[order]
+    cols = [c[order] for c in extra]
+    keep = np.r_[True, (k[1:] != k[:-1]) | (i[1:] != i[:-1])]
+    k, i = k[keep], i[keep]
+    cols = [c[keep] for c in cols]
+    bounds = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1, len(k)]
+    sizes = np.diff(bounds)
+    segs = [(int(bounds[s]), int(sizes[s])) for s in np.flatnonzero(sizes >= 2)]
+    return (i, *cols), segs
+
+
+def _emit_segment_pairs(ids: np.ndarray, segs, max_bucket: int, *cols: np.ndarray):
+    """All (a < b) index pairs within each segment, with the skew guard:
+    the first `max_bucket` members pair all-vs-all; every overflow member
+    pairs against the segment's first (pivot) member, keeping transitive dup
+    clusters connected at O(m) instead of O(m^2) cost. Truncations are
+    logged with their overflow counts. Returns (a_idx, b_idx) row indices."""
     out_a, out_b = [], []
-    kt = t.select(["band_key", id_col])
-    for key, group in itertools.groupby(
-        sorted(zip(kt.column("band_key").to_pylist(), kt.column(id_col).to_pylist())),
-        key=lambda kv: kv[0],
-    ):
-        ids = sorted({g[1] for g in group})[:max_bucket]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())})
+    n_trunc = 0
+    for lo, m in segs:
+        head = min(m, max_bucket)
+        ai, bj = np.triu_indices(head, k=1)
+        out_a.append(lo + ai)
+        out_b.append(lo + bj)
+        if m > max_bucket:
+            n_trunc += m - max_bucket
+            over = np.arange(lo + max_bucket, lo + m)
+            out_a.append(np.full(len(over), lo, dtype=np.int64))
+            out_b.append(over)
+    if n_trunc:
+        _log.warning("bucket pair guard: %d overflow members pivot-paired "
+                     "(max_bucket=%d)", n_trunc, max_bucket)
+    if not out_a:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _pairs_in_buckets(t: pa.Table, id_col: str = "doc_id", max_bucket: int = 64) -> pa.Table:
+    """Candidate pairs within LSH bucket groups — vectorized sort + segment
+    scan (no per-row Python). Degenerate buckets are guarded by
+    ``_emit_segment_pairs`` (pivot pairing + logged truncation count)."""
+    keys = t.column("band_key").to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(keys):
+        (i,), segs = _bucket_segments(keys, ids)
+        ai, bi = _emit_segment_pairs(i, segs, max_bucket)
+        if len(ai):
+            return pa.table({"doc_a": pa.array(i[ai]), "doc_b": pa.array(i[bi])})
+    return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
 
 
 _MINHASH_CACHE: dict = {}
@@ -315,87 +398,77 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
 
 def minhash_lsh_neardup(ds, *, threshold: float = 0.7, num_perm: int = 64,
                         bands: int = 16, k_shingle: int = 3, concurrency=2,
-                        text_col: str = "text", id_col: str = "doc_id"):
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_buckets: int = 64):
     """Near-dup pairs with exact shingle-Jaccard >= threshold.
 
-    Verification is distributed: the candidate-pair map (small — LSH already
-    pruned) is broadcast; each involved doc re-derives its shingle set once
-    and emits one row per pair it belongs to; a groupby(pair) computes the
-    exact Jaccard from the two shingle lists. No full-corpus state anywhere.
+    Fully distributed — the candidate-pair set stays a Dataset end-to-end
+    (never collected to the driver; at corpus scale it is O(dup-mass)):
+
+    1. banded-LSH candidate pairs (doc_a, doc_b), possibly repeated across
+       bands;
+    2. each pair explodes to two (doc_id, doc_a, doc_b) rows;
+    3. ``bucket_hash_join`` co-partitions those rows with the documents on
+       doc_id (one int-column shuffle) to attach each doc's text;
+    4. a grouped_apply on (doc_a, doc_b) re-derives the two shingle sets and
+       keeps the pair iff exact Jaccard >= threshold (band-duplicate rows are
+       deduped inside the group — no extra distinct shuffle needed).
     """
-    # candidate pairs collapse on the driver anyway (they become the
-    # broadcast map), so dedupe there instead of paying an extra wide stage
+    from .join import bucket_hash_join
+
     cand = minhash_lsh_candidates(
         ds, num_perm=num_perm, bands=bands, k_shingle=k_shingle,
         concurrency=concurrency, text_col=text_col, id_col=id_col, distinct=False,
     )
-    cand_tbl = _collect_table(cand)
-    if cand_tbl.num_rows == 0:
-        return _empty_pairs_ds()
-    cand_pd = cand_tbl.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    doc_to_pairs: dict[int, list[int]] = {}
-    pair_ids = {}
-    for i, (a, b) in enumerate(zip(cand_pd["doc_a"], cand_pd["doc_b"])):
-        pair_ids[i] = (a, b)
-        doc_to_pairs.setdefault(a, []).append(i)
-        doc_to_pairs.setdefault(b, []).append(i)
-    dref = ray.put(doc_to_pairs)
 
-    class PairShingles:
-        def __init__(self):
-            self.doc_to_pairs = ray.get(dref)
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").combine_chunks()
+        b = t.column("doc_b").combine_chunks()
+        return pa.table(
+            {
+                id_col: pa.concat_arrays([a, b]),
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([b, b]),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_pylist()
-            texts = t.column(text_col).to_pylist()
-            out_pair, out_doc, out_sh = [], [], []
-            for d, x in zip(ids, texts):
-                ps = self.doc_to_pairs.get(d)
-                if not ps:
-                    continue
-                sh = _shingle_hashes(x or "", k_shingle).astype(np.int64)
-                for p in ps:
-                    out_pair.append(p)
-                    out_doc.append(d)
-                    out_sh.append(sh)
-            return pa.table(
-                {
-                    "pair_id": pa.array(out_pair, pa.int64()),
-                    id_col: pa.array(out_doc, pa.int64()),
-                    "shingles": pa.array([s.tolist() for s in out_sh], pa.list_(pa.int64())),
-                }
-            )
-
-    involved = set(doc_to_pairs)
-    iref = ray.put(np.fromiter(involved, dtype=np.int64, count=len(involved)))
-
-    def prefilter(t: pa.Table) -> pa.Table:
-        inv = ray.get(iref)
-        mask = pc.is_in(t.column(id_col), value_set=pa.array(inv))
-        return t.filter(mask).select([id_col, text_col])
-
-    sh_ds = ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
-    sh_ds = sh_ds.map_batches(PairShingles, batch_format="pyarrow", concurrency=concurrency)
-
-    pref = ray.put(pair_ids)
+    pair_rows = cand.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    docs = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = bucket_hash_join(pair_rows, docs, on=id_col, num_buckets=num_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
-        pids = ray.get(pref)
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         out_a, out_b, out_j = [], [], []
-        groups: dict[int, list[np.ndarray]] = {}
-        for p, sh in zip(t.column("pair_id").to_pylist(), t.column("shingles").to_pylist()):
-            groups.setdefault(p, []).append(np.asarray(sh, dtype=np.int64))
-        for p, shs in groups.items():
-            if len(shs) != 2:
-                continue
-            inter = np.intersect1d(shs[0], shs[1], assume_unique=True).size
-            union = shs[0].size + shs[1].size - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                a, b = pids[p]
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(j)
+        if len(a):
+            order = np.lexsort((d, b, a))
+            a, b, d = a[order], b[order], d[order]
+            keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (d[1:] != d[:-1])]
+            a, b, d = a[keep], b[keep], d[keep]
+            texts = pc.fill_null(t.column(text_col).combine_chunks(), "")
+            texts = texts.take(pa.array(order[keep]))
+            # shingle each DISTINCT text once per bucket (band dups + both-
+            # side repeats collapse), then per-pair exact set intersection
+            enc = pc.dictionary_encode(texts)
+            stream, counts = _batch_shingle_stream(enc.dictionary, k_shingle)
+            starts = np.r_[0, np.cumsum(counts)[:-1]]
+            sets = [np.unique(stream[s : s + c]) for s, c in zip(starts, counts)]
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            bounds = np.r_[0, np.flatnonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1])) + 1, len(a)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                if hi - lo != 2:
+                    continue  # one side unmatched in the corpus — cannot verify
+                sa, sb = sets[codes[lo]], sets[codes[lo + 1]]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(int(a[lo]))
+                    out_b.append(int(b[lo]))
+                    out_j.append(j)
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
@@ -404,21 +477,8 @@ def minhash_lsh_neardup(ds, *, threshold: float = 0.7, num_perm: int = 64,
             }
         )
 
-    return grouped_apply(sh_ds, ["pair_id"], verify, batch_format="pyarrow")
-
-
-def _collect_table(ds) -> pa.Table:
-    """Materialize a small result Dataset to one Arrow table (driver side)."""
-    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
-
-
-def _empty_pairs_ds():
-    import ray.data as rd
-
-    return rd.from_arrow(
-        pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                  "jaccard": pa.array([], pa.float64())})
-    )
+    return grouped_apply(joined, ["doc_a", "doc_b"], verify, batch_format="pyarrow",
+                         num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -436,43 +496,57 @@ def _simhash64(token_hashes: np.ndarray) -> int:
     return int((sig_bits << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash_batch(text: pa.Array) -> np.ndarray:
+    """Vectorized per-batch simhash: flat token-hash stream -> unpacked bits
+    -> per-doc vote sums via ``np.add.reduceat`` over NON-EMPTY docs' starts
+    (strictly increasing, in-range — clamping a trailing empty doc's start
+    dropped the last token's vote from the previous doc). Value-identical to
+    the per-doc ``_simhash64``."""
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    n = len(text)
+    sigs = np.zeros(n, dtype=np.uint64)
+    if n:
+        th, counts = _batch_token_hashes(text)
+        if len(th):
+            bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1,
+                                 bitorder="little").astype(np.int32) * 2 - 1
+            starts = np.r_[0, np.cumsum(counts)[:-1]]
+            ne = counts > 0
+            votes = np.add.reduceat(bits, starts[ne], axis=0)  # (n_ne, 64)
+            sig_bits = (votes > 0).astype(np.uint64)
+            sigs[ne] = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    return sigs
+
+
 def simhash_stage(ds, *, text_col: str = "text", id_col: str = "doc_id", concurrency=2):
-    """(doc_id, simhash) — one 64-bit signature per doc. Vectorized over the
-    batch: flat token-hash stream -> unpacked bits -> per-doc vote sums via
-    ``np.add.reduceat`` (same values as the per-doc ``_simhash64``)."""
+    """(doc_id, simhash) — one 64-bit signature per doc."""
 
     def f(t: pa.Table) -> pa.Table:
-        text = t.column(text_col)
-        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
-        n = len(text)
-        sigs = np.zeros(n, dtype=np.uint64)
-        if n:
-            th, counts = _batch_token_hashes(text)
-            if len(th):
-                bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1,
-                                     bitorder="little").astype(np.int32) * 2 - 1
-                starts = np.r_[0, np.cumsum(counts)[:-1]]
-                idx = np.minimum(starts, len(th) - 1)
-                votes = np.add.reduceat(bits, idx, axis=0)  # (n, 64)
-                sig_bits = (votes > 0).astype(np.uint64)
-                out = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
-                out[counts == 0] = 0
-                sigs = out
+        sigs = simhash_batch(t.column(text_col))
         return pa.table({id_col: t.column(id_col), "simhash": pa.array(sigs.astype(np.int64))})
 
     return ds.map_batches(f, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
 
 
 def simhash_neardup(ds, *, max_hamming: int = 3, text_col: str = "text",
-                    id_col: str = "doc_id", concurrency=2):
+                    id_col: str = "doc_id", concurrency=2, max_bucket: int = 256):
     """Pairs with simhash Hamming distance <= max_hamming (<= 3 gives full
-    recall with 4 x 16-bit bands by pigeonhole). Shuffle key = band value."""
+    recall with 4 x 16-bit bands by pigeonhole). Shuffle key = band value.
+
+    Skew guards: empty docs (signature 0) are excluded from banding — they
+    are trivially exact duplicates of each other (exact_dedup's job) and a
+    boilerplate corpus would otherwise collapse all of them into one O(n^2)
+    bucket in every band. Non-empty degenerate buckets are capped at
+    `max_bucket` members with pivot pairing (logged), trading the full-recall
+    guarantee for bounded work only when a bucket is pathological."""
     assert max_hamming <= 3, "4-band construction guarantees recall only to distance 3"
     sigs = simhash_stage(ds, text_col=text_col, id_col=id_col, concurrency=concurrency)
 
     def bands(t: pa.Table) -> pa.Table:
         s = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ne = s != 0  # empty-doc signature guard
+        s, ids = s[ne], ids[ne]
         n = len(s)
         keys = np.empty(n * 4, dtype=np.int64)
         for b in range(4):
@@ -489,30 +563,25 @@ def simhash_neardup(ds, *, max_hamming: int = 3, text_col: str = "text",
     band_ds = sigs.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs(t: pa.Table) -> pa.Table:
-        import itertools
-
-        rows = sorted(
-            zip(
-                t.column("band_key").to_pylist(),
-                t.column(id_col).to_pylist(),
-                t.column("simhash").to_pylist(),
-            )
-        )
-        out_a, out_b, out_h = [], [], []
-        for _, group in itertools.groupby(rows, key=lambda r: r[0]):
-            members = sorted({(r[1], r[2]) for r in group})
-            for (ia, sa), (ib, sb) in itertools.combinations(members, 2):
-                h = int(bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1"))
-                if h <= max_hamming:
-                    out_a.append(ia)
-                    out_b.append(ib)
-                    out_h.append(h)
+        keys = t.column("band_key").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sg = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(keys):
+            (i, s), segs = _bucket_segments(keys, ids, sg)
+            ai, bi = _emit_segment_pairs(i, segs, max_bucket)
+            if len(ai):
+                h = _popcount64(s[ai] ^ s[bi])  # XOR + LUT popcount, no per-pair Python
+                keep = h <= max_hamming
+                return pa.table(
+                    {
+                        "doc_a": pa.array(i[ai][keep]),
+                        "doc_b": pa.array(i[bi][keep]),
+                        "hamming": pa.array(h[keep]),
+                    }
+                )
         return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_h, pa.int64()),
-            }
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
         )
 
     found = grouped_apply(band_ds, ["band_key"], pairs, batch_format="pyarrow")
@@ -540,6 +609,12 @@ def token_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
+    # Tokenize on the EXACT whitespace class RE2's \s matches ([\t\n\f\r ]),
+    # so the engine and the DuckDB oracle (regexp_split_to_array '\s+') agree
+    # on documents containing exotic whitespace — Python str.split() also
+    # breaks on \v / \x85 / \xa0 and would silently diverge.
+    _WS = __import__("re").compile(r"[\t\n\f\r ]+")
+
     def jac(t: pa.Table) -> pa.Table:
         import itertools
 
@@ -555,7 +630,8 @@ def token_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"):
             g = sorted(group)
             if len(g) != 2:
                 continue
-            sa, sb = set((g[0][2] or "").split()), set((g[1][2] or "").split())
+            sa = set(x for x in _WS.split(g[0][2] or "") if x)
+            sb = set(x for x in _WS.split(g[1][2] or "") if x)
             union = len(sa | sb)
             out_k.append(key)
             out_j.append(len(sa & sb) / union if union else 0.0)

@@ -62,3 +62,95 @@ def test_shingle_jaccard_bounds(a, b):
     assert 0.0 <= j <= 1.0
     if a == b:
         assert j == 1.0 or not union
+
+
+# ---------------------------------------------------------------------------
+# batch-vs-per-doc signature kernels (regression: a trailing empty doc used to
+# clamp the reduceat start and truncate the PREVIOUS doc's segment by one)
+# ---------------------------------------------------------------------------
+
+from rotel_ray.stages.dedup import (  # noqa: E402
+    MinHashSignatures,
+    _minhash_sig,
+    _simhash64,
+    simhash_batch,
+)
+
+
+def _minhash_rows(inst: MinHashSignatures, texts):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = inst(t)
+    flat = np.array(out.column("sig").combine_chunks().flatten().to_pylist(),
+                    dtype=np.int64).view(np.uint64)
+    return flat.reshape(len(texts), len(inst.a))
+
+
+def test_minhash_trailing_empty_doc_regression():
+    """ADVICE repro: ['alpha beta gamma delta epsilon', ''] must give doc 0
+    the same signature as the per-doc reference."""
+    inst = MinHashSignatures(num_perm=8)
+    sigs = _minhash_rows(inst, ["alpha beta gamma delta epsilon", ""])
+    ref0 = _minhash_sig(_shingle_hashes("alpha beta gamma delta epsilon"), inst.a, inst.b)
+    assert np.array_equal(sigs[0], ref0)
+    assert (sigs[1] == np.iinfo(np.uint64).max).all()
+
+
+def test_simhash_trailing_empty_doc_regression():
+    sigs = simhash_batch(pa.array(["alpha beta gamma delta epsilon", ""], pa.string()))
+    assert int(sigs[0]) == _simhash64(_token_hashes("alpha beta gamma delta epsilon"))
+    assert int(sigs[1]) == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(text_lines, min_size=1, max_size=15))
+def test_batch_minhash_equals_per_doc(texts):
+    inst = MinHashSignatures(num_perm=8)
+    sigs = _minhash_rows(inst, texts)
+    for i, x in enumerate(texts):
+        ref = _minhash_sig(_shingle_hashes(x), inst.a, inst.b)
+        assert np.array_equal(sigs[i], ref), repr(x)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(text_lines, min_size=1, max_size=15))
+def test_batch_simhash_equals_per_doc(texts):
+    sigs = simhash_batch(pa.array(texts, pa.string()))
+    for i, x in enumerate(texts):
+        assert int(sigs[i]) == _simhash64(_token_hashes(x)), repr(x)
+
+
+def test_minhash_chunked_reduceat_matches_unchunked():
+    """The memory-capped chunked permutation path is value-identical."""
+    texts = [f"tok{i} " * (i % 7 + 3) for i in range(50)] + ["", "one two three"]
+    big = MinHashSignatures(num_perm=16)
+    small = MinHashSignatures(num_perm=16)
+    small.CHUNK_SHINGLES = 8  # force many chunks (class attr shadowed per inst)
+    assert np.array_equal(_minhash_rows(big, texts), _minhash_rows(small, texts))
+
+
+def test_hex_decode_uppercase_and_invalid():
+    from rotel_ray.functions.scalar import hex_decode as hd
+
+    assert hd(pa.array(["DEADBEEF", "deadbeef"]), 4).to_pylist() == [b"\xde\xad\xbe\xef"] * 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hd(pa.array(["zzzzzzzz"]), 4)
+    with _pytest.raises(ValueError):
+        hd(pa.array([":;<=>?@G"]), 4)  # chars adjacent to hex ranges
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(text_lines, min_size=1, max_size=30))
+def test_vec_hash_strings_deterministic_and_total(texts):
+    from rotel_ray.stages.aggregate import _vec_hash_strings
+
+    a = _vec_hash_strings(pa.array(texts, pa.string()))
+    b = _vec_hash_strings(pa.array(texts, pa.string()))
+    assert np.array_equal(a, b)
+    # equal strings hash equal; a sliced array hashes like a fresh one
+    arr = pa.array(texts + texts, pa.string())
+    h = _vec_hash_strings(arr)
+    assert np.array_equal(h[: len(texts)], h[len(texts):])
+    assert np.array_equal(_vec_hash_strings(arr.slice(len(texts))), a)

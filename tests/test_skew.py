@@ -61,3 +61,54 @@ def test_bucket_hash_join_hot_key():
     ref = df.merge(right, left_on="k", right_on="rk")
     assert len(out) == len(ref)
     assert out[out.k == 7].shape[0] == ref[ref.k == 7].shape[0]
+
+
+def test_simhash_degenerate_bucket_guard():
+    """10k empty docs (all simhash 0) + 3k identical docs: the empty docs are
+    excluded from banding (exact-dup territory) and the identical-doc bucket
+    is pivot-truncated — bounded pair count instead of O(n^2) blowup."""
+    from rotel_ray.stages.dedup import simhash_neardup
+
+    n_empty, n_same = 10_000, 3_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_empty + n_same, dtype=np.int64)),
+            "text": pa.array([""] * n_empty + ["same boilerplate text here"] * n_same),
+        }
+    )
+    out = simhash_neardup(rd.from_arrow(t).repartition(4), max_hamming=3,
+                          max_bucket=64).to_pandas()
+    # no empty-doc pairs at all; identical docs stay connected via the pivot
+    assert (out.doc_a >= n_empty).all()
+    # bounded: full pairs among <=64 head members + pivot pairs, per band —
+    # orders of magnitude below the 4.5M all-pairs count
+    assert 0 < len(out) < 64 * 64 + n_same
+    assert (out.hamming == 0).all()
+
+
+def test_minhash_distributed_verify_no_driver_state():
+    """minhash_lsh_neardup end-to-end on a corpus with planted dups, after the
+    round-2 rewrite (candidate pairs stay a Dataset; bucket join + grouped
+    verify). Results must match the brute-force shingle-Jaccard oracle."""
+    from rotel_ray.stages.dedup import _shingle_hashes, minhash_lsh_neardup
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(words, 30)) for i in range(60)]
+    texts += [texts[0], texts[1] + " tail", " ".join(texts[2].split()[:25])]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    out = minhash_lsh_neardup(rd.from_arrow(t).repartition(4), threshold=0.5).to_pandas()
+    got = set(zip(out.doc_a, out.doc_b))
+
+    def jac(a, b):
+        sa, sb = set(_shingle_hashes(a)), set(_shingle_hashes(b))
+        return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+    expected = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if jac(texts[i], texts[j]) >= 0.5
+    }
+    assert (0, 60) in expected and got == expected
