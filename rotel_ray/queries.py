@@ -23,6 +23,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from .generator import ensure_transcripts
+from .io import read_parquet
 from .stages.aggregate import (
     conv_aggregate,
     delta_within_group,
@@ -93,7 +94,7 @@ def _trans_sql_rel(sf_dir: str = ORACLE_SF_DIR) -> str:
 
 
 def _transcripts_ds(sf_dir: str):
-    return rd.read_parquet(ensure_transcripts(sf_dir))
+    return read_parquet(ensure_transcripts(sf_dir))
 
 
 def _parsed(sf_dir: str):
@@ -244,7 +245,7 @@ def q_delta_kmseq(sf_dir: str):
 
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate, two-phase with cents sums."""
-    ds = rd.read_parquet(
+    ds = read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -297,7 +298,7 @@ def q_nation_orders(sf_dir: str):
                 }
             )
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    ds = read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     ds = ds.map_batches(JoinNation, batch_format="pyarrow", concurrency=2, zero_copy_batch=True)
     return two_phase_aggregate(
         ds, ["n_name"], [("total_cents", "sum", "sum_total_cents"), ("total_cents", "count", "n_orders")]
@@ -305,7 +306,7 @@ def q_nation_orders(sf_dir: str):
 
 
 def q_events_minute(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def prep(t):
         return pa.table(
@@ -326,7 +327,7 @@ def q_events_minute(sf_dir: str):
 
 
 def q_top_users(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     ds = ds.map_batches(
         lambda t: pa.table({"user_id": t.column("user_id"), "value_cents": _cents_arr(t.column("value"))}),
         batch_format="pyarrow",
@@ -341,7 +342,7 @@ def q_dedup_exact(sf_dir: str):
     two-phase groupby keeps min doc_id + dup count (no raw text shuffled)."""
     from .stages.enrich import _hash_values
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(
         lambda t: pa.table({"text_hash": _hash_values(t.column("text"), "md5"), "doc_id": t.column("doc_id")}),
         batch_format="pyarrow",
@@ -354,7 +355,7 @@ def q_dedup_exact(sf_dir: str):
 
 def q_doc_tokens(sf_dir: str):
     """Token counting (whitespace tokens) + char length per doc."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def tok(t):
         text = t.column("text").combine_chunks()
@@ -371,7 +372,7 @@ def q_doc_tokens(sf_dir: str):
 
 def q_doc_quality(sf_dir: str):
     """Quality scoring: alpha ratio + mean token length (text-analysis op)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def score(t):
         text = t.column("text").combine_chunks()
@@ -400,7 +401,7 @@ def q_sim_topk(sf_dir: str, k: int = 10):
     top-k, tiny final sort. Returns vec_ids only (float-tie-safe)."""
     from .stages.similarity import brute_force_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return brute_force_topk(ds, _query_vec(sf_dir), k).select_columns(["vec_id"])
 
 
@@ -409,7 +410,7 @@ def q_sim_topk_lsh(sf_dir: str, k: int = 10):
     on candidates (the scale path; recall vs exact measured in tests)."""
     from .stages.similarity import lsh_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return lsh_topk(ds, _query_vec(sf_dir), k).select_columns(["vec_id", "sim"])
 
 
@@ -422,7 +423,7 @@ def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs with distributed exact-Jaccard verify."""
     from .stages.dedup import minhash_lsh_neardup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_neardup(ds, threshold=0.5)
 
 
@@ -430,7 +431,7 @@ def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3; full recall by 4-band pigeonhole)."""
     from .stages.dedup import simhash_neardup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_neardup(ds, max_hamming=3)
 
 
@@ -438,7 +439,7 @@ def q_token_jaccard(sf_dir: str):
     """Exact token-set Jaccard on the deterministic (2i, 2i+1) pairing."""
     from .stages.dedup import token_jaccard_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return token_jaccard_pairs(ds)
 
 
@@ -450,7 +451,7 @@ def q_embedding_neardup(sf_dir: str):
     pairs only — the float similarity stays out of the hash compare."""
     from .stages.dedup import embedding_neardup_exact
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     pairs = embedding_neardup_exact(ds, tau=NEARDUP_TAU)
     return pairs.select_columns(["vec_a", "vec_b"])
 
@@ -459,21 +460,21 @@ def q_embedding_neardup_lsh(sf_dir: str):
     """LSH-bucketed near-dup pairs (scale path; recall tested vs exact)."""
     from .stages.dedup import embedding_neardup_lsh
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_neardup_lsh(ds, tau=NEARDUP_TAU)
 
 
 def q_lang_id(sf_dir: str):
     from .stages.textstats import lang_id
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return lang_id(ds)
 
 
 def q_token_count_bpe(sf_dir: str):
     from .stages.textstats import token_count_bpe
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return token_count_bpe(ds)
 
 
@@ -481,14 +482,14 @@ def q_doc_fingerprint(sf_dir: str):
     """Winnowing document fingerprints (rolling-hash k-grams, window mins)."""
     from .stages.textstats import doc_fingerprint
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return doc_fingerprint(ds)
 
 
 def q_quality_full(sf_dir: str):
     from .stages.textstats import quality_score
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return quality_score(ds)
 
 
@@ -510,7 +511,7 @@ def q_doc_sample(sf_dir: str):
     stratification checks."""
     from .stages.enrich import _hash_values
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
 
     def f(t: pa.Table) -> pa.Table:
         h = _hash_values(t.column("text"), "md5")
@@ -529,7 +530,7 @@ def q_mm_meta(sf_dir: str):
     from .stages.multimodal import MediaDecoder, ensure_media
 
     media_dir = ensure_media(sf_from_dir(sf_dir))
-    ds = rd.read_parquet(media_dir)
+    ds = read_parquet(media_dir)
     ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
                         concurrency=(1, 4), zero_copy_batch=True)
     return ds.map_batches(
@@ -551,7 +552,7 @@ def q_mm_frames(sf_dir: str):
 def q_sessionize(sf_dir: str):
     from .stages.window import sessionize
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value", "event_id"])
     return sessionize(ds, gap_minutes=30.0)
 
@@ -559,7 +560,7 @@ def q_sessionize(sf_dir: str):
 def q_top_events_per_user(sf_dir: str):
     from .stages.window import topk_per_group
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value", "event_id"])
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value", "event_id"])
     return topk_per_group(ds, key="user_id", order_col="value", id_col="event_id", k=3)
 
 
@@ -567,7 +568,7 @@ def q_asof_purchase_click(sf_dir: str):
     """For each purchase, the user's most recent click at or before it."""
     from .stages.window import asof_join_backward
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type", "event_id", "value"])
     left = ds.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
     right = ds.filter(expr="event_type == 'click'").drop_columns(["event_type"])
@@ -588,7 +589,7 @@ def q_events_hopping(sf_dir: str):
     (each event fans out to the 5 windows containing it)."""
     from .stages.window import hopping_window_aggregate
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     return hopping_window_aggregate(ds, window_minutes=5, hop_minutes=1)
 
 
@@ -597,7 +598,7 @@ def q_range_join(sf_dir: str):
     user (bucketed time-grid co-partitioning, no all-pairs)."""
     from .stages.window import range_join_time
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type", "event_id"])
     purchases = ds.filter(expr="event_type == 'purchase'")
     errors = ds.filter(expr="event_type == 'error'")
@@ -611,7 +612,7 @@ def q_order_revenue_join(sf_dir: str):
     Dataset.join for skinny fact⋈fact, see BASELINE.md)."""
     from .stages.join import bucket_hash_join
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -619,7 +620,7 @@ def q_order_revenue_join(sf_dir: str):
         return pa.table({"l_orderkey": t.column("l_orderkey"), "rev_cents": _cents_arr(rev)})
 
     li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    orders = read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
     joined = bucket_hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_buckets=64)
     return two_phase_aggregate(
         joined, ["o_orderpriority"],
@@ -644,13 +645,13 @@ def q_region_revenue(sf_dir: str):
     nat = nat.filter(pc.equal(nat.column("r_name"), "ASIA"))
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    orders = read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     orders = broadcast_join(orders, cust, left_on="o_custkey", right_on="c_custkey",
                             take_cols=["c_nationkey"])
     orders = broadcast_join(orders, nat, left_on="c_nationkey", right_on="n_nationkey",
                             take_cols=["n_name"])  # inner: drops non-ASIA orders
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -672,7 +673,7 @@ def q_sim_topk_ivf(sf_dir: str, k: int = 10):
     exact measured in tests)."""
     from .stages.similarity import ivf_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ivf_topk(ds, _query_vec(sf_dir), k=k, n_centroids=16, n_probe=4)
 
 

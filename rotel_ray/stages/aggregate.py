@@ -111,7 +111,9 @@ def add_hash_bucket(t: pa.Table, keys: list[str], num_buckets: int, col: str = "
     src/exporters/kafka/exporter.rs:140-162)."""
     h = _vec_hash_strings(_key_strings(t, keys))
     bucket = pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-    return t.append_column(col, bucket)
+    # strip parquet-born b'pandas' schema metadata: pa.Schema with it is
+    # unhashable ("Failed to hash the schemas" spam in every shuffle reduce)
+    return t.append_column(col, bucket).replace_schema_metadata(None)
 
 
 def grouped_apply(ds, keys: list[str], fn, *, num_buckets: int = DEFAULT_BUCKETS,
@@ -131,7 +133,7 @@ def grouped_apply(ds, keys: list[str], fn, *, num_buckets: int = DEFAULT_BUCKETS
         if len(keys) == 1 and pa.types.is_integer(t.schema.field(keys[0]).type):
             v = pc.cast(t.column(keys[0]), pa.int64())
             bucket = pc.bit_wise_and(v, num_buckets - 1)  # num_buckets power of 2
-            return t.append_column("__bucket", bucket)
+            return t.append_column("__bucket", bucket).replace_schema_metadata(None)
         return add_hash_bucket(t, keys, num_buckets)
 
     def run_bucket(g):

@@ -200,9 +200,9 @@ def media_pipeline(media_dir: str, *, decode_concurrency=(1, 4), feature_concurr
                    batch_size: int = 256):
     """read -> decode (actor pool, small batches: payloads are large) ->
     features. Returns the lazy features Dataset."""
-    import ray.data as rd
+    from ..io import read_parquet
 
-    ds = rd.read_parquet(media_dir)
+    ds = read_parquet(media_dir)
     ds = ds.map_batches(
         MediaDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=decode_concurrency, zero_copy_batch=True,
@@ -215,9 +215,9 @@ def media_pipeline(media_dir: str, *, decode_concurrency=(1, 4), feature_concurr
 
 def frame_sample_pipeline(media_dir: str, *, every: int = 4, concurrency=(1, 4),
                           batch_size: int = 256):
-    import ray.data as rd
+    from ..io import read_parquet
 
-    ds = rd.read_parquet(media_dir)
+    ds = read_parquet(media_dir)
     ds = ds.map_batches(
         MediaDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, zero_copy_batch=True,
