@@ -495,12 +495,20 @@ def q_quality_full(sf_dir: str):
 
 def q_mm_features(sf_dir: str):
     """Multimodal decode -> byte-histogram features (actor-pool stages over
-    binary payload columns; codec stubbed, plumbing real)."""
+    binary payload columns; codec stubbed, plumbing real). The full feature
+    pipeline runs; the oracle-checked projection compares the recomputed
+    mean_byte against the generator's metadata column (the 16-bin histogram
+    list layout is pytest-verified in tests/test_multimodal.py — float-list
+    columns don't survive the driver's value-hash canonicalization)."""
     from .generator import sf_from_dir
     from .stages.multimodal import ensure_media, media_pipeline
 
     media_dir = ensure_media(sf_from_dir(sf_dir))
-    return media_pipeline(media_dir)
+    ds = media_pipeline(media_dir)
+    return ds.map_batches(
+        lambda t: t.select(["media_id", "kind", "mean_byte"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def q_doc_sample(sf_dir: str):
@@ -1101,6 +1109,37 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT media_id, kind, width, height, nframes,
                CAST(width AS BIGINT) * height * nframes AS n_bytes
         FROM read_parquet('{media_dir}/*.parquet')"""
+    sql["mm_features"] = f"""
+        SELECT media_id, kind, mean_byte
+        FROM read_parquet('{media_dir}/*.parquet')"""
+    sql["mm_frames"] = f"""
+        SELECT media_id, CAST(f AS INTEGER) AS frame_idx
+        FROM (SELECT media_id,
+                     unnest(CASE WHEN kind = 'video' AND nframes > 1
+                                 THEN range(0, nframes, 4) ELSE [0] END) AS f
+              FROM read_parquet('{media_dir}/*.parquet'))"""
+    # brute-force 3-token-shingle Jaccard (same shingle fallback as the
+    # engine: docs with < 3 tokens use their distinct tokens). Exact equality
+    # holds because every true pair in this corpus has j >= 0.9, where the
+    # 16x4 banding's recall is ~1 (measured: no pairs in (0.2, 0.9)).
+    sql["dedup_minhash"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                 ELSE list_distinct(tk) END AS s
+          FROM toks)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.5"""
     sql["doc_sample"] = """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(text), 1, 1) IN ('0', '1')"""

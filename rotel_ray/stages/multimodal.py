@@ -40,6 +40,11 @@ MEDIA_SCHEMA = pa.schema(
         ("width", pa.int32()),
         ("height", pa.int32()),
         ("nframes", pa.int32()),
+        # generator-side feature metadata: deterministic functions of the
+        # seeded body bytes, written at generation time so the decode ->
+        # feature pipeline can be ORACLE-checked against them (the decode
+        # path recomputes the same values from the payload independently)
+        ("mean_byte", pa.float64()),
     ]
 )
 
@@ -59,6 +64,9 @@ def generate_media(n: int, shard: int = 0) -> pa.Table:
     rng = np.random.default_rng(SEED + shard)
     kinds = [KINDS[i % 3] for i in range(n)]
     rows = [make_payload(i, k, rng) for i, k in enumerate(kinds)]
+    means = [
+        float(np.frombuffer(r[0], dtype=np.uint8, offset=HEADER.size).mean()) for r in rows
+    ]
     return pa.table(
         {
             "media_id": pa.array([shard * 10_000_000 + i for i in range(n)], pa.int64()),
@@ -67,6 +75,7 @@ def generate_media(n: int, shard: int = 0) -> pa.Table:
             "width": pa.array([r[1] for r in rows], pa.int32()),
             "height": pa.array([r[2] for r in rows], pa.int32()),
             "nframes": pa.array([r[3] for r in rows], pa.int32()),
+            "mean_byte": pa.array(means, pa.float64()),
         },
         schema=MEDIA_SCHEMA,
     )
@@ -74,7 +83,7 @@ def generate_media(n: int, shard: int = 0) -> pa.Table:
 
 def ensure_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
     """Deterministic media parquet (one shard per 1k items, atomic rename)."""
-    out = os.path.join(root, f"media_sf{sf:g}")
+    out = os.path.join(root, f"media_v2_sf{sf:g}")  # v2: + mean_byte metadata
     if os.path.isdir(out) and os.listdir(out):
         return out
     n = max(300, int(sf * 30_000))
@@ -202,7 +211,7 @@ def media_pipeline(media_dir: str, *, decode_concurrency=(1, 4), feature_concurr
     features. Returns the lazy features Dataset."""
     from ..io import read_parquet
 
-    ds = read_parquet(media_dir)
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
     ds = ds.map_batches(
         MediaDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=decode_concurrency, zero_copy_batch=True,
@@ -217,7 +226,7 @@ def frame_sample_pipeline(media_dir: str, *, every: int = 4, concurrency=(1, 4),
                           batch_size: int = 256):
     from ..io import read_parquet
 
-    ds = read_parquet(media_dir)
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
     ds = ds.map_batches(
         MediaDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, zero_copy_batch=True,
