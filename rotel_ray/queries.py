@@ -809,6 +809,223 @@ def q_metrics_dim_filter(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# exporter-transform queries (transform.py operators)
+# ---------------------------------------------------------------------------
+
+
+def q_attrs_flatten(sf_dir: str):
+    """ClickHouse nested-attr flattening over the JSON event lines: dotted
+    keys + stringified leaves, exploded to (conv_id, turn_idx, key, value)
+    rows (clickhouse/transformer.rs:56-84 semantics)."""
+    from .stages.transform import flatten_attrs
+
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "json")).select(
+            ["conv_id", "turn_idx", "text"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return flatten_attrs(ds, json_col="text", id_cols=("conv_id", "turn_idx"))
+
+
+# deterministic span-attribute derivation from the transcript grammars —
+# mirrored 1:1 in the SQL oracle (the cascade itself is generic; this is the
+# corpus-specific attribute sourcing)
+_DB_BY_TOOL = {"python": "sqlite", "search": "elasticsearch"}
+_RPC_BY_TOOL = {"bash": "grpc", "browser": "aws-api"}
+_RPC_SERVICE_BY_TOOL = {"browser": "s3"}
+
+
+def q_span_operation(sf_dir: str):
+    """Datadog operation-name + span-type derivation cascade
+    (otel_util.rs:64-175, 34-61 + db_types.rs) over span-like rows derived
+    from the parsed transcripts: tool calls are client spans (db/rpc attrs
+    from the tool name), access/json lines are server spans (http method),
+    everything else is internal."""
+    from .stages.enrich import _lookup
+    from .stages.transform import operation_name_cascade, span_type_cascade
+
+    ds = _parsed(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        is_tool = pc.equal(et, "tool_call")
+        is_server = pc.is_in(et, value_set=pa.array(["nginx_access", "json"]))
+        kind = pc.if_else(is_tool, pa.scalar("client"),
+                          pc.if_else(is_server, pa.scalar("server"),
+                                     pc.if_else(pc.equal(et, "chat"),
+                                                pa.scalar("unspecified"),
+                                                pa.scalar("internal"))))
+        req = t.column("request").combine_chunks()
+        method = pc.struct_field(pc.extract_regex(pc.fill_null(req, ""), r"^(?P<m>\S+) "), "m")
+        tn = t.column("tool_name").combine_chunks()
+        span = pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "span_kind": kind,
+                "http_method": method,
+                "db_system": _lookup(tn, _DB_BY_TOOL),
+                "rpc_system": _lookup(tn, _RPC_BY_TOOL),
+                "rpc_service": _lookup(tn, _RPC_SERVICE_BY_TOOL),
+            }
+        )
+        attrs = {"http.request.method": "http_method", "db.system": "db_system",
+                 "rpc.system": "rpc_system", "rpc.service": "rpc_service"}
+        return pa.table(
+            {
+                "conv_id": span.column("conv_id"),
+                "turn_idx": span.column("turn_idx"),
+                "operation_name": operation_name_cascade(span, attrs=attrs),
+                "span_type": span_type_cascade(span, attrs=attrs),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_metrics_emf_json(sf_dir: str):
+    """EMF JSON event serialization + namespace fallback chain
+    (awsemf/transformer.rs:533-619, 746-766): grouped metrics with
+    service.namespace/service.name resource attrs -> one `_aws` EMF event
+    per group; the oracle-checked projection parses the emitted event back
+    to its structural fields (a malformed event cannot round-trip)."""
+    import json as _json
+
+    from .stages.aggregate import metrics_aggregate as _magg
+    from .stages.transform import emf_event_json
+
+    parsed = _parsed(sf_dir)
+
+    def add_svc(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        t = t.append_column("service_namespace", pa.nulls(n, pa.string()).fill_null("svc"))
+        return t.append_column("service_name", pa.nulls(n, pa.string()).fill_null("rotel"))
+
+    agg = _magg(parsed.map_batches(add_svc, batch_format="pyarrow", zero_copy_batch=True),
+                namespace=None)
+
+    def label_split(t: pa.Table) -> pa.Table:
+        role = pc.utf8_replace_slice(t.column("group_key").combine_chunks(), 0, 5, "")
+        return t.append_column("role", role)
+
+    events = agg.map_batches(label_split, batch_format="pyarrow").map_batches(
+        lambda t: emf_event_json(t, label_cols=["role"]), batch_format="pyarrow"
+    )
+
+    def parse_back(t: pa.Table) -> pa.Table:
+        rows = [_json.loads(e) for e in t.column("event").to_pylist()]
+        cw = [r["_aws"]["CloudWatchMetrics"][0] for r in rows]
+        names = [c["Metrics"][0]["Name"] for c in cw]
+        stat = [r[n] for r, n in zip(rows, names)]
+        return pa.table(
+            {
+                "timestamp_ms": t.column("timestamp_ms"),
+                "namespace": pa.array([c["Namespace"] for c in cw], pa.string()),
+                "name": pa.array(names, pa.string()),
+                "dims": pa.array([",".join(c["Dimensions"][0]) for c in cw], pa.string()),
+                "role": pa.array([r["role"] for r in rows], pa.string()),
+                "value_count": pa.array([s["Count"] for s in stat], pa.int64()),
+                "value_sum": pa.array([s["Sum"] for s in stat], pa.float64()),
+                "value_min": pa.array([s["Min"] for s in stat], pa.float64()),
+                "value_max": pa.array([s["Max"] for s in stat], pa.float64()),
+            }
+        )
+
+    return events.map_batches(parse_back, batch_format="pyarrow")
+
+
+def q_xray_groups(sf_dir: str):
+    """X-Ray prefix-strip attribute grouping (xray/transformer.rs:360-429):
+    http.request.* / http.response.* / annotation.* / aws.* columns map to
+    grouped blocks with prefixes stripped, plus the seeded
+    metadata.environment entry — exploded to (block, key, value) rows."""
+    from .stages.transform import xray_prefix_groups
+
+    ds = _parsed(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "nginx_access"))
+        req = t.column("request").combine_chunks()
+        method = pc.struct_field(pc.extract_regex(pc.fill_null(req, ""), r"^(?P<m>\S+) "), "m")
+        span = pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "http.request.method": method,
+                "http.request.client_ip": t.column("remote_addr"),
+                "http.response.status": pc.cast(t.column("status"), pa.string()),
+                "annotation.conv": t.column("conv_id"),
+                "aws.request_id": pc.binary_join_element_wise(
+                    t.column("conv_id").combine_chunks(),
+                    pc.cast(t.column("turn_idx").combine_chunks(), pa.string()), ":"
+                ),
+            }
+        )
+        return xray_prefix_groups(span, id_cols=("conv_id", "turn_idx"),
+                                  environment="production")
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_redaction_body(sf_dir: str):
+    """Recursive log-body redaction (redaction_processor.py:318-397): IPs in
+    any nested string value of the JSON body are substituted; the
+    oracle-checked projection parses the redacted body back plus the
+    masked-key meta columns."""
+    import json as _json
+
+    from .stages.enrich import BodyRedactor, RedactionConfig
+
+    red = BodyRedactor(
+        RedactionConfig(blocked_value_patterns=[r"\d+\.\d+\.\d+\.\d+"]), body_col="body"
+    )
+    ds = _parsed(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "json"))
+        return pa.table({"conv_id": t.column("conv_id"), "turn_idx": t.column("turn_idx"),
+                         "body": t.column("text")})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(red, batch_format="pyarrow")
+
+    def parse_back(t: pa.Table) -> pa.Table:
+        rows = [_json.loads(b) for b in t.column("body").to_pylist()]
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "remote_addr": pa.array([r.get("remote_addr") for r in rows], pa.string()),
+                "status": pa.array([r.get("status") for r in rows], pa.int64()),
+                "body_masked_count": t.column("body_masked_count"),
+                "body_masked_keys": t.column("body_masked_keys"),
+            }
+        )
+
+    return ds.map_batches(parse_back, batch_format="pyarrow")
+
+
+def q_file_source_gz(sf_dir: str):
+    """Compressed-input receiver path: gzip log files decompressed in the
+    read tasks (otlp_http.rs:500-530, 671-677) -> same parse -> severity
+    histogram; must equal the uncompressed file_source oracle."""
+    from .sources.text_logs import ensure_log_files_gz, parse_log_files
+
+    gdir = ensure_log_files_gz(ensure_transcripts(sf_dir))
+    ds = parse_log_files(gdir)
+    ds = ds.map_batches(
+        lambda t: t.select(["event_type", "severity_number"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    agg = two_phase_aggregate(
+        ds, ["event_type", "severity_number"], [("event_type", "count", "n")]
+    )
+    return _cast_final(agg, {"severity_number": pa.int32()})
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -864,6 +1081,13 @@ QUERIES = {
     "range_join": q_range_join,
     "region_revenue": q_region_revenue,
     "sim_topk_ivf": q_sim_topk_ivf,
+    # --- exporter-transform operators (round 2) ---
+    "attrs_flatten": q_attrs_flatten,
+    "span_operation": q_span_operation,
+    "metrics_emf_json": q_metrics_emf_json,
+    "xray_groups": q_xray_groups,
+    "redaction_body": q_redaction_body,
+    "file_source_gz": q_file_source_gz,
 }
 
 
@@ -1158,6 +1382,78 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         JOIN (SELECT * FROM events WHERE event_type = 'error') e
           ON p.user_id = e.user_id
          AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR"""
+    sql["attrs_flatten"] = f"""
+        WITH j AS (SELECT conv_id, turn_idx, text FROM {T}
+                   WHERE ({SQL_EVENT_TYPE}) = 'json'),
+        l1 AS (SELECT conv_id, turn_idx, text, k,
+                      json_extract(text, '$.' || k) AS v
+               FROM (SELECT conv_id, turn_idx, text, unnest(json_keys(text)) AS k FROM j))
+        SELECT conv_id, turn_idx, k AS attr_key,
+               json_extract_string(text, '$.' || k) AS attr_value
+        FROM l1 WHERE json_type(v) NOT IN ('OBJECT', 'NULL')
+        UNION ALL
+        SELECT conv_id, turn_idx, k || '.' || k2 AS attr_key,
+               json_extract_string(text, '$.' || k || '.' || k2) AS attr_value
+        FROM (SELECT conv_id, turn_idx, text, k,
+                     unnest(json_keys(text, '$.' || k)) AS k2
+              FROM l1 WHERE json_type(v) = 'OBJECT')
+        WHERE json_type(json_extract(text, '$.' || k || '.' || k2))
+              NOT IN ('OBJECT', 'NULL')"""
+    _TN = r"regexp_extract(text, '^TOOL_CALL tool=(\w+) ', 1)"
+    sql["span_operation"] = rf"""
+        SELECT conv_id, turn_idx,
+          CASE
+            WHEN ({SQL_EVENT_TYPE}) IN ('nginx_access', 'json') THEN 'http.server.request'
+            WHEN {SQL_IS_TOOL} AND {_TN} = 'python' THEN 'sqlite.query'
+            WHEN {SQL_IS_TOOL} AND {_TN} = 'search' THEN 'elasticsearch.query'
+            WHEN {SQL_IS_TOOL} AND {_TN} = 'browser' THEN 'aws.s3.request'
+            WHEN {SQL_IS_TOOL} AND {_TN} = 'bash' THEN 'grpc.client.request'
+            WHEN {SQL_IS_TOOL} THEN 'client.request'
+            ELSE 'SPAN_KIND_INTERNAL' END AS operation_name,
+          CASE
+            WHEN ({SQL_EVENT_TYPE}) IN ('nginx_access', 'json') THEN 'web'
+            WHEN {SQL_IS_TOOL} AND {_TN} = 'python' THEN 'sql'
+            WHEN {SQL_IS_TOOL} AND {_TN} = 'search' THEN 'elasticsearch'
+            WHEN {SQL_IS_TOOL} THEN 'http'
+            ELSE 'custom' END AS span_type
+        FROM {T}"""
+    sql["metrics_emf_json"] = f"""
+        SELECT 'svc/rotel' AS namespace, {SQL_EVENT_TYPE} AS name,
+               role, 'role' AS dims,
+               epoch_ms(date_trunc('minute', ts)) AS timestamp_ms,
+               count(*) AS value_count,
+               CAST(sum(coalesce({SQL_DURATION}, {SQL_BYTES}, 0)) AS DOUBLE) AS value_sum,
+               CAST(min(coalesce({SQL_DURATION}, {SQL_BYTES}, 0)) AS DOUBLE) AS value_min,
+               CAST(max(coalesce({SQL_DURATION}, {SQL_BYTES}, 0)) AS DOUBLE) AS value_max
+        FROM {T} GROUP BY 1, 2, 3, 4, 5"""
+    sql["xray_groups"] = rf"""
+        WITH acc AS (
+          SELECT conv_id, turn_idx,
+                 regexp_extract(text, '^(\S+) ', 1) AS remote_addr,
+                 regexp_extract(text, '"(\S+) [^"]*" \d+ \d+ ', 1) AS method,
+                 regexp_extract(text, '" (\d+) (\d+) "', 1) AS status
+          FROM {T} WHERE ({SQL_EVENT_TYPE}) = 'nginx_access')
+        SELECT conv_id, turn_idx, 'request' AS block, 'method' AS attr_key,
+               method AS attr_value FROM acc
+        UNION ALL SELECT conv_id, turn_idx, 'request', 'client_ip', remote_addr FROM acc
+        UNION ALL SELECT conv_id, turn_idx, 'response', 'status', status FROM acc
+        UNION ALL SELECT conv_id, turn_idx, 'annotations', 'conv', conv_id FROM acc
+        UNION ALL SELECT conv_id, turn_idx, 'aws', 'request_id',
+                         conv_id || ':' || turn_idx FROM acc
+        UNION ALL SELECT conv_id, turn_idx, 'metadata', 'environment', 'production' FROM acc"""
+    sql["redaction_body"] = rf"""
+        SELECT conv_id, turn_idx,
+               regexp_replace(json_extract_string(text, '$.remote_addr'),
+                              '\d+\.\d+\.\d+\.\d+', '[REDACTED]', 'g') AS remote_addr,
+               CAST(json_extract_string(text, '$.status') AS BIGINT) AS status,
+               CAST(CASE WHEN regexp_matches(json_extract_string(text, '$.remote_addr'),
+                                             '\d+\.\d+\.\d+\.\d+')
+                         THEN 1 ELSE 0 END AS BIGINT) AS body_masked_count,
+               CASE WHEN regexp_matches(json_extract_string(text, '$.remote_addr'),
+                                        '\d+\.\d+\.\d+\.\d+')
+                    THEN 'remote_addr' ELSE '' END AS body_masked_keys
+        FROM {T} WHERE ({SQL_EVENT_TYPE}) = 'json'"""
+    sql["file_source_gz"] = sql["file_source"]
     sql["region_revenue"] = f"""
         SELECT n_name,
                CAST(sum({cents.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT)

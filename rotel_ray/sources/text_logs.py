@@ -70,14 +70,48 @@ def ensure_log_files(transcripts_dir: str, root: str = "/tmp/rotel_ray_data") ->
     return out
 
 
+def ensure_log_files_gz(transcripts_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Gzip-compressed twin of ``ensure_log_files`` — the compressed-input
+    receiver path (gzip body decode, src/receivers/otlp/otlp_http.rs:500-530,
+    671-677). Deterministic: mtime=0 in the gzip header so output bytes are
+    stable across processes."""
+    import gzip
+
+    plain = ensure_log_files(transcripts_dir, root)
+    out = plain + "_gz"
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for f in sorted(os.listdir(plain)):
+        if not f.endswith(".log"):
+            continue
+        with open(os.path.join(plain, f), "rb") as src, \
+                open(os.path.join(tmp, f + ".gz"), "wb") as dst:
+            with gzip.GzipFile(fileobj=dst, mode="wb", mtime=0) as gz:
+                gz.write(src.read())
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def read_log_lines(log_dir_or_paths, *, max_log_size: int | None = 16 * 1024):
-    """read_text -> (source_file, text) Dataset with max-size truncation."""
-    paths = (
-        sorted(globmod.glob(os.path.join(log_dir_or_paths, "*.log")))
-        if isinstance(log_dir_or_paths, str) and os.path.isdir(log_dir_or_paths)
-        else log_dir_or_paths
-    )
-    ds = rd.read_text(paths, include_paths=True)
+    """read_text -> (source_file, text) Dataset with max-size truncation.
+    ``.gz`` files decompress in the read tasks (arrow_open_stream_args),
+    mirroring the reference's inflate-at-ingest (otlp_http.rs:671-677)."""
+    if isinstance(log_dir_or_paths, str) and os.path.isdir(log_dir_or_paths):
+        paths = sorted(
+            globmod.glob(os.path.join(log_dir_or_paths, "*.log"))
+            + globmod.glob(os.path.join(log_dir_or_paths, "*.log.gz"))
+        )
+    else:
+        paths = log_dir_or_paths
+    gz = bool(paths) and all(str(p).endswith(".gz") for p in paths)
+    open_args = {"compression": "gzip"} if gz else None
+    ds = rd.read_text(paths, include_paths=True, arrow_open_stream_args=open_args)
 
     def prep(t: pa.Table) -> pa.Table:
         text = t.column("text").combine_chunks()

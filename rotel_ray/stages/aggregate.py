@@ -254,9 +254,13 @@ def conv_aggregate(parsed_ds, batch_size: int = 65536, num_buckets: int = DEFAUL
 # ---------------------------------------------------------------------------
 
 
-def _metrics_partial(t: pa.Table) -> pa.Table:
+def _metrics_partial(t: pa.Table, namespace: str | None = "rotel_ray") -> pa.Table:
+    from .transform import derive_namespace
+
     n = t.num_rows
-    namespace = pa.nulls(n, pa.string()).fill_null("rotel_ray")  # namespace derivation
+    # namespace fallback chain (awsemf/transformer.rs:746-766): explicit
+    # config -> service.namespace/name resource attrs -> "default"
+    namespace = derive_namespace(t, namespace=namespace)
     name = t.column("event_type")
     # GroupKey's sorted-label determinism (transformer.rs:118): single label
     # role=<role> serialized canonically
@@ -292,12 +296,15 @@ _METRIC_KEYS = ["namespace", "name", "group_key", "ts_minute"]
 _METRIC_COLS = _METRIC_KEYS + ["value_count", "value_sum", "value_min", "value_max"]
 
 
-def metrics_aggregate(parsed_ds, batch_size: int = 65536, num_buckets: int = DEFAULT_BUCKETS):
+def metrics_aggregate(parsed_ds, batch_size: int = 65536, num_buckets: int = DEFAULT_BUCKETS,
+                      namespace: str | None = "rotel_ray"):
     """EMF GroupedMetric analogue: {Count, Sum, Min, Max} per
-    (namespace, name, sorted-label key, minute bucket). Two-phase bucketed."""
+    (namespace, name, sorted-label key, minute bucket). Two-phase bucketed.
+    ``namespace=None`` derives it from service.namespace/service.name
+    resource-attr columns with the "default" fallback."""
 
     def partial(t: pa.Table) -> pa.Table:
-        return add_hash_bucket(_metrics_partial(t), _METRIC_KEYS, num_buckets)
+        return add_hash_bucket(_metrics_partial(t, namespace), _METRIC_KEYS, num_buckets)
 
     def merge(t: pa.Table) -> pa.Table:
         g = t.group_by(_METRIC_KEYS).aggregate(

@@ -158,6 +158,7 @@ class RedactionConfig:
 
     allow_all_keys: bool = True
     allowed_keys: list[str] = field(default_factory=list)
+    ignored_keys: list[str] = field(default_factory=list)
     blocked_key_patterns: list[str] = field(default_factory=list)
     blocked_value_patterns: list[str] = field(default_factory=list)
     allowed_value_patterns: list[str] = field(default_factory=list)
@@ -215,6 +216,103 @@ class RedactionProcessor:
                 masked_count += mask.to_numpy(zero_copy_only=False).astype(np.int64)
         if cfg.summary != "silent":
             t = t.append_column("redaction_masked_count", pa.array(masked_count))
+        return t
+
+
+class BodyRedactor:
+    """Recursive log-body redaction (redaction_processor.py:318-397): walks a
+    JSON body value tree; string leaves are matched against
+    ``blocked_value_patterns`` (unless an ``allowed_value_patterns`` entry
+    matches), and matched substrings are substituted with the mask / hash.
+    Key gates mirror the reference: keys in ``ignored_keys`` are skipped,
+    and with ``allow_all_keys=False`` keys outside ``allowed_keys`` are not
+    descended into (tracked as redacted). With ``summary != "silent"`` the
+    per-row meta columns ``body_masked_count`` / ``body_masked_keys`` are
+    appended (the redaction.body.masked.* meta-attrs).
+
+    Quirk preserved from the reference: the substitution value is derived
+    from the FIRST match (``pattern.sub(redacted(match.group(0)), s)``), so
+    with a hash mask every occurrence in one string gets the first match's
+    hash."""
+
+    def __init__(self, cfg: RedactionConfig, body_col: str = "body"):
+        import re
+
+        self.cfg = cfg
+        self.body_col = body_col
+        self.blocked = [re.compile(p) for p in cfg.blocked_value_patterns]
+        self.allowed = [re.compile(p) for p in cfg.allowed_value_patterns]
+        self.ignored_keys = set(getattr(cfg, "ignored_keys", []) or [])
+        self.allowed_keys = set(cfg.allowed_keys)
+
+    def _redacted_value(self, s: str) -> str:
+        if self.cfg.mask.startswith("hash:"):
+            return hashlib.new(self.cfg.mask[5:], s.encode()).hexdigest()
+        return self.cfg.mask
+
+    def _walk(self, v, key, masked: set, redacted: set, ignored: set, allowed: set):
+        if isinstance(v, str):
+            tmp = v
+            changed = False
+            for rx in self.blocked:
+                m = rx.search(tmp)
+                if m:
+                    if any(a.search(tmp) for a in self.allowed):
+                        if key is not None:
+                            allowed.add(key)
+                        continue
+                    tmp = rx.sub(self._redacted_value(m.group(0)), tmp)
+                    changed = True
+            if changed and key is not None:
+                masked.add(key)
+            return tmp
+        if isinstance(v, dict):
+            out = {}
+            for k, item in v.items():
+                if k in self.ignored_keys:
+                    ignored.add(k)
+                    out[k] = item
+                    continue
+                if not self.cfg.allow_all_keys and k not in self.allowed_keys:
+                    redacted.add(k)
+                    out[k] = item
+                    continue
+                out[k] = self._walk(item, k, masked, redacted, ignored, allowed)
+            return out
+        if isinstance(v, list):
+            return [self._walk(x, None, masked, redacted, ignored, allowed) for x in v]
+        return v
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bodies = t.column(self.body_col).to_pylist()
+        out, n_masked, masked_names = [], [], []
+        for b in bodies:
+            masked, redacted, ignored, allowed = set(), set(), set(), set()
+            if b is None:
+                out.append(None)
+            elif b.startswith("{") or b.startswith("["):
+                try:
+                    parsed = json.loads(b)
+                except ValueError:
+                    parsed = None
+                if isinstance(parsed, (dict, list)):
+                    red = self._walk(parsed, None, masked, redacted, ignored, allowed)
+                    out.append(json.dumps(red, separators=(",", ":")))
+                else:
+                    out.append(self._walk(b, None, masked, redacted, ignored, allowed))
+            else:
+                new = self._walk(b, "__root__", masked, redacted, ignored, allowed)
+                out.append(new)
+                masked.discard("__root__")
+                if new != b:
+                    masked.add("body")
+            n_masked.append(len(masked))
+            masked_names.append(",".join(sorted(masked)))
+        idx = t.column_names.index(self.body_col)
+        t = t.set_column(idx, self.body_col, pa.array(out, pa.string()))
+        if self.cfg.summary != "silent":
+            t = t.append_column("body_masked_count", pa.array(n_masked, pa.int64()))
+            t = t.append_column("body_masked_keys", pa.array(masked_names, pa.string()))
         return t
 
 

@@ -1,0 +1,390 @@
+"""Exporter-side transform operators.
+
+Four operator families the reference applies at its export boundary,
+re-expressed over Arrow batches:
+
+1. ``flatten_attrs`` — ClickHouse nested-attribute flattening: nested JSON
+   objects become dotted keys (``a.b.c``) with stringified leaf values,
+   bounded by a depth cap beyond which subtrees serialize as JSON strings
+   (reference: src/exporters/clickhouse/transformer.rs:56-84 map mode +
+   anyvalue_to_string 183-198; depth-cap contract of
+   rowbinary/json.rs:55-140; tests transformer.rs:237-760).
+2. ``operation_name_cascade`` / ``span_type_cascade`` — the Datadog
+   operation-name / span-type derivation: an ordered precedence coalesce
+   over span attributes + span kind, including the DB_TYPES classification
+   map (src/exporters/datadog/transform/otel_util.rs:64-175 and 34-61;
+   db_types.rs:20-80).
+3. ``emf_event_json`` — CloudWatch EMF log-event serialization: the
+   ``_aws.CloudWatchMetrics`` block with sorted dimension keys, labels and
+   stat-set values as top-level fields (awsemf/transformer.rs:533-619), and
+   ``derive_namespace`` — the service.namespace/service.name fallback chain
+   (transformer.rs:746-766, DEFAULT_NAMESPACE "default").
+4. ``xray_prefix_groups`` — X-Ray attribute grouping by key prefix:
+   ``http.request.* / http.response.* / annotation.* / metadata.* / aws.* /
+   exception.*`` map to grouped blocks with the prefix stripped
+   (xray/transformer.rs:360-429). Emitted as exploded (block, key, value)
+   rows — the relational restatement of the nested segment document.
+
+All cascade logic is vectorized (pyarrow.compute if_else chains); only JSON
+codec work (flatten / EMF build) touches Python per row, which is inherent
+to the format.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# 1. nested-attribute flattening (ClickHouse)
+# ---------------------------------------------------------------------------
+
+
+def _leaf_to_string(v) -> str:
+    """anyvalue_to_string (clickhouse/transformer.rs:183-198): strings pass
+    through, bools are lowercase, numbers/arrays use their JSON rendering."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return json.dumps(v)
+    # arrays (and anything else non-object) serialize as compact JSON
+    return json.dumps(v, separators=(",", ":"))
+
+
+def flatten_json_obj(obj: dict, *, max_depth: int | None = None,
+                     prefix: str = "", _depth: int = 0) -> list[tuple[str, str]]:
+    """Flatten one parsed JSON object to [(dotted_key, string_value)].
+
+    - nested objects recurse with ``parent.child`` keys
+      (flatten_keyvalues_map, transformer.rs:56-84);
+    - ``None`` values are skipped (kv with no value is dropped);
+    - objects deeper than ``max_depth`` stop flattening and serialize as a
+      JSON string (the nested_kv_max_depth contract, rowbinary/json.rs:82-96;
+      ``max_depth=None`` = unbounded, the map-mode default).
+    """
+    out: list[tuple[str, str]] = []
+    for k, v in obj.items():
+        full = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            if max_depth is not None and _depth >= max_depth:
+                out.append((full, json.dumps(v, separators=(",", ":"))))
+            else:
+                out.extend(flatten_json_obj(v, max_depth=max_depth, prefix=full,
+                                            _depth=_depth + 1))
+        elif v is None:
+            continue
+        else:
+            out.append((full, _leaf_to_string(v)))
+    return out
+
+
+def flatten_attrs_batch(t: pa.Table, *, json_col: str = "text",
+                        id_cols: list[str] = ("conv_id", "turn_idx"),
+                        max_depth: int | None = None) -> pa.Table:
+    """Explode a JSON attrs column to (id..., attr_key, attr_value) rows.
+    Rows whose payload is not a JSON object contribute nothing. JSON decode
+    is per row (inherent to the codec, like the reference's serde pass)."""
+    id_cols = list(id_cols)
+    texts = t.column(json_col).to_pylist()
+    idx, keys, vals = [], [], []
+    for i, x in enumerate(texts):
+        if not x or not x.startswith("{"):
+            continue
+        try:
+            obj = json.loads(x)
+        except (ValueError, TypeError):
+            continue
+        if not isinstance(obj, dict):
+            continue
+        for k, v in flatten_json_obj(obj, max_depth=max_depth):
+            idx.append(i)
+            keys.append(k)
+            vals.append(v)
+    take = pa.array(idx, pa.int64())
+    cols = {c: pc.take(t.column(c).combine_chunks(), take) for c in id_cols}
+    cols["attr_key"] = pa.array(keys, pa.string())
+    cols["attr_value"] = pa.array(vals, pa.string())
+    return pa.table(cols)
+
+
+def flatten_attrs(ds, *, json_col: str = "text", id_cols=("conv_id", "turn_idx"),
+                  max_depth: int | None = None):
+    return ds.map_batches(
+        lambda t: flatten_attrs_batch(t, json_col=json_col, id_cols=list(id_cols),
+                                      max_depth=max_depth),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Datadog operation-name / span-type cascade
+# ---------------------------------------------------------------------------
+
+# db.system -> Datadog span type (db_types.rs:20-80)
+_DB_SQL = [
+    "other_sql", "mssql", "mysql", "oracle", "db2", "postgresql", "redshift",
+    "cloudscape", "hsqldb", "maxdb", "ingres", "firstsql", "edb", "cache",
+    "firebird", "derby", "informix", "mariadb", "sqlite", "sybase", "teradata",
+    "vertica", "h2", "coldfusion", "cockroachdb", "progress", "hanadb",
+    "adabas", "filemaker", "instantdb", "interbase", "netezza", "pervasive",
+    "pointbase", "clickhouse",
+]
+DB_TYPES = {s: "sql" for s in _DB_SQL}
+DB_TYPES.update({
+    "cassandra": "cassandra", "redis": "redis", "memcached": "memcached",
+    "mongodb": "mongodb", "elasticsearch": "elasticsearch",
+    "opensearch": "opensearch",
+})
+DB_TYPES.update({k: "db" for k in
+                 ["hive", "hbase", "neo4j", "couchbase", "couchdb", "cosmosdb",
+                  "dynamodb", "geode"]})
+DB_TYPE_DEFAULT = "db"
+
+# SpanKind::as_str_name() (proto enum names, otel_util.rs:169-174)
+KIND_ENUM_NAMES = {
+    "unspecified": "SPAN_KIND_UNSPECIFIED", "internal": "SPAN_KIND_INTERNAL",
+    "server": "SPAN_KIND_SERVER", "client": "SPAN_KIND_CLIENT",
+    "producer": "SPAN_KIND_PRODUCER", "consumer": "SPAN_KIND_CONSUMER",
+}
+
+
+def _col(t: pa.Table, attrs: dict, name: str) -> pa.Array:
+    """Attribute column by semconv name via the attrs mapping; all-null
+    string column when unmapped/absent."""
+    c = attrs.get(name)
+    if c is not None and c in t.column_names:
+        return pc.cast(t.column(c).combine_chunks(), pa.string())
+    return pa.nulls(t.num_rows, pa.string())
+
+
+def _const(t: pa.Table, s: str) -> pa.Array:
+    return pa.nulls(t.num_rows, pa.string()).fill_null(s)
+
+
+def _fmt(*parts) -> pa.Array:
+    """Element-wise concat; null in any part -> null result (so a cascade
+    branch only fires where its inputs are present)."""
+    return pc.binary_join_element_wise(*parts, "", null_handling="emit_null")
+
+
+def _lookup_map(arr: pa.Array, mapping: dict[str, str], default: str | None) -> pa.Array:
+    keys = pa.array(list(mapping.keys()))
+    vals = pa.array(list(mapping.values()))
+    got = pc.take(vals, pc.index_in(arr, keys))
+    if default is not None:
+        got = pc.if_else(pc.is_valid(arr), pc.fill_null(got, default), got)
+    return got
+
+
+def operation_name_cascade(t: pa.Table, *, kind_col: str = "span_kind",
+                           attrs: dict[str, str] | None = None) -> pa.Array:
+    """get_otel_operation_name_v2 (otel_util.rs:64-175): ordered precedence
+    over span attributes + kind, vectorized as one coalesce chain. ``attrs``
+    maps semconv attribute names -> column names of ``t``."""
+    attrs = attrs or {}
+    kind = pc.cast(t.column(kind_col).combine_chunks(), pa.string())
+    is_server = pc.equal(kind, "server")
+    is_client = pc.equal(kind, "client")
+
+    a = lambda name: _col(t, attrs, name)  # noqa: E731
+    op = a("operation.name")
+    http_method = pc.coalesce(a("http.request.method"), a("http.method"))
+    db = a("db.system")
+    msg_sys, msg_op = a("messaging.system"), a("messaging.operation.name")
+    rpc = a("rpc.system")
+    rpc_service = a("rpc.service")
+    faas_prov, faas_name = a("faas.invoked_provider"), a("faas.invoked_name")
+    faas_trigger = a("faas.trigger")
+    graphql = a("graphql.operation.type")
+    proto = a("network.protocol.name")
+
+    msg_kind_ok = pc.is_in(kind, value_set=pa.array(["server", "client", "producer", "consumer"]))
+    is_aws = pc.fill_null(pc.equal(rpc, "aws-api"), False)
+
+    # later branches first: each earlier branch overrides via coalesce order
+    chain = [
+        op,                                                                      # 1
+        pc.if_else(pc.is_valid(http_method),                                     # 2
+                   pc.if_else(is_server, _const(t, "http.server.request"),
+                              _const(t, "http.client.request")),
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(is_client, _fmt(db, _const(t, ".query")),                     # 3
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(msg_kind_ok, _fmt(msg_sys, _const(t, "."), msg_op),           # 4
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(pc.and_(is_aws, is_client),                                   # 5
+                   pc.coalesce(_fmt(_const(t, "aws."), rpc_service, _const(t, ".request")),
+                               _const(t, "aws.client.request")),
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(pc.and_(pc.invert(is_aws), is_client),                        # 6a
+                   _fmt(rpc, _const(t, ".client.request")),
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(is_server, _fmt(rpc, _const(t, ".server.request")),           # 6b
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(is_client,                                                    # 7
+                   _fmt(faas_prov, _const(t, "."), faas_name, _const(t, ".invoke")),
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(is_server, _fmt(faas_trigger, _const(t, ".invoke")),          # 8
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(pc.is_valid(graphql), _const(t, "graphql.server.request"),    # 9
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(is_server,                                                    # 10
+                   pc.coalesce(_fmt(proto, _const(t, ".server.request")),
+                               _const(t, "server.request")),
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(is_client,                                                    # 11
+                   pc.coalesce(_fmt(proto, _const(t, ".client.request")),
+                               _const(t, "client.request")),
+                   pa.nulls(t.num_rows, pa.string())),
+        pc.if_else(pc.fill_null(pc.equal(kind, "unspecified"), True),            # 12/13
+                   _const(t, KIND_ENUM_NAMES["internal"]),
+                   _lookup_map(kind, KIND_ENUM_NAMES, None)),
+    ]
+    out = chain[0]
+    for branch in chain[1:]:
+        out = pc.coalesce(out, branch)
+    return out
+
+
+def span_type_cascade(t: pa.Table, *, kind_col: str = "span_kind",
+                      attrs: dict[str, str] | None = None) -> pa.Array:
+    """get_otel_span_type (otel_util.rs:34-61): explicit span.type attr, else
+    server->web, client-> DB_TYPES[db.system] (default "db") or "http",
+    else "custom"."""
+    attrs = attrs or {}
+    kind = pc.cast(t.column(kind_col).combine_chunks(), pa.string())
+    explicit = _col(t, attrs, "span.type")
+    db = _col(t, attrs, "db.system")
+    client_type = pc.coalesce(_lookup_map(db, DB_TYPES, DB_TYPE_DEFAULT), _const(t, "http"))
+    by_kind = pc.if_else(
+        pc.equal(kind, "server"), _const(t, "web"),
+        pc.if_else(pc.equal(kind, "client"), client_type, _const(t, "custom")),
+    )
+    return pc.coalesce(explicit, by_kind)
+
+
+# ---------------------------------------------------------------------------
+# 3. EMF JSON events + namespace fallback
+# ---------------------------------------------------------------------------
+
+STORAGE_RESOLUTION = 60
+DEFAULT_NAMESPACE = "default"
+
+
+def derive_namespace(t: pa.Table, *, namespace: str | None = None,
+                     svc_namespace_col: str = "service_namespace",
+                     svc_name_col: str = "service_name") -> pa.Array:
+    """get_namespace (awsemf/transformer.rs:746-766): explicit config ->
+    "{service.namespace}/{service.name}" -> service.name -> service.namespace
+    -> "default"."""
+    n = t.num_rows
+    if namespace is not None:
+        return _const(t, namespace)
+    ns = (pc.cast(t.column(svc_namespace_col).combine_chunks(), pa.string())
+          if svc_namespace_col in t.column_names else pa.nulls(n, pa.string()))
+    nm = (pc.cast(t.column(svc_name_col).combine_chunks(), pa.string())
+          if svc_name_col in t.column_names else pa.nulls(n, pa.string()))
+    return pc.coalesce(_fmt(ns, _const(t, "/"), nm), nm, ns, _const(t, DEFAULT_NAMESPACE))
+
+
+def emf_event_json(t: pa.Table, *, ts_col: str = "ts_minute",
+                   name_col: str = "name", namespace_col: str = "namespace",
+                   label_cols: list[str] = ("role",), unit: str = "") -> pa.Table:
+    """One EMF log event per grouped-metric row (translate_grouped_metric_to_emf,
+    awsemf/transformer.rs:533-619): sorted dimension keys, `_aws` block with
+    Timestamp/Namespace/Dimensions/Metrics, labels as top-level fields, and
+    the histogram stat set {Count, Sum, Min, Max} under the metric name.
+    Output: (timestamp_ms, event) with event = the JSON string."""
+    label_cols = sorted(label_cols)  # dimension_keys.sort()
+    ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("ms")), pa.int64()).to_pylist()
+    names = t.column(name_col).to_pylist()
+    namespaces = t.column(namespace_col).to_pylist()
+    labels = {c: t.column(c).to_pylist() for c in label_cols}
+    count = t.column("value_count").to_pylist()
+    vsum = t.column("value_sum").to_pylist()
+    vmin = t.column("value_min").to_pylist()
+    vmax = t.column("value_max").to_pylist()
+    events = []
+    for i in range(t.num_rows):
+        emf = {
+            "_aws": {
+                "Timestamp": ts[i],
+                "CloudWatchMetrics": [{
+                    "Namespace": namespaces[i],
+                    "Dimensions": [label_cols],
+                    "Metrics": [{
+                        "Name": names[i],
+                        "Unit": unit if unit else "Count",
+                        "StorageResolution": STORAGE_RESOLUTION,
+                    }],
+                }],
+            },
+        }
+        for c in label_cols:
+            emf[c] = labels[c][i]
+        emf[names[i]] = {"Count": count[i], "Sum": vsum[i], "Min": vmin[i], "Max": vmax[i]}
+        events.append(json.dumps(emf, separators=(",", ":")))
+    return pa.table({"timestamp_ms": pa.array(ts, pa.int64()),
+                     "event": pa.array(events, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# 4. X-Ray prefix-strip attribute grouping
+# ---------------------------------------------------------------------------
+
+XRAY_PREFIX_BLOCKS = [
+    ("http.request.", "request"),
+    ("http.response.", "response"),
+    ("annotation.", "annotations"),
+    ("metadata.", "metadata"),
+    ("aws.", "aws"),
+    ("exception.", "exception"),
+]
+
+
+def xray_prefix_groups(t: pa.Table, *, id_cols=("conv_id", "turn_idx"),
+                       environment: str | None = None) -> pa.Table:
+    """Group string attribute columns into X-Ray segment blocks by key prefix
+    (xray/transformer.rs:360-429): each matching column contributes one
+    (block, key-without-prefix, value) row per non-null cell; an optional
+    constant ``metadata.environment`` entry mirrors the transformer's
+    seeded metadata map. Emitted exploded (the relational form of the nested
+    segment document); first matching prefix wins, like the if/else chain."""
+    id_cols = list(id_cols)
+    n = t.num_rows
+    out_take, out_block, out_key, out_val = [], [], [], []
+    for c in t.column_names:
+        if c in id_cols or not pa.types.is_string(t.schema.field(c).type):
+            continue
+        for prefix, block in XRAY_PREFIX_BLOCKS:
+            if c.startswith(prefix):
+                arr = t.column(c).combine_chunks()
+                valid = np.flatnonzero(pc.is_valid(arr).to_numpy(zero_copy_only=False))
+                vals = arr.take(pa.array(valid))
+                out_take.append(valid)
+                out_block.append(np.full(len(valid), block, dtype=object))
+                out_key.append(np.full(len(valid), c[len(prefix):], dtype=object))
+                out_val.append(vals.to_numpy(zero_copy_only=False))
+                break
+    if environment is not None:
+        all_rows = np.arange(n)
+        out_take.append(all_rows)
+        out_block.append(np.full(n, "metadata", dtype=object))
+        out_key.append(np.full(n, "environment", dtype=object))
+        out_val.append(np.full(n, environment, dtype=object))
+    if out_take:
+        take = pa.array(np.concatenate(out_take), pa.int64())
+        cols = {c: pc.take(t.column(c).combine_chunks(), take) for c in id_cols}
+        cols["block"] = pa.array(np.concatenate(out_block).astype(str))
+        cols["attr_key"] = pa.array(np.concatenate(out_key).astype(str))
+        cols["attr_value"] = pa.array(np.concatenate(out_val).astype(str))
+        return pa.table(cols)
+    cols = {c: pa.array([], t.schema.field(c).type) for c in id_cols}
+    cols.update({"block": pa.array([], pa.string()), "attr_key": pa.array([], pa.string()),
+                 "attr_value": pa.array([], pa.string())})
+    return pa.table(cols)

@@ -1,0 +1,272 @@
+"""Exporter-transform operator tests: flatten depth caps, the full Datadog
+cascade branch set, namespace fallback chain, EMF event shape, X-Ray blocks,
+recursive body redaction, and the gzip source path."""
+
+import gzip
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rotel_ray.stages.transform import (
+    DB_TYPES,
+    derive_namespace,
+    emf_event_json,
+    flatten_attrs_batch,
+    flatten_json_obj,
+    operation_name_cascade,
+    span_type_cascade,
+    xray_prefix_groups,
+)
+
+
+# ---------------------------------------------------------------------------
+# flatten (clickhouse/transformer.rs:56-84 + tests 237-760)
+# ---------------------------------------------------------------------------
+
+
+def test_flatten_dotted_keys_and_leaf_stringify():
+    obj = {"s": "x", "i": 7, "d": 1.5, "b": True, "f": False, "n": None,
+           "arr": [1, "a", {"k": 2}], "o": {"p": {"q": "deep"}}}
+    got = dict(flatten_json_obj(obj))
+    assert got == {
+        "s": "x", "i": "7", "d": "1.5", "b": "true", "f": "false",
+        "arr": '[1,"a",{"k":2}]',  # arrays serialize as JSON
+        "o.p.q": "deep",           # nested objects flatten unbounded by default
+    }  # null value skipped entirely
+
+
+def test_flatten_depth_cap_serializes_subtree():
+    obj = {"a": {"b": {"c": 1}}}
+    assert dict(flatten_json_obj(obj, max_depth=1)) == {"a.b": '{"c":1}'}
+    assert dict(flatten_json_obj(obj, max_depth=0)) == {"a": '{"b":{"c":1}}'}
+    assert dict(flatten_json_obj(obj, max_depth=5)) == {"a.b.c": "1"}
+
+
+def test_flatten_batch_explodes_and_skips_non_objects():
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(['{"a":1,"b":{"c":"x"}}', "plain", "[1,2]"])})
+    out = flatten_attrs_batch(t, json_col="text", id_cols=["id"])
+    assert out.column("id").to_pylist() == [1, 1]
+    assert dict(zip(out.column("attr_key").to_pylist(),
+                    out.column("attr_value").to_pylist())) == {"a": "1", "b.c": "x"}
+
+
+# ---------------------------------------------------------------------------
+# Datadog cascade (otel_util.rs:64-175, 34-61)
+# ---------------------------------------------------------------------------
+
+
+def _span_table(rows):
+    cols = {"span_kind": [], "op": [], "method": [], "db": [], "msys": [], "mop": [],
+            "rpc": [], "rsvc": [], "fprov": [], "fname": [], "ftrig": [], "gql": [],
+            "proto": [], "stype": []}
+    for r in rows:
+        for k in cols:
+            cols[k].append(r.get(k))
+    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+
+
+ATTRS = {"operation.name": "op", "http.request.method": "method", "db.system": "db",
+         "messaging.system": "msys", "messaging.operation.name": "mop",
+         "rpc.system": "rpc", "rpc.service": "rsvc",
+         "faas.invoked_provider": "fprov", "faas.invoked_name": "fname",
+         "faas.trigger": "ftrig", "graphql.operation.type": "gql",
+         "network.protocol.name": "proto", "span.type": "stype"}
+
+
+def test_operation_name_cascade_branches():
+    rows = [
+        {"span_kind": "client", "op": "custom.op", "db": "mysql"},        # explicit wins
+        {"span_kind": "server", "method": "GET"},                         # http server
+        {"span_kind": "internal", "method": "PUT"},                       # http non-server
+        {"span_kind": "client", "db": "postgresql"},                      # db.query
+        {"span_kind": "producer", "msys": "kafka", "mop": "publish"},     # messaging
+        {"span_kind": "client", "rpc": "aws-api", "rsvc": "s3"},          # aws + service
+        {"span_kind": "client", "rpc": "aws-api"},                        # aws fallback
+        {"span_kind": "client", "rpc": "grpc"},                           # rpc client
+        {"span_kind": "server", "rpc": "grpc"},                           # rpc server
+        {"span_kind": "client", "fprov": "gcp", "fname": "fn"},           # faas client
+        {"span_kind": "server", "ftrig": "http"},                         # faas server
+        {"span_kind": "internal", "gql": "query"},                        # graphql
+        {"span_kind": "server", "proto": "amqp"},                         # proto server
+        {"span_kind": "server"},                                          # server fallback
+        {"span_kind": "client", "proto": "amqp"},                         # proto client
+        {"span_kind": "client"},                                          # client fallback
+        {"span_kind": "consumer"},                                        # kind enum name
+        {"span_kind": "unspecified"},                                     # -> internal
+    ]
+    got = operation_name_cascade(_span_table(rows), attrs=ATTRS).to_pylist()
+    assert got == [
+        "custom.op", "http.server.request", "http.client.request",
+        "postgresql.query", "kafka.publish", "aws.s3.request",
+        "aws.client.request", "grpc.client.request", "grpc.server.request",
+        "gcp.fn.invoke", "http.invoke", "graphql.server.request",
+        "amqp.server.request", "server.request", "amqp.client.request",
+        "client.request", "SPAN_KIND_CONSUMER", "SPAN_KIND_INTERNAL",
+    ]
+
+
+def test_span_type_cascade():
+    rows = [
+        {"span_kind": "client", "stype": "forced"},   # explicit span.type
+        {"span_kind": "server"},                      # web
+        {"span_kind": "client", "db": "redis"},       # DB_TYPES hit
+        {"span_kind": "client", "db": "sqlite"},      # sql class
+        {"span_kind": "client", "db": "weirddb"},     # unknown db -> "db"
+        {"span_kind": "client"},                      # no db -> http
+        {"span_kind": "internal"},                    # custom
+    ]
+    got = span_type_cascade(_span_table(rows), attrs=ATTRS).to_pylist()
+    assert got == ["forced", "web", "redis", "sql", "db", "http", "custom"]
+    assert DB_TYPES["cassandra"] == "cassandra" and DB_TYPES["hive"] == "db"
+
+
+# ---------------------------------------------------------------------------
+# EMF events + namespace (awsemf/transformer.rs:533-619, 746-766)
+# ---------------------------------------------------------------------------
+
+
+def test_derive_namespace_fallback_chain():
+    def ns(**cols):
+        n = 1
+        t = pa.table({k: pa.array([v], pa.string()) for k, v in cols.items()} or
+                     {"x": pa.array([None], pa.string())})
+        return derive_namespace(t).to_pylist()[0]
+
+    assert ns(service_namespace="svc", service_name="api") == "svc/api"
+    assert ns(service_name="api") == "api"
+    assert ns(service_namespace="svc") == "svc"
+    assert ns() == "default"
+    t = pa.table({"x": pa.array(["y"])})
+    assert derive_namespace(t, namespace="forced").to_pylist() == ["forced"]
+
+
+def test_emf_event_json_shape():
+    t = pa.table({
+        "namespace": pa.array(["svc/api"]),
+        "name": pa.array(["tool_call"]),
+        "role": pa.array(["user"]),
+        "ts_minute": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+        "value_count": pa.array([3], pa.int64()),
+        "value_sum": pa.array([6.0]), "value_min": pa.array([1.0]),
+        "value_max": pa.array([3.0]),
+    })
+    out = emf_event_json(t, label_cols=["role"])
+    ev = json.loads(out.column("event").to_pylist()[0])
+    cw = ev["_aws"]["CloudWatchMetrics"][0]
+    assert ev["_aws"]["Timestamp"] == 1_700_000_000_000
+    assert cw["Namespace"] == "svc/api"
+    assert cw["Dimensions"] == [["role"]]
+    assert cw["Metrics"] == [{"Name": "tool_call", "Unit": "Count", "StorageResolution": 60}]
+    assert ev["role"] == "user"
+    assert ev["tool_call"] == {"Count": 3, "Sum": 6.0, "Min": 1.0, "Max": 3.0}
+
+
+# ---------------------------------------------------------------------------
+# X-Ray prefix groups (xray/transformer.rs:360-429)
+# ---------------------------------------------------------------------------
+
+
+def test_xray_prefix_groups_blocks():
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "http.request.method": pa.array(["GET", None]),
+        "http.response.status": pa.array(["200", "500"]),
+        "annotation.user": pa.array(["u1", "u2"]),
+        "metadata.region": pa.array(["eu", "us"]),
+        "aws.request_id": pa.array(["r1", "r2"]),
+        "exception.type": pa.array([None, "IOError"]),
+        "unrelated": pa.array(["x", "y"]),
+    })
+    out = xray_prefix_groups(t, id_cols=("id",), environment="prod")
+    rows = set(zip(out.column("id").to_pylist(), out.column("block").to_pylist(),
+                   out.column("attr_key").to_pylist(), out.column("attr_value").to_pylist()))
+    assert (1, "request", "method", "GET") in rows
+    assert (2, "response", "status", "500") in rows
+    assert (2, "annotations", "user", "u2") in rows
+    assert (1, "metadata", "region", "eu") in rows
+    assert (2, "aws", "request_id", "r2") in rows
+    assert (2, "exception", "type", "IOError") in rows
+    assert (1, "metadata", "environment", "prod") in rows and (2, "metadata", "environment", "prod") in rows
+    # null cells and non-matching columns contribute nothing
+    assert not any(k == "method" and i == 2 for i, _, k, _v in rows)
+    assert not any(b not in {"request", "response", "annotations", "metadata", "aws", "exception"}
+                   for _, b, _k, _v in rows)
+
+
+# ---------------------------------------------------------------------------
+# recursive body redaction (redaction_processor.py:318-397)
+# ---------------------------------------------------------------------------
+
+
+def test_body_redactor_nested_and_key_gates():
+    from rotel_ray.stages.enrich import BodyRedactor, RedactionConfig
+
+    cfg = RedactionConfig(blocked_value_patterns=[r"\d+\.\d+\.\d+\.\d+"],
+                          ignored_keys=["keep_ip"])
+    red = BodyRedactor(cfg, body_col="body")
+    body = json.dumps({
+        "ip": "10.1.2.3", "keep_ip": "10.9.9.9", "msg": "from 10.0.0.1 ok",
+        "nested": {"peer": "10.4.4.4"}, "arr": ["10.5.5.5", 7], "n": 3,
+    })
+    t = pa.table({"body": pa.array([body])})
+    out = red(t)
+    got = json.loads(out.column("body").to_pylist()[0])
+    assert got["ip"] == "[REDACTED]"
+    assert got["keep_ip"] == "10.9.9.9"          # ignored key untouched
+    assert got["msg"] == "from [REDACTED] ok"    # substring substitution
+    assert got["nested"]["peer"] == "[REDACTED]"  # recursive descent
+    assert got["arr"] == ["[REDACTED]", 7]       # arrays recurse (key=None)
+    assert got["n"] == 3
+    # masked KEYS only (array items have key=None, reference parity)
+    assert out.column("body_masked_count").to_pylist() == [3]
+    assert out.column("body_masked_keys").to_pylist() == ["ip,msg,peer"]
+
+
+def test_body_redactor_allowed_values_and_hash_and_allowlist():
+    from rotel_ray.stages.enrich import BodyRedactor, RedactionConfig
+
+    cfg = RedactionConfig(
+        blocked_value_patterns=[r"\d+\.\d+\.\d+\.\d+"],
+        allowed_value_patterns=[r"^127\."],
+        allow_all_keys=False, allowed_keys=["a"],
+        mask="hash:md5",
+    )
+    red = BodyRedactor(cfg, body_col="body")
+    body = json.dumps({"a": "10.1.2.3", "b": "10.2.2.2", "lo": "127.0.0.1"})
+    out = red(pa.table({"body": pa.array([body])}))
+    got = json.loads(out.column("body").to_pylist()[0])
+    import hashlib
+
+    assert got["a"] == hashlib.md5(b"10.1.2.3").hexdigest()  # hash mask
+    assert got["b"] == "10.2.2.2"   # outside allowed_keys: not descended
+    assert got["lo"] == "127.0.0.1"  # lo not in allowed_keys either
+    # with allow_all_keys the allowed_value pattern spares loopback
+    cfg2 = RedactionConfig(blocked_value_patterns=[r"\d+\.\d+\.\d+\.\d+"],
+                           allowed_value_patterns=[r"^127\."])
+    out2 = BodyRedactor(cfg2, body_col="body")(pa.table({"body": pa.array([body])}))
+    got2 = json.loads(out2.column("body").to_pylist()[0])
+    assert got2["lo"] == "127.0.0.1" and got2["b"] == "[REDACTED]"
+
+
+# ---------------------------------------------------------------------------
+# gzip source path
+# ---------------------------------------------------------------------------
+
+
+def test_gz_log_source_equals_plain(tmp_path, sf_dir):
+    from rotel_ray.generator import ensure_transcripts
+    from rotel_ray.sources.text_logs import (
+        ensure_log_files,
+        ensure_log_files_gz,
+        parse_log_files,
+    )
+
+    tdir = ensure_transcripts(sf_dir)
+    plain = parse_log_files(ensure_log_files(tdir)).to_pandas()
+    gz = parse_log_files(ensure_log_files_gz(tdir)).to_pandas()
+    a = plain.drop(columns=["source_file"]).sort_values(["text"]).reset_index(drop=True)
+    b = gz.drop(columns=["source_file"]).sort_values(["text"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(b) > 0
