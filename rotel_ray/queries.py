@@ -1007,6 +1007,25 @@ def q_redaction_body(sf_dir: str):
     return ds.map_batches(parse_back, batch_format="pyarrow")
 
 
+def q_fluent_forward(sf_dir: str):
+    """Fluent forward-protocol receiver path: real msgpack wire decode
+    (Message/Forward variants, receivers/fluent/message.rs:8-18) over a
+    deterministic fixture derived from the transcripts, aggregated per tag —
+    must match the parquet-side per-conversation counts/timestamps."""
+    from .sources.fluent import ensure_fluent_fixture, read_forward_msgpack
+
+    fdir = ensure_fluent_fixture(ensure_transcripts(sf_dir))
+    ds = read_forward_msgpack(fdir)
+    ds = ds.map_batches(
+        lambda t: t.select(["tag", "ts"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = two_phase_aggregate(
+        ds, ["tag"],
+        [("ts", "count", "n_entries"), ("ts", "min", "first_ts"), ("ts", "max", "last_ts")],
+    )
+    return _cast_final(agg, {"first_ts": pa.timestamp("us"), "last_ts": pa.timestamp("us")})
+
+
 def q_file_source_gz(sf_dir: str):
     """Compressed-input receiver path: gzip log files decompressed in the
     read tasks (otlp_http.rs:500-530, 671-677) -> same parse -> severity
@@ -1088,6 +1107,7 @@ QUERIES = {
     "xray_groups": q_xray_groups,
     "redaction_body": q_redaction_body,
     "file_source_gz": q_file_source_gz,
+    "fluent_forward": q_fluent_forward,
 }
 
 
@@ -1454,6 +1474,11 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     THEN 'remote_addr' ELSE '' END AS body_masked_keys
         FROM {T} WHERE ({SQL_EVENT_TYPE}) = 'json'"""
     sql["file_source_gz"] = sql["file_source"]
+    sql["fluent_forward"] = f"""
+        SELECT conv_id AS tag, count(*) AS n_entries,
+               min(date_trunc('second', ts)) AS first_ts,
+               max(date_trunc('second', ts)) AS last_ts
+        FROM {T} GROUP BY 1"""
     sql["region_revenue"] = f"""
         SELECT n_name,
                CAST(sum({cents.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT)

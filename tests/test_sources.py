@@ -78,3 +78,61 @@ def test_fluent_forward_roundtrip(tmp_path):
     assert list(out.tag) == ["app.web", "app.web", "app.db"]
     assert "hello" in out.record[0]
     assert str(out.ts[0]) == "2023-11-14 22:13:20"
+
+
+def test_fluent_msgpack_wire_variants(tmp_path):
+    """Real msgpack forward protocol: all four message shapes
+    (message.rs:8-18) + EventTime ext timestamps (message.rs:63-103)."""
+    import msgpack
+
+    from rotel_ray.sources.fluent import (
+        read_forward_msgpack,
+        write_forward_fixture_msgpack,
+    )
+
+    ext = msgpack.ExtType(0, (1_700_000_005).to_bytes(4, "big") + (500).to_bytes(4, "big"))
+    p = write_forward_fixture_msgpack(
+        str(tmp_path / "fwd.msgpack"),
+        [
+            ["tag.msg", 1_700_000_000, {"a": 1}],                       # Message
+            ["tag.msgopt", 1_700_000_001, {"b": "x"}, {"chunk": "c1"}],  # +options
+            ["tag.fwd", [[1_700_000_002, {"c": 2}], [1_700_000_003, {"d": 3}]]],
+            ["tag.fwdopt", [[1_700_000_004, {"e": 4}]], {"chunk": "c2"}],
+            ["tag.ext", ext, {"f": 5}],                                  # EventTime ext
+            ["junk"],                                                    # unknown -> 0 rows
+            [b"tag.bytes", 1_700_000_006, {b"k": b"v"}],                 # raw=True bytes
+        ],
+    )
+    out = read_forward_msgpack([p]).to_pandas().sort_values("ts").reset_index(drop=True)
+    assert list(out.tag) == ["tag.msg", "tag.msgopt", "tag.fwd", "tag.fwd",
+                             "tag.fwdopt", "tag.ext", "tag.bytes"]
+    assert out.ts[5].value == 1_700_000_005 * 1_000_000_000 + 500  # ext nanos kept
+    assert out.record[6] == '{"k": "v"}'
+    # wrong ext code is a protocol error -> entry dropped
+    bad = msgpack.ExtType(3, b"\x00" * 8)
+    p2 = write_forward_fixture_msgpack(str(tmp_path / "bad.msgpack"),
+                                       [["t", bad, {"x": 1}], ["ok", 1, {"y": 2}]])
+    out2 = read_forward_msgpack([p2]).to_pandas()
+    assert list(out2.tag) == ["ok"]
+
+
+def test_fluent_msgpack_equals_json_contract(tmp_path):
+    """The msgpack and JSON decoders emit the identical row contract for the
+    same logical events."""
+    from rotel_ray.sources.fluent import (
+        read_forward_files,
+        read_forward_msgpack,
+        write_forward_fixture,
+        write_forward_fixture_msgpack,
+    )
+
+    events = [("app", [(1_700_000_000, {"m": "x", "n": 2})]),
+              ("db", [(1_700_000_001, {"q": "s"}), (1_700_000_002, {"q": "t"})])]
+    pj = write_forward_fixture(str(tmp_path / "f.jsonl"), events)
+    pm = write_forward_fixture_msgpack(
+        str(tmp_path / "f.msgpack"),
+        [[tag, [[ts, rec] for ts, rec in entries]] for tag, entries in events],
+    )
+    a = read_forward_files([pj]).to_pandas().sort_values(["ts", "tag"]).reset_index(drop=True)
+    b = read_forward_msgpack([pm]).to_pandas().sort_values(["ts", "tag"]).reset_index(drop=True)
+    assert a.equals(b)
