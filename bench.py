@@ -132,7 +132,15 @@ def run_scaling():
     # plane (see BASELINE.md).
     lo = int(os.environ.get("GRAFT_SCALING_LO", "6"))
     hi = 4 * lo
-    r_lo, r_hi = run_at(lo), run_at(hi)
+    # best-of-R fresh processes per level: this sandbox VM shows ±25%
+    # run-to-run wall-time variance on IDENTICAL code (host contention), so a
+    # single process pair measures box weather, not scaling. Min-of-R at each
+    # level estimates the uncontended time at both sizes.
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    runs_lo = [run_at(lo) for _ in range(repeats)]
+    runs_hi = [run_at(hi) for _ in range(repeats)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
@@ -145,6 +153,8 @@ def run_scaling():
                 "turns_per_sec_lo": r_lo["turns_per_sec"],
                 "turns_per_sec_hi": r_hi["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "runs_lo_sec": [r["value"] for r in runs_lo],
+                "runs_hi_sec": [r["value"] for r in runs_hi],
                 "sf": SCALING_SF,
                 "turns": r_hi["turns"],
             }

@@ -277,29 +277,29 @@ def q_lineitem_pricing(sf_dir: str):
 
 def q_nation_orders(sf_dir: str):
     """Broadcast join: orders -> customer -> nation (small sides ray.put once;
-    the reference's static-map enrichment pattern, otel_util.rs:44-58)."""
+    the reference's static-map enrichment pattern, otel_util.rs:44-58). Uses
+    the fused-task broadcast_join — a fixed actor pool here would break
+    read->join->partial fusion and force an object-store hop (and triggers a
+    Ray constructor-arg restart warning)."""
+    from .stages.join import broadcast_join
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nk = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
-    c_keys = cust.column("c_custkey").combine_chunks()
-    c_nname = pa.array([nk[v] for v in cust.column("c_nationkey").to_pylist()])
-    ref = ray.put((c_keys, c_nname))
-
-    class JoinNation:
-        def __init__(self):
-            self.c_keys, self.c_nname = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column("o_custkey").combine_chunks(), self.c_keys)
-            return pa.table(
-                {
-                    "n_name": pc.take(self.c_nname, idx),
-                    "total_cents": _cents_arr(t.column("o_totalprice")),
-                }
-            )
-
+    side = pa.table(
+        {
+            "c_custkey": cust.column("c_custkey").combine_chunks(),
+            "n_name": pa.array([nk[v] for v in cust.column("c_nationkey").to_pylist()]),
+        }
+    )
     ds = read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    ds = ds.map_batches(JoinNation, batch_format="pyarrow", concurrency=2, zero_copy_batch=True)
+    ds = broadcast_join(ds, side, left_on="o_custkey", right_on="c_custkey",
+                        take_cols=["n_name"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"n_name": t.column("n_name"),
+                            "total_cents": _cents_arr(t.column("o_totalprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     return two_phase_aggregate(
         ds, ["n_name"], [("total_cents", "sum", "sum_total_cents"), ("total_cents", "count", "n_orders")]
     )
@@ -808,6 +808,81 @@ def q_metrics_dim_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_corpus_curation(sf_dir: str):
+    """End-to-end corpus-curation chain — the composed LLM-training-data
+    pipeline: token/alpha quality gate -> language allowlist -> exact dedup
+    keeping the min doc_id per content hash. Filters use integer-exact
+    predicates (alpha*2 >= chars) so the oracle can't drift on float
+    boundaries; all stages stream (filter inside map_batches, one bucketed
+    dedup shuffle)."""
+    from .stages.enrich import _hash_values
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    keep_langs = pa.array(["en", "de", "fr"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_tok, 5),
+                    pc.greater_equal(pc.multiply(n_alpha, 2), n_chars)),
+            pc.is_in(t.column("lang"), value_set=keep_langs),
+        )
+        out = pa.table(
+            {
+                "text_hash": _hash_values(text, "md5"),
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_tokens": n_tok,
+            }
+        )
+        return out.filter(keep)
+
+    gated = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    agg = two_phase_aggregate(
+        gated, ["text_hash"],
+        [("doc_id", "min", "doc_id"), ("lang", "min", "lang"),
+         ("n_tokens", "min", "n_tokens"), ("doc_id", "count", "n_dups")],
+    )
+    return agg.map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_tokens", "n_dups"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_duration_quantiles(sf_dir: str):
+    """Per-tool exact duration quantiles (p50/p95/p99, discrete/inverted-CDF
+    semantics matching DuckDB quantile_disc) — the Summary-quantile analogue
+    (awsemf summaries carry quantile values; transformer.rs:610-617).
+    Bucketed grouped_apply; quantile via sorted segment indexing."""
+    import pandas as pd
+
+    from .stages.aggregate import grouped_apply
+
+    ds = _parsed(sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "tool_call")).select(
+            ["tool_name", "duration_ms"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        rows = []
+        for tool, s in g.groupby("tool_name")["duration_ms"]:
+            v = np.sort(s.to_numpy())
+            n = len(v)
+            q = {p: int(v[max(math.ceil(p * n) - 1, 0)]) for p in (0.5, 0.95, 0.99)}
+            rows.append((tool, n, q[0.5], q[0.95], q[0.99]))
+        return pd.DataFrame(rows, columns=["tool_name", "n", "p50", "p95", "p99"])
+
+    return grouped_apply(ds, ["tool_name"], per_bucket)
+
+
 # ---------------------------------------------------------------------------
 # exporter-transform queries (transform.py operators)
 # ---------------------------------------------------------------------------
@@ -1108,6 +1183,8 @@ QUERIES = {
     "redaction_body": q_redaction_body,
     "file_source_gz": q_file_source_gz,
     "fluent_forward": q_fluent_forward,
+    "corpus_curation": q_corpus_curation,
+    "duration_quantiles": q_duration_quantiles,
 }
 
 
@@ -1479,6 +1556,24 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                min(date_trunc('second', ts)) AS first_ts,
                max(date_trunc('second', ts)) AS last_ts
         FROM {T} GROUP BY 1"""
+    sql["corpus_curation"] = r"""
+        SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+               CAST(min(n_tokens) AS BIGINT) AS n_tokens, count(*) AS n_dups
+        FROM (
+          SELECT doc_id, lang, text,
+                 len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                 len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                 length(text) AS n_chars
+          FROM documents)
+        WHERE n_tokens >= 5 AND n_alpha * 2 >= n_chars AND lang IN ('en', 'de', 'fr')
+        GROUP BY md5(text)"""
+    sql["duration_quantiles"] = f"""
+        SELECT regexp_extract(text, '^TOOL_CALL tool=(\\w+) ', 1) AS tool_name,
+               count(*) AS n,
+               quantile_disc(CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1) AS BIGINT), 0.5) AS p50,
+               quantile_disc(CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1) AS BIGINT), 0.95) AS p95,
+               quantile_disc(CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1) AS BIGINT), 0.99) AS p99
+        FROM {T} WHERE {SQL_IS_TOOL} GROUP BY 1"""
     sql["region_revenue"] = f"""
         SELECT n_name,
                CAST(sum({cents.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT)

@@ -611,31 +611,45 @@ def token_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
     # Tokenize on the EXACT whitespace class RE2's \s matches ([\t\n\f\r ]),
     # so the engine and the DuckDB oracle (regexp_split_to_array '\s+') agree
-    # on documents containing exotic whitespace — Python str.split() also
-    # breaks on \v / \x85 / \xa0 and would silently diverge.
-    _WS = __import__("re").compile(r"[\t\n\f\r ]+")
-
+    # on documents containing exotic whitespace — Python str.split() would
+    # also break on \v / \x85 / \xa0 and silently diverge. Fully vectorized:
+    # Arrow regex split -> batch dictionary encode -> per-doc distinct codes
+    # -> per-(pair, code) multiplicity counts give |A∩B| and |A∪B| with zero
+    # per-pair Python.
     def jac(t: pa.Table) -> pa.Table:
-        import itertools
-
-        rows = sorted(
-            zip(
-                t.column("pair_key").to_pylist(),
-                t.column(id_col).to_pylist(),
-                t.column(text_col).to_pylist(),
-            )
-        )
-        out_k, out_j = [], []
-        for key, group in itertools.groupby(rows, key=lambda r: r[0]):
-            g = sorted(group)
-            if len(g) != 2:
-                continue
-            sa = set(x for x in _WS.split(g[0][2] or "") if x)
-            sb = set(x for x in _WS.split(g[1][2] or "") if x)
-            union = len(sa | sb)
-            out_k.append(key)
-            out_j.append(len(sa & sb) / union if union else 0.0)
-        return pa.table({"pair_key": pa.array(out_k, pa.int64()), "jaccard": pa.array(out_j, pa.float64())})
+        empty = pa.table({"pair_key": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        pk = t.column("pair_key").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pk))
+        pk = pk[order]
+        text = pc.fill_null(t.column(text_col).combine_chunks(), "").take(pa.array(order))
+        bounds = np.r_[0, np.flatnonzero(pk[1:] != pk[:-1]) + 1, n]
+        sizes = np.diff(bounds)
+        ok = sizes == 2
+        toks = pc.split_pattern_regex(text, pattern="[\t\n\f\r ]+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        counts = np.diff(toks.offsets.to_numpy())
+        doc_of = np.repeat(np.arange(n), counts)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        codes, doc_of = codes[keep], doc_of[keep]
+        V = max(len(enc.dictionary), 1)
+        per_doc = np.unique(doc_of * V + codes)  # distinct (doc, token)
+        pair_of_row = np.repeat(np.arange(len(sizes)), sizes)
+        pair_code = pair_of_row[per_doc // V] * V + per_doc % V
+        k2, cnt = np.unique(pair_code, return_counts=True)
+        p2 = k2 // V
+        union = np.bincount(p2, minlength=len(sizes)).astype(np.float64)
+        inter = np.bincount(p2[cnt == 2], minlength=len(sizes)).astype(np.float64)
+        jacc = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        return pa.table({"pair_key": pa.array(pk[bounds[:-1]][ok]),
+                         "jaccard": pa.array(jacc[ok])})
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_apply(prepped, ["pair_key"], jac, batch_format="pyarrow")
