@@ -1464,6 +1464,82 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     sql["doc_sample"] = """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(text), 1, 1) IN ('0', '1')"""
+    # simhash near-dup, bit-exact in SQL: per-token FNV-1a (HUGEINT mod-2^64),
+    # per-bit majority votes -> 64-bit signature, then brute-force all-pairs
+    # Hamming <= 3. EXACT equality with the engine because the 4x16-bit
+    # banding gives full recall at Hamming <= 3 by pigeonhole and empty docs
+    # (sig 0) are excluded on both sides. Mirrors dedup.simhash_batch.
+    _B, _P, _M = 0xCBF29CE484222325, 1_099_511_628_211, 1 << 64
+    sql["dedup_simhash"] = f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        th AS (
+          SELECT doc_id, len(tk) AS n, list_transform(tk, t ->
+            list_reduce(list_prepend(CAST({_B} AS HUGEINT),
+              list_transform(range(1, octet_length(encode(t)) + 1),
+                i -> CAST(16 * (ascii(substr(hex(encode(t)), 2*i-1, 1))
+                                - CASE WHEN substr(hex(encode(t)), 2*i-1, 1) >= 'A'
+                                       THEN 55 ELSE 48 END)
+                          + ascii(substr(hex(encode(t)), 2*i, 1))
+                          - CASE WHEN substr(hex(encode(t)), 2*i, 1) >= 'A'
+                                 THEN 55 ELSE 48 END AS HUGEINT))),
+              (h, x) -> xor(h, x) * {_P} % {_M}::HUGEINT)) AS hs
+          FROM toks),
+        sigs AS (
+          SELECT doc_id,
+            CASE WHEN n = 0 THEN CAST(0 AS HUGEINT) ELSE
+              list_sum(list_transform(range(0, 64), b ->
+                CASE WHEN 2 * len(list_filter(hs,
+                            x -> (x // (CAST(1 AS HUGEINT) << b)) % 2 = 1)) > n
+                     THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) END AS sig
+          FROM th),
+        sb AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN sig >= {1 << 63} THEN sig - {_M} ELSE sig END AS BIGINT) AS s
+          FROM sigs WHERE sig != 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3"""
+    # winnowing fingerprint, bit-exact in SQL: UTF-8 bytes via hex(encode()),
+    # FNV-1a 5-gram rolling hashes and the final combine as HUGEINT
+    # mod-2^64 arithmetic (products stay < 2^104 < HUGEINT range), width-4
+    # window minima deduped on change — mirrors textstats._winnow_fingerprint
+    _B, _P, _M = 0xCBF29CE484222325, 1_099_511_628_211, 1 << 64
+    sql["doc_fingerprint"] = f"""
+        WITH raw AS (
+          SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+          FROM documents),
+        byt AS (
+          SELECT doc_id, n, list_transform(range(1, n + 1),
+            i -> CAST(16 * (ascii(substr(hx, 2*i-1, 1))
+                            - CASE WHEN substr(hx, 2*i-1, 1) >= 'A' THEN 55 ELSE 48 END)
+                      + ascii(substr(hx, 2*i, 1))
+                      - CASE WHEN substr(hx, 2*i, 1) >= 'A' THEN 55 ELSE 48 END
+                      AS HUGEINT)) AS bs
+          FROM raw),
+        gr AS (
+          SELECT doc_id,
+            CASE WHEN n < 5 THEN [list_reduce(list_prepend(CAST({_B} AS HUGEINT), bs),
+                                              (h, x) -> xor(h, x) * {_P} % {_M}::HUGEINT)]
+                 ELSE list_transform(range(1, n - 3),
+                      i -> list_reduce(list_prepend(CAST({_B} AS HUGEINT),
+                                                    list_slice(bs, i, i + 4)),
+                                       (h, x) -> xor(h, x) * {_P} % {_M}::HUGEINT)) END AS grams
+          FROM byt),
+        wn AS (
+          SELECT doc_id,
+            CASE WHEN len(grams) <= 4 THEN [list_min(grams)]
+                 ELSE list_transform(range(1, len(grams) - 2),
+                      i -> least(grams[i], grams[i+1], grams[i+2], grams[i+3])) END AS wins
+          FROM gr)
+        SELECT doc_id,
+          CAST(list_reduce(list_prepend(CAST({_B} AS HUGEINT),
+                                        list_filter(wins, (x, i) -> i = 1 OR x != wins[i-1])),
+                           (h, x) -> xor(h, x) * {_P} % {_M}::HUGEINT) % {1 << 63} AS BIGINT)
+            AS fingerprint
+        FROM wn"""
     sql["events_hopping"] = f"""
         SELECT event_type,
                make_timestamp((epoch_us(ts) // 60000000) * 60000000 - i.i * 60000000)

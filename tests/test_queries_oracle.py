@@ -60,6 +60,5 @@ def test_registry_contract():
     rows_only = set(QUERIES) - set(sqls)
     # every rows-only op is an approximate/codec op with a pytest oracle
     assert rows_only == {
-        "sim_topk_lsh", "sim_topk_ivf", "dedup_simhash",
-        "embedding_neardup_lsh", "doc_fingerprint",
+        "sim_topk_lsh", "sim_topk_ivf", "embedding_neardup_lsh",
     }
