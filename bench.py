@@ -44,6 +44,10 @@ SECONDARY = [
     "lang_id",
     "file_source",
     "mm_features",
+    "attrs_flatten",
+    "span_operation",
+    "corpus_curation",
+    "duration_quantiles",
 ]
 
 

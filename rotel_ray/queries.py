@@ -808,6 +808,16 @@ def q_metrics_dim_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_dedup_keep(sf_dir: str):
+    """Near-dup removal output: the corpus minus every verified pair's higher
+    doc_id (match-drops-newer policy over exact-Jaccard >= 0.5 pairs), via a
+    distributed anti-join — no driver-side id set."""
+    from .stages.dedup import minhash_dedup_keep
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    return minhash_dedup_keep(ds, threshold=0.5, keep_cols=["doc_id", "lang"])
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end corpus-curation chain — the composed LLM-training-data
     pipeline: token/alpha quality gate -> language allowlist -> exact dedup
@@ -1185,6 +1195,7 @@ QUERIES = {
     "fluent_forward": q_fluent_forward,
     "corpus_curation": q_corpus_curation,
     "duration_quantiles": q_duration_quantiles,
+    "dedup_keep": q_dedup_keep,
 }
 
 
@@ -1632,6 +1643,9 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                min(date_trunc('second', ts)) AS first_ts,
                max(date_trunc('second', ts)) AS last_ts
         FROM {T} GROUP BY 1"""
+    sql["dedup_keep"] = f"""
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_b FROM ({sql["dedup_minhash"]}))"""
     sql["corpus_curation"] = r"""
         SELECT min(doc_id) AS doc_id, min(lang) AS lang,
                CAST(min(n_tokens) AS BIGINT) AS n_tokens, count(*) AS n_dups

@@ -138,8 +138,16 @@ def grouped_apply(ds, keys: list[str], fn, *, num_buckets: int = DEFAULT_BUCKETS
 
     def run_bucket(g):
         if hasattr(g, "drop_columns"):  # pyarrow
-            return fn(g.drop_columns(["__bucket"]))
-        return fn(g.drop(columns=["__bucket"]))
+            out = fn(g.drop_columns(["__bucket"]))
+        else:
+            out = fn(g.drop(columns=["__bucket"]))
+        if isinstance(out, pd.DataFrame):
+            # convert pandas reduce output to Arrow HERE, metadata-free:
+            # Ray's own pandas->arrow block conversion attaches b'pandas'
+            # schema metadata, which is unhashable (schema-dedup warning
+            # spam) and makes empty object columns trip its size estimator
+            out = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return out
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed.groupby("__bucket").map_groups(run_bucket, batch_format=batch_format)

@@ -481,6 +481,73 @@ def minhash_lsh_neardup(ds, *, threshold: float = 0.7, num_perm: int = 64,
                          num_buckets=num_buckets)
 
 
+def anti_join_ids(ds, drop_ids_ds, *, id_col: str = "doc_id", num_buckets: int = 64):
+    """Distributed anti-join: rows of ``ds`` whose ``id_col`` does NOT appear
+    in ``drop_ids_ds`` (a one-column Dataset of ids). Same co-partitioning
+    shape as ``bucket_hash_join``: both sides tagged, unioned, bucketed on
+    the id, each bucket filters vectorized — no driver-side id set."""
+    sch = ds.schema()
+    cols = list(sch.names)
+    col_type = dict(zip(sch.names, sch.types))
+
+    def tag_keep(t: pa.Table) -> pa.Table:
+        return t.append_column("__drop", pa.nulls(t.num_rows, pa.int8()).fill_null(0))
+
+    def tag_drop(t: pa.Table) -> pa.Table:
+        arrays = []
+        for c in cols:
+            if c == id_col:
+                arrays.append(pc.cast(t.column(t.column_names[0]), col_type[id_col]))
+            else:
+                arrays.append(pa.nulls(t.num_rows, col_type[c]))
+        return pa.table(dict(zip(cols, arrays))).append_column(
+            "__drop", pa.nulls(t.num_rows, pa.int8()).fill_null(1)
+        )
+
+    both = ds.map_batches(tag_keep, batch_format="pyarrow", zero_copy_batch=True).union(
+        drop_ids_ds.map_batches(tag_drop, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        dropped = np.unique(ids[t.column("__drop").to_numpy(zero_copy_only=False) == 1])
+        keep_mask = ~np.isin(ids, dropped)
+        keep_mask &= t.column("__drop").to_numpy(zero_copy_only=False) == 0
+        return t.filter(pa.array(keep_mask)).drop_columns(["__drop"])
+
+    from .aggregate import grouped_apply
+
+    return grouped_apply(both, [id_col], per_bucket, batch_format="pyarrow",
+                         num_buckets=num_buckets)
+
+
+def minhash_dedup_keep(ds, *, threshold: float = 0.7, num_perm: int = 64,
+                       bands: int = 16, k_shingle: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       keep_cols: list[str] | None = None):
+    """Near-dup REMOVAL (the standard corpus-dedup output): every verified
+    pair (a < b) drops its higher id, keeping the lower as canonical — the
+    match-drops-newer policy (pairs are exact-Jaccard >= threshold via
+    ``minhash_lsh_neardup``). Returns the kept docs' rows. Note this is the
+    per-pair policy, not transitive closure: in a cluster {a,b,c} where only
+    (a,b) and (b,c) verify, c survives via b being dropped — the same
+    behavior a streaming match-first dedup exhibits, and what the SQL oracle
+    mirrors."""
+    pairs = minhash_lsh_neardup(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        k_shingle=k_shingle, text_col=text_col, id_col=id_col,
+    )
+    drop = pairs.map_batches(
+        lambda t: pa.table({id_col: t.column("doc_b")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    keep_side = ds.map_batches(
+        lambda t: t.select(keep_cols or [id_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return anti_join_ids(keep_side, drop, id_col=id_col)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -117,3 +117,30 @@ def test_embedding_neardup_exact_and_lsh():
     assert lsh_pairs <= exact_pairs  # no false positives (exact verify in-bucket)
     # high recall on true near-dups (cos≈1 ⇒ same bucket in ≥1 of 16 bands)
     assert (0, 59) in lsh_pairs and (1, 58) in lsh_pairs
+
+
+def test_minhash_dedup_keep_drops_higher_ids():
+    from rotel_ray.stages.dedup import minhash_dedup_keep, minhash_lsh_neardup
+
+    t = _docs_with_dups()
+    ds = rd.from_arrow(t).repartition(4)
+    pairs = minhash_lsh_neardup(ds, threshold=0.5).to_pandas()
+    kept = minhash_dedup_keep(ds, threshold=0.5, keep_cols=["doc_id"]).to_pandas()
+    dropped = set(pairs.doc_b)
+    assert set(kept.doc_id) == set(t.column("doc_id").to_pylist()) - dropped
+    # 101/102/103 are each the higher side of some verified pair (100 pairs
+    # with 101, 102 AND 103 -- BASE vs BASE+" end" overlap is >= 0.5 too);
+    # the lowest id of the cluster survives
+    assert {101, 102, 103} & set(kept.doc_id) == set()
+    assert 100 in set(kept.doc_id)
+
+
+def test_anti_join_ids():
+    from rotel_ray.stages.dedup import anti_join_ids
+
+    left = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                                   "lang": pa.array(list("abcde"))}))
+    drop = rd.from_arrow(pa.table({"doc_id": pa.array([2, 4, 9], pa.int64())}))
+    out = anti_join_ids(left, drop).to_pandas().sort_values("doc_id")
+    assert list(out.doc_id) == [1, 3, 5]
+    assert list(out.lang) == ["a", "c", "e"]
