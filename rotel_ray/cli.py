@@ -23,8 +23,16 @@ def build_parser() -> argparse.ArgumentParser:
         prog="rotel-ray",
         description="Ray-Data-native parse -> enrich -> route -> aggregate job",
     )
-    p.add_argument("--input", required=True, help="directory of input transcript parquet")
-    p.add_argument("--out", required=True, help="output directory (sinks + manifest)")
+    p.add_argument("--input", help="directory of input transcript parquet")
+    p.add_argument("--out", help="output directory (sinks + manifest / query result parquet)")
+    p.add_argument("--query", default=None, metavar="NAME",
+                   help="run one registry pipeline (rotel_ray.queries.QUERIES) over "
+                        "--sf-dir instead of the flagship job; writes parquet to --out "
+                        "if given, else prints row count + head")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="table directory for --query runs")
+    p.add_argument("--list-queries", action="store_true",
+                   help="print the registry names and exit")
     p.add_argument("--waves", type=int, default=4,
                    help="checkpoint granularity: input files are split into this many waves")
     p.add_argument("--batch-size", type=int, default=16384,
@@ -56,8 +64,34 @@ def parse_resource_attrs(s: str | None) -> dict | None:
     return out
 
 
+def _run_query(args) -> int:
+    """One registry pipeline over --sf-dir (the per-operator CLI surface)."""
+    from .queries import QUERIES
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r}; use --list-queries", file=sys.stderr)
+        return 2
+    res = QUERIES[args.query](args.sf_dir)
+    if args.out and hasattr(res, "write_parquet"):
+        res.write_parquet(args.out)
+        print(json.dumps({"query": args.query, "out": args.out}))
+        return 0
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    print(json.dumps({"query": args.query, "rows": len(df)}))
+    print(df.head(10).to_string())
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.list_queries:
+        from .queries import QUERIES
+
+        print("\n".join(sorted(QUERIES)))
+        return 0
+    if args.query is None and not (args.input and args.out):
+        print("either --query NAME or both --input and --out are required", file=sys.stderr)
+        return 2
     attrs = parse_resource_attrs(args.resource_attrs)
 
     import ray
@@ -68,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(address="local", **kwargs)
+
+    if args.query is not None:
+        rc = _run_query(args)
+        if owns_session:
+            ray.shutdown()
+        return rc
 
     from .pipelines.flagship import run_flagship
 

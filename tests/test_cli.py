@@ -40,3 +40,26 @@ def test_cli_end_to_end(transcripts_dir, capsys):
     t = pq.read_table(f, columns=["env", "team"])
     assert t.column("env").to_pylist()[0] == "prod"
     assert t.column("team").to_pylist()[0] == "core"
+
+
+def test_cli_query_mode(capsys, tmp_path):
+    rc = main(["--query", "severity_hist", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    head = capsys.readouterr().out
+    assert json.loads(head.strip().splitlines()[0])["rows"] > 0
+    # parquet output path
+    out = str(tmp_path / "q")
+    rc = main(["--query", "severity_hist", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out])
+    assert rc == 0
+    import glob
+
+    assert glob.glob(out + "/*.parquet")
+
+
+def test_cli_query_errors(capsys):
+    assert main(["--query", "nope"]) == 2
+    assert main([]) == 2
+    rc = main(["--list-queries"])
+    assert rc == 0
+    assert "severity_hist" in capsys.readouterr().out
