@@ -17,8 +17,7 @@ import time
 
 import ray.data as rd
 
-from ..sinks import write_sink_atomic
-from ..stages.aggregate import conv_aggregate, metrics_aggregate
+from ..stages.aggregate import fused_metrics_conv_aggregate
 from ..stages.enrich import enrich_stage
 from ..stages.parse import parse_stage
 from ..stages.route import LOGS, TRACES, route_stage
@@ -119,20 +118,41 @@ def run_flagship(
                     "severity_number", "error_code", "duration_ms", "body_bytes_sent"]
         agg_src = rd.read_parquet(wave_files, columns=agg_cols)
 
-        jobs = {
-            "metrics": (metrics_aggregate(agg_src), os.path.join(out_dir, "metrics", f"wave={w}")),
-            "conv_agg": (conv_aggregate(agg_src).sort("conv_id"),
-                         os.path.join(out_dir, "conv_agg", f"wave={w}")),
-        }
-        for name, (consumer_ds, d) in jobs.items():
-            sink_counts[name] = write_sink_atomic(consumer_ds, d)
+        # BOTH aggregates run in ONE fused execution (one streaming-executor
+        # launch + one sort instead of two — halves the aggregate-side fixed
+        # latency F that caps small-corpus scaling efficiency; BASELINE.md).
+        # The partitioned write lands __agg=metrics / __agg=conv_agg dirs;
+        # each sink carries the other aggregate's columns as nulls, which is
+        # ~free in parquet (null bitmaps) and pruned at read time — the same
+        # projection-at-read philosophy as the routed sinks.
+        fused = fused_metrics_conv_aggregate(agg_src)
+        agg_tmp = os.path.join(out_dir, f".agg_wave{w}.writing")
+        _sh.rmtree(agg_tmp, ignore_errors=True)
+        fused.write_parquet(agg_tmp, partition_cols=["__agg"],
+                            arrow_parquet_args_fn=lambda: {"compression": "snappy"})
+        agg_dirs = {}
+        for name in ("metrics", "conv_agg"):
+            src = os.path.join(agg_tmp, f"__agg={name}")
+            d = os.path.join(out_dir, name, f"wave={w}")
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            _sh.rmtree(d, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, d)
+            else:
+                os.makedirs(d, exist_ok=True)
+            sink_counts[name] = sum(
+                pq.read_metadata(os.path.join(d, f)).num_rows
+                for f in os.listdir(d) if f.endswith(".parquet")
+            )
             sink_files.append(d)
+            agg_dirs[name] = d
+        _sh.rmtree(agg_tmp, ignore_errors=True)
 
         # data-plane counters (exporter-counter parity): routed totals come
         # from the rows actually written; parse failures are the 'chat'
         # fall-through count already aggregated into the metrics sink
         rows_in = sink_counts[TRACES] + sink_counts[LOGS]
-        mtbl = pq.read_table(jobs["metrics"][1], columns=["name", "value_count"])
+        mtbl = pq.read_table(agg_dirs["metrics"], columns=["name", "value_count"])
         rows_failed = (
             pc.sum(mtbl.filter(pc.equal(mtbl.column("name"), "chat")).column("value_count")).as_py() or 0
         )

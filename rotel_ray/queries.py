@@ -808,6 +808,33 @@ def q_metrics_dim_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+HH_PHI = 1 / 200  # heavy-hitter threshold as a fraction of the token stream
+HH_K = 512        # MG summary size; exactness needs phi >= 2/(k+1)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters over the transcript token stream: tokens
+    with exact frequency >= ceil(N/200). Exact despite being sketch-based:
+    phi = 1/200 >= 2/(k+1) guarantees every qualifying token survives the
+    batch + bucket compressions, and the final pass recounts candidates
+    exactly (stages/sketch.py)."""
+    import math
+
+    from .stages.sketch import _batch_token_counts, heavy_hitters
+
+    ds = _transcripts_ds(sf_dir).map_batches(
+        lambda t: t.select(["text"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        _, counts = _batch_token_counts(t.column("text"))
+        return pa.table({"n": pa.array([int(counts.sum())], pa.int64())})
+
+    n_total = ds.map_batches(count_tokens, batch_format="pyarrow").sum("n")
+    threshold = math.ceil(n_total * HH_PHI)
+    return heavy_hitters(ds, text_col="text", k=HH_K, threshold=threshold)
+
+
 def q_dedup_keep(sf_dir: str):
     """Near-dup removal output: the corpus minus every verified pair's higher
     doc_id (match-drops-newer policy over exact-Jaccard >= 0.5 pairs), via a
@@ -1196,6 +1223,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "duration_quantiles": q_duration_quantiles,
     "dedup_keep": q_dedup_keep,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 
@@ -1643,6 +1671,12 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                min(date_trunc('second', ts)) AS first_ts,
                max(date_trunc('second', ts)) AS last_ts
         FROM {T} GROUP BY 1"""
+    sql["heavy_hitters"] = rf"""
+        WITH tok AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS t
+          FROM {T})
+        SELECT t AS token, count(*) AS n FROM tok GROUP BY 1
+        HAVING count(*) >= ceil((SELECT count(*) FROM tok) * {HH_PHI})"""
     sql["dedup_keep"] = f"""
         SELECT d.doc_id, d.lang FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_b FROM ({sql["dedup_minhash"]}))"""

@@ -327,6 +327,79 @@ def metrics_aggregate(parsed_ds, batch_size: int = 65536, num_buckets: int = DEF
 
 
 # ---------------------------------------------------------------------------
+# fused metrics + conv aggregate (one shuffle for both flagship consumers)
+# ---------------------------------------------------------------------------
+
+_FUSED_COLS: list[tuple[str, pa.DataType]] = [
+    ("namespace", pa.string()), ("name", pa.string()), ("group_key", pa.string()),
+    ("ts_minute", pa.timestamp("us")), ("value_count", pa.int64()),
+    ("value_sum", pa.float64()), ("value_min", pa.float64()), ("value_max", pa.float64()),
+    ("conv_id", pa.string()), ("n_turns", pa.int64()), ("n_tool_calls", pa.int64()),
+    ("n_errors", pa.int64()), ("total_duration_ms", pa.int64()),
+    ("max_severity", pa.int32()), ("first_ts", pa.timestamp("us")),
+    ("last_ts", pa.timestamp("us")),
+]
+
+
+def _pad_to_fused(t: pa.Table, agg: str) -> pa.Table:
+    n = t.num_rows
+    arrays = []
+    for c, typ in _FUSED_COLS:
+        if c in t.column_names:
+            arrays.append(pc.cast(t.column(c).combine_chunks(), typ))
+        else:
+            arrays.append(pa.nulls(n, typ))
+    out = pa.table(dict(zip([c for c, _ in _FUSED_COLS], arrays)))
+    return out.append_column("__agg", pa.nulls(n, pa.string()).fill_null(agg))
+
+
+def fused_metrics_conv_aggregate(parsed_ds, batch_size: int = 65536,
+                                 num_buckets: int = DEFAULT_BUCKETS,
+                                 namespace: str | None = "rotel_ray"):
+    """Both flagship aggregates (EMF metrics grouping + conv summary) in ONE
+    bucketed shuffle: each batch emits both partial sets padded to a shared
+    schema with an ``__agg`` tag, conv buckets offset into a disjoint bucket
+    space so every reduce group is homogeneous, and the merge dispatches on
+    the tag. Halves the flagship's aggregate-side fixed latency (one
+    streaming-executor launch + one sort instead of two) — the
+    parallelism-independent F term that caps measured scaling efficiency at
+    small corpus sizes (see BASELINE.md)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _metrics_partial(t, namespace)
+        mb = add_hash_bucket(m, _METRIC_KEYS, num_buckets).column("__bucket")
+        c = _conv_partial(t)
+        cb = pc.add(add_hash_bucket(c, ["conv_id"], num_buckets).column("__bucket"),
+                    num_buckets)  # disjoint bucket space -> homogeneous groups
+        return pa.concat_tables([
+            _pad_to_fused(m, "metrics").append_column("__bucket", mb),
+            _pad_to_fused(c, "conv_agg").append_column("__bucket", pc.cast(cb, pa.int64())),
+        ])
+
+    def merge(t: pa.Table) -> pa.Table:
+        agg = t.column("__agg")[0].as_py()
+        if agg == "metrics":
+            g = t.select(_METRIC_COLS).group_by(_METRIC_KEYS).aggregate(
+                [("value_count", "sum"), ("value_sum", "sum"),
+                 ("value_min", "min"), ("value_max", "max")]
+            )
+            g = g.rename_columns(_METRIC_COLS)
+        else:
+            g = t.select(_CONV_COLS).group_by(["conv_id"]).aggregate(
+                [("n_turns", "sum"), ("n_tool_calls", "sum"), ("n_errors", "sum"),
+                 ("total_duration_ms", "sum"), ("max_severity", "max"),
+                 ("first_ts", "min"), ("last_ts", "max")]
+            )
+            g = g.rename_columns(_CONV_COLS)
+        return _pad_to_fused(g, agg)
+
+    partials = parsed_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return partials.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # cumulative -> delta (windowed lag within group)
 # ---------------------------------------------------------------------------
 

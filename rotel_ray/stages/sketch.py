@@ -1,0 +1,116 @@
+"""Distributed frequency sketches.
+
+``heavy_hitters`` — Misra–Gries(k) heavy hitters over a token stream, the
+mergeable-sketch pattern for 100 TB streams:
+
+1. **partial** (map_batches): each batch builds an exact token-count table
+   (Arrow dictionary encode + bincount — no Python per token) and compresses
+   it to a Misra–Gries summary of at most ``k`` entries: subtract the
+   (k+1)-th largest count from every entry and drop non-positives. The
+   classic MG guarantee transfers: a token with true batch count ``c``
+   retains residual ``>= c - B/(k+1)`` where ``B`` is the batch token count.
+2. **merge**: summaries are summed with a bucketed two-phase aggregate —
+   MG summaries are mergeable by addition-then-compress; we keep plain
+   addition (a looser but still sound summary) so the merge stays a pure
+   Arrow sum. Every token with true global frequency ``> N/(k+1)`` is
+   guaranteed present (its residual is positive in at least the sum).
+3. **recount**: the surviving candidate set (<= k per input block, tiny) is
+   broadcast and an exact second pass counts only candidate tokens; the
+   final filter ``count >= threshold`` makes the output EXACT for any
+   threshold >= N/(k+1) — which is what makes the sketch DuckDB-oracle-able
+   despite being a sketch.
+
+The reference has no sketch machinery; this is the additive training-data
+operator class ("novel sketch") from the build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .aggregate import two_phase_aggregate
+
+
+def _batch_token_counts(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Exact (token, count) for one batch, vectorized: Arrow whitespace split
+    -> dictionary encode -> bincount over codes."""
+    toks = pc.split_pattern_regex(pc.fill_null(text, ""), pattern=r"[\t\n\f\r ]+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    flat = flat.filter(pc.not_equal(flat, ""))
+    if len(flat) == 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    enc = pc.dictionary_encode(flat)
+    counts = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                         minlength=len(enc.dictionary)).astype(np.int64)
+    return enc.dictionary, counts
+
+
+def mg_compress(tokens: pa.Array, counts: np.ndarray, k: int) -> tuple[pa.Array, np.ndarray]:
+    """Misra–Gries compression to <= k entries: subtract the (k+1)-th largest
+    count, drop non-positive residuals."""
+    if len(counts) <= k:
+        return tokens, counts
+    kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    resid = counts - kth
+    keep = resid > 0
+    return tokens.filter(pa.array(keep)), resid[keep]
+
+
+def heavy_hitters(ds, *, text_col: str = "text", k: int = 256,
+                  threshold: int | None = None, num_buckets: int = 64):
+    """Tokens with exact global frequency >= threshold, found via MG(k)
+    partials + merged-summary candidates + exact recount. ``threshold`` must
+    be >= N/(k+1) for the exactness guarantee (N = total token count); the
+    default recount threshold is provided by the caller, typically a small
+    absolute count. Returns (token, n) rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, counts = _batch_token_counts(t.column(text_col))
+        toks, resid = mg_compress(toks, counts, k)
+        return pa.table({"token": toks, "resid": pa.array(resid, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = two_phase_aggregate(partials, ["token"], [("resid", "sum", "resid")],
+                                 num_buckets=num_buckets)
+
+    def bucket_compress(t: pa.Table) -> pa.Table:
+        # each merged block holds one bucket's disjoint token subset; MG-
+        # compress it again so the global candidate set is bounded by
+        # num_buckets * k NO MATTER the input size (without this the union
+        # of per-batch summaries grows with batch count — a driver-side
+        # collect would be the minhash round-1 mistake all over again)
+        toks = t.column("token").combine_chunks()
+        resid = t.column("resid").to_numpy(zero_copy_only=False)
+        toks, resid = mg_compress(toks, resid, k)
+        return pa.table({"token": toks, "resid": pa.array(resid, pa.int64())})
+
+    merged = merged.map_batches(bucket_compress, batch_format="pyarrow", zero_copy_batch=True)
+    # candidate set is now <= num_buckets * k rows — broadcast-class small
+    cand = merged.map_batches(
+        lambda t: t.select(["token"]), batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand_arr = pa.array(sorted(cand["token"].tolist()))
+    ref = ray.put(cand_arr)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand_ = ray.get(ref)
+        toks, counts = _batch_token_counts(t.column(text_col))
+        keep = pc.is_in(toks, value_set=cand_).to_numpy(zero_copy_only=False)
+        return pa.table({"token": toks.filter(pa.array(keep)),
+                         "n": pa.array(counts[keep], pa.int64())})
+
+    exact = two_phase_aggregate(
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], [("n", "sum", "n")], num_buckets=num_buckets,
+    )
+    if threshold is not None:
+        exact = exact.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n"), threshold)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    return exact

@@ -1,0 +1,52 @@
+"""Misra–Gries heavy-hitters sketch: exactness guarantee + bounded state."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from rotel_ray.stages.sketch import _batch_token_counts, heavy_hitters, mg_compress
+
+
+def test_batch_token_counts_exact():
+    toks, counts = _batch_token_counts(pa.array(["a b a", "b  c", "", None]))
+    got = dict(zip(toks.to_pylist(), counts.tolist()))
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_mg_compress_guarantee():
+    """MG residual >= true - B/(k+1): every count > B/(k+1) survives."""
+    rng = np.random.default_rng(4)
+    counts = rng.integers(1, 50, 500).astype(np.int64)
+    counts[7] = 10_000  # heavy hitter
+    toks = pa.array([f"t{i}" for i in range(500)])
+    k = 32
+    ctoks, resid = mg_compress(toks, counts, k)
+    assert len(resid) <= k
+    assert "t7" in ctoks.to_pylist()
+    B = counts.sum()
+    for t, c in zip(toks.to_pylist(), counts.tolist()):
+        if c > B / (k + 1):
+            assert t in ctoks.to_pylist(), t
+
+
+def test_heavy_hitters_exact_vs_bruteforce():
+    """Zipf corpus: sketch + recount output equals the exact frequency table
+    at threshold >= 2N/(k+1)."""
+    rng = np.random.default_rng(8)
+    vocab = np.array([f"w{i}" for i in range(2000)])
+    # Zipf-ish: token i with weight 1/(i+1)
+    w = 1.0 / np.arange(1, len(vocab) + 1)
+    draws = rng.choice(vocab, 60_000, p=w / w.sum())
+    texts = [" ".join(draws[i * 30 : (i + 1) * 30]) for i in range(2000)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(8)
+
+    k = 256
+    N = len(draws)
+    threshold = int(np.ceil(2 * N / (k + 1)))
+    out = heavy_hitters(ds, text_col="text", k=k, threshold=threshold).to_pandas()
+
+    uniq, cnt = np.unique(draws, return_counts=True)
+    expected = {t: int(c) for t, c in zip(uniq, cnt) if c >= threshold}
+    assert dict(zip(out.token, out.n)) == expected
+    assert len(expected) > 5  # the test corpus actually has heavy hitters
