@@ -78,3 +78,48 @@ def test_delta_unordered_input():
     df = pd.DataFrame({"conv_id": ["c"] * 3, "turn_idx": [2, 0, 1], "km_seq": [30, 10, 20]})
     out = delta_within_group(rd.from_pandas(df), value="km_seq").to_pandas().sort_values("turn_idx")
     assert out["delta"].tolist() == [10.0, 10.0]
+
+
+def test_fused_aggregate_equals_unfused(transcripts_dir):
+    """fused_metrics_conv_aggregate output (split by __agg tag) is value-
+    identical to metrics_aggregate + conv_aggregate on the same input."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from rotel_ray.stages.aggregate import (
+        _CONV_COLS,
+        _METRIC_COLS,
+        conv_aggregate,
+        fused_metrics_conv_aggregate,
+        metrics_aggregate,
+    )
+    from rotel_ray.stages.parse import parse_stage
+
+    parsed = parse_stage(rd.read_parquet(transcripts_dir))
+    fused = fused_metrics_conv_aggregate(parsed).to_pandas()
+    m_f = (fused[fused["__agg"] == "metrics"][_METRIC_COLS]
+           .sort_values(_METRIC_COLS[:4]).reset_index(drop=True))
+    c_f = (fused[fused["__agg"] == "conv_agg"][_CONV_COLS]
+           .sort_values("conv_id").reset_index(drop=True))
+
+    parsed2 = parse_stage(rd.read_parquet(transcripts_dir))
+    m_u = (metrics_aggregate(parsed2).to_pandas()[_METRIC_COLS]
+           .sort_values(_METRIC_COLS[:4]).reset_index(drop=True))
+    parsed3 = parse_stage(rd.read_parquet(transcripts_dir))
+    c_u = (conv_aggregate(parsed3).to_pandas()[_CONV_COLS]
+           .sort_values("conv_id").reset_index(drop=True))
+
+    # normalize the pandas view: fused pads timestamps to us, and the tag
+    # filter leaves int columns null-widened to float64 (arrow side is int64)
+    for df in (m_f, m_u):
+        df["ts_minute"] = df["ts_minute"].astype("datetime64[us]")
+        df["value_count"] = df["value_count"].astype("int64")
+    for df in (c_f, c_u):
+        for c in ("first_ts", "last_ts"):
+            df[c] = df[c].astype("datetime64[us]")
+        df["max_severity"] = df["max_severity"].astype("int32")
+        for c in ("n_turns", "n_tool_calls", "n_errors", "total_duration_ms"):
+            df[c] = df[c].astype("int64")
+    assert m_f.equals(m_u), "metrics side diverged"
+    assert c_f.equals(c_u), "conv side diverged"
