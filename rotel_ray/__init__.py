@@ -16,7 +16,8 @@ Architecture (Ray-Data-first, NOT a port):
   classes run as actor pools (``map_batches(Cls, concurrency=N)``).
 - Routing fans enriched rows out to per-sink Parquet exporters
   (traces/logs/metrics analogues of rotel's exporters).
-- Aggregation uses salted two-phase ``groupby`` to survive skewed keys.
+- Aggregation is two-phase (per-batch combiner + bucketed merge) with an
+  optional salt for global hot keys, so skewed keys never flood a reducer.
 - A checkpoint manifest records per-partition lineage + stage metrics so a
   partially-completed job resumes without duplicating output.
 

@@ -19,8 +19,11 @@ partial (combiner) aggregation inside ``map_batches`` bounds per-key state at
 batch granularity, then a final ``groupby().aggregate()`` over the (much
 smaller) partials. This is what makes Zipf-skewed conv_ids survivable: a
 2000-turn conversation contributes ~1 partial row per batch instead of 2000
-rows into one reducer. ``map_groups`` operators additionally cap group size
-via the salt helper.
+rows into one reducer; for a GLOBAL hot key whose per-batch partials would
+still flood one merge task at corpus scale, ``two_phase_aggregate(salt=n)``
+shards the merge and re-combines exactly (algebraic functions only).
+``grouped_apply`` operators dilute skew by hashing keys across buckets and
+keeping the per-bucket function vectorized across all keys in the bucket.
 """
 
 from __future__ import annotations
@@ -153,18 +156,31 @@ def grouped_apply(ds, keys: list[str], fn, *, num_buckets: int = DEFAULT_BUCKETS
     return bucketed.groupby("__bucket").map_groups(run_bucket, batch_format=batch_format)
 
 
+_SALT_COUNTER = __import__("itertools").count()
+
+
 def two_phase_aggregate(
     ds,
     keys: list[str],
     specs: list[tuple[str, str, str]],
     batch_size: int = 65536,
     num_buckets: int = DEFAULT_BUCKETS,
+    salt: int = 1,
 ):
     """``specs`` = [(column, fn, alias)] with fn in {sum,count,min,max}.
 
     Phase 1 (map_batches): Arrow hash group_by within each batch -> one
     partial row per key per batch, tagged with a hash bucket. Phase 2:
     shuffle by bucket only, Arrow group_by again per bucket.
+
+    ``salt > 1`` is the GLOBAL hot-key guard: the per-batch combiner already
+    bounds each key to one partial row per batch, but at corpus scale a
+    single planetary key still funnels one partial row per input batch
+    (millions) into ONE merge task. Salting spreads each batch's partials
+    across ``salt`` shards of the key's bucket (deterministic results — the
+    shard only routes load), and a second, tiny merge pass combines the
+    ``<= salt`` shard rows per key. All spec functions here are algebraic,
+    so the re-merge is exact.
     """
     aliases = [alias for _, _, alias in specs]
 
@@ -174,7 +190,14 @@ def two_phase_aggregate(
         names = {f"{col}_{_PARTIAL_FUNCS[fn]}": alias for col, fn, alias in specs}
         g = g.rename_columns([names.get(c, c) for c in g.column_names])
         g = g.select(keys + aliases)
-        return add_hash_bucket(g, keys, num_buckets)
+        g = add_hash_bucket(g, keys, num_buckets)
+        if salt > 1:
+            # per-call shard shift: spreads successive batches' partials for
+            # the SAME key over `salt` distinct buckets (load routing only)
+            shift = next(_SALT_COUNTER) % salt
+            b = pc.add(pc.multiply(g.column("__bucket"), salt), shift)
+            g = g.set_column(g.column_names.index("__bucket"), "__bucket", b)
+        return g
 
     def merge(t: pa.Table) -> pa.Table:
         aggs = [(alias, _MERGE_FUNCS[fn]) for _, fn, alias in specs]
@@ -184,7 +207,13 @@ def two_phase_aggregate(
         return g.select(keys + aliases)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
-    return partials.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+    merged = partials.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+    if salt == 1:
+        return merged
+    # second (tiny) merge: <= salt shard rows per key remain
+    respec = [(alias, _MERGE_FUNCS[fn], alias) for _, fn, alias in specs]
+    return two_phase_aggregate(merged, keys, respec, batch_size=batch_size,
+                               num_buckets=num_buckets, salt=1)
 
 
 # ---------------------------------------------------------------------------

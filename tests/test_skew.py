@@ -112,3 +112,19 @@ def test_minhash_distributed_verify_no_driver_state():
         if jac(texts[i], texts[j]) >= 0.5
     }
     assert (0, 60) in expected and got == expected
+
+
+def test_two_phase_salted_equals_unsalted():
+    """salt>1 shards a hot key's merge and re-combines exactly."""
+    df = _skewed(50_000)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(16)
+    base = (two_phase_aggregate(ds, ["k"], [("v", "sum", "v_sum"), ("v", "count", "n"),
+                                            ("v", "min", "v_min"), ("v", "max", "v_max")],
+                                batch_size=2048)
+            .to_pandas().set_index("k").sort_index())
+    ds2 = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(16)
+    salted = (two_phase_aggregate(ds2, ["k"], [("v", "sum", "v_sum"), ("v", "count", "n"),
+                                               ("v", "min", "v_min"), ("v", "max", "v_max")],
+                                  batch_size=2048, salt=8)
+              .to_pandas().set_index("k").sort_index())
+    assert base.equals(salted)
