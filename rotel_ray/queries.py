@@ -792,17 +792,13 @@ def q_file_source(sf_dir: str):
 
 def q_metrics_dim_filter(sf_dir: str):
     """Wildcard dimension filter over metric names (case-insensitive, `*`
-    = 0+ chars, exclude wins — awsemf/dim_filter.rs:4-60 semantics)."""
-    import fnmatch
-    import re as _re
-
-    exclude = ["km*", "json"]
-    rx = _re.compile("|".join(fnmatch.translate(p.lower()) for p in exclude))
+    = 0+ chars, exclude wins — awsemf/dim_filter.rs:4-60 semantics).
+    Vectorized via the shared wildcard_match kernel (one regex test per
+    DISTINCT name, not per row)."""
+    from .functions.scalar import wildcard_match
 
     def f(t: pa.Table) -> pa.Table:
-        names = t.column("name").to_pylist()
-        mask = pa.array([not rx.fullmatch((x or "").lower()) for x in names])
-        return t.filter(mask)
+        return t.filter(wildcard_match(t.column("name"), exclude=["km*", "json"]))
 
     ds = _cast_final(metrics_aggregate(_parsed(sf_dir)), {"ts_minute": pa.timestamp("us")})
     return ds.map_batches(f, batch_format="pyarrow")
