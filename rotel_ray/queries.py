@@ -945,6 +945,36 @@ _RPC_BY_TOOL = {"bash": "grpc", "browser": "aws-api"}
 _RPC_SERVICE_BY_TOOL = {"browser": "s3"}
 
 
+# JSON keys promoted to fixed columns by the parse stage (parse.JSON_SCHEMA);
+# everything else overflows into the attrs map (SURVEY §7.6.5)
+FIXED_JSON_KEYS = frozenset(
+    ["time_local", "remote_addr", "request", "status", "body_bytes_sent"]
+)
+
+
+def q_attrs_overflow(sf_dir: str):
+    """Dynamic-attr-key handling: fixed columns + overflow map (the parquet
+    exporter's MapOrJson attrs column, parquet/common.rs:16-20). The real
+    operator appends a map<string,string> column (pytest-verified incl.
+    parquet round-trip); the oracle-checked projection explodes the same
+    overflow entries to rows (map columns don't survive the driver's
+    value-hash canonicalization)."""
+    from .stages.transform import flatten_attrs_batch
+
+    ds = _parsed(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "json")).select(
+            ["conv_id", "turn_idx", "text"]
+        )
+        out = flatten_attrs_batch(t, json_col="text", id_cols=["conv_id", "turn_idx"])
+        keep = pc.invert(pc.is_in(out.column("attr_key"),
+                                  value_set=pa.array(sorted(FIXED_JSON_KEYS))))
+        return out.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_span_operation(sf_dir: str):
     """Datadog operation-name + span-type derivation cascade
     (otel_util.rs:64-175, 34-61 + db_types.rs) over span-like rows derived
@@ -1220,6 +1250,7 @@ QUERIES = {
     "duration_quantiles": q_duration_quantiles,
     "dedup_keep": q_dedup_keep,
     "heavy_hitters": q_heavy_hitters,
+    "attrs_overflow": q_attrs_overflow,
 }
 
 
@@ -1607,6 +1638,10 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
               FROM l1 WHERE json_type(v) = 'OBJECT')
         WHERE json_type(json_extract(text, '$.' || k || '.' || k2))
               NOT IN ('OBJECT', 'NULL')"""
+    fixed_list = ", ".join(f"'{k}'" for k in sorted(FIXED_JSON_KEYS))
+    sql["attrs_overflow"] = f"""
+        SELECT * FROM ({sql["attrs_flatten"]})
+        WHERE attr_key NOT IN ({fixed_list})"""
     _TN = r"regexp_extract(text, '^TOOL_CALL tool=(\w+) ', 1)"
     sql["span_operation"] = rf"""
         SELECT conv_id, turn_idx,

@@ -121,6 +121,42 @@ def flatten_attrs(ds, *, json_col: str = "text", id_cols=("conv_id", "turn_idx")
     )
 
 
+def attrs_overflow_map_batch(t: pa.Table, *, json_col: str = "text",
+                             fixed: frozenset = frozenset(),
+                             max_depth: int | None = None,
+                             out_col: str = "attrs") -> pa.Table:
+    """Fixed columns + overflow ``map<string,string>`` (SURVEY §7.6.5 and the
+    parquet file exporter's MapOrJson attrs column,
+    src/exporters/file/parquet/common.rs:16-20): every flattened attr whose
+    dotted key is NOT promoted to a fixed column lands in an ``attrs`` map
+    column appended to the batch. Non-JSON rows get an empty map (pyarrow's
+    null-map offset encoding is error-prone; empty is the contract here)."""
+    texts = t.column(json_col).to_pylist()
+    offsets: list[int] = [0]
+    keys: list[str] = []
+    vals: list[str] = []
+    pos = 0
+    for x in texts:
+        obj = None
+        if x and x.startswith("{"):
+            try:
+                parsed = json.loads(x)
+                obj = parsed if isinstance(parsed, dict) else None
+            except (ValueError, TypeError):
+                obj = None
+        if obj is not None:
+            for k, v in flatten_json_obj(obj, max_depth=max_depth):
+                if k not in fixed:
+                    keys.append(k)
+                    vals.append(v)
+                    pos += 1
+        offsets.append(pos)
+    m = pa.MapArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(keys, pa.string()), pa.array(vals, pa.string())
+    )
+    return t.append_column(out_col, m)
+
+
 # ---------------------------------------------------------------------------
 # 2. Datadog operation-name / span-type cascade
 # ---------------------------------------------------------------------------

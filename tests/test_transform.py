@@ -270,3 +270,26 @@ def test_gz_log_source_equals_plain(tmp_path, sf_dir):
     b = gz.drop(columns=["source_file"]).sort_values(["text"]).reset_index(drop=True)
     assert a.equals(b)
     assert len(b) > 0
+
+
+def test_attrs_overflow_map_column(tmp_path):
+    """Overflow attrs land in a real map<string,string> column that survives
+    a parquet round trip; fixed keys stay out; non-JSON rows get empty maps."""
+    import pyarrow.parquet as pq
+
+    from rotel_ray.stages.transform import attrs_overflow_map_batch
+
+    t = pa.table({"text": pa.array([
+        '{"remote_addr":"1.2.3.4","a":1,"n":{"b":"y"},"arr":[1,2]}',
+        "not json",
+        '{"remote_addr":"z"}',
+        None,
+    ])})
+    out = attrs_overflow_map_batch(t, fixed=frozenset({"remote_addr"}))
+    assert pa.types.is_map(out.schema.field("attrs").type)
+    got = out.column("attrs").to_pylist()
+    assert dict(got[0]) == {"a": "1", "n.b": "y", "arr": "[1,2]"}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    p = str(tmp_path / "m.parquet")
+    pq.write_table(out, p)
+    assert pq.read_table(p).column("attrs").to_pylist() == got
