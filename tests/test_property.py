@@ -154,3 +154,43 @@ def test_vec_hash_strings_deterministic_and_total(texts):
     h = _vec_hash_strings(arr)
     assert np.array_equal(h[: len(texts)], h[len(texts):])
     assert np.array_equal(_vec_hash_strings(arr.slice(len(texts))), a)
+
+
+# ---------------------------------------------------------------------------
+# flatten: random JSON trees vs an independent reference walker
+# ---------------------------------------------------------------------------
+
+from rotel_ray.stages.transform import _leaf_to_string, flatten_json_obj  # noqa: E402
+
+_keys = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+_json_vals = st.recursive(
+    st.one_of(st.text(max_size=12), st.integers(-10**6, 10**6), st.booleans(), st.none()),
+    lambda ch: st.lists(ch, max_size=3) | st.dictionaries(_keys, ch, max_size=3),
+    max_leaves=15,
+)
+
+
+def _reference_paths(obj, prefix=""):
+    """Independent walker: expected (path, leaf) set for unbounded flatten."""
+    out = []
+    for k, v in obj.items():
+        p = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out += _reference_paths(v, p)
+        elif v is None:
+            continue
+        else:
+            out.append((p, v))
+    return out
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.dictionaries(_keys, _json_vals, max_size=4))
+def test_flatten_matches_reference_walker(obj):
+    flat = flatten_json_obj(obj)
+    expected = _reference_paths(obj)
+    assert [k for k, _ in flat] == [k for k, _ in expected]  # order + coverage
+    for (k, v), (_, leaf) in zip(flat, expected):
+        assert v == _leaf_to_string(leaf)
+        if isinstance(leaf, str):
+            assert v == leaf
