@@ -164,7 +164,7 @@ class RedactionConfig:
     allowed_value_patterns: list[str] = field(default_factory=list)
     mask: str = "[REDACTED]"  # or "hash:<algo>"
     apply_to: list[str] | None = None  # restrict to these columns (None = all strings)
-    summary: str = "info"  # silent|info
+    summary: str = "info"  # silent|info|debug (debug also emits masked key names)
 
 
 class RedactionProcessor:
@@ -201,6 +201,7 @@ class RedactionProcessor:
                 return pc.if_else(mask, _hash_values(arr, cfg.mask[5:]), arr)
             return pc.if_else(mask, pa.scalar(cfg.mask), arr)
 
+        masked_names = np.full(n, "", dtype=object) if cfg.summary == "debug" else None
         for c in candidates:
             arr = t.column(c).combine_chunks()
             if any(rx.search(c) for rx in blocked_key):
@@ -213,9 +214,19 @@ class RedactionProcessor:
                     mask = pc.and_(mask, pc.invert(pc.fill_null(pc.match_substring_regex(arr, p), False)))
             if pc.any(mask).as_py():
                 t = t.set_column(t.column_names.index(c), c, mask_arr(arr, mask))
-                masked_count += mask.to_numpy(zero_copy_only=False).astype(np.int64)
+                m = mask.to_numpy(zero_copy_only=False)
+                masked_count += m.astype(np.int64)
+                if masked_names is not None:
+                    # candidates iterate in column order, so names come out
+                    # sorted by schema position (stable across batches)
+                    masked_names[m] = np.where(masked_names[m] == "", c,
+                                               masked_names[m] + "," + c)
         if cfg.summary != "silent":
             t = t.append_column("redaction_masked_count", pa.array(masked_count))
+        if masked_names is not None:
+            # redaction.<ctx>.masked_keys.names analogue (_add_meta_attrs,
+            # redaction_processor.py:121-158) as a per-row csv column
+            t = t.append_column("redaction_masked_keys", pa.array(list(masked_names), pa.string()))
         return t
 
 

@@ -155,3 +155,21 @@ def test_debug_inspector_summary(caplog):
     assert out is t  # pass-through, zero-copy
     assert any("Received logs" in r.message for r in caplog.records)
     assert any("first_record" in r.message for r in caplog.records)
+
+
+def test_redaction_debug_summary_names():
+    """summary='debug' also emits per-row masked key NAMES (the
+    redaction.<ctx>.masked_keys.names meta-attr analogue)."""
+    import pyarrow as pa
+
+    from rotel_ray.stages.enrich import RedactionConfig, RedactionProcessor
+
+    proc = RedactionProcessor(RedactionConfig(
+        blocked_value_patterns=[r"^10\."], summary="debug"))
+    t = pa.table({
+        "src": pa.array(["10.1.1.1", "8.8.8.8", "10.2.2.2"]),
+        "dst": pa.array(["10.9.9.9", "10.8.8.8", "1.1.1.1"]),
+    })
+    out = proc(t)
+    assert out.column("redaction_masked_count").to_pylist() == [2, 1, 1]
+    assert out.column("redaction_masked_keys").to_pylist() == ["src,dst", "dst", "src"]
