@@ -110,3 +110,40 @@ def test_json_sink_format(transcripts_dir):
     assert files
     rec = json.loads(open(files[0]).readline())
     assert {"conv_id", "turn_idx", "role", "text"} <= set(rec)
+
+
+def test_crash_between_routed_write_and_aggregate_resumes(transcripts_dir, monkeypatch):
+    """Crash INSIDE a wave, after the routed sinks land but before the fused
+    aggregate write commits: the wave has no manifest record, so resume
+    re-executes it idempotently (atomic dir replace) — no duplicate rows,
+    identical totals to an uninterrupted run."""
+    import rotel_ray.pipelines.flagship as fl
+
+    out = "/tmp/rotel_crash_window_test"
+    shutil.rmtree(out, ignore_errors=True)
+
+    real = fl.fused_metrics_conv_aggregate
+    calls = {"n": 0}
+
+    def bomb(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash between routed write and aggregate")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fl, "fused_metrics_conv_aggregate", bomb)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_flagship(transcripts_dir, out, waves=2, enrich_concurrency=2, resume=True)
+    # routed sink dirs for wave 0 exist, but nothing is committed
+    recs = [json.loads(x) for x in open(os.path.join(out, "manifest.jsonl"))
+            if x.strip()] if os.path.exists(os.path.join(out, "manifest.jsonl")) else []
+    assert recs == []
+
+    totals = run_flagship(transcripts_dir, out, waves=2, enrich_concurrency=2, resume=True)
+    shutil.rmtree("/tmp/rotel_crash_window_ref", ignore_errors=True)
+    ref = run_flagship(transcripts_dir, "/tmp/rotel_crash_window_ref", waves=2,
+                       enrich_concurrency=2, resume=False)
+    assert totals["sink_counts"] == ref["sink_counts"]
+    assert totals["rows_in"] == ref["rows_in"]
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree("/tmp/rotel_crash_window_ref", ignore_errors=True)
