@@ -382,6 +382,40 @@ def _pad_to_fused(t: pa.Table, agg: str) -> pa.Table:
     return out.append_column("__agg", pa.nulls(n, pa.string()).fill_null(agg))
 
 
+def fused_partial_batch(t: pa.Table, num_buckets: int = DEFAULT_BUCKETS,
+                        namespace: str | None = "rotel_ray") -> pa.Table:
+    """One batch's fused (metrics + conv) partial rows, tagged and bucketed
+    (conv buckets offset into a disjoint space -> homogeneous merge groups)."""
+    m = _metrics_partial(t, namespace)
+    mb = add_hash_bucket(m, _METRIC_KEYS, num_buckets).column("__bucket")
+    c = _conv_partial(t)
+    cb = pc.add(add_hash_bucket(c, ["conv_id"], num_buckets).column("__bucket"),
+                num_buckets)
+    return pa.concat_tables([
+        _pad_to_fused(m, "metrics").append_column("__bucket", mb),
+        _pad_to_fused(c, "conv_agg").append_column("__bucket", pc.cast(cb, pa.int64())),
+    ])
+
+
+def fused_merge_batch(t: pa.Table) -> pa.Table:
+    """Merge one homogeneous bucket group of fused partial rows."""
+    agg = t.column("__agg")[0].as_py()
+    if agg == "metrics":
+        g = t.select(_METRIC_COLS).group_by(_METRIC_KEYS).aggregate(
+            [("value_count", "sum"), ("value_sum", "sum"),
+             ("value_min", "min"), ("value_max", "max")]
+        )
+        g = g.rename_columns(_METRIC_COLS)
+    else:
+        g = t.select(_CONV_COLS).group_by(["conv_id"]).aggregate(
+            [("n_turns", "sum"), ("n_tool_calls", "sum"), ("n_errors", "sum"),
+             ("total_duration_ms", "sum"), ("max_severity", "max"),
+             ("first_ts", "min"), ("last_ts", "max")]
+        )
+        g = g.rename_columns(_CONV_COLS)
+    return _pad_to_fused(g, agg)
+
+
 def fused_metrics_conv_aggregate(parsed_ds, batch_size: int = 65536,
                                  num_buckets: int = DEFAULT_BUCKETS,
                                  namespace: str | None = "rotel_ray"):
@@ -394,38 +428,11 @@ def fused_metrics_conv_aggregate(parsed_ds, batch_size: int = 65536,
     parallelism-independent F term that caps measured scaling efficiency at
     small corpus sizes (see BASELINE.md)."""
 
-    def partial(t: pa.Table) -> pa.Table:
-        m = _metrics_partial(t, namespace)
-        mb = add_hash_bucket(m, _METRIC_KEYS, num_buckets).column("__bucket")
-        c = _conv_partial(t)
-        cb = pc.add(add_hash_bucket(c, ["conv_id"], num_buckets).column("__bucket"),
-                    num_buckets)  # disjoint bucket space -> homogeneous groups
-        return pa.concat_tables([
-            _pad_to_fused(m, "metrics").append_column("__bucket", mb),
-            _pad_to_fused(c, "conv_agg").append_column("__bucket", pc.cast(cb, pa.int64())),
-        ])
-
-    def merge(t: pa.Table) -> pa.Table:
-        agg = t.column("__agg")[0].as_py()
-        if agg == "metrics":
-            g = t.select(_METRIC_COLS).group_by(_METRIC_KEYS).aggregate(
-                [("value_count", "sum"), ("value_sum", "sum"),
-                 ("value_min", "min"), ("value_max", "max")]
-            )
-            g = g.rename_columns(_METRIC_COLS)
-        else:
-            g = t.select(_CONV_COLS).group_by(["conv_id"]).aggregate(
-                [("n_turns", "sum"), ("n_tool_calls", "sum"), ("n_errors", "sum"),
-                 ("total_duration_ms", "sum"), ("max_severity", "max"),
-                 ("first_ts", "min"), ("last_ts", "max")]
-            )
-            g = g.rename_columns(_CONV_COLS)
-        return _pad_to_fused(g, agg)
-
     partials = parsed_ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        lambda t: fused_partial_batch(t, num_buckets, namespace),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
     )
-    return partials.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(fused_merge_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -122,16 +122,16 @@ def test_crash_between_routed_write_and_aggregate_resumes(transcripts_dir, monke
     out = "/tmp/rotel_crash_window_test"
     shutil.rmtree(out, ignore_errors=True)
 
-    real = fl.fused_metrics_conv_aggregate
+    real = fl.rd.read_parquet
     calls = {"n": 0}
 
     def bomb(*a, **kw):
         calls["n"] += 1
-        if calls["n"] == 1:
+        if calls["n"] == 1:  # the wave's partials read, after the routed write
             raise RuntimeError("injected crash between routed write and aggregate")
         return real(*a, **kw)
 
-    monkeypatch.setattr(fl, "fused_metrics_conv_aggregate", bomb)
+    monkeypatch.setattr(fl.rd, "read_parquet", bomb)
     with pytest.raises(RuntimeError, match="injected crash"):
         run_flagship(transcripts_dir, out, waves=2, enrich_concurrency=2, resume=True)
     # routed sink dirs for wave 0 exist, but nothing is committed
