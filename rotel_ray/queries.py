@@ -841,6 +841,18 @@ def q_dedup_keep(sf_dir: str):
     return minhash_dedup_keep(ds, threshold=0.5, keep_cols=["doc_id", "lang"])
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Transitive near-dup CLUSTERS from verified pairs: distributed
+    connected components (min-label propagation over the pair graph), so a
+    chain a~b~c collapses to one cluster even when (a,c) itself never
+    verified — the semantics corpus dedup needs to keep exactly one
+    representative per duplicate family. cluster_id = min doc_id reachable."""
+    from .stages.dedup import connected_components, minhash_lsh_neardup
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return connected_components(minhash_lsh_neardup(ds, threshold=0.5))
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end corpus-curation chain — the composed LLM-training-data
     pipeline: token/alpha quality gate -> language allowlist -> exact dedup
@@ -1249,6 +1261,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "duration_quantiles": q_duration_quantiles,
     "dedup_keep": q_dedup_keep,
+    "dedup_clusters": q_dedup_clusters,
     "heavy_hitters": q_heavy_hitters,
     "attrs_overflow": q_attrs_overflow,
 }
@@ -1711,6 +1724,20 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     sql["dedup_keep"] = f"""
         SELECT d.doc_id, d.lang FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_b FROM ({sql["dedup_minhash"]}))"""
+    # transitive closure of the verified pair graph via recursive min-label
+    # walk: lbl of id = every node reachable from id; MIN over them = the
+    # component representative (matches connected_components exactly)
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM ({sql["dedup_minhash"]})),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+        walk(id, lbl) AS (
+          SELECT * FROM (SELECT src AS id, dst AS lbl FROM edges
+                         UNION SELECT src, src FROM edges)
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+        )
+        SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id"""
     sql["corpus_curation"] = r"""
         SELECT min(doc_id) AS doc_id, min(lang) AS lang,
                CAST(min(n_tokens) AS BIGINT) AS n_tokens, count(*) AS n_dups

@@ -831,3 +831,120 @@ def embedding_neardup_lsh(ds, *, tau: float = 0.9, num_bands: int = 16,
 
     found = grouped_apply(bucketed, ["bucket"], pairs, batch_format="pyarrow")
     return two_phase_aggregate(found, ["vec_a", "vec_b"], [("cos_sim", "max", "cos_sim")])
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
+                         id_col: str = "doc_id", label_col: str = "cluster_id",
+                         num_buckets: int = 64, max_iters: int = 32):
+    """Distributed connected components by min-label propagation: every node
+    of the pair graph is labeled with the minimum node id reachable from it
+    (``cluster_id``), turning verified near-dup PAIRS into transitive dup
+    CLUSTERS — the semantics a corpus dedup actually needs (keep ONE
+    representative per cluster, not per-pair drops).
+
+    Scale shape: the graph is O(dup mass), far smaller than the corpus, and
+    it is materialized once up front (never the corpus itself). Each
+    iteration is two bucketed shuffles over the edge list — (1) co-partition
+    current labels with edges on the source node and emit ``(dst,
+    lbl[src])`` messages, (2) grouped min per node — so task count is
+    O(num_buckets) and skew is hash-diluted. Labels decrease monotonically;
+    convergence (<= graph diameter iterations; near-dup clusters are
+    shallow) is detected by an order-independent uint64 hash-sum of the
+    (id, label) multiset going stationary — an O(1) driver scalar per
+    iteration, no diff join. The reference has no graph machinery
+    (SURVEY.md §2.9); this follows the standard iterative min-label
+    CC construction (cf. Hash-to-Min / CC-MR).
+    """
+    from .aggregate import _vec_hash_strings
+
+    sch = pairs.schema()
+    id_type = dict(zip(sch.names, sch.types))[a_col]  # labels keep the native id
+    # type: min over int64 ids must be numeric, not lexicographic
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t.column(a_col).combine_chunks(), t.column(b_col).combine_chunks(),
+            ]),
+            "dst": pa.concat_arrays([
+                t.column(b_col).combine_chunks(), t.column(a_col).combine_chunks(),
+            ]),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # O(dup mass); consumed once per iteration
+
+    empty = pa.table({id_col: pa.array([], id_type),
+                      label_col: pa.array([], id_type)})
+    if edges.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        # initial label of src = min(src, each dst) — grouped min below
+        return pa.table({id_col: t.column("src"),
+                         label_col: pc.min_element_wise(t.column("src"), t.column("dst"))})
+
+    labels = two_phase_aggregate(
+        edges.map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True),
+        [id_col], [(label_col, "min", label_col)], num_buckets=num_buckets,
+    ).materialize()
+
+    def checksum(lbl_ds) -> int:
+        def h(t: pa.Table) -> pa.Table:
+            joined = pc.binary_join_element_wise(
+                pc.cast(t.column(id_col), pa.string()).combine_chunks(),
+                pc.cast(t.column(label_col), pa.string()).combine_chunks(), "\x1f")
+            if isinstance(joined, pa.ChunkedArray):
+                joined = joined.combine_chunks()
+            s = _vec_hash_strings(joined).sum(dtype=np.uint64)
+            # reinterpret as int64: keeps Arrow-native summing (wraparound is
+            # fine — this is a fingerprint, not a count)
+            return pa.table({"h": pa.array([int(s.astype(np.int64))], pa.int64())})
+        # wraparound sum — order-independent; labels move monotonically down
+        # so a stationary sum means a stationary label multiset
+        # (up to a ~2^-64 per-step collision)
+        return int(lbl_ds.map_batches(h, batch_format="pyarrow").sum("h")) & ((1 << 64) - 1)
+
+    prev_sum = checksum(labels)
+    for _ in range(max_iters):
+        tagged_edges = edges.map_batches(
+            lambda t: pa.table({id_col: t.column("src"), "__dst": t.column("dst"),
+                                label_col: pa.nulls(t.num_rows, id_type)}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col),
+                                "__dst": pa.nulls(t.num_rows, id_type),
+                                label_col: t.column(label_col)}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+        def propagate(t: pa.Table) -> pa.Table:
+            # label rows have null __dst; edge rows carry (src=id, dst).
+            # Vectorized label lookup: sort label rows by id, searchsorted
+            # the edge srcs (every src has exactly one label row in its
+            # bucket — the bucket key IS the src id).
+            isl = pc.is_null(t.column("__dst")).to_numpy(zero_copy_only=False)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            dst = t.column("__dst").to_numpy(zero_copy_only=False)
+            lbl = t.column(label_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(ids[isl])
+            lids, llbl = ids[isl][order], lbl[isl][order]
+            pos = np.searchsorted(lids, ids[~isl])
+            return pa.table({
+                id_col: pa.array(np.concatenate([lids, dst[~isl]]), id_type),
+                label_col: pa.array(np.concatenate([llbl, llbl[pos]]), id_type),
+            })
+
+        msgs = grouped_apply(tagged_labels.union(tagged_edges), [id_col], propagate,
+                             batch_format="pyarrow", num_buckets=num_buckets)
+        labels = two_phase_aggregate(
+            msgs, [id_col], [(label_col, "min", label_col)], num_buckets=num_buckets,
+        ).materialize()
+        cur = checksum(labels)
+        if cur == prev_sum:
+            return labels
+        prev_sum = cur
+    raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")

@@ -144,3 +144,66 @@ def test_anti_join_ids():
     out = anti_join_ids(left, drop).to_pandas().sort_values("doc_id")
     assert list(out.doc_id) == [1, 3, 5]
     assert list(out.lang) == ["a", "c", "e"]
+
+
+def _brute_components(pairs):
+    """Independent union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_paths_and_isolates():
+    from rotel_ray.stages.dedup import connected_components
+
+    # diameter-4 path (forces >1 propagation iteration), a 2-cycle, a triangle
+    pairs = [("d1", "d0"), ("d2", "d1"), ("d3", "d2"), ("d4", "d3"),
+             ("x2", "x1"), ("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
+    t = pa.table({"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]})
+    out = connected_components(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == _brute_components(pairs)
+
+
+def test_connected_components_int_ids_numeric_min():
+    from rotel_ray.stages.dedup import connected_components
+
+    # 10 < 2 lexicographically would be the bug; numeric min must win
+    t = pa.table({"doc_a": pa.array([10, 2, 300], pa.int64()),
+                  "doc_b": pa.array([2, 1, 10], pa.int64())})
+    out = connected_components(rd.from_arrow(t)).to_pandas()
+    assert dict(zip(out.doc_id, out.cluster_id)) == {1: 1, 2: 1, 10: 1, 300: 1}
+    assert out.doc_id.dtype == "int64"
+
+
+def test_connected_components_empty():
+    from rotel_ray.stages.dedup import connected_components
+
+    t = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    out = connected_components(rd.from_arrow(t))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "cluster_id"}
+
+
+def test_connected_components_random_vs_union_find():
+    from rotel_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 120, 150)
+    off = rng.integers(1, 8, 150)
+    pairs = [(int(x), int(x + o)) for x, o in zip(a, off)]
+    t = pa.table({"doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "doc_b": pa.array([p[1] for p in pairs], pa.int64())})
+    out = connected_components(rd.from_arrow(t).repartition(5)).to_pandas()
+    assert dict(zip(out.doc_id, out.cluster_id)) == _brute_components(pairs)
