@@ -1035,6 +1035,73 @@ def q_span_operation(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_span_resource(sf_dir: str):
+    """Datadog resource-name / service / env / status-code extraction
+    (otel_util.rs:176-345 + attributes.rs:9-23,79-110) over span-like rows
+    from the parsed transcripts: nginx access lines are server spans
+    (method + route from the request, status code), tool calls are client
+    spans (rpc tools -> rpc.method/rpc.service; db tools -> db.system +
+    db.query.text = the command), everything else falls through the cascade
+    to the span name (= event_type)."""
+    from .stages.enrich import _lookup
+    from .stages.transform import (env_cascade, resource_name_cascade,
+                                   service_cascade, status_code_cascade)
+
+    ds = _parsed(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        is_tool = pc.equal(et, "tool_call")
+        is_server = pc.is_in(et, value_set=pa.array(["nginx_access", "json"]))
+        kind = pc.if_else(is_tool, pa.scalar("client"),
+                          pc.if_else(is_server, pa.scalar("server"), pa.scalar("internal")))
+        req = pc.fill_null(t.column("request").combine_chunks(), "")
+        m = pc.extract_regex(req, r"^(?P<m>\S+) (?P<p>\S+) ")
+        tn = t.column("tool_name").combine_chunks()
+        db_system = _lookup(tn, _DB_BY_TOOL)
+        rpc_tool = pc.is_in(tn, value_set=pa.array(list(_RPC_BY_TOOL)))
+        span = pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "span_kind": kind,
+            "span_name": et,
+            "http_method": pc.struct_field(m, "m"),
+            "http_route": pc.struct_field(m, "p"),
+            "rpc_method": pc.if_else(pc.fill_null(rpc_tool, False), tn,
+                                     pa.nulls(t.num_rows, pa.string())),
+            "rpc_service": _lookup(tn, _RPC_SERVICE_BY_TOOL),
+            "db_system": db_system,
+            "db_query": pc.if_else(pc.is_valid(db_system), t.column("tool_cmd").combine_chunks(),
+                                   pa.nulls(t.num_rows, pa.string())),
+            "svc_name": pc.if_else(pc.fill_null(is_tool, False),
+                                   pc.binary_join_element_wise(
+                                       pa.nulls(t.num_rows, pa.string()).fill_null("tool-"),
+                                       pc.cast(tn, pa.string()), ""),
+                                   pa.nulls(t.num_rows, pa.string())),
+            "dep_env": pc.if_else(pc.equal(et, "nginx_access"), pa.scalar("production"),
+                                  pa.nulls(t.num_rows, pa.string())),
+            "dep_env_name": pc.if_else(pc.equal(et, "json"), pa.scalar("staging"),
+                                       pa.nulls(t.num_rows, pa.string())),
+            "status": t.column("status"),
+        })
+        attrs = {"http.request.method": "http_method", "http.route": "http_route",
+                 "rpc.method": "rpc_method", "rpc.service": "rpc_service",
+                 "db.system": "db_system", "db.query.text": "db_query",
+                 "service.name": "svc_name", "deployment.environment": "dep_env",
+                 "deployment.environment.name": "dep_env_name",
+                 "http.response.status_code": "status"}
+        return pa.table({
+            "conv_id": span.column("conv_id"),
+            "turn_idx": span.column("turn_idx"),
+            "resource_name": resource_name_cascade(span, attrs=attrs),
+            "service": service_cascade(span, attrs=attrs),
+            "env": env_cascade(span, attrs=attrs),
+            "status_code": status_code_cascade(span, attrs=attrs),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_metrics_emf_json(sf_dir: str):
     """EMF JSON event serialization + namespace fallback chain
     (awsemf/transformer.rs:533-619, 746-766): grouped metrics with
@@ -1253,6 +1320,7 @@ QUERIES = {
     # --- exporter-transform operators (round 2) ---
     "attrs_flatten": q_attrs_flatten,
     "span_operation": q_span_operation,
+    "span_resource": q_span_resource,
     "metrics_emf_json": q_metrics_emf_json,
     "xray_groups": q_xray_groups,
     "redaction_body": q_redaction_body,
@@ -1673,6 +1741,42 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             WHEN {SQL_IS_TOOL} THEN 'http'
             ELSE 'custom' END AS span_type
         FROM {T}"""
+    # mirrors resource_name/service/env/status_code cascades over the fixture
+    # derivations of q_span_resource: server spans = method+route, rpc tools
+    # = method [+service], db tools = query text, fallthrough = span name
+    sql["span_resource"] = rf"""
+        WITH base AS (
+          SELECT conv_id, turn_idx,
+                 {SQL_EVENT_TYPE} AS et,
+                 {_TN} AS tn,
+                 regexp_extract(text, 'cmd="([^"]*)"', 1) AS cmd,
+                 CASE WHEN {SQL_IS_ACCESS} THEN
+                        NULLIF(regexp_extract(text,
+                          '^\S+ - \S+ \[[^\]]+\] "(\S+) (\S+) [^"]*"', 1), '')
+                      WHEN {SQL_IS_JSON} THEN
+                        NULLIF(regexp_extract(json_extract_string(text, '$.request'),
+                          '^(\S+) (\S+) ', 1), '') END AS method,
+                 CASE WHEN {SQL_IS_ACCESS} THEN
+                        NULLIF(regexp_extract(text,
+                          '^\S+ - \S+ \[[^\]]+\] "(\S+) (\S+) [^"]*"', 2), '')
+                      WHEN {SQL_IS_JSON} THEN
+                        NULLIF(regexp_extract(json_extract_string(text, '$.request'),
+                          '^(\S+) (\S+) ', 2), '') END AS route,
+                 {SQL_STATUS} AS status
+          FROM {T})
+        SELECT conv_id, turn_idx,
+          CASE
+            WHEN method IS NOT NULL THEN method || ' ' || route
+            WHEN et = 'tool_call' AND tn = 'bash' THEN tn
+            WHEN et = 'tool_call' AND tn = 'browser' THEN tn || ' s3'
+            WHEN et = 'tool_call' AND tn IN ('python', 'search') THEN cmd
+            ELSE et END AS resource_name,
+          CASE WHEN et = 'tool_call' THEN 'tool-' || tn
+               ELSE 'otlpresourcenoservicename' END AS service,
+          CASE WHEN et = 'nginx_access' THEN 'production'
+               WHEN et = 'json' THEN 'staging' ELSE '' END AS env,
+          CAST(status AS BIGINT) AS status_code
+        FROM base"""
     sql["metrics_emf_json"] = f"""
         SELECT 'svc/rotel' AS namespace, {SQL_EVENT_TYPE} AS name,
                role, 'role' AS dims,

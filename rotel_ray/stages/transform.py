@@ -424,3 +424,90 @@ def xray_prefix_groups(t: pa.Table, *, id_cols=("conv_id", "turn_idx"),
     cols.update({"block": pa.array([], pa.string()), "attr_key": pa.array([], pa.string()),
                  "attr_value": pa.array([], pa.string())})
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# 5. Datadog resource-name / service / env / status-code extraction
+# ---------------------------------------------------------------------------
+
+MAX_RESOURCE_LEN = 5_000  # otel_util.rs:19
+DEFAULT_SERVICE = "otlpresourcenoservicename"  # otel_util.rs:265
+
+
+def resource_name_cascade(t: pa.Table, *, kind_col: str = "span_kind",
+                          name_col: str = "span_name",
+                          attrs: dict[str, str] | None = None) -> pa.Array:
+    """get_otel_resource_v2 / get_resource_name_unchecked
+    (otel_util.rs:176-254): ordered precedence producing the Datadog
+    resource name, vectorized as one coalesce chain —
+
+      resource.name
+      -> http method (``_OTHER`` -> "HTTP"; server spans append http.route)
+      -> messaging.operation.name [+ destination]
+      -> rpc.method [+ rpc.service]
+      -> graphql.operation.type [+ operation.name]
+      -> db.system present: db.query.text else db.statement
+      -> span name, truncated to MAX_RESOURCE_LEN.
+
+    Note the db branch falls through to the span name when db.system is set
+    but neither query text nor statement exists (no early return in the
+    reference either)."""
+    attrs = attrs or {}
+    a = lambda name: _col(t, attrs, name)  # noqa: E731
+    kind = pc.cast(t.column(kind_col).combine_chunks(), pa.string())
+    is_server = pc.fill_null(pc.equal(kind, "server"), False)
+
+    method = pc.coalesce(a("http.request.method"), a("http.method"))
+    method_name = pc.if_else(pc.equal(method, "_OTHER"), _const(t, "HTTP"), method)
+    with_route = _fmt(method_name, _const(t, " "), a("http.route"))
+    http_branch = pc.if_else(is_server, pc.coalesce(with_route, method_name), method_name)
+
+    msg_op = a("messaging.operation.name")
+    dest = pc.coalesce(a("messaging.destination"), a("messaging.destination.name"))
+    msg_branch = pc.coalesce(_fmt(msg_op, _const(t, " "), dest), msg_op)
+
+    rpc_m, rpc_s = a("rpc.method"), a("rpc.service")
+    rpc_branch = pc.coalesce(_fmt(rpc_m, _const(t, " "), rpc_s), rpc_m)
+
+    gql_t, gql_n = a("graphql.operation.type"), a("graphql.operation.name")
+    gql_branch = pc.coalesce(_fmt(gql_t, _const(t, " "), gql_n), gql_t)
+
+    db_branch = pc.if_else(pc.is_valid(a("db.system")),
+                           pc.coalesce(a("db.query.text"), a("db.statement")),
+                           pa.nulls(t.num_rows, pa.string()))
+
+    name = (pc.cast(t.column(name_col).combine_chunks(), pa.string())
+            if name_col in t.column_names else pa.nulls(t.num_rows, pa.string()))
+
+    out = pc.coalesce(a("resource.name"), http_branch, msg_branch, rpc_branch,
+                      gql_branch, db_branch, name)
+    return pc.utf8_slice_codeunits(out, 0, MAX_RESOURCE_LEN)
+
+
+def service_cascade(t: pa.Table, *, attrs: dict[str, str] | None = None) -> pa.Array:
+    """get_otel_service (otel_util.rs:257-280): service.name with the
+    constant fallback when absent."""
+    return pc.coalesce(_col(t, attrs or {}, "service.name"), _const(t, DEFAULT_SERVICE))
+
+
+def env_cascade(t: pa.Table, *, attrs: dict[str, str] | None = None) -> pa.Array:
+    """get_otel_env (otel_util.rs:305-316): deployment.environment.name ->
+    deprecated deployment.environment -> "" (find_first_in_resource returns
+    the empty string on no match, attributes.rs:9-23)."""
+    attrs = attrs or {}
+    return pc.coalesce(_col(t, attrs, "deployment.environment.name"),
+                       _col(t, attrs, "deployment.environment"), _const(t, ""))
+
+
+def status_code_cascade(t: pa.Table, *, attrs: dict[str, str] | None = None) -> pa.Array:
+    """status_code (otel_util.rs:287-303): http.response.status_code parsed
+    as an integer, else the deprecated http.status_code — a value that fails
+    to parse falls through to the next key, exactly like str::parse there."""
+    attrs = attrs or {}
+
+    def parse_int(arr: pa.Array) -> pa.Array:
+        digits = pc.struct_field(pc.extract_regex(pc.fill_null(arr, ""), r"^(?P<d>\d+)$"), "d")
+        return pc.cast(digits, pa.int64())
+
+    return pc.coalesce(parse_int(_col(t, attrs, "http.response.status_code")),
+                       parse_int(_col(t, attrs, "http.status_code")))

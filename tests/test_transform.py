@@ -293,3 +293,94 @@ def test_attrs_overflow_map_column(tmp_path):
     p = str(tmp_path / "m.parquet")
     pq.write_table(out, p)
     assert pq.read_table(p).column("attrs").to_pylist() == got
+
+
+# ---------------------------------------------------------------------------
+# resource-name / service / env / status-code cascades (otel_util.rs:176-345)
+# ---------------------------------------------------------------------------
+
+
+def _span_table(rows):
+    cols = {}
+    keys = set().union(*rows)
+    for k in keys:
+        cols[k] = pa.array([r.get(k) for r in rows], pa.string())
+    return pa.table(cols)
+
+
+_RES_ATTRS = {
+    "resource.name": "resource_name", "http.request.method": "http_method",
+    "http.method": "http_method_old", "http.route": "http_route",
+    "messaging.operation.name": "msg_op", "messaging.destination": "msg_dest",
+    "messaging.destination.name": "msg_dest_name", "rpc.method": "rpc_method",
+    "rpc.service": "rpc_service", "graphql.operation.type": "gql_type",
+    "graphql.operation.name": "gql_name", "db.system": "db_system",
+    "db.query.text": "db_query", "db.statement": "db_stmt",
+    "service.name": "svc", "deployment.environment.name": "env_name",
+    "deployment.environment": "env_old",
+    "http.response.status_code": "status_new", "http.status_code": "status_old",
+}
+
+
+def test_resource_name_cascade_branches():
+    from rotel_ray.stages.transform import resource_name_cascade
+
+    rows = [
+        # explicit resource.name wins over everything
+        {"span_kind": "server", "span_name": "n", "resource_name": "explicit",
+         "http_method": "GET", "http_route": "/r"},
+        # server + method + route
+        {"span_kind": "server", "span_name": "n", "http_method": "GET", "http_route": "/api"},
+        # _OTHER normalizes to HTTP (otel_util.rs:206-209)
+        {"span_kind": "server", "span_name": "n", "http_method": "_OTHER", "http_route": "/x"},
+        # client never appends route
+        {"span_kind": "client", "span_name": "n", "http_method": "POST", "http_route": "/api"},
+        # deprecated http.method fallback
+        {"span_kind": "client", "span_name": "n", "http_method_old": "PUT"},
+        # messaging with deprecated destination key preferred
+        {"span_kind": "producer", "span_name": "n", "msg_op": "send",
+         "msg_dest": "q1", "msg_dest_name": "q2"},
+        {"span_kind": "producer", "span_name": "n", "msg_op": "send"},
+        # rpc method +- service
+        {"span_kind": "client", "span_name": "n", "rpc_method": "Get", "rpc_service": "S3"},
+        {"span_kind": "client", "span_name": "n", "rpc_method": "Get"},
+        # graphql
+        {"span_kind": "server", "span_name": "n", "gql_type": "query", "gql_name": "Me"},
+        # db.system present: query text, else statement, else FALL THROUGH to name
+        {"span_kind": "client", "span_name": "n", "db_system": "postgresql", "db_query": "SELECT 1"},
+        {"span_kind": "client", "span_name": "n", "db_system": "postgresql", "db_stmt": "SELECT 2"},
+        {"span_kind": "client", "span_name": "fallthrough", "db_system": "postgresql"},
+        # nothing: span name
+        {"span_kind": "internal", "span_name": "plain"},
+    ]
+    out = resource_name_cascade(_span_table(rows), attrs=_RES_ATTRS).to_pylist()
+    assert out == ["explicit", "GET /api", "HTTP /x", "POST", "PUT",
+                   "send q1", "send", "Get S3", "Get", "query Me",
+                   "SELECT 1", "SELECT 2", "fallthrough", "plain"]
+
+
+def test_resource_name_truncated_to_max_len():
+    from rotel_ray.stages.transform import MAX_RESOURCE_LEN, resource_name_cascade
+
+    t = _span_table([{"span_kind": "internal", "span_name": "x" * 6000}])
+    out = resource_name_cascade(t, attrs=_RES_ATTRS).to_pylist()
+    assert len(out[0]) == MAX_RESOURCE_LEN
+
+
+def test_service_env_status_cascades():
+    from rotel_ray.stages.transform import (env_cascade, service_cascade,
+                                            status_code_cascade)
+
+    rows = [
+        {"span_kind": "s", "svc": "api", "env_name": "prod-eu", "env_old": "ignored",
+         "status_new": "200", "status_old": "500"},
+        # parse failure on the new key falls through to the deprecated one
+        # (otel_util.rs:287-303 str::parse fallthrough)
+        {"span_kind": "s", "env_old": "legacy", "status_new": "abc", "status_old": "404"},
+        {"span_kind": "s"},
+    ]
+    t = _span_table(rows)
+    assert service_cascade(t, attrs=_RES_ATTRS).to_pylist() == [
+        "api", "otlpresourcenoservicename", "otlpresourcenoservicename"]
+    assert env_cascade(t, attrs=_RES_ATTRS).to_pylist() == ["prod-eu", "legacy", ""]
+    assert status_code_cascade(t, attrs=_RES_ATTRS).to_pylist() == [200, 404, None]
