@@ -1102,6 +1102,62 @@ def q_span_resource(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_dd_source(sf_dir: str):
+    """Datadog source detection (source.rs:40-107, cloud.rs, k8s.rs) over
+    resource attrs derived per event type: kmsg rows alternate ECS-Fargate
+    task ARNs and datadog.host.name, access rows carry a ``host`` attr, json
+    rows are k8s nodes (+cluster), tool rows are aws instances (host.id),
+    error rows are azure VMs (host.name fallback), nginx_error rows have
+    bare host.name, chat rows have nothing -> no source."""
+    from .stages.transform import source_cascade
+
+    ds = _parsed(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        nulls = pa.nulls(n, pa.string())
+        et = t.column("event_type").combine_chunks()
+        s = lambda c: pc.cast(t.column(c).combine_chunks(), pa.string())  # noqa: E731
+        is_ = lambda v: pc.fill_null(pc.equal(et, v), False)  # noqa: E731
+        seq_even = pc.fill_null(
+            pc.equal(pc.bit_wise_and(pc.cast(t.column("km_seq"), pa.int64()), 1), 0), False)
+        glue = lambda prefix, arr: pc.binary_join_element_wise(  # noqa: E731
+            pa.nulls(n, pa.string()).fill_null(prefix), arr, "", null_handling="emit_null")
+        span = pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "launchtype": pc.if_else(pc.and_(is_("kmsg"), seq_even),
+                                     pa.scalar("fargate"), nulls),
+            "task_arn": pc.if_else(pc.and_(is_("kmsg"), seq_even),
+                                   glue("arn:ecs:", s("conv_id")), nulls),
+            "dd_host": pc.if_else(pc.and_(is_("kmsg"), pc.invert(seq_even)),
+                                  glue("ddh-", s("km_facility")), nulls),
+            "host": pc.if_else(is_("nginx_access"), s("remote_addr"), nulls),
+            "k8s_node": pc.if_else(is_("json"), glue("node-", s("status")), nulls),
+            "k8s_cluster": pc.if_else(
+                is_("json"),
+                glue("c", pc.cast(pc.bit_wise_and(pc.cast(t.column("turn_idx"), pa.int64()), 1),
+                                  pa.string())), nulls),
+            "provider": pc.if_else(is_("tool_call"), pa.scalar("aws"),
+                                   pc.if_else(is_("error"), pa.scalar("azure"), nulls)),
+            "host_id": pc.if_else(is_("tool_call"), glue("i-", s("tool_name")), nulls),
+            "host_name": pc.if_else(is_("error"), glue("vm-", s("error_code")),
+                                    pc.if_else(is_("nginx_error"), glue("ng-", s("ng_level")),
+                                               nulls)),
+        })
+        attrs = {"aws.ecs.launchtype": "launchtype", "aws.ecs.task.arn": "task_arn",
+                 "datadog.host.name": "dd_host", "host": "host",
+                 "k8s.node.name": "k8s_node", "k8s.cluster.name": "k8s_cluster",
+                 "cloud.provider": "provider", "host.id": "host_id",
+                 "host.name": "host_name"}
+        kind, ident = source_cascade(span, attrs=attrs)
+        return pa.table({"conv_id": span.column("conv_id"),
+                         "turn_idx": span.column("turn_idx"),
+                         "source_kind": kind, "source_id": ident})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_metrics_emf_json(sf_dir: str):
     """EMF JSON event serialization + namespace fallback chain
     (awsemf/transformer.rs:533-619, 746-766): grouped metrics with
@@ -1321,6 +1377,7 @@ QUERIES = {
     "attrs_flatten": q_attrs_flatten,
     "span_operation": q_span_operation,
     "span_resource": q_span_resource,
+    "dd_source": q_dd_source,
     "metrics_emf_json": q_metrics_emf_json,
     "xray_groups": q_xray_groups,
     "redaction_body": q_redaction_body,
@@ -1777,6 +1834,42 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                WHEN et = 'json' THEN 'staging' ELSE '' END AS env,
           CAST(status AS BIGINT) AS status_code
         FROM base"""
+    # mirrors source_cascade over q_dd_source's per-event-type attr
+    # derivations, including the localhost discard (source.rs:64-73)
+    sql["dd_source"] = rf"""
+        WITH base AS (
+          SELECT conv_id, turn_idx, {SQL_EVENT_TYPE} AS et, {_TN} AS tn,
+                 TRY_CAST(regexp_extract(text, '^(\d+),', 1) AS INTEGER) AS km_prio,
+                 TRY_CAST(regexp_extract(text, '^\d+,(\d+),', 1) AS BIGINT) AS km_seq,
+                 regexp_extract(text, '^(\S+) ', 1) AS remote_addr,
+                 CASE WHEN {SQL_IS_JSON}
+                      THEN json_extract_string(text, '$.status') END AS jstatus,
+                 regexp_extract(text, '^ERROR code=(\w+)', 1) AS ecode,
+                 regexp_extract(text, '\[(\w+)\]', 1) AS nglevel
+          FROM {T}),
+        derived AS (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN et = 'kmsg' AND km_seq % 2 = 0
+                      THEN 'arn:ecs:' || conv_id END AS arn,
+                 CASE WHEN et = 'kmsg' AND km_seq % 2 = 1
+                        THEN 'ddh-' || CAST(km_prio // 8 AS VARCHAR)
+                      WHEN et = 'nginx_access' THEN remote_addr
+                      WHEN et = 'json'
+                        THEN 'node-' || jstatus || '-c' || CAST(turn_idx % 2 AS VARCHAR)
+                      WHEN et = 'tool_call' THEN 'i-' || tn
+                      WHEN et = 'error' THEN 'vm-' || ecode
+                      WHEN et = 'nginx_error' THEN 'ng-' || nglevel END AS hn0
+          FROM base)
+        SELECT conv_id, turn_idx,
+          CASE WHEN arn IS NOT NULL THEN 'task_arn'
+               WHEN hostname IS NOT NULL THEN 'host' END AS source_kind,
+          COALESCE(arn, hostname) AS source_id
+        FROM (SELECT conv_id, turn_idx, arn,
+                     CASE WHEN hn0 IN ('0.0.0.0', '127.0.0.1', 'localhost',
+                                       'localhost.localdomain',
+                                       'localhost6.localdomain6', 'ip6-localhost')
+                          THEN NULL ELSE hn0 END AS hostname
+              FROM derived)"""
     sql["metrics_emf_json"] = f"""
         SELECT 'svc/rotel' AS namespace, {SQL_EVENT_TYPE} AS name,
                role, 'role' AS dims,

@@ -511,3 +511,77 @@ def status_code_cascade(t: pa.Table, *, attrs: dict[str, str] | None = None) -> 
 
     return pc.coalesce(parse_int(_col(t, attrs, "http.response.status_code")),
                        parse_int(_col(t, attrs, "http.status_code")))
+
+
+# ---------------------------------------------------------------------------
+# 6. Datadog source detection (cloud / k8s / fargate -> host identifier)
+# ---------------------------------------------------------------------------
+
+# source.rs:64-73
+LOCALHOST_NAMES = ["0.0.0.0", "127.0.0.1", "localhost", "localhost.localdomain",
+                   "localhost6.localdomain6", "ip6-localhost"]
+
+
+def _ec2_cluster_from_tag(tag_value: pa.Array) -> pa.Array:
+    """cloud.rs:38-48: the aws cluster name is segment [2] of the first
+    ``ec2.tag.kubernetes.io/cluster*`` tag value split on "/" (the reference
+    indexes unchecked; we emit null when fewer than 3 segments)."""
+    m = pc.extract_regex(pc.fill_null(tag_value, ""), r"^[^/]*/[^/]*/(?P<c>[^/]*)")
+    return pc.struct_field(m, "c")
+
+
+def source_cascade(t: pa.Table, *, attrs: dict[str, str] | None = None
+                   ) -> tuple[pa.Array, pa.Array]:
+    """Datadog source detection (source.rs:40-107, cloud.rs, k8s.rs) ->
+    ``(source_kind, source_id)`` arrays with kinds "task_arn" / "host" /
+    null. Ordered precedence, faithfully including the reference's
+    short-circuits:
+
+      fargate launchtype + aws.ecs.task.arn  -> task_arn
+      else hostname precedence: "host" attr -> datadog.host.name ->
+        (fargate: stop) ->
+        (cloud.provider parseable: aws -> host.id, azure -> host.id else
+         host.name, gcp unimplemented (todo!() in cloud.rs:27) -> none;
+         the cascade STOPS here even when the provider lookup found
+         nothing) ->
+        k8s.node.name [+ "-" + cluster name] -> host.id -> host.name
+      localhost variants are discarded (source.rs:64-73).
+    """
+    attrs = attrs or {}
+    a = lambda name: _col(t, attrs, name)  # noqa: E731
+    n = t.num_rows
+    nulls = pa.nulls(n, pa.string())
+
+    fargate = pc.fill_null(pc.equal(a("aws.ecs.launchtype"), "fargate"), False)
+    fargate_src = pc.if_else(fargate, a("aws.ecs.task.arn"), nulls)
+
+    provider = a("cloud.provider")
+    host_id, host_name = a("host.id"), a("host.name")
+    provider_known = pc.fill_null(
+        pc.is_in(provider, value_set=pa.array(["aws", "gcp", "azure"])), False)
+    prov_host = pc.if_else(
+        pc.fill_null(pc.equal(provider, "aws"), False), host_id,
+        pc.if_else(pc.fill_null(pc.equal(provider, "azure"), False),
+                   pc.coalesce(host_id, host_name), nulls))
+
+    node = a("k8s.node.name")
+    cluster = pc.coalesce(
+        a("k8s.cluster.name"),
+        pc.if_else(pc.fill_null(pc.equal(provider, "aws"), False),
+                   _ec2_cluster_from_tag(a("ec2.tag.kubernetes.io/cluster")), nulls))
+    k8s_host = pc.if_else(pc.is_valid(node),
+                          pc.coalesce(_fmt(node, _const(t, "-"), cluster), node), nulls)
+
+    tail = pc.if_else(
+        fargate, nulls,
+        pc.if_else(provider_known, prov_host,
+                   pc.coalesce(k8s_host, host_id, host_name)))
+    unchecked = pc.coalesce(a("host"), a("datadog.host.name"), tail)
+    hostname = pc.if_else(
+        pc.fill_null(pc.is_in(unchecked, value_set=pa.array(LOCALHOST_NAMES)), False),
+        nulls, unchecked)
+
+    kind = pc.if_else(pc.is_valid(fargate_src), _const(t, "task_arn"),
+                      pc.if_else(pc.is_valid(hostname), _const(t, "host"), nulls))
+    ident = pc.coalesce(fargate_src, hostname)
+    return kind, ident

@@ -384,3 +384,73 @@ def test_service_env_status_cascades():
         "api", "otlpresourcenoservicename", "otlpresourcenoservicename"]
     assert env_cascade(t, attrs=_RES_ATTRS).to_pylist() == ["prod-eu", "legacy", ""]
     assert status_code_cascade(t, attrs=_RES_ATTRS).to_pylist() == [200, 404, None]
+
+
+# ---------------------------------------------------------------------------
+# source detection (source.rs / cloud.rs / k8s.rs)
+# ---------------------------------------------------------------------------
+
+_SRC_ATTRS = {
+    "aws.ecs.launchtype": "launchtype", "aws.ecs.task.arn": "task_arn",
+    "host": "host", "datadog.host.name": "dd_host", "cloud.provider": "provider",
+    "host.id": "host_id", "host.name": "host_name", "k8s.node.name": "k8s_node",
+    "k8s.cluster.name": "k8s_cluster",
+    "ec2.tag.kubernetes.io/cluster": "ec2_tag",
+}
+
+
+def test_source_cascade_branches():
+    from rotel_ray.stages.transform import source_cascade
+
+    rows = [
+        # fargate + arn -> task_arn
+        {"span_kind": "s", "launchtype": "fargate", "task_arn": "arn:x",
+         "host": "h1"},
+        # fargate WITHOUT arn: host attr still fires (source.rs:77-79 runs
+        # before the fargate stop at :86-89)
+        {"span_kind": "s", "launchtype": "fargate", "host": "h2"},
+        # fargate without arn and without host/dd host -> nothing
+        {"span_kind": "s", "launchtype": "fargate", "host_id": "ignored"},
+        # host precedence over datadog.host.name
+        {"span_kind": "s", "host": "h3", "dd_host": "d3"},
+        {"span_kind": "s", "dd_host": "d4"},
+        # provider aws -> host.id; provider stops the cascade EVEN when the
+        # lookup finds nothing (unchecked_hostname returns the provider
+        # result unconditionally, source.rs:91-93)
+        {"span_kind": "s", "provider": "aws", "host_id": "i-1", "host_name": "hn"},
+        {"span_kind": "s", "provider": "aws", "host_name": "unreachable",
+         "k8s_node": "unreachable-node"},
+        # azure: host.id else host.name
+        {"span_kind": "s", "provider": "azure", "host_name": "vm-2"},
+        # gcp unimplemented (todo!() cloud.rs:27) -> none
+        {"span_kind": "s", "provider": "gcp", "host_id": "i-g"},
+        # unknown provider string does NOT stop the cascade
+        {"span_kind": "s", "provider": "ibm", "host_id": "i-2"},
+        # k8s node +- cluster name
+        {"span_kind": "s", "k8s_node": "n1", "k8s_cluster": "c1"},
+        {"span_kind": "s", "k8s_node": "n2"},
+        # host.id -> host.name fallbacks
+        {"span_kind": "s", "host_id": "i-3"},
+        {"span_kind": "s", "host_name": "hn-4"},
+        # localhost variants discarded
+        {"span_kind": "s", "host": "127.0.0.1"},
+        {"span_kind": "s", "host": "localhost", "host_name": "shadowed"},
+        {"span_kind": "s"},
+    ]
+    kind, ident = source_cascade(_span_table(rows), attrs=_SRC_ATTRS)
+    assert list(zip(kind.to_pylist(), ident.to_pylist())) == [
+        ("task_arn", "arn:x"), ("host", "h2"), (None, None),
+        ("host", "h3"), ("host", "d4"),
+        ("host", "i-1"), (None, None),
+        ("host", "vm-2"), (None, None), ("host", "i-2"),
+        ("host", "n1-c1"), ("host", "n2"),
+        ("host", "i-3"), ("host", "hn-4"),
+        (None, None), (None, None), (None, None),
+    ]
+
+
+def test_ec2_cluster_tag_split():
+    from rotel_ray.stages.transform import _ec2_cluster_from_tag
+
+    vals = pa.array(["kubernetes.io/cluster/my-cluster", "a/b", None], pa.string())
+    assert _ec2_cluster_from_tag(vals).to_pylist() == ["my-cluster", None, None]
