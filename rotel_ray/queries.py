@@ -1158,6 +1158,41 @@ def q_dd_source(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_ch_metrics_gauge(sf_dir: str):
+    """ClickHouse MetricsGaugeRow table (schema.rs:236-249): one gauge point
+    per nginx access line."""
+    from .stages.ch_metrics import gauge_rows
+    return gauge_rows(_parsed(sf_dir))
+
+
+def q_ch_metrics_sum(sf_dir: str):
+    """ClickHouse MetricsSumRow table (schema.rs:204-220): one cumulative
+    monotonic point per tool call."""
+    from .stages.ch_metrics import sum_rows
+    return sum_rows(_parsed(sf_dir))
+
+
+def q_ch_metrics_histogram(sf_dir: str):
+    """ClickHouse MetricsHistogramRow table (schema.rs:265-284): per-conv
+    tool-duration histogram (explicit bounds, JSON array columns)."""
+    from .stages.ch_metrics import histogram_rows
+    return histogram_rows(_parsed(sf_dir))
+
+
+def q_ch_metrics_exp_histogram(sf_dir: str):
+    """ClickHouse MetricsExpHistogramRow table (schema.rs:310-334): per-conv
+    base-2 exponential histogram of response bytes at scale 0."""
+    from .stages.ch_metrics import exp_histogram_rows
+    return exp_histogram_rows(_parsed(sf_dir))
+
+
+def q_ch_metrics_summary(sf_dir: str):
+    """ClickHouse MetricsSummaryRow table (schema.rs:364-380): per-conv
+    status-code summary with discrete quantiles."""
+    from .stages.ch_metrics import summary_rows
+    return summary_rows(_parsed(sf_dir))
+
+
 def q_metrics_emf_json(sf_dir: str):
     """EMF JSON event serialization + namespace fallback chain
     (awsemf/transformer.rs:533-619, 746-766): grouped metrics with
@@ -1378,6 +1413,11 @@ QUERIES = {
     "span_operation": q_span_operation,
     "span_resource": q_span_resource,
     "dd_source": q_dd_source,
+    "ch_metrics_gauge": q_ch_metrics_gauge,
+    "ch_metrics_sum": q_ch_metrics_sum,
+    "ch_metrics_histogram": q_ch_metrics_histogram,
+    "ch_metrics_exp_histogram": q_ch_metrics_exp_histogram,
+    "ch_metrics_summary": q_ch_metrics_summary,
     "metrics_emf_json": q_metrics_emf_json,
     "xray_groups": q_xray_groups,
     "redaction_body": q_redaction_body,
@@ -1870,6 +1910,90 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                                        'localhost6.localdomain6', 'ip6-localhost')
                           THEN NULL ELSE hn0 END AS hostname
               FROM derived)"""
+    # the five ClickHouse metric row shapes; array columns are canonical
+    # int JSON strings on both sides (MapOrJson convention)
+    _BYTES_ACC = r"""TRY_CAST(regexp_extract(text, '" (\d+) (\d+) "', 2) AS BIGINT)"""
+    sql["ch_metrics_gauge"] = rf"""
+        SELECT role AS service_name, 'body_bytes' AS metric_name,
+               'By' AS metric_unit,
+               '{{"remote_addr":"' || regexp_extract(text, '^(\S+) ', 1) || '"}}'
+                 AS attributes,
+               epoch_ns(ts) AS start_time_unix, epoch_ns(ts) AS time_unix,
+               CAST({_BYTES_ACC} AS DOUBLE) AS value,
+               CAST(0 AS INTEGER) AS flags
+        FROM {T} WHERE {SQL_IS_ACCESS}"""
+    sql["ch_metrics_sum"] = rf"""
+        SELECT role AS service_name, 'tool_duration' AS metric_name,
+               'ms' AS metric_unit,
+               '{{"tool":"' || {_TN} || '"}}' AS attributes,
+               epoch_ns(ts) AS start_time_unix, epoch_ns(ts) AS time_unix,
+               CAST({SQL_DURATION} AS DOUBLE) AS value,
+               CAST(0 AS INTEGER) AS flags,
+               CAST(2 AS INTEGER) AS aggregation_temporality,
+               true AS is_monotonic
+        FROM {T} WHERE {SQL_IS_TOOL}"""
+    sql["ch_metrics_histogram"] = f"""
+        SELECT 'transcripts' AS service_name,
+               'tool_duration_hist' AS metric_name, 'ms' AS metric_unit,
+               '{{"conv_id":"' || conv_id || '"}}' AS attributes,
+               min(epoch_ns(ts)) AS start_time_unix,
+               max(epoch_ns(ts)) AS time_unix,
+               count(*) AS count, CAST(sum(d) AS DOUBLE) AS sum,
+               '[' || sum(CASE WHEN d <= 10 THEN 1 ELSE 0 END)
+               || ',' || sum(CASE WHEN d > 10 AND d <= 100 THEN 1 ELSE 0 END)
+               || ',' || sum(CASE WHEN d > 100 AND d <= 1000 THEN 1 ELSE 0 END)
+               || ',' || sum(CASE WHEN d > 1000 THEN 1 ELSE 0 END) || ']'
+                 AS bucket_counts,
+               '[10,100,1000]' AS explicit_bounds,
+               CAST(0 AS INTEGER) AS flags,
+               CAST(min(d) AS DOUBLE) AS min, CAST(max(d) AS DOUBLE) AS max,
+               CAST(2 AS INTEGER) AS aggregation_temporality
+        FROM (SELECT conv_id, ts, {SQL_DURATION} AS d FROM {T} WHERE {SQL_IS_TOOL})
+        GROUP BY conv_id"""
+    sql["ch_metrics_exp_histogram"] = f"""
+        WITH pts AS (
+          SELECT conv_id, ts, b,
+                 CASE WHEN b > 0 THEN length(bin(b)) - 1 END AS i
+          FROM (SELECT conv_id, ts, {SQL_BYTES} AS b FROM {T})
+          WHERE b IS NOT NULL),
+        g AS (
+          SELECT conv_id, min(epoch_ns(ts)) AS start_ns, max(epoch_ns(ts)) AS end_ns,
+                 count(*) AS cnt, CAST(sum(b) AS DOUBLE) AS s,
+                 CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+                 min(i) AS off, max(i) AS mx,
+                 list(i) FILTER (WHERE i IS NOT NULL) AS idxs,
+                 CAST(min(b) AS DOUBLE) AS mn, CAST(max(b) AS DOUBLE) AS mxb
+          FROM pts GROUP BY conv_id)
+        SELECT 'transcripts' AS service_name, 'body_bytes_exp' AS metric_name,
+               'By' AS metric_unit,
+               '{{"conv_id":"' || conv_id || '"}}' AS attributes,
+               start_ns AS start_time_unix, end_ns AS time_unix,
+               cnt AS count, s AS sum, CAST(0 AS INTEGER) AS scale,
+               zc AS zero_count,
+               CAST(coalesce(off, 0) AS INTEGER) AS positive_offset,
+               CASE WHEN off IS NULL THEN '[]'
+                    ELSE '[' || array_to_string(
+                      list_transform(range(off, mx + 1),
+                                     k -> len(list_filter(idxs, x -> x = k))), ',')
+                    || ']' END AS positive_bucket_counts,
+               CAST(0 AS INTEGER) AS negative_offset,
+               '[]' AS negative_bucket_counts,
+               CAST(0 AS INTEGER) AS flags, mn AS min, mxb AS max,
+               CAST(2 AS INTEGER) AS aggregation_temporality
+        FROM g"""
+    sql["ch_metrics_summary"] = f"""
+        SELECT 'transcripts' AS service_name, 'status_summary' AS metric_name,
+               '1' AS metric_unit,
+               '{{"conv_id":"' || conv_id || '"}}' AS attributes,
+               min(epoch_ns(ts)) AS start_time_unix,
+               max(epoch_ns(ts)) AS time_unix,
+               count(*) AS count, CAST(sum(st) AS DOUBLE) AS sum,
+               '[0.5,0.95]' AS value_at_quantiles_quantile,
+               '[' || quantile_disc(st, 0.5) || ',' || quantile_disc(st, 0.95)
+               || ']' AS value_at_quantiles_value,
+               CAST(0 AS INTEGER) AS flags
+        FROM (SELECT conv_id, ts, CAST({SQL_STATUS} AS BIGINT) AS st FROM {T})
+        WHERE st IS NOT NULL GROUP BY conv_id"""
     sql["metrics_emf_json"] = f"""
         SELECT 'svc/rotel' AS namespace, {SQL_EVENT_TYPE} AS name,
                role, 'role' AS dims,
