@@ -853,6 +853,16 @@ def q_dedup_clusters(sf_dir: str):
     return connected_components(minhash_lsh_neardup(ds, threshold=0.5))
 
 
+def q_dedup_keep_clustered(sf_dir: str):
+    """Cluster-aware near-dup removal: one representative (min doc_id) per
+    transitive dup cluster survives — pairs -> connected components ->
+    distributed anti-join of all non-representatives."""
+    from .stages.dedup import minhash_dedup_keep_clustered
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    return minhash_dedup_keep_clustered(ds, threshold=0.5, keep_cols=["doc_id", "lang"])
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end corpus-curation chain — the composed LLM-training-data
     pipeline: token/alpha quality gate -> language allowlist -> exact dedup
@@ -1427,6 +1437,7 @@ QUERIES = {
     "duration_quantiles": q_duration_quantiles,
     "dedup_keep": q_dedup_keep,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_clustered": q_dedup_keep_clustered,
     "heavy_hitters": q_heavy_hitters,
     "attrs_overflow": q_attrs_overflow,
 }
@@ -2059,6 +2070,10 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
           SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
         )
         SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id"""
+    sql["dedup_keep_clustered"] = f"""
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT doc_id FROM ({sql["dedup_clusters"]}) WHERE doc_id != cluster_id)"""
     sql["corpus_curation"] = r"""
         SELECT min(doc_id) AS doc_id, min(lang) AS lang,
                CAST(min(n_tokens) AS BIGINT) AS n_tokens, count(*) AS n_dups

@@ -948,3 +948,32 @@ def connected_components(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
             return labels
         prev_sum = cur
     raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")
+
+
+def minhash_dedup_keep_clustered(ds, *, threshold: float = 0.7, num_perm: int = 64,
+                                 bands: int = 16, k_shingle: int = 3,
+                                 text_col: str = "text", id_col: str = "doc_id",
+                                 keep_cols: list[str] | None = None,
+                                 num_buckets: int = 64):
+    """Cluster-aware near-dup removal: verified pairs -> transitive
+    components -> keep exactly ONE representative (the min id) per cluster.
+    Unlike ``minhash_dedup_keep``'s per-pair match-drops-newer policy, a
+    chain a~b~c keeps only a (c is dropped through transitivity even though
+    (a,c) never verified directly) — the textbook corpus-dedup output.
+    Everything is distributed: pairs stay a Dataset, components are
+    min-label propagation, the drop side feeds the bucketed anti-join."""
+    pairs = minhash_lsh_neardup(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        k_shingle=k_shingle, text_col=text_col, id_col=id_col,
+    )
+    comp = connected_components(pairs, id_col=id_col, num_buckets=num_buckets)
+    drop = comp.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column(id_col), t.column("cluster_id"))))
+                   .select([id_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    keep_side = ds.map_batches(
+        lambda t: t.select(keep_cols or [id_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return anti_join_ids(keep_side, drop, id_col=id_col)

@@ -171,7 +171,7 @@ def test_connected_components_paths_and_isolates():
     pairs = [("d1", "d0"), ("d2", "d1"), ("d3", "d2"), ("d4", "d3"),
              ("x2", "x1"), ("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
     t = pa.table({"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]})
-    out = connected_components(rd.from_arrow(t).repartition(3)).to_pandas()
+    out = connected_components(rd.from_arrow(t).repartition(3), num_buckets=8).to_pandas()
     got = dict(zip(out.doc_id, out.cluster_id))
     assert got == _brute_components(pairs)
 
@@ -205,5 +205,34 @@ def test_connected_components_random_vs_union_find():
     pairs = [(int(x), int(x + o)) for x, o in zip(a, off)]
     t = pa.table({"doc_a": pa.array([p[0] for p in pairs], pa.int64()),
                   "doc_b": pa.array([p[1] for p in pairs], pa.int64())})
-    out = connected_components(rd.from_arrow(t).repartition(5)).to_pandas()
+    out = connected_components(rd.from_arrow(t).repartition(5), num_buckets=8).to_pandas()
     assert dict(zip(out.doc_id, out.cluster_id)) == _brute_components(pairs)
+
+
+def test_clustered_keep_differs_from_per_pair_keep():
+    from rotel_ray.stages.dedup import (minhash_dedup_keep,
+                                        minhash_dedup_keep_clustered)
+
+    # star over 3-token shingle sets: c = s1..s20, a = s1..s14, b = s7..s20
+    # -> j(a,c) = j(b,c) = 0.7 (verified at tau 0.45, banding recall ~1),
+    # j(a,b) = 8/20 = 0.4 (candidate pairs get exact-rejected). Per-pair
+    # policy keeps BOTH a and b (only c is ever a doc_b); clustered policy
+    # keeps only the component min a.
+    toks = [f"tok{i:02d}" for i in range(22)]
+    c_text = " ".join(toks)
+    a_text = " ".join(toks[:16])
+    b_text = " ".join(toks[6:])
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3] + list(range(10, 16)), pa.int64()),
+        "text": pa.array([a_text, b_text, c_text] +
+                         [f"unrelated filler document number {i} with words" * 2
+                          for i in range(6)]),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    pair_keep = set(minhash_dedup_keep(ds, threshold=0.45,
+                                       keep_cols=["doc_id"]).to_pandas().doc_id)
+    clus_keep = set(minhash_dedup_keep_clustered(ds, threshold=0.45,
+                                                 keep_cols=["doc_id"], num_buckets=8).to_pandas().doc_id)
+    others = set(range(10, 16))
+    assert pair_keep == {1, 2} | others
+    assert clus_keep == {1} | others
