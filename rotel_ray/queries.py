@@ -841,6 +841,16 @@ def q_dedup_keep(sf_dir: str):
     return minhash_dedup_keep(ds, threshold=0.5, keep_cols=["doc_id", "lang"])
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition signals (distinct-3gram deficit, top
+    2-gram mass) — the n-gram repetition quality gates of a training-data
+    curation pipeline."""
+    from .stages.textstats import repetition_stats
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Transitive near-dup CLUSTERS from verified pairs: distributed
     connected components (min-label propagation over the pair graph), so a
@@ -1438,6 +1448,7 @@ QUERIES = {
     "dedup_keep": q_dedup_keep,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_clustered": q_dedup_keep_clustered,
+    "doc_repetition": q_doc_repetition,
     "heavy_hitters": q_heavy_hitters,
     "attrs_overflow": q_attrs_overflow,
 }
@@ -2059,6 +2070,32 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # transitive closure of the verified pair graph via recursive min-label
     # walk: lbl of id = every node reachable from id; MIN over them = the
     # component representative (matches connected_components exactly)
+    sql["doc_repetition"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+                 CASE WHEN len(tk) >= 3 THEN
+                   list_transform(generate_series(1, len(tk) - 2),
+                                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [] END AS g3,
+                 CASE WHEN len(tk) >= 2 THEN
+                   list_transform(generate_series(1, len(tk) - 1),
+                                  i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [] END AS g2
+          FROM toks)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN len(g3) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+               END AS rep_3gram,
+               CASE WHEN len(g2) = 0 THEN 0.0
+                    ELSE CAST(list_max(list_transform(list_distinct(g2),
+                           x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+                         / len(g2)
+               END AS top_2gram_frac
+        FROM g"""
     sql["dedup_clusters"] = f"""
         WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM ({sql["dedup_minhash"]})),
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs

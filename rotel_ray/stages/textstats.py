@@ -207,3 +207,61 @@ def quality_score(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals per document (Rae et al. 2021
+    §A1.1 repetition filters — public paper; the reference engine has no
+    text-quality machinery):
+
+    - ``rep_3gram``       = 1 - distinct 3-grams / total 3-grams (0 when the
+                            doc has < 3 tokens),
+    - ``top_2gram_frac``  = occurrences of the most frequent 2-gram / total
+                            2-grams (0 when < 2 tokens).
+
+    Fully vectorized per batch: one flat n-gram hash stream for the whole
+    batch (shared rolling-poly kernel of the minhash path), lexsort by
+    (doc, value), run-length segment scan — no per-row Python."""
+    from .dedup import _batch_shingle_stream, _batch_token_hashes
+
+    def per_k(text: pa.Array, tok_counts: np.ndarray, k: int):
+        vals, cnts = _batch_shingle_stream(text, k)
+        ndoc = len(cnts)
+        seg = np.repeat(np.arange(ndoc), cnts)
+        order = np.lexsort((vals, seg))
+        sv, ss = vals[order], seg[order]
+        if len(sv):
+            newrun = np.r_[True, (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])]
+            distinct = np.bincount(ss[newrun], minlength=ndoc).astype(np.int64)
+            run_starts = np.flatnonzero(newrun)
+            run_lens = np.diff(np.r_[run_starts, len(sv)])
+            run_seg = ss[run_starts]
+            first_run = np.searchsorted(run_seg, np.arange(ndoc))
+            has = distinct > 0
+            mx = np.zeros(ndoc, np.int64)
+            # reduceat only over docs that own >= 1 run (strictly increasing,
+            # in-range starts -- the empty-segment clamping trap)
+            mx[has] = np.maximum.reduceat(run_lens, first_run[has])
+        else:
+            distinct = np.zeros(ndoc, np.int64)
+            mx = np.zeros(ndoc, np.int64)
+        # stream counts for docs with < k tokens are the raw-token fallback
+        # of the minhash path -- repetition treats those as "no n-grams"
+        total = np.where(tok_counts >= k, cnts, 0).astype(np.float64)
+        return distinct.astype(np.float64), mx.astype(np.float64), total
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        _, tok_counts = _batch_token_hashes(text)
+        d3, _, tot3 = per_k(text, tok_counts, 3)
+        _, mx2, tot2 = per_k(text, tok_counts, 2)
+        rep3 = np.where(tot3 > 0, 1.0 - d3 / np.maximum(tot3, 1), 0.0)
+        top2 = np.where(tot2 > 0, mx2 / np.maximum(tot2, 1), 0.0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(tok_counts, pa.int64()),
+            "rep_3gram": pa.array(rep3),
+            "top_2gram_frac": pa.array(top2),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -3,6 +3,8 @@ fingerprint determinism."""
 
 import re
 
+import pytest
+
 import pyarrow as pa
 
 import ray.data as rd
@@ -65,3 +67,34 @@ def test_quality_score_features():
     assert r0.stopword_ratio == 1 / 2
     r1 = out.iloc[1]
     assert r1.punct_ratio == 0.0 and r1.stopword_ratio == 0.0
+
+
+def test_repetition_stats_vs_bruteforce():
+    from rotel_ray.stages.textstats import repetition_stats
+
+    docs = [
+        "a a a a a",                      # 3 identical 3-grams, 4 identical 2-grams
+        "one two three four five",       # all distinct
+        "x y x y x y x y",               # alternating
+        "solo",                          # < 2 tokens
+        "",                              # empty
+        "pair pair",                     # exactly one 2-gram, no 3-gram
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    res = repetition_stats(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+
+    def brute(text):
+        tk = text.split()
+        g3 = [" ".join(tk[i:i+3]) for i in range(len(tk) - 2)] if len(tk) >= 3 else []
+        g2 = [" ".join(tk[i:i+2]) for i in range(len(tk) - 1)] if len(tk) >= 2 else []
+        rep3 = 1.0 - len(set(g3)) / len(g3) if g3 else 0.0
+        top2 = max(g2.count(x) for x in set(g2)) / len(g2) if g2 else 0.0
+        return len(tk), rep3, top2
+
+    for i, text in enumerate(docs):
+        n, rep3, top2 = brute(text)
+        row = res[res.doc_id == i].iloc[0]
+        assert row.n_tokens == n
+        assert row.rep_3gram == pytest.approx(rep3)
+        assert row.top_2gram_frac == pytest.approx(top2), (i, text)
