@@ -849,18 +849,20 @@ def connected_components(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
 
     Scale shape: the graph is O(dup mass), far smaller than the corpus, and
     it is materialized once up front (never the corpus itself). Each
-    iteration is two bucketed shuffles over the edge list — (1) co-partition
-    current labels with edges on the source node and emit ``(dst,
-    lbl[src])`` messages, (2) grouped min per node — so task count is
-    O(num_buckets) and skew is hash-diluted. Labels decrease monotonically;
-    convergence (<= graph diameter iterations; near-dup clusters are
-    shallow) is detected by an order-independent uint64 hash-sum of the
-    (id, label) multiset going stationary — an O(1) driver scalar per
-    iteration, no diff join. The reference has no graph machinery
-    (SURVEY.md §2.9); this follows the standard iterative min-label
-    CC construction (cf. Hash-to-Min / CC-MR).
+    iteration is ONE bucketed shuffle: messages and edges are co-partitioned
+    on the node id, the per-bucket task min-reduces the incoming messages
+    with an Arrow hash aggregate (the bucket key IS the node id, so the
+    reduce is complete), then emits both the new label rows and the
+    propagated ``(dst, label[src])`` messages for the next round — the
+    min-aggregate is fused into the propagate stage instead of being a
+    second shuffle. Labels decrease monotonically; convergence (<= graph
+    diameter iterations; near-dup clusters are shallow) is detected by an
+    order-independent uint64 hash-sum of the label multiset going
+    stationary — an O(1) driver scalar per iteration, no diff join. The
+    reference has no graph machinery (SURVEY.md §2.9); this follows the
+    standard iterative min-label CC construction (cf. Hash-to-Min / CC-MR).
     """
-    from .aggregate import _vec_hash_strings
+    from .aggregate import _vec_hash_strings, grouped_apply
 
     sch = pairs.schema()
     id_type = dict(zip(sch.names, sch.types))[a_col]  # labels keep the native id
@@ -868,33 +870,74 @@ def connected_components(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
 
     edges = pairs.map_batches(
         lambda t: pa.table({
-            "src": pa.concat_arrays([
+            id_col: pa.concat_arrays([
                 t.column(a_col).combine_chunks(), t.column(b_col).combine_chunks(),
             ]),
-            "dst": pa.concat_arrays([
+            "__dst": pa.concat_arrays([
                 t.column(b_col).combine_chunks(), t.column(a_col).combine_chunks(),
             ]),
+            label_col: pa.nulls(2 * t.num_rows, id_type),
+            "__is_lbl": pa.nulls(2 * t.num_rows, pa.int8()),
         }),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()  # O(dup mass); consumed once per iteration
 
     empty = pa.table({id_col: pa.array([], id_type),
                       label_col: pa.array([], id_type)})
-    if edges.count() == 0:
+    n_edge_rows = edges.count()
+    if n_edge_rows == 0:
         return ray.data.from_arrow(empty)
 
-    def seed_labels(t: pa.Table) -> pa.Table:
-        # initial label of src = min(src, each dst) — grouped min below
-        return pa.table({id_col: t.column("src"),
-                         label_col: pc.min_element_wise(t.column("src"), t.column("dst"))})
+    # right-size the iteration: the pair graph is usually tiny relative to
+    # the corpus, and a fixed 64-way bucket fan-out would make every
+    # iteration pay ~100 near-empty tasks (measured 6 s/iteration at 1 k
+    # edges). Scale buckets/blocks to the edge count; both grow with the
+    # graph at corpus scale.
+    num_buckets = min(num_buckets, max(1, n_edge_rows // 8192 + 1))
+    edges = edges.repartition(num_buckets).materialize()
 
-    labels = two_phase_aggregate(
-        edges.map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True),
-        [id_col], [(label_col, "min", label_col)], num_buckets=num_buckets,
-    ).materialize()
+    # seed messages: (src, dst) and (src, src) — the first fused step
+    # min-reduces them into the initial labels
+    msgs = edges.map_batches(
+        lambda t: pa.table({
+            id_col: pa.concat_arrays([
+                t.column(id_col).combine_chunks(), t.column(id_col).combine_chunks()]),
+            "__dst": pa.nulls(2 * t.num_rows, id_type),
+            label_col: pa.concat_arrays([
+                t.column("__dst").combine_chunks(), t.column(id_col).combine_chunks()]),
+            "__is_lbl": pa.nulls(2 * t.num_rows, pa.int8()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
-    def checksum(lbl_ds) -> int:
+    def step(t: pa.Table) -> pa.Table:
+        # message rows have a label; edge rows have __dst. Min-reduce the
+        # messages per id (complete: the bucket key is the id), then emit
+        # label rows + propagated messages along the out-edges.
+        is_msg = pc.is_valid(t.column(label_col))
+        m = t.filter(is_msg)
+        e = t.filter(pc.invert(is_msg))
+        agg = (pa.table({id_col: m.column(id_col), label_col: m.column(label_col)})
+               .group_by(id_col).aggregate([(label_col, "min")]))
+        lbl_ids = agg.column(id_col).combine_chunks()
+        lbl_vals = agg.column(f"{label_col}_min").combine_chunks()
+        # every edge src has >= 1 message row in its bucket (self-message at
+        # seed time, own label row afterwards), so the lookup is total
+        pos = pc.index_in(e.column(id_col).combine_chunks(), value_set=lbl_ids)
+        prop = pc.take(lbl_vals, pos)
+        n_l, n_e = len(lbl_ids), e.num_rows
+        return pa.table({
+            id_col: pa.concat_arrays([lbl_ids, e.column("__dst").combine_chunks()]),
+            "__dst": pa.nulls(n_l + n_e, id_type),
+            label_col: pa.concat_arrays([lbl_vals, prop.combine_chunks()
+                                         if isinstance(prop, pa.ChunkedArray) else prop]),
+            "__is_lbl": pa.concat_arrays([
+                pa.nulls(n_l, pa.int8()).fill_null(1), pa.nulls(n_e, pa.int8())]),
+        }).replace_schema_metadata(None)
+
+    def checksum(out_ds) -> int:
         def h(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.fill_null(pc.equal(t.column("__is_lbl"), 1), False))
             joined = pc.binary_join_element_wise(
                 pc.cast(t.column(id_col), pa.string()).combine_chunks(),
                 pc.cast(t.column(label_col), pa.string()).combine_chunks(), "\x1f")
@@ -907,46 +950,20 @@ def connected_components(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
         # wraparound sum — order-independent; labels move monotonically down
         # so a stationary sum means a stationary label multiset
         # (up to a ~2^-64 per-step collision)
-        return int(lbl_ds.map_batches(h, batch_format="pyarrow").sum("h")) & ((1 << 64) - 1)
+        return int(out_ds.map_batches(h, batch_format="pyarrow").sum("h")) & ((1 << 64) - 1)
 
-    prev_sum = checksum(labels)
+    prev_sum = None
     for _ in range(max_iters):
-        tagged_edges = edges.map_batches(
-            lambda t: pa.table({id_col: t.column("src"), "__dst": t.column("dst"),
-                                label_col: pa.nulls(t.num_rows, id_type)}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        tagged_labels = labels.map_batches(
-            lambda t: pa.table({id_col: t.column(id_col),
-                                "__dst": pa.nulls(t.num_rows, id_type),
-                                label_col: t.column(label_col)}),
-            batch_format="pyarrow", zero_copy_batch=True)
-
-        def propagate(t: pa.Table) -> pa.Table:
-            # label rows have null __dst; edge rows carry (src=id, dst).
-            # Vectorized label lookup: sort label rows by id, searchsorted
-            # the edge srcs (every src has exactly one label row in its
-            # bucket — the bucket key IS the src id).
-            isl = pc.is_null(t.column("__dst")).to_numpy(zero_copy_only=False)
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            dst = t.column("__dst").to_numpy(zero_copy_only=False)
-            lbl = t.column(label_col).to_numpy(zero_copy_only=False)
-            order = np.argsort(ids[isl])
-            lids, llbl = ids[isl][order], lbl[isl][order]
-            pos = np.searchsorted(lids, ids[~isl])
-            return pa.table({
-                id_col: pa.array(np.concatenate([lids, dst[~isl]]), id_type),
-                label_col: pa.array(np.concatenate([llbl, llbl[pos]]), id_type),
-            })
-
-        msgs = grouped_apply(tagged_labels.union(tagged_edges), [id_col], propagate,
-                             batch_format="pyarrow", num_buckets=num_buckets)
-        labels = two_phase_aggregate(
-            msgs, [id_col], [(label_col, "min", label_col)], num_buckets=num_buckets,
-        ).materialize()
-        cur = checksum(labels)
+        out = grouped_apply(msgs.union(edges), [id_col], step,
+                            batch_format="pyarrow", num_buckets=num_buckets).materialize()
+        cur = checksum(out)
         if cur == prev_sum:
-            return labels
+            return out.map_batches(
+                lambda t: t.filter(pc.fill_null(pc.equal(t.column("__is_lbl"), 1), False))
+                           .select([id_col, label_col]),
+                batch_format="pyarrow", zero_copy_batch=True)
         prev_sum = cur
+        msgs = out
     raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")
 
 
