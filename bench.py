@@ -48,6 +48,10 @@ SECONDARY = [
     "span_operation",
     "corpus_curation",
     "duration_quantiles",
+    "dedup_clusters",
+    "span_resource",
+    "ch_metrics_histogram",
+    "doc_repetition",
 ]
 
 
