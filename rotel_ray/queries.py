@@ -1122,6 +1122,79 @@ def q_span_resource(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_xray_segments(sf_dir: str):
+    """X-Ray segment JSON documents (xray/transformer.rs:352-519) for the
+    access-log spans: base keys + http/annotations/metadata/aws blocks +
+    fault/throttle/error flags + parent/subsegment linkage (turn n-1 is the
+    parent), serialized with sorted keys; the oracle-checked projection
+    parses each emitted document back to its structural fields (a malformed
+    or mis-flagged document cannot round-trip)."""
+    import json as _json
+
+    from .functions.scalar import xray_trace_id
+    from .stages.enrich import _hash_values
+    from .stages.transform import xray_segment_json
+
+    ds = _parsed(sf_dir)
+
+    def build(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "nginx_access"))
+        n = t.num_rows
+        conv = pc.cast(t.column("conv_id").combine_chunks(), pa.string())
+        turn_i = pc.cast(t.column("turn_idx").combine_chunks(), pa.int64())
+        turn = pc.cast(turn_i, pa.string())
+        key = pc.binary_join_element_wise(conv, turn, ":")
+        prev_key = pc.binary_join_element_wise(
+            conv, pc.cast(pc.subtract(turn_i, 1), pa.string()), ":")
+        span_id = pc.utf8_slice_codeunits(_hash_values(key, "md5"), 0, 16)
+        parent = pc.if_else(
+            pc.greater(turn_i, 0),
+            pc.utf8_slice_codeunits(_hash_values(prev_key, "md5"), 0, 16),
+            pa.nulls(n, pa.string()))
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        epoch_s = pc.divide(us, 1_000_000)
+        trace = xray_trace_id(_hash_values(conv, "md5"), epoch_s)
+        # us < 2^53, so the int64 -> double cast is exact (ns would not be)
+        start_s = pc.divide(pc.cast(us, pa.float64()), 1e6)
+        req = pc.fill_null(t.column("request").combine_chunks(), "")
+        m = pc.extract_regex(req, r"^(?P<m>\S+) (?P<p>\S+) ")
+        span = pa.table({
+            "trace_id": trace, "span_id": span_id, "parent_id": parent,
+            "name": pa.nulls(n, pa.string()).fill_null("nginx"),
+            "start_s": start_s, "end_s": start_s,
+            "method": pc.struct_field(m, "m"), "url": pc.struct_field(m, "p"),
+            "status": pc.cast(t.column("status").combine_chunks(), pa.string()),
+            "conv_id": conv, "request_id": key,
+        })
+        return pa.table({"conv_id": conv, "turn_idx": t.column("turn_idx"),
+                         "event": xray_segment_json(span)})
+
+    events = ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+
+    def parse_back(t: pa.Table) -> pa.Table:
+        rows = [_json.loads(e) for e in t.column("event").to_pylist()]
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "trace_id": pa.array([r["trace_id"] for r in rows], pa.string()),
+            "seg_id": pa.array([r["id"] for r in rows], pa.string()),
+            "parent_id": pa.array([r.get("parent_id") for r in rows], pa.string()),
+            "seg_type": pa.array([r["type"] for r in rows], pa.string()),
+            "name": pa.array([r["name"] for r in rows], pa.string()),
+            "start_time": pa.array([r["start_time"] for r in rows], pa.float64()),
+            "method": pa.array([r["http"]["request"]["method"] for r in rows], pa.string()),
+            "url": pa.array([r["http"]["request"]["url"] for r in rows], pa.string()),
+            "status": pa.array([r["http"]["response"]["status"] for r in rows], pa.string()),
+            "error": pa.array([r.get("error", False) for r in rows], pa.bool_()),
+            "fault": pa.array([r.get("fault", False) for r in rows], pa.bool_()),
+            "throttle": pa.array([r.get("throttle", False) for r in rows], pa.bool_()),
+            "request_id": pa.array([r["aws"]["request_id"] for r in rows], pa.string()),
+            "environment": pa.array([r["metadata"]["environment"] for r in rows], pa.string()),
+        })
+
+    return events.map_batches(parse_back, batch_format="pyarrow")
+
+
 def q_dd_source(sf_dir: str):
     """Datadog source detection (source.rs:40-107, cloud.rs, k8s.rs) over
     resource attrs derived per event type: kmsg rows alternate ECS-Fargate
@@ -1433,6 +1506,7 @@ QUERIES = {
     "span_operation": q_span_operation,
     "span_resource": q_span_resource,
     "dd_source": q_dd_source,
+    "xray_segments": q_xray_segments,
     "ch_metrics_gauge": q_ch_metrics_gauge,
     "ch_metrics_sum": q_ch_metrics_sum,
     "ch_metrics_histogram": q_ch_metrics_histogram,
@@ -1896,6 +1970,28 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                WHEN et = 'json' THEN 'staging' ELSE '' END AS env,
           CAST(status AS BIGINT) AS status_code
         FROM base"""
+    # mirrors the parsed-back X-Ray segment documents structurally
+    sql["xray_segments"] = rf"""
+        SELECT conv_id, turn_idx,
+          '1-' || lower(lpad(hex(CAST(epoch_us(ts) // 1000000 AS BIGINT)), 8, '0'))
+              || '-' || substr(md5(conv_id), 1, 24) AS trace_id,
+          substr(md5(conv_id || ':' || turn_idx), 1, 16) AS seg_id,
+          CASE WHEN turn_idx > 0
+               THEN substr(md5(conv_id || ':' || (turn_idx - 1)), 1, 16)
+          END AS parent_id,
+          CASE WHEN turn_idx > 0 THEN 'subsegment' ELSE 'segment' END AS seg_type,
+          'nginx' AS name,
+          CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS start_time,
+          regexp_extract(text, '^\S+ - \S+ \[[^\]]+\] "(\S+) (\S+) [^"]*"', 1) AS method,
+          regexp_extract(text, '^\S+ - \S+ \[[^\]]+\] "(\S+) (\S+) [^"]*"', 2) AS url,
+          regexp_extract(text, '" (\d+) \d+ "', 1) AS status,
+          regexp_extract(text, '" (\d+) \d+ "', 1) LIKE '4%'
+            AND regexp_extract(text, '" (\d+) \d+ "', 1) != '429' AS error,
+          regexp_extract(text, '" (\d+) \d+ "', 1) LIKE '5%' AS fault,
+          regexp_extract(text, '" (\d+) \d+ "', 1) = '429' AS throttle,
+          conv_id || ':' || turn_idx AS request_id,
+          'production' AS environment
+        FROM {T} WHERE {SQL_IS_ACCESS}"""
     # mirrors source_cascade over q_dd_source's per-event-type attr
     # derivations, including the localhost discard (source.rs:64-73)
     sql["dd_source"] = rf"""

@@ -454,3 +454,32 @@ def test_ec2_cluster_tag_split():
 
     vals = pa.array(["kubernetes.io/cluster/my-cluster", "a/b", None], pa.string())
     assert _ec2_cluster_from_tag(vals).to_pylist() == ["my-cluster", None, None]
+
+
+def test_xray_segment_json_flags_and_parent():
+    from rotel_ray.stages.transform import xray_segment_json
+
+    t = pa.table({
+        "trace_id": pa.array(["1-0000000a-" + "a" * 24] * 4),
+        "span_id": pa.array(["b" * 16] * 4),
+        "parent_id": pa.array([None, "c" * 16, None, None], pa.string()),
+        "name": pa.array(["nginx"] * 4),
+        "start_s": pa.array([1.5] * 4), "end_s": pa.array([1.5] * 4),
+        "method": pa.array(["GET"] * 4), "url": pa.array(["/x"] * 4),
+        "status": pa.array(["200", "500", "429", "404"]),
+        "conv_id": pa.array(["c1"] * 4), "request_id": pa.array(["c1:0"] * 4),
+    })
+    docs = [json.loads(s) for s in xray_segment_json(t).to_pylist()]
+    assert docs[0]["type"] == "segment" and "parent_id" not in docs[0]
+    assert docs[1]["type"] == "subsegment" and docs[1]["parent_id"] == "c" * 16
+    # flag precedence: 5xx fault, 429 throttle (not error), other 4xx error
+    assert "fault" not in docs[0] and "error" not in docs[0] and "throttle" not in docs[0]
+    assert docs[1]["fault"] is True and "error" not in docs[1]
+    assert docs[2]["throttle"] is True and "error" not in docs[2] and "fault" not in docs[2]
+    assert docs[3]["error"] is True
+    # keys sorted (serde_json BTreeMap ordering)
+    for d, raw in zip(docs, xray_segment_json(t).to_pylist()):
+        keys = list(d)
+        assert keys == sorted(keys), raw
+    assert docs[0]["http"]["request"] == {"method": "GET", "url": "/x"}
+    assert docs[0]["start_time"] == 1.5
