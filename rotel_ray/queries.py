@@ -1122,6 +1122,43 @@ def q_span_resource(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_container_tags(sf_dir: str):
+    """Datadog container tags from a DYNAMIC resource-attr map
+    (otel_mapping/attributes.rs:76-107): per row a 6-entry
+    map<string,string> carrying semconv keys, custom-prefix keys (one
+    colliding with a mapped tag -> mapped wins), an unmapped key and an
+    empty value; the operator iterates the map (flattened stream), renames,
+    strips, and drops -> exploded (id, tag_key, tag_value) rows."""
+    from .stages.transform import container_tags
+
+    ds = _transcripts_ds(sf_dir)
+
+    def build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        conv = pc.cast(t.column("conv_id").combine_chunks(), pa.string())
+        role = pc.cast(t.column("role").combine_chunks(), pa.string())
+        turn3 = t.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64) % 3
+        keys6 = ["container.id", "cloud.region", "datadog.container.tag.team",
+                 "datadog.container.tag.region", "x.unmapped", "k8s.pod.name"]
+        kf = np.tile(np.array(keys6, dtype=object), n)
+        cv = conv.to_numpy(zero_copy_only=False)
+        rl = role.to_numpy(zero_copy_only=False)
+        rg = np.char.add("eu-", turn3.astype("U1")).astype(object)
+        vf = np.stack([cv, rg, rl,
+                       np.full(n, "shadowed", object),
+                       np.full(n, "v", object),
+                       np.full(n, "", object)], axis=1).ravel()
+        offsets = pa.array(np.arange(0, 6 * n + 1, 6, dtype=np.int32), pa.int32())
+        ma = pa.MapArray.from_arrays(offsets, pa.array(kf, pa.string()),
+                                     pa.array(vf, pa.string()))
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "attrs_map": ma})
+
+    built = ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    return built.map_batches(container_tags, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_xray_segments(sf_dir: str):
     """X-Ray segment JSON documents (xray/transformer.rs:352-519) for the
     access-log spans: base keys + http/annotations/metadata/aws blocks +
@@ -1507,6 +1544,7 @@ QUERIES = {
     "span_resource": q_span_resource,
     "dd_source": q_dd_source,
     "xray_segments": q_xray_segments,
+    "container_tags": q_container_tags,
     "ch_metrics_gauge": q_ch_metrics_gauge,
     "ch_metrics_sum": q_ch_metrics_sum,
     "ch_metrics_histogram": q_ch_metrics_histogram,
@@ -1970,6 +2008,15 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                WHEN et = 'json' THEN 'staging' ELSE '' END AS env,
           CAST(status AS BIGINT) AS status_code
         FROM base"""
+    # the 3 surviving tags per row of the constructed 6-entry attr map
+    sql["container_tags"] = f"""
+        SELECT conv_id, turn_idx, 'container_id' AS tag_key, conv_id AS tag_value
+        FROM {T}
+        UNION ALL
+        SELECT conv_id, turn_idx, 'region', 'eu-' || CAST(turn_idx % 3 AS VARCHAR)
+        FROM {T}
+        UNION ALL
+        SELECT conv_id, turn_idx, 'team', role FROM {T}"""
     # mirrors the parsed-back X-Ray segment documents structurally
     sql["xray_segments"] = rf"""
         SELECT conv_id, turn_idx,

@@ -655,3 +655,79 @@ def xray_segment_json(t: pa.Table, *, trace_id_col: str = "trace_id",
         const(',"trace_id":"'), c(trace_id_col),
         const('","type":"'), seg_type, const('"}'),
         "")
+
+
+# ---------------------------------------------------------------------------
+# 8. Datadog container tags from resource attributes
+# ---------------------------------------------------------------------------
+
+# otel_mapping/attributes.rs:11-50
+DD_CONTAINER_MAPPINGS = {
+    "container.id": "container_id", "container.name": "container_name",
+    "container.image.name": "image_name", "container.image.tag": "image_tag",
+    "container.runtime": "runtime",
+    "cloud.provider": "cloud_provider", "cloud.region": "region",
+    "cloud.availability_zone": "zone",
+    "aws.ecs.task.family": "task_family", "aws.ecs.task.arn": "task_arn",
+    "aws.ecs.cluster.arn": "ecs_cluster_name", "aws.ecs.task.revision": "task_version",
+    "aws.ecs.container.arn": "ecs_container_name",
+    "k8s.container.name": "kube_container_name", "k8s.cluster.name": "kube_cluster_name",
+    "k8s.deployment.name": "kube_deployment", "k8s.replicaset.name": "kube_replica_set",
+    "k8s.statefulset.name": "kube_stateful_set", "k8s.daemonset.name": "kube_daemon_set",
+    "k8s.job.name": "kube_job", "k8s.cronjob.name": "kube_cronjob",
+    "k8s.namespace.name": "kube_namespace", "k8s.pod.name": "pod_name",
+}
+DD_CUSTOM_TAG_PREFIX = "datadog.container.tag."  # otel_mapping/attributes.rs:9
+
+
+def container_tags(t: pa.Table, *, attrs_col: str = "attrs_map",
+                   id_cols=("conv_id", "turn_idx")) -> pa.Table:
+    """container_tags_from_resource_attributes
+    (otel_mapping/attributes.rs:76-107) over a ``map<string,string>`` attrs
+    column — a DYNAMIC key space, not fixed columns:
+
+    - semconv keys rename through DD_CONTAINER_MAPPINGS,
+    - ``datadog.container.tag.<k>`` strips to the custom key ``<k>``
+      (skipped when the stripped key is empty),
+    - empty values are skipped,
+    - when a custom key collides with a mapped tag in the same row, the
+      mapped tag wins (the reference iterates a HashMap, so ITS winner is
+      nondeterministic; we pin the deterministic choice its
+      ``contains_key`` guard implies when mapped keys come first).
+
+    Vectorized over the flattened map stream (one `index_in` against the
+    broadcast mapping, one prefix strip); output is exploded
+    ``(id_cols..., tag_key, tag_value)`` rows."""
+    id_cols = list(id_cols)
+    m = t.column(attrs_col)
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    keys, vals = m.keys, m.items
+    offs = m.offsets.to_numpy()
+    row_of = np.repeat(np.arange(len(m)), np.diff(offs))
+
+    mapped = _lookup_map(keys, DD_CONTAINER_MAPPINGS, None)
+    is_custom = pc.starts_with(keys, DD_CUSTOM_TAG_PREFIX)
+    stripped = pc.utf8_replace_slice(keys, 0, len(DD_CUSTOM_TAG_PREFIX), "")
+    custom = pc.if_else(pc.and_(is_custom, pc.not_equal(stripped, "")),
+                        stripped, pa.nulls(len(keys), pa.string()))
+    tag_key = pc.coalesce(mapped, custom)
+    keep = pc.and_(pc.is_valid(tag_key),
+                   pc.not_equal(pc.fill_null(vals, ""), "")).to_numpy(zero_copy_only=False)
+
+    rows = row_of[keep]
+    tk = tag_key.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    tv = vals.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    rank = np.where(pc.is_valid(mapped).to_numpy(zero_copy_only=False)[keep], 0, 1)
+    # mapped-wins dedup per (row, tag_key): stable sort by rank within key
+    combo = np.char.add(np.char.add(rows.astype("U12"), "\x1f"), tk.astype("U"))
+    order = np.lexsort((rank, combo))
+    combo_s = combo[order]
+    first = np.r_[True, combo_s[1:] != combo_s[:-1]] if len(combo_s) else np.zeros(0, bool)
+    sel = order[first]
+    sel.sort()
+
+    out = {c: t.column(c).take(pa.array(rows[sel])) for c in id_cols}
+    out["tag_key"] = pa.array(tk[sel], pa.string())
+    out["tag_value"] = pa.array(tv[sel], pa.string())
+    return pa.table(out)

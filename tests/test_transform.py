@@ -483,3 +483,33 @@ def test_xray_segment_json_flags_and_parent():
         assert keys == sorted(keys), raw
     assert docs[0]["http"]["request"] == {"method": "GET", "url": "/x"}
     assert docs[0]["start_time"] == 1.5
+
+
+def test_container_tags_mapping_rules():
+    from rotel_ray.stages.transform import container_tags
+
+    def mk(entries):
+        keys = [k for k, _ in entries]
+        vals = [v for _, v in entries]
+        offs = pa.array([0, len(entries)], pa.int32())
+        return pa.MapArray.from_arrays(offs, pa.array(keys, pa.string()),
+                                       pa.array(vals, pa.string()))
+
+    rowmaps = [
+        # mapped rename + custom strip + unmapped dropped + empty dropped
+        [("container.id", "abc"), ("datadog.container.tag.team", "ml"),
+         ("nope.key", "x"), ("k8s.pod.name", "")],
+        # custom key colliding with a mapped tag: mapped wins
+        [("cloud.region", "eu-1"), ("datadog.container.tag.region", "shadow")],
+        # custom prefix with empty remainder is skipped
+        [("datadog.container.tag.", "x"), ("k8s.job.name", "j1")],
+    ]
+    chunks = [mk(e) for e in rowmaps]
+    m = pa.concat_arrays(chunks)
+    t = pa.table({"conv_id": pa.array(["a", "b", "c"]),
+                  "turn_idx": pa.array([0, 1, 2], pa.int32()),
+                  "attrs_map": m})
+    out = container_tags(t).to_pandas()
+    got = sorted(zip(out.conv_id, out.tag_key, out.tag_value))
+    assert got == [("a", "container_id", "abc"), ("a", "team", "ml"),
+                   ("b", "region", "eu-1"), ("c", "kube_job", "j1")]
