@@ -851,6 +851,29 @@ def q_doc_repetition(sf_dir: str):
     return repetition_stats(ds)
 
 
+SAMPLE_STRATA = {"en": "8000", "de": "4000", "fr": "2000"}
+SAMPLE_DEFAULT_THR = "1000"
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Stratified deterministic sampling: per-language keep rates expressed
+    as 4-hex md5-prefix thresholds (en 1/2, de 1/4, fr 1/8, others 1/16).
+    Membership is a pure function of content + a broadcast rate table — no
+    RNG state, reproducible across cluster sizes; hex-prefix < threshold is
+    the numeric compare (same-length hex strings order lexicographically)."""
+    from .stages.enrich import _hash_values, _lookup
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        h4 = pc.utf8_slice_codeunits(_hash_values(t.column("text"), "md5"), 0, 4)
+        thr = pc.fill_null(_lookup(t.column("lang").combine_chunks(), SAMPLE_STRATA),
+                           SAMPLE_DEFAULT_THR)
+        return t.filter(pc.less(h4, thr)).select(["doc_id", "lang"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Transitive near-dup CLUSTERS from verified pairs: distributed
     connected components (min-label propagation over the pair graph), so a
@@ -1561,6 +1584,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_clustered": q_dedup_keep_clustered,
     "doc_repetition": q_doc_repetition,
+    "doc_sample_stratified": q_doc_sample_stratified,
     "heavy_hitters": q_heavy_hitters,
     "attrs_overflow": q_attrs_overflow,
 }
@@ -2213,6 +2237,11 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # transitive closure of the verified pair graph via recursive min-label
     # walk: lbl of id = every node reachable from id; MIN over them = the
     # component representative (matches connected_components exactly)
+    sql["doc_sample_stratified"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(text), 1, 4) <
+              CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+                        WHEN 'fr' THEN '2000' ELSE '1000' END"""
     sql["doc_repetition"] = r"""
         WITH toks AS (
           SELECT doc_id,
