@@ -419,12 +419,23 @@ def q_sim_topk_lsh(sf_dir: str, k: int = 10):
 # ---------------------------------------------------------------------------
 
 
+def _doc_buckets(sf_dir: str) -> int:
+    """Shuffle fan-out sized to the documents table (parquet metadata row
+    count — no scan). Grows with the corpus; collapses fixed per-partition
+    shuffle overhead at small scale."""
+    import pyarrow.parquet as pq
+
+    from .stages.aggregate import auto_buckets
+
+    return auto_buckets(pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows)
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs with distributed exact-Jaccard verify."""
     from .stages.dedup import minhash_lsh_neardup
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_neardup(ds, threshold=0.5)
+    return minhash_lsh_neardup(ds, threshold=0.5, num_buckets=_doc_buckets(sf_dir))
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -432,7 +443,7 @@ def q_dedup_simhash(sf_dir: str):
     from .stages.dedup import simhash_neardup
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_neardup(ds, max_hamming=3)
+    return simhash_neardup(ds, max_hamming=3, num_buckets=_doc_buckets(sf_dir))
 
 
 def q_token_jaccard(sf_dir: str):
@@ -838,7 +849,8 @@ def q_dedup_keep(sf_dir: str):
     from .stages.dedup import minhash_dedup_keep
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
-    return minhash_dedup_keep(ds, threshold=0.5, keep_cols=["doc_id", "lang"])
+    return minhash_dedup_keep(ds, threshold=0.5, keep_cols=["doc_id", "lang"],
+                              num_buckets=_doc_buckets(sf_dir))
 
 
 def q_doc_repetition(sf_dir: str):
@@ -883,7 +895,9 @@ def q_dedup_clusters(sf_dir: str):
     from .stages.dedup import connected_components, minhash_lsh_neardup
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return connected_components(minhash_lsh_neardup(ds, threshold=0.5))
+    nb = _doc_buckets(sf_dir)
+    return connected_components(minhash_lsh_neardup(ds, threshold=0.5, num_buckets=nb),
+                                num_buckets=nb)
 
 
 def q_dedup_keep_clustered(sf_dir: str):
@@ -893,7 +907,8 @@ def q_dedup_keep_clustered(sf_dir: str):
     from .stages.dedup import minhash_dedup_keep_clustered
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
-    return minhash_dedup_keep_clustered(ds, threshold=0.5, keep_cols=["doc_id", "lang"])
+    return minhash_dedup_keep_clustered(ds, threshold=0.5, keep_cols=["doc_id", "lang"],
+                                        num_buckets=_doc_buckets(sf_dir))
 
 
 def q_corpus_curation(sf_dir: str):

@@ -367,7 +367,7 @@ _MINHASH_CACHE: dict = {}
 def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
                            k_shingle: int = 3, concurrency=2,
                            text_col: str = "text", id_col: str = "doc_id",
-                           distinct: bool = True):
+                           distinct: bool = True, num_buckets: int = 64):
     """Candidate near-dup pairs via banded MinHash LSH (distinct pairs).
 
     The signature stage runs as fused tasks with per-worker cached
@@ -388,12 +388,14 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
         lambda t: _band_rows(t, bands, id_col), batch_format="pyarrow", zero_copy_batch=True
     )
     pairs = grouped_apply(
-        band_ds, ["band_key"], lambda t: _pairs_in_buckets(t, id_col), batch_format="pyarrow"
+        band_ds, ["band_key"], lambda t: _pairs_in_buckets(t, id_col),
+        batch_format="pyarrow", num_buckets=num_buckets,
     )
     if not distinct:
         return pairs
     # distinct pairs (a pair can collide in several bands)
-    return two_phase_aggregate(pairs, ["doc_a", "doc_b"], [("doc_a", "count", "n_bands")])
+    return two_phase_aggregate(pairs, ["doc_a", "doc_b"], [("doc_a", "count", "n_bands")],
+                               num_buckets=num_buckets)
 
 
 def minhash_lsh_neardup(ds, *, threshold: float = 0.7, num_perm: int = 64,
@@ -419,6 +421,7 @@ def minhash_lsh_neardup(ds, *, threshold: float = 0.7, num_perm: int = 64,
     cand = minhash_lsh_candidates(
         ds, num_perm=num_perm, bands=bands, k_shingle=k_shingle,
         concurrency=concurrency, text_col=text_col, id_col=id_col, distinct=False,
+        num_buckets=num_buckets,
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -524,7 +527,7 @@ def anti_join_ids(ds, drop_ids_ds, *, id_col: str = "doc_id", num_buckets: int =
 def minhash_dedup_keep(ds, *, threshold: float = 0.7, num_perm: int = 64,
                        bands: int = 16, k_shingle: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       keep_cols: list[str] | None = None):
+                       keep_cols: list[str] | None = None, num_buckets: int = 64):
     """Near-dup REMOVAL (the standard corpus-dedup output): every verified
     pair (a < b) drops its higher id, keeping the lower as canonical — the
     match-drops-newer policy (pairs are exact-Jaccard >= threshold via
@@ -536,6 +539,7 @@ def minhash_dedup_keep(ds, *, threshold: float = 0.7, num_perm: int = 64,
     pairs = minhash_lsh_neardup(
         ds, threshold=threshold, num_perm=num_perm, bands=bands,
         k_shingle=k_shingle, text_col=text_col, id_col=id_col,
+        num_buckets=num_buckets,
     )
     drop = pairs.map_batches(
         lambda t: pa.table({id_col: t.column("doc_b")}),
@@ -545,7 +549,7 @@ def minhash_dedup_keep(ds, *, threshold: float = 0.7, num_perm: int = 64,
         lambda t: t.select(keep_cols or [id_col]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return anti_join_ids(keep_side, drop, id_col=id_col)
+    return anti_join_ids(keep_side, drop, id_col=id_col, num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -596,7 +600,8 @@ def simhash_stage(ds, *, text_col: str = "text", id_col: str = "doc_id", concurr
 
 
 def simhash_neardup(ds, *, max_hamming: int = 3, text_col: str = "text",
-                    id_col: str = "doc_id", concurrency=2, max_bucket: int = 256):
+                    id_col: str = "doc_id", concurrency=2, max_bucket: int = 256,
+                    num_buckets: int = 64):
     """Pairs with simhash Hamming distance <= max_hamming (<= 3 gives full
     recall with 4 x 16-bit bands by pigeonhole). Shuffle key = band value.
 
@@ -651,9 +656,11 @@ def simhash_neardup(ds, *, max_hamming: int = 3, text_col: str = "text",
              "hamming": pa.array([], pa.int64())}
         )
 
-    found = grouped_apply(band_ds, ["band_key"], pairs, batch_format="pyarrow")
+    found = grouped_apply(band_ds, ["band_key"], pairs, batch_format="pyarrow",
+                          num_buckets=num_buckets)
     # distinct (pairs can agree on multiple bands); keep the hamming distance
-    return two_phase_aggregate(found, ["doc_a", "doc_b"], [("hamming", "min", "hamming")])
+    return two_phase_aggregate(found, ["doc_a", "doc_b"], [("hamming", "min", "hamming")],
+                               num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -982,6 +989,7 @@ def minhash_dedup_keep_clustered(ds, *, threshold: float = 0.7, num_perm: int = 
     pairs = minhash_lsh_neardup(
         ds, threshold=threshold, num_perm=num_perm, bands=bands,
         k_shingle=k_shingle, text_col=text_col, id_col=id_col,
+        num_buckets=num_buckets,
     )
     comp = connected_components(pairs, id_col=id_col, num_buckets=num_buckets)
     drop = comp.map_batches(
