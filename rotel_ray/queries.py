@@ -1197,6 +1197,48 @@ def q_container_tags(sf_dir: str):
     return built.map_batches(container_tags, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_span_meta(sf_dir: str):
+    """Datadog span-meta mapping over a dynamic span-attr map
+    (transformer.rs:392-441 + HTTP_MAPPINGS): per row six attrs exercising
+    every branch — semconv rename, empty-value fall-through, header-prefix
+    rewrite, analytics.event bool -> metrics (non-bool dropped), APM
+    convention key skipped, custom passthrough."""
+    from .stages.transform import span_meta_tags
+
+    ds = _parsed(sf_dir)
+
+    def build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        et = t.column("event_type").combine_chunks()
+        conv = pc.cast(t.column("conv_id").combine_chunks(), pa.string())
+        role = pc.cast(t.column("role").combine_chunks(), pa.string())
+        status = pc.fill_null(pc.cast(t.column("status").combine_chunks(), pa.string()), "")
+        ua = pc.fill_null(t.column("http_user_agent").combine_chunks(), "")
+        analytics = pc.if_else(pc.equal(et, "tool_call"), pa.scalar("true"),
+                    pc.if_else(pc.equal(et, "error"), pa.scalar("NOTBOOL"),
+                               pa.scalar("false")))
+        keys6 = ["http.response.status_code", "http.request.header.x-trace",
+                 "analytics.event", "http.method", "custom.key",
+                 "user_agent.original"]
+        kf = np.tile(np.array(keys6, dtype=object), n)
+        vf = np.stack([
+            status.to_numpy(zero_copy_only=False),
+            conv.to_numpy(zero_copy_only=False),
+            analytics.to_numpy(zero_copy_only=False),
+            np.full(n, "GET", object),
+            role.to_numpy(zero_copy_only=False),
+            ua.to_numpy(zero_copy_only=False),
+        ], axis=1).ravel()
+        offsets = pa.array(np.arange(0, 6 * n + 1, 6, dtype=np.int32), pa.int32())
+        ma = pa.MapArray.from_arrays(offsets, pa.array(kf, pa.string()),
+                                     pa.array(vf, pa.string()))
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"), "attrs_map": ma})
+
+    built = ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    return built.map_batches(span_meta_tags, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_xray_segments(sf_dir: str):
     """X-Ray segment JSON documents (xray/transformer.rs:352-519) for the
     access-log spans: base keys + http/annotations/metadata/aws blocks +
@@ -1583,6 +1625,7 @@ QUERIES = {
     "dd_source": q_dd_source,
     "xray_segments": q_xray_segments,
     "container_tags": q_container_tags,
+    "span_meta": q_span_meta,
     "ch_metrics_gauge": q_ch_metrics_gauge,
     "ch_metrics_sum": q_ch_metrics_sum,
     "ch_metrics_histogram": q_ch_metrics_histogram,
@@ -2046,6 +2089,34 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
           CASE WHEN et = 'nginx_access' THEN 'production'
                WHEN et = 'json' THEN 'staging' ELSE '' END AS env,
           CAST(status AS BIGINT) AS status_code
+        FROM base"""
+    # per-branch mirror of span_meta_tags over the constructed 6-entry map
+    sql["span_meta"] = f"""
+        WITH base AS (
+          SELECT conv_id, turn_idx, {SQL_EVENT_TYPE} AS et, role,
+                 coalesce(CAST({SQL_STATUS} AS VARCHAR), '') AS st,
+                 coalesce(CASE WHEN {SQL_IS_ACCESS}
+                               THEN regexp_extract(text, '"([^"]*)"$', 1) END, '') AS ua
+          FROM {T})
+        SELECT conv_id, turn_idx, 'meta' AS target,
+               CASE WHEN st != '' THEN 'http.status_code'
+                    ELSE 'http.response.status_code' END AS tag_key,
+               st AS tag_value
+        FROM base
+        UNION ALL
+        SELECT conv_id, turn_idx, 'meta', 'http.request.headers.x-trace', conv_id
+        FROM base
+        UNION ALL
+        SELECT conv_id, turn_idx, 'metrics', '_dd1.sr.eausr',
+               CASE WHEN et = 'tool_call' THEN '1.0' ELSE '0.0' END
+        FROM base WHERE et != 'error'
+        UNION ALL
+        SELECT conv_id, turn_idx, 'meta', 'custom.key', role FROM base
+        UNION ALL
+        SELECT conv_id, turn_idx, 'meta',
+               CASE WHEN ua != '' THEN 'http.useragent'
+                    ELSE 'user_agent.original' END,
+               ua
         FROM base"""
     # the 3 surviving tags per row of the constructed 6-entry attr map
     sql["container_tags"] = f"""

@@ -731,3 +731,92 @@ def container_tags(t: pa.Table, *, attrs_col: str = "attrs_map",
     out["tag_key"] = pa.array(tk[sel], pa.string())
     out["tag_value"] = pa.array(tv[sel], pa.string())
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# 9. Datadog span-meta mapping (HTTP semconv renames + header prefix)
+# ---------------------------------------------------------------------------
+
+# otel_mapping/attributes.rs:52-74
+DD_HTTP_MAPPINGS = {
+    "client.address": "http.client_ip",
+    "http.response.body.size": "http.response.content_length",
+    "http.response.status_code": "http.status_code",
+    "http.request.body.size": "http.request.content_length",
+    "http.request.header.referrer": "http.referrer",
+    "http.request.method": "http.method",
+    "http.route": "http.route",
+    "network.protocol.version": "http.version",
+    "server.address": "http.server_name",
+    "url.full": "http.url",
+    "user_agent.original": "http.useragent",
+}
+# transformer.rs:443-453
+DD_APM_CONVENTION_KEYS = ["service.name", "operation.name", "resource.name",
+                          "span.type", "http.method", "http.status_code"]
+DD_HEADER_PREFIX = "http.request.header."  # transformer.rs:400-404
+KEY_SAMPLING_RATE_EVENT_EXTRACTION = "_dd1.sr.eausr"  # sampler.rs:3
+
+
+def span_meta_tags(t: pa.Table, *, attrs_col: str = "attrs_map",
+                   id_cols=("conv_id", "turn_idx")) -> pa.Table:
+    """set_meta_otlp_with_http_mappings (transformer.rs:392-409 +
+    set_meta_otlp :411-441) over a dynamic span-attr map -> exploded
+    ``(id_cols..., target, tag_key, tag_value)`` rows:
+
+    - non-empty values whose key is in DD_HTTP_MAPPINGS rename into meta
+      (an EMPTY value skips the mapping branch and falls through, exactly
+      like the reference's ``!value.is_empty()`` guard);
+    - ``http.request.header.<h>`` -> meta ``http.request.headers.<h>``;
+    - ``analytics.event`` with a parseable bool -> metrics
+      ``_dd1.sr.eausr`` = 1.0/0.0 (non-bool values are DROPPED);
+    - Datadog APM convention keys are skipped (handled elsewhere);
+    - everything else passes through to meta unchanged.
+    """
+    id_cols = list(id_cols)
+    m = t.column(attrs_col)
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    keys, vals = m.keys, m.items
+    offs = m.offsets.to_numpy()
+    row_of = np.repeat(np.arange(len(m)), np.diff(offs))
+    nonempty = pc.not_equal(pc.fill_null(vals, ""), "")
+
+    mapped = _lookup_map(keys, DD_HTTP_MAPPINGS, None)
+    branch_http = pc.and_(pc.is_valid(mapped), nonempty)
+
+    is_header = pc.starts_with(keys, DD_HEADER_PREFIX)
+    header_key = pc.binary_join_element_wise(
+        pa.nulls(len(keys), pa.string()).fill_null("http.request.headers."),
+        pc.utf8_replace_slice(keys, 0, len(DD_HEADER_PREFIX), ""), "")
+    branch_header = pc.and_(pc.invert(branch_http), is_header)
+
+    is_analytics = pc.equal(keys, "analytics.event")
+    # Rust str::parse::<bool> accepts exactly "true"/"false" (case-sensitive)
+    vl = pc.fill_null(vals, "")
+    is_bool = pc.is_in(vl, value_set=pa.array(["true", "false"]))
+    branch_analytics = pc.and_(pc.and_(pc.invert(branch_http), pc.invert(branch_header)),
+                               pc.and_(is_analytics, is_bool))
+
+    is_apm = pc.is_in(keys, value_set=pa.array(DD_APM_CONVENTION_KEYS))
+    branch_rest = pc.and_(
+        pc.and_(pc.invert(branch_http), pc.invert(branch_header)),
+        pc.and_(pc.invert(is_analytics), pc.invert(is_apm)))
+
+    target = pc.if_else(branch_http, "meta",
+             pc.if_else(branch_header, "meta",
+             pc.if_else(branch_analytics, "metrics",
+             pc.if_else(branch_rest, "meta", pa.nulls(len(keys), pa.string())))))
+    tag_key = pc.if_else(branch_http, mapped,
+              pc.if_else(branch_header, header_key,
+              pc.if_else(branch_analytics, KEY_SAMPLING_RATE_EVENT_EXTRACTION, keys)))
+    tag_val = pc.if_else(branch_analytics,
+                         pc.if_else(pc.equal(vl, "true"), "1.0", "0.0"), vals)
+
+    keep = pc.is_valid(target).to_numpy(zero_copy_only=False)
+    rows = row_of[keep]
+    out = {c: t.column(c).take(pa.array(rows)) for c in id_cols}
+    out["target"] = target.filter(pa.array(keep))
+    out["tag_key"] = tag_key.filter(pa.array(keep))
+    out["tag_value"] = tag_val.filter(pa.array(keep))
+    return pa.table(out)

@@ -513,3 +513,31 @@ def test_container_tags_mapping_rules():
     got = sorted(zip(out.conv_id, out.tag_key, out.tag_value))
     assert got == [("a", "container_id", "abc"), ("a", "team", "ml"),
                    ("b", "region", "eu-1"), ("c", "kube_job", "j1")]
+
+
+def test_span_meta_tags_branches():
+    from rotel_ray.stages.transform import span_meta_tags
+
+    entries = [
+        ("http.route", "/x"),               # mapped (identity rename)
+        ("http.response.status_code", ""),  # empty: falls through to passthrough
+        ("http.request.header.auth", "t"),  # header prefix rewrite
+        ("analytics.event", "true"),        # exact-lowercase bool -> metrics 1.0
+        ("analytics.event", "True"),        # NOT a Rust bool literal -> dropped
+        ("http.method", "GET"),             # APM convention key -> skipped
+        ("my.custom", "v"),                 # passthrough
+    ]
+    offs = pa.array([0, len(entries)], pa.int32())
+    m = pa.MapArray.from_arrays(offs, pa.array([k for k, _ in entries], pa.string()),
+                                pa.array([v for _, v in entries], pa.string()))
+    t = pa.table({"conv_id": pa.array(["c"]), "turn_idx": pa.array([0], pa.int32()),
+                  "attrs_map": m})
+    out = span_meta_tags(t).to_pandas()
+    got = sorted(zip(out.target, out.tag_key, out.tag_value))
+    assert got == [
+        ("meta", "http.request.headers.auth", "t"),
+        ("meta", "http.response.status_code", ""),
+        ("meta", "http.route", "/x"),
+        ("meta", "my.custom", "v"),
+        ("metrics", "_dd1.sr.eausr", "1.0"),
+    ]
