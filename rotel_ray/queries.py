@@ -1197,6 +1197,56 @@ def q_container_tags(sf_dir: str):
     return built.map_batches(container_tags, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_error_tags(sf_dir: str):
+    """Datadog error-span tagging (transformer.rs:328-377): error spans =
+    ERROR lines + 5xx access lines; retryable errors carry an exception
+    event (error.msg/error.type from it), non-retryable fall back to the
+    span status message, access rows fall back to the http status code
+    (+" {status_text}" for 500)."""
+    from .stages.transform import error_tagging
+
+    ds = _parsed(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        status = pc.cast(t.column("status").combine_chunks(), pa.int32())
+        is_err = pc.fill_null(pc.equal(et, "error"), False)
+        is_5xx = pc.fill_null(pc.greater_equal(status, 500), False)
+        t = t.filter(pc.or_(is_err, is_5xx))
+        n = t.num_rows
+        nulls = pa.nulls(n, pa.string())
+        et = t.column("event_type").combine_chunks()
+        is_err = pc.fill_null(pc.equal(et, "error"), False)
+        retry = pc.fill_null(t.column("retryable").combine_chunks(), False)
+        ecode = t.column("error_code").combine_chunks()
+        span = pa.table({
+            "conv_id": t.column("conv_id"), "turn_idx": t.column("turn_idx"),
+            "exc_msg": pc.if_else(pc.and_(is_err, retry),
+                                  t.column("error_msg").combine_chunks(), nulls),
+            "exc_type": pc.if_else(pc.and_(is_err, retry), ecode, nulls),
+            "status_msg": pc.if_else(is_err, pc.binary_join_element_wise(
+                nulls.fill_null("code="), pc.cast(ecode, pa.string()), "",
+                null_handling="emit_null"), nulls.fill_null("")),
+            "http_code": pc.if_else(is_err, nulls,
+                                    pc.cast(t.column("status"), pa.string())),
+            "status_text": pc.if_else(
+                pc.fill_null(pc.equal(pc.cast(t.column("status"), pa.int32()), 500), False),
+                pa.scalar("Internal Server Error"), nulls),
+        })
+        attrs = {"exception.message": "exc_msg", "exception.type": "exc_type",
+                 "exception.stacktrace": "exc_stack", "status.message": "status_msg",
+                 "http.response.status_code": "http_code",
+                 "http.status_text": "status_text"}
+        msg, typ, stack = error_tagging(span, attrs=attrs)
+        return pa.table({
+            "conv_id": span.column("conv_id"), "turn_idx": span.column("turn_idx"),
+            "error": pa.nulls(n, pa.int32()).fill_null(1),
+            "error_msg": msg, "error_type": typ, "error_stack": stack,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_span_meta(sf_dir: str):
     """Datadog span-meta mapping over a dynamic span-attr map
     (transformer.rs:392-441 + HTTP_MAPPINGS): per row six attrs exercising
@@ -1626,6 +1676,7 @@ QUERIES = {
     "xray_segments": q_xray_segments,
     "container_tags": q_container_tags,
     "span_meta": q_span_meta,
+    "error_tags": q_error_tags,
     "ch_metrics_gauge": q_ch_metrics_gauge,
     "ch_metrics_sum": q_ch_metrics_sum,
     "ch_metrics_histogram": q_ch_metrics_histogram,
@@ -2090,6 +2141,23 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                WHEN et = 'json' THEN 'staging' ELSE '' END AS env,
           CAST(status AS BIGINT) AS status_code
         FROM base"""
+    # mirrors error_tagging's msg cascade over the fixture derivations
+    sql["error_tags"] = rf"""
+        WITH base AS (
+          SELECT conv_id, turn_idx, {SQL_EVENT_TYPE} AS et,
+                 regexp_extract(text, '^ERROR code=(\w+)', 1) AS ecode,
+                 regexp_extract(text, 'msg="([^"]*)"', 1) AS emsg,
+                 regexp_extract(text, 'retryable=(true|false)$', 1) = 'true' AS retry,
+                 {SQL_STATUS} AS status
+          FROM {T})
+        SELECT conv_id, turn_idx, CAST(1 AS INTEGER) AS error,
+          CASE WHEN et = 'error' AND retry THEN emsg
+               WHEN et = 'error' THEN 'code=' || ecode
+               WHEN status = 500 THEN '500 Internal Server Error'
+               ELSE CAST(status AS VARCHAR) END AS error_msg,
+          CASE WHEN et = 'error' AND retry THEN ecode END AS error_type,
+          CAST(NULL AS VARCHAR) AS error_stack
+        FROM base WHERE et = 'error' OR status >= 500"""
     # per-branch mirror of span_meta_tags over the constructed 6-entry map
     sql["span_meta"] = f"""
         WITH base AS (

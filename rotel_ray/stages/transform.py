@@ -820,3 +820,31 @@ def span_meta_tags(t: pa.Table, *, attrs_col: str = "attrs_map",
     out["tag_key"] = tag_key.filter(pa.array(keep))
     out["tag_value"] = tag_val.filter(pa.array(keep))
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# 10. Datadog error tagging
+# ---------------------------------------------------------------------------
+
+
+def error_tagging(t: pa.Table, *, attrs: dict[str, str] | None = None
+                  ) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """Datadog error-span tagging (transformer.rs:328-377): returns
+    ``(error_msg, error_type, error_stack)`` for spans already known to be
+    errors (``dd_span.error = 1`` is the caller's row filter):
+
+    - exception-event attrs map to error.msg / error.type / error.stack;
+    - when no exception message exists, error.msg falls back to the span
+      status message (empty string = absent), then to the http status code
+      — formatted "{code} {status_text}" when http.status_text is present,
+      bare code otherwise."""
+    attrs = attrs or {}
+    a = lambda name: _col(t, attrs, name)  # noqa: E731
+
+    exc_msg = a("exception.message")
+    status_msg = pc.if_else(pc.equal(pc.fill_null(a("status.message"), ""), ""),
+                            pa.nulls(t.num_rows, pa.string()), a("status.message"))
+    code = pc.coalesce(a("http.response.status_code"), a("http.status_code"))
+    code_msg = pc.coalesce(_fmt(code, _const(t, " "), a("http.status_text")), code)
+    msg = pc.coalesce(exc_msg, status_msg, code_msg)
+    return msg, a("exception.type"), a("exception.stacktrace")

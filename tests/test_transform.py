@@ -541,3 +541,28 @@ def test_span_meta_tags_branches():
         ("meta", "my.custom", "v"),
         ("metrics", "_dd1.sr.eausr", "1.0"),
     ]
+
+
+def test_error_tagging_cascade():
+    from rotel_ray.stages.transform import error_tagging
+
+    attrs = {"exception.message": "em", "exception.type": "ety",
+             "exception.stacktrace": "est", "status.message": "sm",
+             "http.response.status_code": "code", "http.status_code": "code_old",
+             "http.status_text": "stext"}
+    rows = [
+        # exception wins over everything; type/stack ride along
+        {"span_kind": "s", "em": "boom", "ety": "IOError", "est": "tb",
+         "sm": "ignored", "code": "500"},
+        # status message next (empty = absent)
+        {"span_kind": "s", "sm": "upstream fail", "code": "502"},
+        {"span_kind": "s", "sm": "", "code": "503", "stext": "Service Unavailable"},
+        # deprecated http.status_code fallback, bare code without text
+        {"span_kind": "s", "code_old": "504"},
+        {"span_kind": "s"},
+    ]
+    msg, typ, stack = error_tagging(_span_table(rows), attrs=attrs)
+    assert msg.to_pylist() == ["boom", "upstream fail", "503 Service Unavailable",
+                               "504", None]
+    assert typ.to_pylist() == ["IOError", None, None, None, None]
+    assert stack.to_pylist() == ["tb", None, None, None, None]
