@@ -430,6 +430,23 @@ def _doc_buckets(sf_dir: str) -> int:
     return auto_buckets(pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows)
 
 
+KMEANS_K = 8
+
+
+def q_embedding_kmeans_assign(sf_dir: str):
+    """Embedding cluster ASSIGNMENT (the per-vector step of SemDeDup-style
+    k-means curation): centroids = the KMEANS_K lowest-id vectors
+    (deterministic), every vector maps to its max-cosine centroid in one
+    broadcast GEMM pass. The iterative fit (kmeans_fit) is pytest-verified;
+    the assignment kernel is the SQL-checkable projection."""
+    from .stages.similarity import kmeans_assign
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = ds.sort("vec_id").limit(KMEANS_K).to_pandas()
+    centroids = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    return kmeans_assign(ds, centroids)
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs with distributed exact-Jaccard verify."""
     from .stages.dedup import minhash_lsh_neardup
@@ -1677,6 +1694,7 @@ QUERIES = {
     "container_tags": q_container_tags,
     "span_meta": q_span_meta,
     "error_tags": q_error_tags,
+    "embedding_kmeans_assign": q_embedding_kmeans_assign,
     "ch_metrics_gauge": q_ch_metrics_gauge,
     "ch_metrics_sum": q_ch_metrics_sum,
     "ch_metrics_histogram": q_ch_metrics_histogram,
@@ -2391,6 +2409,22 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # transitive closure of the verified pair graph via recursive min-label
     # walk: lbl of id = every node reachable from id; MIN over them = the
     # component representative (matches connected_components exactly)
+    sql["embedding_kmeans_assign"] = f"""
+        WITH c AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+                 embedding AS ce
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})),
+        sims AS (
+          SELECT e.vec_id, c.cluster,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(c.ce AS DOUBLE[])) AS sim
+          FROM embeddings e CROSS JOIN c)
+        SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cluster ASC) AS rn
+          FROM sims)
+        WHERE rn = 1"""
     sql["doc_sample_stratified"] = """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(text), 1, 4) <

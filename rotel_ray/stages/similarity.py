@@ -228,3 +228,88 @@ def lsh_topk(ds, query_vec: np.ndarray, k: int = 10, *, num_bits: int = 8,
         .sort("sim", descending=True)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (SemDeDup-style embedding clustering)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *, emb_col: str = "embedding",
+                  id_col: str = "vec_id", out_col: str = "cluster"):
+    """Assign every vector to its max-cosine centroid — one fused
+    ``map_batches`` pass against a broadcast (``ray.put``) centroid matrix:
+    per batch a single (n,d)@(d,K) GEMM + argmax (ties -> lowest cluster
+    index). Centroids are L2-normalized here so the dot IS the cosine."""
+    c = centroids.astype(np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    ref = ray.put(c)
+
+    def f(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(m @ cm.T, axis=1)
+        return pa.table({id_col: t.column(id_col),
+                         out_col: pa.array(assign.astype(np.int32))})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_fit(ds, k: int = 8, *, iters: int = 10, tol: float = 1e-6,
+               emb_col: str = "embedding", id_col: str = "vec_id",
+               init: np.ndarray | None = None):
+    """Distributed Lloyd k-means over an embedding Dataset (the clustering
+    step of SemDeDup-style corpus curation — public method; the reference
+    engine has no ML ops). Spherical variant: centroids live on the unit
+    sphere, assignment is max cosine.
+
+    Scale shape: per iteration ONE streaming pass — each batch computes a
+    (K,d) partial sum + per-cluster counts against the broadcast centroids;
+    partials are summed driver-side (K*d floats per BATCH reduce to one
+    K*d accumulation — the only driver state is the K*d centroid matrix
+    itself, never the vectors). Deterministic: init defaults to the first
+    k vectors in id order; float accumulation order over batches is made
+    order-independent by summing per-batch partials in batch-index order.
+
+    Returns ``(centroids ndarray (k,d), n_iters_run)``.
+    """
+    if init is None:
+        first = ds.sort(id_col).limit(k).to_pandas()
+        init = np.stack(first[emb_col].to_numpy()).astype(np.float64)
+    c = init.astype(np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    kk, d = c.shape
+
+    def partials(t: pa.Table, cm: np.ndarray) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(mn @ cm.T, axis=1)
+        sums = np.zeros((kk, d))
+        np.add.at(sums, assign, mn)
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.arange(kk, dtype=np.int32)),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(counts),
+        })
+
+    it = 0
+    for it in range(1, iters + 1):
+        ref_c = c
+        part = ds.map_batches(lambda t, _c=ref_c: partials(t, _c),
+                              batch_format="pyarrow", zero_copy_batch=True)
+        rows = part.to_pandas()  # K rows per batch; K*d floats each — tiny
+        sums = np.zeros((kk, d))
+        counts = np.zeros(kk, np.int64)
+        for cl, vs, n in zip(rows["cluster"], rows["vsum"], rows["n"]):
+            sums[cl] += np.asarray(vs)
+            counts[cl] += n
+        new_c = np.where(counts[:, None] > 0,
+                         sums / np.maximum(counts[:, None], 1), c)
+        new_c /= np.maximum(np.linalg.norm(new_c, axis=1, keepdims=True), 1e-12)
+        shift = float(np.abs(new_c - c).max())
+        c = new_c
+        if shift < tol:
+            break
+    return c, it

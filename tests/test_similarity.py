@@ -75,3 +75,52 @@ def test_ivf_topk_recall():
     out = ivf_topk(rd.from_arrow(t), q, k=10, n_centroids=8, n_probe=3).to_pandas()
     assert len(set(out.vec_id) & expected) >= 5
     assert 7 in set(out.vec_id)  # the query vector's own list is always probed
+
+
+def test_kmeans_fit_recovers_separable_blobs():
+    from rotel_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(9)
+    d, per = 16, 40
+    dirs = rng.standard_normal((3, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # make the 3 anchor directions near-orthogonal then jitter members
+    vecs, truth = [], []
+    for ci in range(3):
+        for _ in range(per):
+            v = dirs[ci] + 0.05 * rng.standard_normal(d)
+            vecs.append(v.astype(np.float32))
+            truth.append(ci)
+    order = rng.permutation(len(vecs))
+    t = pa.table({
+        "vec_id": pa.array(order.astype(np.int64), pa.int64()),
+        "embedding": pa.array([vecs[i].tolist() for i in order], pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    centroids, iters = kmeans_fit(ds, k=3, iters=20)
+    assert centroids.shape == (3, 16) and iters <= 20
+    out = kmeans_assign(ds, centroids).to_pandas()
+    # every true blob maps to exactly one fitted cluster (pure partition)
+    truth_by_id = {int(i): truth[i] for i in range(len(vecs))}
+    groups = {}
+    for vid, cl in zip(out.vec_id, out.cluster):
+        groups.setdefault(truth_by_id[int(vid)], set()).add(int(cl))
+    assert all(len(s) == 1 for s in groups.values())
+    assert len({next(iter(s)) for s in groups.values()}) == 3
+
+
+def test_kmeans_fit_deterministic_across_runs():
+    from rotel_ray.stages.similarity import kmeans_fit
+
+    rng = np.random.default_rng(4)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in
+                               rng.standard_normal((60, 8)).astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    c1, i1 = kmeans_fit(ds, k=4, iters=6)
+    c2, i2 = kmeans_fit(ds, k=4, iters=6)
+    assert i1 == i2
+    np.testing.assert_array_equal(c1, c2)
