@@ -447,6 +447,19 @@ def q_embedding_kmeans_assign(sf_dir: str):
     return kmeans_assign(ds, centroids)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup end-to-end: deterministic centroids (lowest-id vectors) ->
+    cluster assignment -> within-cluster cosine >= 0.95 drops the higher id
+    -> kept vec_ids. The cheap restatement of embedding dedup: pairwise
+    work is bounded per cluster, never O(n^2) over the corpus."""
+    from .stages.similarity import semdedup
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = ds.sort("vec_id").limit(KMEANS_K).to_pandas()
+    centroids = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    return semdedup(ds, centroids, tau=0.95)
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs with distributed exact-Jaccard verify."""
     from .stages.dedup import minhash_lsh_neardup
@@ -1695,6 +1708,7 @@ QUERIES = {
     "span_meta": q_span_meta,
     "error_tags": q_error_tags,
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
+    "semdedup": q_semdedup,
     "ch_metrics_gauge": q_ch_metrics_gauge,
     "ch_metrics_sum": q_ch_metrics_sum,
     "ch_metrics_histogram": q_ch_metrics_histogram,
@@ -2425,6 +2439,18 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                                     ORDER BY sim DESC, cluster ASC) AS rn
           FROM sims)
         WHERE rn = 1"""
+    sql["semdedup"] = f"""
+        WITH assign AS ({sql["embedding_kmeans_assign"]}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        drops AS (
+          SELECT y.vec_id AS vb
+          FROM assign x JOIN assign y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          JOIN e a ON a.vec_id = x.vec_id
+          JOIN e b ON b.vec_id = y.vec_id
+          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT vb FROM drops)"""
     sql["doc_sample_stratified"] = """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(text), 1, 4) <

@@ -313,3 +313,50 @@ def kmeans_fit(ds, k: int = 8, *, iters: int = 10, tol: float = 1e-6,
         if shift < tol:
             break
     return c, it
+
+
+def semdedup(ds, centroids: np.ndarray, *, tau: float = 0.95,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             num_buckets: int = 64):
+    """SemDeDup (Abbas et al. 2023 — public method): semantic dedup by
+    clustering then WITHIN-CLUSTER pairwise cosine. Vectors route to their
+    max-cosine centroid (broadcast GEMM), each cluster's members
+    co-partition via the bucketed shuffle, and inside a cluster every pair
+    with cosine >= tau drops its higher id (match-drops-newer). Returns the
+    kept ids. Pairwise work is O(sum cluster_size^2) instead of O(n^2) —
+    the whole point of clustering first; at corpus scale the cluster count
+    grows with the data so cluster sizes stay bounded."""
+    from .dedup import grouped_apply
+
+    c = centroids.astype(np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    ref = ray.put(c)
+
+    def tag(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(mn @ cm.T, axis=1)
+        return pa.table({id_col: t.column(id_col),
+                         "cluster": pa.array(assign.astype(np.int32)),
+                         emb_col: t.column(emb_col)})
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        keep_mask = np.ones(len(ids), bool)
+        for c_val in np.unique(cl):
+            sel = np.flatnonzero(cl == c_val)
+            if len(sel) < 2:
+                continue
+            order = sel[np.argsort(ids[sel])]
+            sims = m[order] @ m[order].T
+            ai, bj = np.nonzero(np.triu(sims >= tau, k=1))
+            keep_mask[order[np.unique(bj)]] = False
+        return pa.table({id_col: pa.array(ids[keep_mask])})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_apply(tagged, ["cluster"], per_cluster,
+                         batch_format="pyarrow", num_buckets=num_buckets)

@@ -124,3 +124,21 @@ def test_kmeans_fit_deterministic_across_runs():
     c2, i2 = kmeans_fit(ds, k=4, iters=6)
     assert i1 == i2
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_semdedup_drops_planted_duplicates():
+    from rotel_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(12)
+    n, d = 50, 16
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[49] = m[3] + 0.001 * rng.standard_normal(d).astype(np.float32)  # near-dup of 3
+    m[48] = m[7]                                                      # exact dup of 7
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    centroids = m[:8].astype(np.float64)
+    kept = set(semdedup(ds, centroids, tau=0.95, num_buckets=8).to_pandas().vec_id)
+    assert 48 not in kept and 49 not in kept  # higher ids of the dup pairs
+    assert 3 in kept and 7 in kept
+    assert len(kept) >= n - 4  # only near-dup pairs dropped
