@@ -1483,6 +1483,25 @@ def q_ch_metrics_summary(sf_dir: str):
     return summary_rows(_parsed(sf_dir))
 
 
+def q_ch_logs_row(sf_dir: str):
+    """ClickHouse LogRecordRow table (transform_logs.rs:12-105,
+    schema.rs:91-131): one row per parsed line — body stringify (string
+    branch; other AnyValue branches unit-tested in any_value_to_string),
+    hex trace/span ids for span-bearing lines, masked severity, sorted-key
+    JSON attr maps, extended event_name column."""
+    from .stages.ch_rows import log_record_rows
+    return log_record_rows(_parsed(sf_dir))
+
+
+def q_ch_traces_row(sf_dir: str):
+    """ClickHouse SpanRow table (transform_traces.rs:13-173,
+    schema.rs:22-66): client spans from tool calls — span_kind_to_string,
+    Ok/Error status from the exit code, clamped ns duration, exception
+    event arrays for failed calls, empty link arrays."""
+    from .stages.ch_rows import span_rows
+    return span_rows(_parsed(sf_dir))
+
+
 def q_metrics_emf_json(sf_dir: str):
     """EMF JSON event serialization + namespace fallback chain
     (awsemf/transformer.rs:533-619, 746-766): grouped metrics with
@@ -1714,6 +1733,8 @@ QUERIES = {
     "ch_metrics_histogram": q_ch_metrics_histogram,
     "ch_metrics_exp_histogram": q_ch_metrics_exp_histogram,
     "ch_metrics_summary": q_ch_metrics_summary,
+    "ch_logs_row": q_ch_logs_row,
+    "ch_traces_row": q_ch_traces_row,
     "metrics_emf_json": q_metrics_emf_json,
     "xray_groups": q_xray_groups,
     "redaction_body": q_redaction_body,
@@ -2369,6 +2390,74 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(0 AS INTEGER) AS flags
         FROM (SELECT conv_id, ts, CAST({SQL_STATUS} AS BIGINT) AS st FROM {T})
         WHERE st IS NOT NULL GROUP BY conv_id"""
+    # ClickHouse logs/traces row tables (transform_logs.rs / transform_traces.rs)
+    _EXIT = r"CAST(regexp_extract(text, 'exit=(\d+)', 1) AS INTEGER)"
+    _CMD = r"""regexp_extract(text, 'cmd="([^"]*)"', 1)"""
+    sql["ch_logs_row"] = rf"""
+        SELECT epoch_ns(ts) AS timestamp,
+               CASE WHEN {SQL_IS_TOOL} THEN md5(conv_id) ELSE '' END AS trace_id,
+               CASE WHEN {SQL_IS_TOOL}
+                    THEN substr(md5(conv_id || ':' || turn_idx), 1, 16)
+                    ELSE '' END AS span_id,
+               CAST(0 AS INTEGER) AS trace_flags,
+               {SQL_SEV_TEXT} AS severity_text,
+               {SQL_SEVERITY} AS severity_number,
+               role AS service_name,
+               text AS body,
+               '' AS resource_schema_url,
+               '{{"service.name":"' || role || '"}}' AS resource_attributes,
+               '' AS scope_schema_url,
+               'rotel_ray' AS scope_name, '0.2' AS scope_version,
+               '{{}}' AS scope_attributes,
+               CASE ({SQL_EVENT_TYPE})
+                 WHEN 'tool_call' THEN '{{"tool.exit":"' || {_EXIT}
+                   || '","tool.name":"' || {_TN} || '"}}'
+                 WHEN 'error' THEN '{{"error.code":"'
+                   || regexp_extract(text, 'code=(\w+)', 1)
+                   || '","retryable":"'
+                   || regexp_extract(text, 'retryable=(true|false)$', 1) || '"}}'
+                 WHEN 'nginx_access' THEN '{{"http.status":"'
+                   || regexp_extract(text, '" (\d+) (\d+) "', 1)
+                   || '","remote.addr":"'
+                   || regexp_extract(text, '^(\S+) ', 1) || '"}}'
+                 WHEN 'kmsg' THEN '{{"kmsg.facility":"'
+                   || (CAST(regexp_extract(text, '^(\d+),', 1) AS INTEGER) // 8)
+                   || '","kmsg.priority":"'
+                   || (CAST(regexp_extract(text, '^(\d+),', 1) AS INTEGER) % 8)
+                   || '"}}'
+                 ELSE '{{}}' END AS log_attributes,
+               ({SQL_EVENT_TYPE}) AS event_name
+        FROM {T}"""
+    sql["ch_traces_row"] = rf"""
+        SELECT epoch_ns(ts) AS timestamp,
+               md5(conv_id) AS trace_id,
+               substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
+               CASE WHEN turn_idx = 0 THEN ''
+                    ELSE substr(md5(conv_id || ':' || (turn_idx - 1)), 1, 16)
+                    END AS parent_span_id,
+               '' AS trace_state,
+               {_TN} AS span_name,
+               'Client' AS span_kind,
+               role AS service_name,
+               '{{"service.name":"' || role || '"}}' AS resource_attributes,
+               'rotel_ray' AS scope_name, '0.2' AS scope_version,
+               '{{"tool.cmd":"' || {_CMD} || '","tool.name":"' || {_TN} || '"}}'
+                 AS span_attributes,
+               greatest(CAST(regexp_extract(text, 'duration_ms=(\d+)$', 1)
+                             AS BIGINT) * 1000000, 0) AS duration,
+               CASE WHEN {_EXIT} <> 0 THEN 'Error' ELSE 'Ok' END AS status_code,
+               CASE WHEN {_EXIT} <> 0 THEN 'exit=' || {_EXIT} ELSE '' END
+                 AS status_message,
+               CASE WHEN {_EXIT} <> 0 THEN '[' || epoch_ns(ts) || ']'
+                    ELSE '[]' END AS events_timestamp,
+               CASE WHEN {_EXIT} <> 0 THEN '["exception"]' ELSE '[]' END
+                 AS events_name,
+               CASE WHEN {_EXIT} <> 0
+                    THEN '[{{"exception.message":"exit=' || {_EXIT} || '"}}]'
+                    ELSE '[]' END AS events_attributes,
+               '[]' AS links_trace_id, '[]' AS links_span_id,
+               '[]' AS links_trace_state, '[]' AS links_attributes
+        FROM {T} WHERE {SQL_IS_TOOL}"""
     sql["metrics_emf_json"] = f"""
         SELECT 'svc/rotel' AS namespace, {SQL_EVENT_TYPE} AS name,
                role, 'role' AS dims,
