@@ -101,6 +101,23 @@ def span_id_from(arr: pa.Array) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
+def be_u64(arr: pa.Array, offset: int = 0) -> pa.Array:
+    """Big-endian uint64 read at ``offset`` of each fixed-size-binary value —
+    the Datadog id truncation (datadog/transform/transformer.rs:455-469:
+    convert_trace_id takes the LAST 8 bytes of a 16-byte id, convert_span_id
+    the full 8). Vectorized view over the value buffer."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_fixed_size_binary(arr.type):
+        raise TypeError("be_u64 expects fixed_size_binary")
+    w = arr.type.byte_width
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    off = arr.offset * w
+    m = buf[off : off + len(arr) * w].reshape(len(arr), w)
+    vals = np.ascontiguousarray(m[:, offset : offset + 8]).view(">u8").ravel()
+    return pa.array(vals.astype(np.uint64), pa.uint64())
+
+
 def ns_to_seconds(arr) -> pa.Array:
     """u64 ns -> float seconds (xray/transformer.rs:191-193)."""
     return pc.divide(pc.cast(arr, pa.float64()), 1e9)

@@ -1483,6 +1483,65 @@ def q_ch_metrics_summary(sf_dir: str):
     return summary_rows(_parsed(sf_dir))
 
 
+def q_dd_span(sf_dir: str):
+    """Datadog minimal DDSpan conversion
+    (datadog/transform/transformer.rs:263-323): 64-bit id truncation
+    (convert_trace_id = BE u64 of the LAST 8 bytes, convert_span_id = BE u64
+    of the 8-byte id, absent parent -> 0), span.kind meta name, _top_level
+    (root or server/consumer kind), _dd.measured (client/producer kind —
+    enable_otlp_compute_top_level_by_span_kind path), error flag from the
+    status, http status-code metric (otel_util.rs:288-307), start/duration
+    ns. Fused stateless map_batches over the parsed transcripts."""
+    from .functions.scalar import be_u64, span_id_from, trace_id_from
+
+    ds = _parsed(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        et = t.column("event_type").combine_chunks()
+        is_tool = pc.equal(et, "tool_call")
+        is_server = pc.is_in(et, value_set=pa.array(["nginx_access", "json"]))
+        kind = pc.if_else(is_tool, pa.scalar("client"),
+                          pc.if_else(is_server, pa.scalar("server"),
+                                     pc.if_else(pc.equal(et, "chat"),
+                                                pa.scalar("unspecified"),
+                                                pa.scalar("internal"))))
+        conv = t.column("conv_id").combine_chunks()
+        turn = t.column("turn_idx").combine_chunks()
+        key = pc.binary_join_element_wise(conv, pc.cast(turn, pa.string()), ":")
+        pkey = pc.binary_join_element_wise(
+            conv, pc.cast(pc.subtract(turn, 1), pa.string()), ":")
+        is_root = pc.equal(turn, 0)
+        parent = pc.if_else(is_root, pa.scalar(0, pa.uint64()),
+                            be_u64(span_id_from(pkey)))
+        top_level = pc.or_(is_root, pc.equal(kind, "server"))
+        measured = pc.equal(kind, "client")
+        err = pc.or_kleene(
+            pc.equal(et, "error"),
+            pc.fill_null(pc.not_equal(t.column("tool_exit"), 0), False))
+        ns = pc.multiply(pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                                 pa.int64()), np.int64(1000))
+        dur = pc.fill_null(
+            pc.multiply(pc.cast(t.column("duration_ms"), pa.int64()),
+                        np.int64(1_000_000)), 0)
+        return pa.table({
+            "conv_id": conv,
+            "turn_idx": turn,
+            "trace_id_u64": be_u64(trace_id_from(conv), offset=8),
+            "span_id_u64": be_u64(span_id_from(key)),
+            "parent_id_u64": parent,
+            "span_kind": kind,
+            "top_level": top_level,
+            "measured": measured,
+            "error": pc.cast(err, pa.int32()),
+            "status_code": pc.cast(t.column("status"), pa.float64()),
+            "start": ns,
+            "duration": dur,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_ch_logs_row(sf_dir: str):
     """ClickHouse LogRecordRow table (transform_logs.rs:12-105,
     schema.rs:91-131): one row per parsed line — body stringify (string
@@ -1733,6 +1792,7 @@ QUERIES = {
     "ch_metrics_histogram": q_ch_metrics_histogram,
     "ch_metrics_exp_histogram": q_ch_metrics_exp_histogram,
     "ch_metrics_summary": q_ch_metrics_summary,
+    "dd_span": q_dd_span,
     "ch_logs_row": q_ch_logs_row,
     "ch_traces_row": q_ch_traces_row,
     "metrics_emf_json": q_metrics_emf_json,
@@ -2390,6 +2450,36 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(0 AS INTEGER) AS flags
         FROM (SELECT conv_id, ts, CAST({SQL_STATUS} AS BIGINT) AS st FROM {T})
         WHERE st IS NOT NULL GROUP BY conv_id"""
+    # Datadog minimal DDSpan conversion: hex md5 ids folded to BE u64 in
+    # HUGEINT arithmetic (fits: 16 hex digits < 2^64), truncation mirrors
+    # convert_trace_id/convert_span_id (transformer.rs:455-469)
+    _H2U = ("CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+            "list_transform(string_split({h}, ''), c -> "
+            "CAST(ascii(c) - CASE WHEN ascii(c) >= 97 THEN 87 ELSE 48 END "
+            "AS HUGEINT))), (h, d) -> h * 16 + d) AS UBIGINT)")
+    _ET = f"({SQL_EVENT_TYPE})"
+    _EXIT = r"CAST(regexp_extract(text, 'exit=(\d+)', 1) AS INTEGER)"
+    _KIND = (f"CASE WHEN {_ET} = 'tool_call' THEN 'client' "
+             f"WHEN {_ET} IN ('nginx_access', 'json') THEN 'server' "
+             f"WHEN {_ET} = 'chat' THEN 'unspecified' ELSE 'internal' END")
+    sql["dd_span"] = rf"""
+        SELECT conv_id, turn_idx,
+               {_H2U.format(h="substr(md5(conv_id), 17, 16)")} AS trace_id_u64,
+               {_H2U.format(h="substr(md5(conv_id || ':' || turn_idx), 1, 16)")}
+                 AS span_id_u64,
+               CASE WHEN turn_idx = 0 THEN 0 ELSE
+                 {_H2U.format(h="substr(md5(conv_id || ':' || (turn_idx - 1)), 1, 16)")}
+                 END AS parent_id_u64,
+               ({_KIND}) AS span_kind,
+               (turn_idx = 0 OR ({_KIND}) = 'server') AS top_level,
+               (({_KIND}) = 'client') AS measured,
+               CAST(({_ET}) = 'error' OR (({_ET}) = 'tool_call'
+                    AND TRY_CAST(regexp_extract(text, 'exit=(\d+)', 1)
+                                 AS INTEGER) <> 0) AS INTEGER) AS error,
+               CAST({SQL_STATUS} AS DOUBLE) AS status_code,
+               epoch_ns(ts) AS start,
+               coalesce({SQL_DURATION} * 1000000, 0) AS duration
+        FROM {T}"""
     # ClickHouse logs/traces row tables (transform_logs.rs / transform_traces.rs)
     _EXIT = r"CAST(regexp_extract(text, 'exit=(\d+)', 1) AS INTEGER)"
     _CMD = r"""regexp_extract(text, 'cmd="([^"]*)"', 1)"""
