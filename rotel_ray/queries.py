@@ -1483,6 +1483,25 @@ def q_ch_metrics_summary(sf_dir: str):
     return summary_rows(_parsed(sf_dir))
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs sharing any token 8-gram
+    with the eval split (doc_id % 19 == 0 plays the held-out benchmark).
+    Eval grams broadcast once; train side is one stateless probe pass."""
+    from .stages.dedup import decontaminate
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def is_eval(t):
+        d = t.column("doc_id")
+        return pc.equal(pc.subtract(d, pc.multiply(pc.divide(d, 19), 19)), 0)
+    ev = docs.map_batches(
+        lambda t: t.filter(is_eval(t)), batch_format="pyarrow", zero_copy_batch=True)
+    tr = docs.map_batches(
+        lambda t: t.filter(pc.invert(is_eval(t))), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return decontaminate(tr, ev, k=8)
+
+
 def q_dd_span(sf_dir: str):
     """Datadog minimal DDSpan conversion
     (datadog/transform/transformer.rs:263-323): 64-bit id truncation
@@ -1793,6 +1812,7 @@ QUERIES = {
     "ch_metrics_exp_histogram": q_ch_metrics_exp_histogram,
     "ch_metrics_summary": q_ch_metrics_summary,
     "dd_span": q_dd_span,
+    "decontaminate": q_decontaminate,
     "ch_logs_row": q_ch_logs_row,
     "ch_traces_row": q_ch_traces_row,
     "metrics_emf_json": q_metrics_emf_json,
@@ -2450,6 +2470,27 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(0 AS INTEGER) AS flags
         FROM (SELECT conv_id, ts, CAST({SQL_STATUS} AS BIGINT) AS st FROM {T})
         WHERE st IS NOT NULL GROUP BY conv_id"""
+    # benchmark decontamination: literal k-gram strings stand in for the
+    # engine's rolling-poly hashes (same gram set; 64-bit collisions are the
+    # only divergence and are deterministic-negligible), same <k-token
+    # distinct-token fallback as the minhash shingle stream
+    sql["decontaminate"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 8 THEN
+                   list_distinct(list_transform(range(1, len(tk) - 6),
+                                 i -> array_to_string(tk[i:i+7], ' ')))
+                 ELSE list_distinct(tk) END AS gs
+          FROM toks),
+        ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 19 = 0),
+        tr AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 19 <> 0)
+        SELECT tr.doc_id, count(*) AS n_overlap
+        FROM tr JOIN ev ON tr.g = ev.g
+        GROUP BY tr.doc_id"""
     # Datadog minimal DDSpan conversion: hex md5 ids folded to BE u64 in
     # HUGEINT arithmetic (fits: 16 hex digits < 2^64), truncation mirrors
     # convert_trace_id/convert_span_id (transformer.rs:455-469)

@@ -1002,3 +1002,64 @@ def minhash_dedup_keep_clustered(ds, *, threshold: float = 0.7, num_perm: int = 
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return anti_join_ids(keep_side, drop, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(train_ds, eval_ds, *, k: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Flag training documents that share any token ``k``-gram with the eval
+    corpus (train/test contamination check, the n-gram-overlap method of the
+    GPT-3 appendix C / PaLM §C decontamination procedures — public papers;
+    the reference engine has no corpus machinery).
+
+    Output: one row per CONTAMINATED training doc — (id_col, n_overlap)
+    where n_overlap counts the doc's DISTINCT k-grams that occur anywhere in
+    the eval set. Docs with < k tokens fall back to their distinct tokens
+    (same fallback as the minhash shingle stream, so both paths share one
+    kernel).
+
+    Scale shape: the eval side (a benchmark suite — MBs, not TBs) is reduced
+    to a sorted unique ``uint64`` gram-hash array on the driver and broadcast
+    once via ``ray.put``; the train side is one stateless ``map_batches``
+    pass doing a vectorized ``np.isin`` membership probe per batch. No
+    shuffle, no driver-side large state — the standard broadcast-small-side
+    pattern."""
+    import ray
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        vals, _ = _batch_shingle_stream(t.column(text_col).combine_chunks(), k)
+        return pa.table({"g": pa.array(np.unique(vals), pa.uint64())})
+
+    parts = eval_ds.map_batches(eval_grams, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+    ev = np.unique(np.array([r["g"] for r in parts], dtype=np.uint64))
+    ref = ray.put(ev)
+
+    def probe(t: pa.Table) -> pa.Table:
+        # light broadcast state: plain function keeps the stage fusable with
+        # the read/filter upstream; ray.get is a local-plasma hit after the
+        # first batch on each worker
+        ev_local = ray.get(ref)
+        text = t.column(text_col).combine_chunks()
+        vals, cnts = _batch_shingle_stream(text, k)
+        seg = np.repeat(np.arange(len(cnts)), cnts)
+        order = np.lexsort((vals, seg))
+        sv, ss = vals[order], seg[order]
+        if len(sv):
+            first = np.r_[True, (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])]
+            dv, dseg = sv[first], ss[first]
+            hit = np.isin(dv, ev_local, assume_unique=False)
+            n_overlap = np.bincount(dseg[hit], minlength=len(cnts))
+        else:
+            n_overlap = np.zeros(len(cnts), np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        m = n_overlap > 0
+        return pa.table({id_col: pa.array(ids[m]),
+                         "n_overlap": pa.array(n_overlap[m].astype(np.int64))})
+
+    return train_ds.map_batches(probe, batch_format="pyarrow",
+                                zero_copy_batch=True)

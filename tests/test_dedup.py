@@ -236,3 +236,32 @@ def test_clustered_keep_differs_from_per_pair_keep():
     others = set(range(10, 16))
     assert pair_keep == {1, 2} | others
     assert clus_keep == {1} | others
+
+
+def test_decontaminate_planted_and_short_docs(ray_session):
+    import ray
+
+    from rotel_ray.stages.dedup import decontaminate
+
+    ev_rows = {
+        "doc_id": [100, 101],
+        "text": ["q w e r t y u i o p extra tail here",  # 8-grams present
+                 "tiny doc"],                             # <8 tokens: token fallback
+    }
+    tr_rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "prefix q w e r t y u i o p suffix",   # shares 8-grams with eval 100
+            "a b c d e f g h i j k l",             # clean
+            "tiny doc",                            # short doc sharing eval tokens
+            "zz yy xx ww vv uu tt ss rr qq",       # clean
+        ],
+    }
+    ev = ray.data.from_arrow(pa.table(ev_rows))
+    tr = ray.data.from_arrow(pa.table(tr_rows))
+    out = decontaminate(tr, ev, k=8).to_pandas().sort_values("doc_id")
+    assert list(out.doc_id) == [1, 3]
+    # doc 1: windows of "q w e r t y u i o p" inside it -> 3 distinct hits
+    assert out.set_index("doc_id").loc[1, "n_overlap"] == 3
+    # doc 3 (short): both tokens are in the eval token set
+    assert out.set_index("doc_id").loc[3, "n_overlap"] == 2
