@@ -1502,6 +1502,16 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(tr, ev, k=8)
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality scoring over the documents corpus (CCNet-style
+    perplexity proxy): global token counts (two-phase, vocab-bounded) ->
+    broadcast micro-nat table -> stateless per-doc scoring pass."""
+    from .stages.textstats import unigram_logprob
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
 def q_dd_span(sf_dir: str):
     """Datadog minimal DDSpan conversion
     (datadog/transform/transformer.rs:263-323): 64-bit id truncation
@@ -1813,6 +1823,7 @@ QUERIES = {
     "ch_metrics_summary": q_ch_metrics_summary,
     "dd_span": q_dd_span,
     "decontaminate": q_decontaminate,
+    "unigram_logprob": q_unigram_logprob,
     "ch_logs_row": q_ch_logs_row,
     "ch_traces_row": q_ch_traces_row,
     "metrics_emf_json": q_metrics_emf_json,
@@ -2470,6 +2481,25 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(0 AS INTEGER) AS flags
         FROM (SELECT conv_id, ts, CAST({SQL_STATUS} AS BIGINT) AS st FROM {T})
         WHERE st IS NOT NULL GROUP BY conv_id"""
+    # unigram-LM scoring: per-token log-probs are integer micro-nats
+    # (floor(ln(c/total)*1e6)) so per-doc sums are exact int64 in any
+    # summation order; ln agrees bit-wise between numpy and DuckDB here
+    # (same libm double path), and floor absorbs any last-ulp drift
+    sql["unigram_logprob"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+          FROM documents),
+        cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT count(*) AS n FROM toks),
+        lp AS (SELECT tok,
+                      CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))
+                                 * 1000000) AS BIGINT) AS l
+               FROM cnt)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(l) AS BIGINT) AS lp_sum_unat
+        FROM toks JOIN lp USING (tok)
+        GROUP BY doc_id"""
     # benchmark decontamination: literal k-gram strings stand in for the
     # engine's rolling-poly hashes (same gram set; 64-bit collisions are the
     # only divergence and are deterministic-negligible), same <k-token

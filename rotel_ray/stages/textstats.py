@@ -265,3 +265,92 @@ def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def unigram_counts(ds, *, text_col: str = "text", num_buckets: int = 16):
+    """Global token frequency table — phase 1 of the unigram-LM scorer.
+
+    Per-batch combiner (dictionary-encode + bincount -> one (tok, c) row per
+    DISTINCT token per batch) feeds the generic two-phase aggregate, so the
+    shuffle moves vocab-bounded partials, never the token stream."""
+    from .aggregate import two_phase_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t.column(text_col))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        d = pc.dictionary_encode(flat)
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table({"tok": d.dictionary, "c": pa.array(cnt)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_aggregate(parts, ["tok"], [("c", "sum", "c")],
+                               num_buckets=num_buckets)
+
+
+def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    top_v: int | None = None):
+    """Per-doc unigram log-probability — the CCNet/importance-sampling
+    quality signal (Wenzek et al. 2020 use a KenLM 5-gram; the unigram model
+    is its exactly-verifiable core; the reference engine has no corpus
+    machinery).
+
+    Scores are integer micro-nats: ``l(tok) = floor(ln(c/total) * 1e6)``
+    computed once per vocab entry on the driver, so per-doc sums are exact
+    int64 arithmetic — bit-stable across engines and summation orders (the
+    float-sum ordering trap). Output: (id_col, n_tokens, lp_sum_unat) for
+    every doc with >= 1 token.
+
+    Scale shape: counts are vocab-bounded two-phase partials; the vocab +
+    micro-nat table is broadcast once via ``ray.put`` (``top_v`` caps it for
+    open-vocab corpora — kept-out tokens score as OOV = floor(ln(1/total) *
+    1e6)); scoring is one stateless map_batches with an Arrow ``index_in``
+    probe. No token-level shuffle anywhere."""
+    import ray
+
+    counts = unigram_counts(ds, text_col=text_col)
+    vocab_rows = counts.take_all()
+    toks = np.array([r["tok"] for r in vocab_rows], dtype=object)
+    cnts = np.array([r["c"] for r in vocab_rows], dtype=np.int64)
+    total = int(cnts.sum())
+    if top_v is not None and len(toks) > top_v:
+        keep = np.lexsort((toks, -cnts))[:top_v]
+        toks, cnts = toks[keep], cnts[keep]
+    lp = np.floor(np.log(cnts.astype(np.float64) / total) * 1e6).astype(np.int64)
+    oov = np.int64(np.floor(np.log(1.0 / total) * 1e6))
+    vocab_arr = pa.array(toks.astype(str))
+    ref = ray.put((vocab_arr, lp, oov))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, lp_l, oov_l = ray.get(ref)
+        toks_b = pc.utf8_split_whitespace(t.column(text_col))
+        if isinstance(toks_b, pa.ChunkedArray):
+            toks_b = toks_b.combine_chunks()
+        flat = toks_b.flatten()
+        counts_all = np.diff(toks_b.offsets.to_numpy())
+        doc_of = np.repeat(np.arange(len(toks_b)), counts_all)
+        nonempty = pc.not_equal(flat, "")
+        keep = nonempty.to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat.filter(nonempty), vocab)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        idx_np = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = doc_of[keep]
+        vals = np.where(valid, lp_l[idx_np], oov_l)
+        n_tok = np.bincount(doc_of, minlength=len(toks_b)).astype(np.int64)
+        sums = np.zeros(len(toks_b), np.int64)
+        np.add.at(sums, doc_of, vals)
+        m = n_tok > 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[m]),
+                         "n_tokens": pa.array(n_tok[m]),
+                         "lp_sum_unat": pa.array(sums[m])})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

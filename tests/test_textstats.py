@@ -98,3 +98,23 @@ def test_repetition_stats_vs_bruteforce():
         assert row.n_tokens == n
         assert row.rep_3gram == pytest.approx(rep3)
         assert row.top_2gram_frac == pytest.approx(top2), (i, text)
+
+
+def test_unigram_logprob_top_v_oov(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.textstats import unigram_logprob
+
+    # corpus: 'a' x7, 'b' x3, 'c' x1  (total 11)
+    rows = {"doc_id": [1, 2, 3],
+            "text": ["a a a b", "a a b b a", "a c"]}
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = unigram_logprob(ds, top_v=2).to_pandas().set_index("doc_id")
+    la = int(np.floor(np.log(7 / 11) * 1e6))
+    lb = int(np.floor(np.log(3 / 11) * 1e6))
+    oov = int(np.floor(np.log(1 / 11) * 1e6))  # 'c' evicted by top_v=2
+    assert out.loc[1, "lp_sum_unat"] == 3 * la + lb and out.loc[1, "n_tokens"] == 4
+    assert out.loc[2, "lp_sum_unat"] == 3 * la + 2 * lb
+    assert out.loc[3, "lp_sum_unat"] == la + oov
