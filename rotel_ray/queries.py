@@ -1512,6 +1512,25 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(ds)
 
 
+def q_seq_pack(sf_dir: str):
+    """Sequence packing (concat-and-chunk): map every document to its span
+    in the seq_len-token packed training stream via a distributed exclusive
+    prefix-sum (per-range totals -> broadcast bases -> bucketed offsets)."""
+    from .stages.pack import seq_pack
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return seq_pack(ds, seq_len=512, range_size=64)
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-5 TF-IDF terms per document, exact-integer micro-nat idf scores
+    (vocab-bounded df partials -> broadcast idf table -> stateless top-k)."""
+    from .stages.textstats import tfidf_topk
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=5)
+
+
 def q_dd_span(sf_dir: str):
     """Datadog minimal DDSpan conversion
     (datadog/transform/transformer.rs:263-323): 64-bit id truncation
@@ -1824,6 +1843,8 @@ QUERIES = {
     "dd_span": q_dd_span,
     "decontaminate": q_decontaminate,
     "unigram_logprob": q_unigram_logprob,
+    "seq_pack": q_seq_pack,
+    "tfidf_topk": q_tfidf_topk,
     "ch_logs_row": q_ch_logs_row,
     "ch_traces_row": q_ch_traces_row,
     "metrics_emf_json": q_metrics_emf_json,
@@ -2500,6 +2521,46 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(sum(l) AS BIGINT) AS lp_sum_unat
         FROM toks JOIN lp USING (tok)
         GROUP BY doc_id"""
+    # sequence packing: pure integer window arithmetic — the engine's
+    # distributed prefix-sum must equal the single-window global cumsum
+    sql["seq_pack"] = r"""
+        WITH tok AS (
+          SELECT doc_id, CAST(length(list_filter(
+            regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT)
+            AS n_tokens
+          FROM documents),
+        pos AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_start
+          FROM tok)
+        SELECT doc_id, n_tokens, tok_start,
+               CASE WHEN n_tokens > 0 THEN tok_start // 512 END AS seq_first,
+               CASE WHEN n_tokens > 0
+                    THEN (tok_start + n_tokens - 1) // 512 END AS seq_last,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (tok_start + n_tokens - 1) // 512
+                         - tok_start // 512 + 1
+                    ELSE 0 END AS BIGINT) AS n_seqs
+        FROM pos"""
+    # tf-idf top-k: integer micro-nat idf (floor(ln(N/df)*1e6)) makes
+    # score = tf * idf exact int64; tie-break = term ascending on both sides
+    sql["tfidf_topk"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        idf AS (SELECT tok, CAST(floor(ln((SELECT n FROM n) / df) * 1000000)
+                                 AS BIGINT) AS idf FROM df)
+        SELECT doc_id, tok, tf, tf * idf AS score
+        FROM tf JOIN idf USING (tok)
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf * idf DESC, tok) <= 5"""
     # benchmark decontamination: literal k-gram strings stand in for the
     # engine's rolling-poly hashes (same gram set; 64-bit collisions are the
     # only divergence and are deterministic-negligible), same <k-token

@@ -354,3 +354,99 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "lp_sum_unat": pa.array(sums[m])})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+
+
+def doc_freq(ds, *, text_col: str = "text", num_buckets: int = 16):
+    """Document-frequency table (tok, df) — phase 1 of the TF-IDF scorer.
+
+    Per-batch combiner: dictionary-encode the token stream, collapse to
+    DISTINCT (doc, token) pairs with one np.unique over composite keys, emit
+    one (tok, df_partial) row per distinct token per batch. The shuffle moves
+    vocab-bounded partials only."""
+    from .aggregate import two_phase_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t.column(text_col))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        doc_of = np.repeat(np.arange(len(toks)), np.diff(toks.offsets.to_numpy()))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(flat.filter(pc.not_equal(flat, "")))
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(d.dictionary)
+        pairs = np.unique(doc_of[keep] * v + idx)
+        df_cnt = np.bincount(pairs % v, minlength=v).astype(np.int64)
+        return pa.table({"tok": d.dictionary, "df": pa.array(df_cnt)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_aggregate(parts, ["tok"], [("df", "sum", "df")],
+                               num_buckets=num_buckets)
+
+
+def tfidf_topk(ds, *, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Top-k TF-IDF terms per document, exact-integer scored.
+
+    ``idf(tok) = floor(ln(N / df) * 1e6)`` in micro-nats (int64), computed
+    once per vocab entry on the driver; ``score = tf * idf`` is then exact
+    int64 arithmetic — bit-stable across engines (same floor-absorbs-ulp
+    argument as the unigram scorer). Ties broken by term ascending. Output:
+    (id_col, tok, tf, score), k rows per doc (fewer if the doc has < k
+    distinct in-vocab terms).
+
+    Scale shape: df partials are vocab-bounded; the (vocab, idf) table is
+    broadcast once via ``ray.put``; scoring + per-doc top-k is one stateless
+    map_batches with no shuffle."""
+    import ray
+
+    n_docs = ds.count()
+    rows = doc_freq(ds, text_col=text_col).take_all()
+    toks = np.array([r["tok"] for r in rows], dtype=str)
+    dfs = np.array([r["df"] for r in rows], dtype=np.int64)
+    # lexicographic vocab order => dictionary index IS the tie-break rank,
+    # so the per-doc top-k sort below runs on integer keys only
+    order = np.argsort(toks)
+    toks, dfs = toks[order], dfs[order]
+    idf = np.floor(np.log(float(n_docs) / dfs) * 1e6).astype(np.int64)
+    vocab_ref = ray.put((pa.array(toks), idf))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, idf_l = ray.get(vocab_ref)
+        toks_b = pc.utf8_split_whitespace(t.column(text_col))
+        if isinstance(toks_b, pa.ChunkedArray):
+            toks_b = toks_b.combine_chunks()
+        flat = toks_b.flatten()
+        doc_of = np.repeat(np.arange(len(toks_b)),
+                           np.diff(toks_b.offsets.to_numpy()))
+        ne = pc.not_equal(flat, "")
+        keep = ne.to_numpy(zero_copy_only=False)
+        flat = flat.filter(ne)
+        doc_of = doc_of[keep]
+        vid = pc.index_in(flat, vocab)
+        valid = vid.is_valid().to_numpy(zero_copy_only=False)
+        vid_np = vid.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of, vid_np = doc_of[valid], vid_np[valid]
+        v = len(vocab)
+        pair, tf = np.unique(doc_of * v + vid_np, return_counts=True)
+        p_doc, p_tok = pair // v, pair % v
+        sc = tf.astype(np.int64) * idf_l[p_tok]
+        order = np.lexsort((p_tok, -sc, p_doc))  # vocab is lex-sorted
+        p_doc, p_tok, tf, sc = p_doc[order], p_tok[order], tf[order], sc[order]
+        # rank within doc = position minus first-position-of-doc
+        first = np.r_[True, p_doc[1:] != p_doc[:-1]]
+        pos = np.arange(len(p_doc))
+        rank = pos - np.repeat(pos[first], np.diff(np.r_[np.flatnonzero(first), len(p_doc)]))
+        m = rank < k
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[p_doc[m]]),
+                         "tok": vocab.take(pa.array(p_tok[m])),
+                         "tf": pa.array(tf[m].astype(np.int64)),
+                         "score": pa.array(sc[m])})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

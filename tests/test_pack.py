@@ -1,0 +1,79 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _brute_pack(texts, seq_len):
+    """Reference: global concat in doc order, chunk into seq_len windows."""
+    out, off = [], 0
+    for t in texts:
+        n = len(t.split())
+        if n == 0:
+            out.append((n, off, None, None, 0))
+        else:
+            out.append((n, off, off // seq_len, (off + n - 1) // seq_len,
+                        (off + n - 1) // seq_len - off // seq_len + 1))
+        off += n
+    return out
+
+
+def test_seq_pack_vs_bruteforce(ray_session):
+    import ray
+
+    from rotel_ray.stages.pack import seq_pack
+
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(200):
+        n = int(rng.integers(0, 12))
+        texts.append(" ".join(f"w{int(rng.integers(0, 9))}" for _ in range(n)))
+    texts[13] = ""          # empty doc mid-corpus
+    texts[199] = "   "      # whitespace-only doc at the end
+    ids = list(range(200))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    # small seq_len/range_size force both boundary-straddling docs and
+    # multiple prefix-sum ranges per bucket
+    out = (seq_pack(ds, seq_len=7, range_size=16)
+           .to_pandas().set_index("doc_id").sort_index())
+    ref = _brute_pack(texts, 7)
+    assert len(out) == 200
+    for i, (n, off, sf, sl, ns) in enumerate(ref):
+        row = out.loc[i]
+        assert row.n_tokens == n and row.tok_start == off, i
+        assert row.n_seqs == ns, i
+        if n == 0:
+            assert row.seq_first is None or np.isnan(row.seq_first)
+        else:
+            assert row.seq_first == sf and row.seq_last == sl, i
+
+
+def test_tfidf_topk_vs_bruteforce(ray_session):
+    import math
+
+    import ray
+
+    from rotel_ray.stages.textstats import tfidf_topk
+
+    texts = ["a a a b c", "b b c d", "a d d d", "c c e", ""]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(5)), "text": texts}))
+    out = tfidf_topk(ds, k=2).to_pandas()
+
+    # brute force
+    n_docs = 5
+    docs = [t.split() for t in texts]
+    df = {}
+    for d in docs:
+        for tok in set(d):
+            df[tok] = df.get(tok, 0) + 1
+    idf = {t: int(math.floor(math.log(n_docs / c) * 1e6)) for t, c in df.items()}
+    expect = []
+    for i, d in enumerate(docs):
+        tf = {}
+        for tok in d:
+            tf[tok] = tf.get(tok, 0) + 1
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1] * idf[kv[0]], kv[0]))
+        for tok, c in ranked[:2]:
+            expect.append((i, tok, c, c * idf[tok]))
+    got = sorted(map(tuple, out[["doc_id", "tok", "tf", "score"]].values))
+    assert got == sorted(expect)
