@@ -1531,6 +1531,16 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, k=5)
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Intra-corpus duplicate k-gram statistics (Lee et al. exact-substring
+    dedup signal): one bucketed shuffle of (doc, gram, multiplicity) rows —
+    corpus gram totals are per-bucket segment sums, nothing broadcast."""
+    from .stages.dedup import dup_ngram_stats
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_ngram_stats(ds, k=8)
+
+
 def q_dd_span(sf_dir: str):
     """Datadog minimal DDSpan conversion
     (datadog/transform/transformer.rs:263-323): 64-bit id truncation
@@ -1845,6 +1855,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "seq_pack": q_seq_pack,
     "tfidf_topk": q_tfidf_topk,
+    "dup_ngrams": q_dup_ngrams,
     "ch_logs_row": q_ch_logs_row,
     "ch_traces_row": q_ch_traces_row,
     "metrics_emf_json": q_metrics_emf_json,
@@ -2561,6 +2572,29 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM tf JOIN idf USING (tok)
         QUALIFY row_number() OVER (PARTITION BY doc_id
                                    ORDER BY tf * idf DESC, tok) <= 5"""
+    # duplicate k-grams: literal gram strings stand in for the rolling-poly
+    # hashes (same deterministic-collision caveat as decontaminate); short
+    # docs fall back to their RAW token stream (multiplicity kept — it feeds
+    # the corpus count), matching _batch_shingle_stream
+    sql["dup_ngrams"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 8 THEN
+                   list_transform(range(1, len(tk) - 6),
+                                  i -> array_to_string(tk[i:i+7], ' '))
+                 ELSE tk END AS gs
+          FROM toks),
+        pos AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        cnt AS (SELECT g, count(*) AS c FROM pos GROUP BY g)
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(COALESCE(sum(CASE WHEN c >= 2 THEN 1 END), 0) AS BIGINT)
+                 AS n_dup
+        FROM pos JOIN cnt USING (g)
+        GROUP BY doc_id"""
     # benchmark decontamination: literal k-gram strings stand in for the
     # engine's rolling-poly hashes (same gram set; 64-bit collisions are the
     # only divergence and are deterministic-negligible), same <k-token

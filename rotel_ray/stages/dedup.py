@@ -1063,3 +1063,91 @@ def decontaminate(train_ds, eval_ds, *, k: int = 8, text_col: str = "text",
 
     return train_ds.map_batches(probe, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# intra-corpus duplicate k-gram statistics (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_stats(ds, *, k: int = 8, min_count: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 64):
+    """Per-document duplicate k-gram statistics — the exact-substring
+    duplication signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), at token-k-gram granularity: a gram
+    position is *duplicated* when its k-gram occurs >= ``min_count`` times
+    corpus-wide (within-doc repeats count toward the total).
+
+    Output: one row per doc with >= 1 token — (id_col, n_grams, n_dup)
+    where n_grams is the doc's positional gram count (docs shorter than k
+    tokens fall back to their raw token stream, same kernel as minhash) and
+    n_dup the positions whose gram is duplicated.
+
+    Scale shape: unlike ``decontaminate`` the duplicate-gram set is
+    corpus-sized, so nothing is broadcast. One pass reduces each batch to
+    distinct (doc, gram) rows with positional multiplicity, bucketed by the
+    gram hash; ONE bucketed shuffle then suffices because every occurrence
+    of a gram lands in the same bucket — corpus-wide totals are segment
+    sums inside the bucket reduce, no separate counting phase or gram-set
+    join. Per-doc partials from each bucket are summed by a final tiny
+    two-phase aggregate keyed on doc_id. Shuffle volume is O(distinct grams
+    per doc) rows of 3 ints — inherent to substring-level dedup. Gram
+    identity is the 64-bit rolling-poly hash (collisions deterministic-
+    negligible, same caveat as ``decontaminate``)."""
+    from .aggregate import two_phase_aggregate
+
+    mask = np.uint64(num_buckets - 1)
+
+    def probe(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        vals, cnts = _batch_shingle_stream(text, k)
+        seg = np.repeat(np.arange(len(cnts)), cnts)
+        order = np.lexsort((vals, seg))
+        sv, ss = vals[order], seg[order]
+        if len(sv):
+            first = np.r_[True, (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])]
+            grp = np.cumsum(first) - 1
+            n_pos = np.bincount(grp).astype(np.int64)
+            dv, dseg = sv[first], ss[first]
+        else:
+            n_pos = np.zeros(0, np.int64)
+            dv, dseg = sv, ss
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__b": pa.array((dv & mask).astype(np.int64)),
+            id_col: pa.array(ids[dseg]),
+            "g": pa.array(dv, pa.uint64()),
+            "n_pos": pa.array(n_pos),
+        })
+
+    pr = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        n_pos = t.column("n_pos").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, n_pos, ids = g[order], n_pos[order], ids[order]
+        first = np.r_[True, g[1:] != g[:-1]]
+        grp = np.cumsum(first) - 1
+        tot = np.zeros(grp[-1] + 1 if len(grp) else 0, np.int64)
+        np.add.at(tot, grp, n_pos)
+        dup = tot[grp] >= min_count
+        # per-doc partials within this bucket
+        uids, uinv = np.unique(ids, return_inverse=True)
+        n_grams = np.zeros(len(uids), np.int64)
+        np.add.at(n_grams, uinv, n_pos)
+        n_dup = np.zeros(len(uids), np.int64)
+        np.add.at(n_dup, uinv[dup], n_pos[dup])
+        return pa.table({id_col: pa.array(uids), "n_grams": pa.array(n_grams),
+                         "n_dup": pa.array(n_dup)})
+
+    from .aggregate import grouped_apply
+
+    partials = grouped_apply(pr, ["__b"], per_bucket,
+                             num_buckets=num_buckets, batch_format="pyarrow")
+    return two_phase_aggregate(partials, [id_col],
+                               [("n_grams", "sum", "n_grams"),
+                                ("n_dup", "sum", "n_dup")],
+                               num_buckets=num_buckets)

@@ -265,3 +265,38 @@ def test_decontaminate_planted_and_short_docs(ray_session):
     assert out.set_index("doc_id").loc[1, "n_overlap"] == 3
     # doc 3 (short): both tokens are in the eval token set
     assert out.set_index("doc_id").loc[3, "n_overlap"] == 2
+
+
+def test_dup_ngram_stats_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.dedup import dup_ngram_stats
+
+    boiler = "one two three four five six seven eight"      # exactly k=8 tokens
+    texts = [
+        boiler + " tail alpha",                             # shares boiler gram
+        boiler + " tail beta",                              # with doc 0
+        "unique words here nine ten eleven twelve thirteen fourteen",
+        "short doc",                                        # <k fallback: raw tokens
+        "short doc",                                        # duplicates doc 3's tokens
+        "x x x x",                                          # within-doc repeats only
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(6)), "text": texts}))
+    out = (dup_ngram_stats(ds, k=8, num_buckets=8)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    # docs 0/1: 10 tokens -> 3 positional grams; the 3 grams fully inside
+    # `boiler + tail`? grams are windows 0..2; window 0 = boiler (shared),
+    # windows 1-2 include 'tail alpha'/'tail beta' (+ 'tail' gram differs at
+    # last token) -> window 1 = tokens 1..8 ("two..tail") also shared!
+    assert out.loc[0, "n_grams"] == 3 and out.loc[0, "n_dup"] == 2
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_dup"] == 2
+    assert out.loc[2, "n_dup"] == 0
+    # short-doc fallback: raw tokens, duplicated across docs 3/4
+    assert out.loc[3, "n_grams"] == 2 and out.loc[3, "n_dup"] == 2
+    assert out.loc[4, "n_dup"] == 2
+    # within-doc multiplicity alone reaches min_count
+    assert out.loc[5, "n_grams"] == 4 and out.loc[5, "n_dup"] == 4
