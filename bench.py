@@ -52,6 +52,9 @@ SECONDARY = [
     "span_resource",
     "ch_metrics_histogram",
     "doc_repetition",
+    "dup_ngrams",
+    "seq_pack",
+    "unigram_logprob",
 ]
 
 

@@ -38,6 +38,7 @@ import ray
 from .aggregate import grouped_apply, two_phase_aggregate
 from .enrich import _hash_values
 from .similarity import embedding_matrix, lsh_signatures, make_planes
+from .tokenize import split_tokens
 
 MERSENNE = (1 << 61) - 1
 SEED = 7_654_321
@@ -87,18 +88,9 @@ def _batch_token_hashes(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     (flat token hashes, per-doc token counts) — identical values to
     ``_token_hashes`` per doc, ~50x less per-token Python.
     """
-    toks = pc.utf8_split_whitespace(text)
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.flatten()
-    # Arrow split emits '' for leading/trailing runs; Python .split() doesn't
-    nonempty = pc.not_equal(flat, "")
-    counts_all = np.diff(toks.offsets.to_numpy())
-    doc_of = np.repeat(np.arange(len(toks)), counts_all)
-    keep = nonempty.to_numpy(zero_copy_only=False)
-    flat = flat.filter(nonempty)
-    doc_of = doc_of[keep]
-    counts = np.bincount(doc_of, minlength=len(toks)).astype(np.int64)
+    # shared hardened tokenizer: drops '' split artifacts AND the phantom
+    # whitespace-only tokens of the pyarrow buffer-end edge (see tokenize.py)
+    flat, doc_of, counts = split_tokens(text)
     d = pc.dictionary_encode(flat)
     vocab = np.fromiter(
         (_fnv1a(t) for t in d.dictionary.to_pylist()), dtype=np.uint64,

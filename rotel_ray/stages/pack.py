@@ -34,27 +34,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .aggregate import grouped_apply, two_phase_aggregate
+from .tokenize import split_tokens
 
 
 def token_counts(ds, *, text_col: str = "text", id_col: str = "doc_id",
                  range_size: int = 65536):
     """``(id_col, n_tokens, __range)`` table — whitespace token counts with
     the prefix-sum range key attached.  Same token definition as the other
-    text operators (utf8 whitespace split, empty strings dropped)."""
+    text operators (shared hardened tokenizer, see tokenize.py)."""
 
     def f(t: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(t.column(text_col))
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        counts_all = np.diff(toks.offsets.to_numpy())
-        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
-        # subtract per-doc empty-token counts (segment sum over offsets)
-        n_empty = np.zeros(len(toks), np.int64)
-        if empty.any():
-            doc_of = np.repeat(np.arange(len(toks)), counts_all)
-            np.add.at(n_empty, doc_of[empty], 1)
-        n_tok = counts_all.astype(np.int64) - n_empty
+        _, _, n_tok = split_tokens(t.column(text_col))
         ids = pc.cast(t.column(id_col), pa.int64())
         rng = pc.divide(ids, range_size)
         return pa.table({id_col: ids, "n_tokens": pa.array(n_tok),

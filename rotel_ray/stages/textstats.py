@@ -25,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .tokenize import split_tokens
+
 # ---------------------------------------------------------------------------
 # language ID
 # ---------------------------------------------------------------------------
@@ -281,11 +283,7 @@ def unigram_counts(ds, *, text_col: str = "text", num_buckets: int = 16):
     from .aggregate import two_phase_aggregate
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(t.column(text_col))
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        flat = flat.filter(pc.not_equal(flat, ""))
+        flat, _, _ = split_tokens(t.column(text_col))
         d = pc.dictionary_encode(flat)
         cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
                           minlength=len(d.dictionary)).astype(np.int64)
@@ -331,21 +329,12 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     def score(t: pa.Table) -> pa.Table:
         vocab, lp_l, oov_l = ray.get(ref)
-        toks_b = pc.utf8_split_whitespace(t.column(text_col))
-        if isinstance(toks_b, pa.ChunkedArray):
-            toks_b = toks_b.combine_chunks()
-        flat = toks_b.flatten()
-        counts_all = np.diff(toks_b.offsets.to_numpy())
-        doc_of = np.repeat(np.arange(len(toks_b)), counts_all)
-        nonempty = pc.not_equal(flat, "")
-        keep = nonempty.to_numpy(zero_copy_only=False)
-        idx = pc.index_in(flat.filter(nonempty), vocab)
+        flat, doc_of, n_tok = split_tokens(t.column(text_col))
+        idx = pc.index_in(flat, vocab)
         valid = idx.is_valid().to_numpy(zero_copy_only=False)
         idx_np = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_of = doc_of[keep]
         vals = np.where(valid, lp_l[idx_np], oov_l)
-        n_tok = np.bincount(doc_of, minlength=len(toks_b)).astype(np.int64)
-        sums = np.zeros(len(toks_b), np.int64)
+        sums = np.zeros(len(n_tok), np.int64)
         np.add.at(sums, doc_of, vals)
         m = n_tok > 0
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -371,16 +360,11 @@ def doc_freq(ds, *, text_col: str = "text", num_buckets: int = 16):
     from .aggregate import two_phase_aggregate
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(t.column(text_col))
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        doc_of = np.repeat(np.arange(len(toks)), np.diff(toks.offsets.to_numpy()))
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        d = pc.dictionary_encode(flat.filter(pc.not_equal(flat, "")))
+        flat, doc_of, _ = split_tokens(t.column(text_col))
+        d = pc.dictionary_encode(flat)
         idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         v = len(d.dictionary)
-        pairs = np.unique(doc_of[keep] * v + idx)
+        pairs = np.unique(doc_of * v + idx)
         df_cnt = np.bincount(pairs % v, minlength=v).astype(np.int64)
         return pa.table({"tok": d.dictionary, "df": pa.array(df_cnt)})
 
@@ -418,16 +402,7 @@ def tfidf_topk(ds, *, k: int = 5, text_col: str = "text",
 
     def score(t: pa.Table) -> pa.Table:
         vocab, idf_l = ray.get(vocab_ref)
-        toks_b = pc.utf8_split_whitespace(t.column(text_col))
-        if isinstance(toks_b, pa.ChunkedArray):
-            toks_b = toks_b.combine_chunks()
-        flat = toks_b.flatten()
-        doc_of = np.repeat(np.arange(len(toks_b)),
-                           np.diff(toks_b.offsets.to_numpy()))
-        ne = pc.not_equal(flat, "")
-        keep = ne.to_numpy(zero_copy_only=False)
-        flat = flat.filter(ne)
-        doc_of = doc_of[keep]
+        flat, doc_of, _ = split_tokens(t.column(text_col))
         vid = pc.index_in(flat, vocab)
         valid = vid.is_valid().to_numpy(zero_copy_only=False)
         vid_np = vid.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
