@@ -20,7 +20,9 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
-def _first_parquet(path: str) -> str:
+def _first_parquet(path) -> str:
+    if isinstance(path, (list, tuple)):
+        path = path[0]
     if os.path.isdir(path):
         for name in sorted(os.listdir(path)):
             if name.endswith(".parquet"):

@@ -17,6 +17,7 @@ import time
 
 import ray.data as rd
 
+from ..io import read_parquet
 from ..stages.aggregate import fused_metrics_conv_aggregate
 from ..stages.enrich import enrich_stage
 from ..stages.parse import parse_stage
@@ -27,7 +28,7 @@ from ..state.manifest import Manifest
 def build_routed(input_paths, *, enrich_concurrency=4, batch_size: int = 16384,
                  resource_attrs: dict | None = None, enrich_compute: str = "tasks"):
     """read -> parse -> enrich -> route (lazy)."""
-    ds = rd.read_parquet(input_paths)
+    ds = read_parquet(input_paths)
     ds = parse_stage(ds, batch_size=batch_size)
     ds = enrich_stage(ds, concurrency=enrich_concurrency, batch_size=batch_size,
                       resource_attrs=resource_attrs, compute=enrich_compute)
@@ -116,7 +117,7 @@ def run_flagship(
         ]
         agg_cols = ["conv_id", "turn_idx", "ts", "role", "event_type",
                     "severity_number", "error_code", "duration_ms", "body_bytes_sent"]
-        agg_src = rd.read_parquet(wave_files, columns=agg_cols)
+        agg_src = read_parquet(wave_files, columns=agg_cols)
 
         # BOTH aggregates run in ONE fused execution (one streaming-executor
         # launch + one sort instead of two — halves the aggregate-side fixed
