@@ -57,18 +57,22 @@ def cosine_scores_stage(ds, query_vec: np.ndarray, *, id_col: str = "vec_id",
     """Append an exact cosine ``sim`` column vs one broadcast query vector."""
     qn = np.asarray(query_vec, dtype=np.float64)
     qn = qn / np.linalg.norm(qn)
-    qref = ray.put(qn)
 
     class Cosine:
-        def __init__(self):
-            self.q = ray.get(qref)
+        # a single d-dim query vector is small enough to ship by value in the
+        # actor constructor (inlined, once per actor) — ray.put here only
+        # triggers the actor-restart/object-store warning (ray#53727). The
+        # genuinely large broadcast sides (IVF centroids, LSH planes) stay
+        # on ray.put below.
+        def __init__(self, q: np.ndarray):
+            self.q = q
 
         def __call__(self, t: pa.Table) -> pa.Table:
             m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
             return pa.table({id_col: t.column(id_col), "sim": pa.array(m @ self.q)})
 
     return ds.map_batches(Cosine, batch_format="pyarrow", concurrency=concurrency,
-                          zero_copy_batch=True)
+                          zero_copy_batch=True, fn_constructor_args=(qn,))
 
 
 def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
