@@ -53,6 +53,7 @@ SECONDARY = [
     "ch_metrics_histogram",
     "doc_repetition",
     "dup_ngrams",
+    "span_dedup",
     "seq_pack",
     "unigram_logprob",
 ]

@@ -941,6 +941,17 @@ def q_dedup_keep_clustered(sf_dir: str):
                                         num_buckets=_doc_buckets(sf_dir))
 
 
+def q_span_dedup(sf_dir: str):
+    """C4/RefinedWeb-style exact span dedup: 10-token windows, each distinct
+    span survives only at its first global (doc_id, span_idx) occurrence,
+    docs reassembled from surviving spans (docs with none vanish). Two
+    bucketed shuffles — by span text, then by doc id."""
+    from .stages.dedup import span_dedup
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return span_dedup(ds, width=10, num_buckets=_doc_buckets(sf_dir))
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end corpus-curation chain — the composed LLM-training-data
     pipeline: token/alpha quality gate -> language allowlist -> exact dedup
@@ -1800,6 +1811,7 @@ QUERIES = {
     "events_minute": q_events_minute,
     "top_users": q_top_users,
     "dedup_exact": q_dedup_exact,
+    "span_dedup": q_span_dedup,
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
     "sim_topk": q_sim_topk,
@@ -1982,6 +1994,20 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     sql["top_users"] = f"""
         SELECT user_id, CAST(sum({cents.format(expr='value')}) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1 ORDER BY 2 DESC LIMIT 10"""
+    sql["span_dedup"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        spans AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+                 array_to_string(ts[(i*10+1):(i*10+10)], ' ') AS span
+          FROM toks, unnest(range((len(ts)+9)//10)) AS t(i)),
+        keep AS (
+          SELECT doc_id, span_idx, span,
+                 row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+          FROM spans)
+        SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text_dedup,
+               count(*) AS n_kept
+        FROM keep WHERE rn = 1 GROUP BY doc_id"""
     sql["dedup_exact"] = """
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
         FROM documents GROUP BY 1"""

@@ -1143,3 +1143,83 @@ def dup_ngram_stats(ds, *, k: int = 8, min_count: int = 2,
                                [("n_grams", "sum", "n_grams"),
                                 ("n_dup", "sum", "n_dup")],
                                num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# span-level exact dedup (C4 / RefinedWeb line dedup restated for token spans)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(ds, *, width: int = 10, id_col: str = "doc_id",
+               text_col: str = "text", num_buckets: int = 64):
+    """Corpus-wide exact span dedup: every document is cut into fixed-width
+    token spans (the tokenized-corpus restatement of C4/RefinedWeb *line*
+    dedup — their unit is a text line / 3-sentence span; ours is a
+    ``width``-token window since the corpus has no line structure), each
+    distinct span survives only at its FIRST global occurrence (minimum
+    ``(doc_id, span_idx)``), and documents are reassembled from their
+    surviving spans in original order. Documents whose every span was seen
+    earlier elsewhere vanish entirely — exactly the C4 semantics.
+
+    Scale shape: two bucketed shuffles, both O(corpus tokens) — (1) spans
+    hash-bucketed by span text, each bucket picks winners with one lexsort
+    (complete: the bucket key is the span), (2) winners hash-bucketed by
+    doc id for reassembly via offsets + ``binary_join``. No driver state,
+    no per-row Python; skewed spans (boilerplate) dilute across buckets by
+    span-hash and cost one sorted segment, not O(n^2).
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, _, counts = split_tokens(t.column(text_col))
+        doc_ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_starts = np.r_[0, np.cumsum(counts)]
+        n_spans = (counts + width - 1) // width
+        total = int(n_spans.sum())
+        if total == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "span_idx": pa.array([], pa.int64()),
+                             "span": pa.array([], pa.string())})
+        span_doc = np.repeat(np.arange(len(counts)), n_spans)
+        span_idx = np.arange(total) - np.repeat(np.r_[0, np.cumsum(n_spans)[:-1]], n_spans)
+        # spans tile the flat token stream contiguously (within and across
+        # docs), so start offsets alone define the list boundaries
+        starts = (tok_starts[span_doc] + span_idx * width).astype(np.int32)
+        offsets = pa.array(np.r_[starts, np.int32(len(flat))], pa.int32())
+        spans = pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
+        return pa.table({id_col: pa.array(doc_ids[span_doc]),
+                         "span_idx": pa.array(span_idx.astype(np.int64)),
+                         "span": spans})
+
+    def winners(t: pa.Table) -> pa.Table:
+        # bucket key is the span text, so each distinct span's occurrences
+        # are all here: min (doc_id, span_idx) per span via one lexsort
+        enc = pc.dictionary_encode(t.column("span").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        d = t.column(id_col).to_numpy(zero_copy_only=False)
+        si = t.column("span_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, d, codes))
+        first = np.r_[True, codes[order][1:] != codes[order][:-1]]
+        keep = order[first]
+        return pa.table({id_col: pa.array(d[keep]),
+                         "span_idx": pa.array(si[keep]),
+                         "span": t.column("span").combine_chunks().take(pa.array(keep))})
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        d = t.column(id_col).to_numpy(zero_copy_only=False)
+        si = t.column("span_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, d))
+        d = d[order]
+        spans = t.column("span").combine_chunks().take(pa.array(order))
+        firsts = np.r_[True, d[1:] != d[:-1]]
+        offsets = pa.array(np.r_[np.flatnonzero(firsts), np.int32(len(d))].astype(np.int32))
+        return pa.table({
+            id_col: pa.array(d[firsts]),
+            "text_dedup": pc.binary_join(pa.ListArray.from_arrays(offsets, spans), " "),
+            "n_kept": pa.array(np.diff(offsets.to_numpy().astype(np.int64))),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    surv = grouped_apply(rows, ["span"], winners, batch_format="pyarrow",
+                         num_buckets=num_buckets)
+    return grouped_apply(surv, [id_col], reassemble, batch_format="pyarrow",
+                         num_buckets=num_buckets)

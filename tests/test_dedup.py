@@ -300,3 +300,43 @@ def test_dup_ngram_stats_planted(ray_session):
     assert out.loc[4, "n_dup"] == 2
     # within-doc multiplicity alone reaches min_count
     assert out.loc[5, "n_grams"] == 4 and out.loc[5, "n_dup"] == 4
+
+
+def test_span_dedup_matches_bruteforce():
+    from rotel_ray.stages.dedup import span_dedup
+
+    texts = [
+        "a b c d e f",            # spans (w=3): "a b c", "d e f"
+        "a b c x y z",            # "a b c" repeats -> dropped here
+        "d e f a b c",            # both spans seen -> doc vanishes
+        "",                       # zero tokens -> absent from output
+        "   ",                    # whitespace-only -> absent
+        "q r",                    # short doc, one partial span
+        "x y z q r",              # "x y z" is NOT a span elsewhere (x y z as
+                                  # span_idx-1 of doc 1 IS "x y z") -> dropped
+    ]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}))
+    got = (span_dedup(ds, width=3, num_buckets=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # brute-force reference
+    seen, keep = set(), {}
+    for d, tx in zip(ids, texts):
+        toks = tx.split()
+        spans = [" ".join(toks[i:i + 3]) for i in range(0, len(toks), 3)]
+        surv = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                surv.append(s)
+        if surv:
+            keep[d] = (" ".join(surv), len(surv))
+
+    assert list(got["doc_id"]) == sorted(keep)
+    for _, row in got.iterrows():
+        txt, n = keep[row["doc_id"]]
+        assert row["text_dedup"] == txt
+        assert row["n_kept"] == n
+    assert 2 not in keep and 3 not in keep and 4 not in keep
