@@ -54,6 +54,7 @@ SECONDARY = [
     "doc_repetition",
     "dup_ngrams",
     "span_dedup",
+    "mix_balance",
     "seq_pack",
     "unigram_logprob",
 ]

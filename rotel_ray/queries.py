@@ -952,6 +952,27 @@ def q_span_dedup(sf_dir: str):
     return span_dedup(ds, width=10, num_buckets=_doc_buckets(sf_dir))
 
 
+def q_mix_balance(sf_dir: str):
+    """Source re-mixing to an equal token share (Gopher/DoReMi-style static
+    mix): per-source token totals via two-phase aggregate, integer-exact
+    md5-prefix down-sampling thresholds broadcast into a fused filter."""
+    from .stages.mix import mix_balance
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "source", "text"])
+    return mix_balance(ds, num_buckets=_doc_buckets(sf_dir))
+
+
+def q_shard_assign(sf_dir: str):
+    """Deterministic global shuffle + shard for training export: shard =
+    md5-prefix mod 16, pos = rank in shard by (md5, doc_id). Reproducible
+    across runs and cluster sizes — a pure content function."""
+    from .stages.mix import shard_assign
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return shard_assign(ds, n_shards=16, num_buckets=_doc_buckets(sf_dir))
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end corpus-curation chain — the composed LLM-training-data
     pipeline: token/alpha quality gate -> language allowlist -> exact dedup
@@ -1812,6 +1833,8 @@ QUERIES = {
     "top_users": q_top_users,
     "dedup_exact": q_dedup_exact,
     "span_dedup": q_span_dedup,
+    "mix_balance": q_mix_balance,
+    "shard_assign": q_shard_assign,
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
     "sim_topk": q_sim_topk,
@@ -1994,6 +2017,34 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     sql["top_users"] = f"""
         SELECT user_id, CAST(sum({cents.format(expr='value')}) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1 ORDER BY 2 DESC LIMIT 10"""
+    sql["mix_balance"] = r"""
+        WITH tot AS (
+          SELECT source, SUM(len(regexp_extract_all(text, '\S+'))) AS t
+          FROM documents GROUP BY source),
+        g AS (SELECT SUM(t) AS ct, COUNT(*) AS ns FROM tot),
+        thr AS (SELECT source,
+                CASE WHEN t = 0 THEN 65536
+                     ELSE LEAST(65536, CAST(((SELECT ct FROM g) // (2 * (SELECT ns FROM g)))
+                                            * 65536 // t AS BIGINT))
+                END AS thr FROM tot)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr USING (source)
+        WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(substr(md5(d.text), 1, 4), ''),
+                  c -> CAST(ascii(c) - CASE WHEN c >= 'a' THEN 87 ELSE 48 END AS BIGINT))),
+              (h, x) -> h * 16 + x) < thr.thr"""
+    sql["shard_assign"] = r"""
+        WITH h AS (
+          SELECT doc_id, md5(text) AS hh,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(substr(md5(text), 1, 4), ''),
+                  c -> CAST(ascii(c) - CASE WHEN c >= 'a' THEN 87 ELSE 48 END AS BIGINT))),
+              (h, x) -> h * 16 + x) % 16 AS shard
+          FROM documents)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM h"""
     sql["span_dedup"] = r"""
         WITH toks AS (
           SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),

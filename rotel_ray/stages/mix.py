@@ -1,0 +1,122 @@
+"""Corpus mixing and training-export operators.
+
+``mix_balance`` — source re-mixing to an equal token share: the step that
+turns a crawl dominated by a few giant sources into the balanced training
+mix (cf. the sampling-weight rebalancing in Gopher/DoReMi-style data
+recipes). Every source gets the same token budget (corpus_total /
+(share_div * n_sources)); sources over their share are down-sampled
+deterministically (md5-prefix threshold — a pure content function, no RNG
+state), sources under it keep everything. All thresholds are integers
+derived from the aggregated totals, so the DuckDB oracle is bit-exact.
+
+``shard_assign`` — the deterministic global shuffle + shard step of a
+training-data export: shard = h(text) mod n_shards, position = rank within
+the shard by (h, doc_id). Equivalent to ORDER BY md5(text) sharding — a
+reproducible "random" order that is a pure function of content, so a
+re-run (or a resumed run) lands every row in the same shard file at the
+same position.
+
+Scale shape: ``mix_balance`` is one two-phase aggregate (n_sources partial
+rows per batch) + a tiny driver-side threshold table broadcast into a
+fused filter — the corpus itself never shuffles. ``shard_assign`` is ONE
+bucketed shuffle on the shard id; ranking within a shard is a single
+lexsort over the md5 keys (fixed-width S32 bytes, not Python strings).
+At 100 TB, n_shards scales with the corpus and each shard is written as
+its own partition directory (``write_parquet(partition_cols=["shard"])``),
+so a failed export resumes per shard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .aggregate import grouped_apply, two_phase_aggregate
+from .enrich import _hash_values
+
+HEX_WEIGHTS = np.array([4096, 256, 16, 1], np.int64)
+
+
+def _hex4_to_int(arr: pa.Array) -> np.ndarray:
+    """Parse a fixed-width 4-hex-char lowercase column (md5 prefix) to int64,
+    vectorized over the Arrow byte buffer."""
+    s = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(s)
+    if n == 0:
+        return np.empty(0, np.int64)
+    if pa.types.is_large_string(s.type):
+        s = pc.cast(s, pa.string())
+    offs = np.frombuffer(s.buffers()[1], np.int32)[s.offset : s.offset + n + 1]
+    data = np.frombuffer(s.buffers()[2], np.uint8)
+    idx = offs[:-1].astype(np.int64)[:, None] + np.arange(4)
+    chars = data[idx].astype(np.int64)
+    return np.where(chars >= ord("a"), chars - 87, chars - 48) @ HEX_WEIGHTS
+
+
+def mix_balance(ds, *, source_col: str = "source", text_col: str = "text",
+                id_col: str = "doc_id", share_div: int = 2,
+                num_buckets: int = 64):
+    """Keep each doc iff md5_prefix16(text) < thr[source], where
+    thr = min(2^16, budget * 2^16 // source_tokens) and
+    budget = corpus_tokens // (share_div * n_sources)."""
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        return pa.table({
+            source_col: t.column(source_col),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t.column(text_col).combine_chunks(), r"\S+"),
+                pa.int64()),
+        })
+
+    totals = two_phase_aggregate(
+        ds.map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True),
+        [source_col], [("n_tokens", "sum", "t")], num_buckets=num_buckets,
+    ).take_all()  # n_sources rows — the broadcast side, never the corpus
+    corpus = sum(r["t"] for r in totals)
+    budget = corpus // (share_div * max(len(totals), 1))
+    keys = pa.array([r[source_col] for r in totals])
+    vals = pa.array(
+        [min(65536, budget * 65536 // r["t"]) if r["t"] else 65536 for r in totals],
+        pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        h4 = pc.utf8_slice_codeunits(_hash_values(t.column(text_col), "md5"), 0, 4)
+        pref = _hex4_to_int(h4)
+        tnum = pc.fill_null(
+            pc.take(vals, pc.index_in(t.column(source_col).combine_chunks(), keys)), 0
+        ).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(pref < tnum)).select([id_col, source_col])
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shard_assign(ds, *, n_shards: int = 16, id_col: str = "doc_id",
+                 text_col: str = "text", num_buckets: int = 64):
+    """(doc_id, shard, pos): shard = md5_prefix16(text) mod n_shards, pos =
+    rank within the shard ordered by (md5(text), doc_id)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        hh = _hash_values(t.column(text_col), "md5")
+        shard = _hex4_to_int(pc.utf8_slice_codeunits(hh, 0, 4)) % n_shards
+        return pa.table({id_col: t.column(id_col), "__h": hh,
+                         "shard": pa.array(shard.astype(np.int64))})
+
+    def rank(t: pa.Table) -> pa.Table:
+        sh = t.column("shard").to_numpy(zero_copy_only=False)
+        d = t.column(id_col).to_numpy(zero_copy_only=False)
+        # md5 hex is fixed 32 ASCII chars: sort as S32 bytes, not objects
+        h = t.column("__h").to_numpy(zero_copy_only=False).astype("S32")
+        order = np.lexsort((d, h, sh))
+        sh_s = sh[order]
+        starts = np.flatnonzero(np.r_[True, sh_s[1:] != sh_s[:-1]])
+        seg = np.repeat(starts, np.diff(np.r_[starts, len(sh_s)]))
+        return pa.table({
+            id_col: pa.array(d[order]),
+            "shard": pa.array(sh_s),
+            "pos": pa.array(np.arange(len(sh_s)) - seg),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_apply(rows, ["shard"], rank, batch_format="pyarrow",
+                         num_buckets=min(num_buckets, n_shards))

@@ -340,3 +340,55 @@ def test_span_dedup_matches_bruteforce():
         assert row["text_dedup"] == txt
         assert row["n_kept"] == n
     assert 2 not in keep and 3 not in keep and 4 not in keep
+
+
+def test_mix_balance_equal_share():
+    import hashlib
+
+    from rotel_ray.stages.mix import mix_balance
+
+    rng = np.random.default_rng(7)
+    texts = [" ".join(rng.choice(list("abcdefgh"), size=int(n)))
+             for n in rng.integers(5, 40, size=120)]
+    # source 'big' holds ~2/3 of all tokens, 'small' the rest
+    srcs = ["big" if i < 80 else "small" for i in range(120)]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                                 "source": pa.array(srcs),
+                                 "text": pa.array(texts)}))
+    got = mix_balance(ds, num_buckets=4).to_pandas().sort_values("doc_id")
+
+    tok = [len(t.split()) for t in texts]
+    tot = {"big": sum(n for n, s in zip(tok, srcs) if s == "big"),
+           "small": sum(n for n, s in zip(tok, srcs) if s == "small")}
+    budget = sum(tot.values()) // (2 * 2)
+    thr = {s: min(65536, budget * 65536 // t) for s, t in tot.items()}
+    keep = [i for i in range(120)
+            if int(hashlib.md5(texts[i].encode()).hexdigest()[:4], 16) < thr[srcs[i]]]
+    assert list(got["doc_id"]) == keep
+    # the dominant source must actually be down-sampled harder
+    assert thr["big"] < thr["small"]
+
+
+def test_shard_assign_deterministic_ranks():
+    import hashlib
+
+    from rotel_ray.stages.mix import shard_assign
+
+    texts = [f"doc number {i} content" for i in range(50)] + ["doc number 7 content"]
+    ids = list(range(51))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}))
+    got = shard_assign(ds, n_shards=4, num_buckets=4).to_pandas()
+
+    rows = []
+    for d, tx in zip(ids, texts):
+        hh = hashlib.md5(tx.encode()).hexdigest()
+        rows.append((int(hh[:4], 16) % 4, hh, d))
+    expect = {}
+    for shard in range(4):
+        members = sorted((h, d) for s, h, d in rows if s == shard)
+        for pos, (_, d) in enumerate(members):
+            expect[d] = (shard, pos)
+    assert len(got) == 51
+    for _, r in got.iterrows():
+        assert expect[r["doc_id"]] == (r["shard"], r["pos"])
