@@ -973,6 +973,16 @@ def q_shard_assign(sf_dir: str):
     return shard_assign(ds, n_shards=16, num_buckets=_doc_buckets(sf_dir))
 
 
+def q_distinct_kmv(sf_dir: str):
+    """KMV distinct-count sketch (k smallest hashes) over 3-token shingles:
+    deterministic under the fixed FNV/rolling-poly hash, so the estimate is
+    bit-exact against SQL. Mergeable; reduce input bounded at batches*k."""
+    from .stages.sketch import distinct_count_kmv
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return distinct_count_kmv(ds, k=256)
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end corpus-curation chain — the composed LLM-training-data
     pipeline: token/alpha quality gate -> language allowlist -> exact dedup
@@ -1835,6 +1845,7 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "mix_balance": q_mix_balance,
     "shard_assign": q_shard_assign,
+    "distinct_kmv": q_distinct_kmv,
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
     "sim_topk": q_sim_topk,
@@ -2266,6 +2277,43 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
         FROM sb a JOIN sb b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.s, b.s)) <= 3"""
+    # KMV distinct-count sketch, bit-exact in SQL: same per-token FNV-1a and
+    # 3-gram rolling-poly (P=1000003) combine as the engine's shingle stream
+    # (short docs contribute raw token hashes), k smallest distinct values,
+    # (k-1)*2^64 // kth estimator in HUGEINT
+    sql["distinct_kmv"] = f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        th AS (
+          SELECT doc_id, len(tk) AS n, list_transform(tk, t ->
+            list_reduce(list_prepend(CAST({_B} AS HUGEINT),
+              list_transform(range(1, octet_length(encode(t)) + 1),
+                i -> CAST(16 * (ascii(substr(hex(encode(t)), 2*i-1, 1))
+                                - CASE WHEN substr(hex(encode(t)), 2*i-1, 1) >= 'A'
+                                       THEN 55 ELSE 48 END)
+                          + ascii(substr(hex(encode(t)), 2*i, 1))
+                          - CASE WHEN substr(hex(encode(t)), 2*i, 1) >= 'A'
+                                 THEN 55 ELSE 48 END AS HUGEINT))),
+              (h, x) -> xor(h, x) * {_P} % {_M}::HUGEINT)) AS hs
+          FROM toks),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+                   i -> ((hs[i] * 1000003 + hs[i+1]) % {_M}::HUGEINT * 1000003
+                         + hs[i+2]) % {_M}::HUGEINT)
+                 ELSE hs END AS gs
+          FROM th),
+        u AS (SELECT DISTINCT unnest(gs) AS h FROM sh),
+        o AS (SELECT h FROM u ORDER BY h LIMIT 256),
+        s AS (SELECT count(*) AS c, COALESCE(max(h), 0) AS kth FROM o)
+        SELECT CAST(256 AS BIGINT) AS k,
+          CAST(CASE WHEN kth >= {1 << 63} THEN kth - {_M} ELSE kth END AS BIGINT)
+            AS kth_hash,
+          CAST(CASE WHEN c < 256 THEN c
+                    ELSE LEAST(CAST(255 AS HUGEINT) * {_M} // kth,
+                               {(1 << 63) - 1}) END AS BIGINT) AS n_distinct_est
+        FROM s"""
     # winnowing fingerprint, bit-exact in SQL: UTF-8 bytes via hex(encode()),
     # FNV-1a 5-gram rolling hashes and the final combine as HUGEINT
     # mod-2^64 arithmetic (products stay < 2^104 < HUGEINT range), width-4

@@ -114,3 +114,45 @@ def heavy_hitters(ds, *, text_col: str = "text", k: int = 256,
             batch_format="pyarrow", zero_copy_batch=True,
         )
     return exact
+
+
+def distinct_count_kmv(ds, *, k: int = 256, text_col: str = "text",
+                       k_shingle: int = 3):
+    """KMV (k-minimum-values) distinct-count sketch over the corpus's
+    3-token shingles — vocabulary/n-gram cardinality estimation at stream
+    scale. Unlike HLL, KMV under a FIXED hash is fully deterministic, so the
+    estimate itself is DuckDB-oracle-able bit-for-bit.
+
+    Estimator (Bar-Yossef et al. 2002): keep the k smallest distinct 64-bit
+    shingle hashes; if fewer than k distinct values exist the count is
+    exact, else est = (k-1) * 2^64 / h_(k), the classic unbiased KMV form.
+
+    Scale shape: per-batch partial = k smallest distinct hashes (np.unique
+    on the batch's shingle stream), so the merge input is <= batches*k rows
+    — the same bounded-reduce argument as brute_force_topk. The merge is
+    associative set-union-then-truncate, i.e. the sketch is mergeable; here
+    a single final task unions the tiny partial set.
+    """
+    from .dedup import _batch_shingle_stream
+
+    def partial(t: pa.Table) -> pa.Table:
+        stream, _ = _batch_shingle_stream(
+            t.column(text_col).combine_chunks()
+            if isinstance(t.column(text_col), pa.ChunkedArray)
+            else t.column(text_col), k_shingle)
+        u = np.unique(stream)  # sorted ascending on the uint64 domain
+        return pa.table({"h": pa.array(u[:k].view(np.int64))})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        h = np.unique(t.column("h").to_numpy(zero_copy_only=False).view(np.uint64))
+        kk = min(k, len(h))
+        kth = int(h[kk - 1]) if kk else 0
+        est = len(h) if len(h) < k else min((k - 1) * (1 << 64) // kth, (1 << 63) - 1)
+        kth_signed = kth - (1 << 64) if kth >= (1 << 63) else kth
+        return pa.table({"k": pa.array([k], pa.int64()),
+                         "kth_hash": pa.array([kth_signed], pa.int64()),
+                         "n_distinct_est": pa.array([est], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                               batch_size=None)

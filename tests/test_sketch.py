@@ -50,3 +50,38 @@ def test_heavy_hitters_exact_vs_bruteforce():
     expected = {t: int(c) for t, c in zip(uniq, cnt) if c >= threshold}
     assert dict(zip(out.token, out.n)) == expected
     assert len(expected) > 5  # the test corpus actually has heavy hitters
+
+
+def test_distinct_count_kmv():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.dedup import _batch_shingle_stream
+    from rotel_ray.stages.sketch import distinct_count_kmv
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(words, size=60)) for _ in range(400)]
+    tab = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                    "text": pa.array(texts)})
+    # exact ground truth via the same shingle stream
+    stream, _ = _batch_shingle_stream(tab.column("text").combine_chunks(), 3)
+    true_distinct = len(np.unique(stream))
+
+    got = distinct_count_kmv(rd.from_arrow(tab), k=256).to_pandas()
+    assert len(got) == 1
+    est = int(got["n_distinct_est"].iloc[0])
+    assert true_distinct > 256  # the estimation (not exact-count) regime
+    assert abs(est - true_distinct) / true_distinct < 0.15  # KMV σ ≈ 1/√k ≈ 6%
+
+    # below-k regime is exact
+    small = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["a b c d e"])})
+    got2 = distinct_count_kmv(rd.from_arrow(small), k=256).to_pandas()
+    assert int(got2["n_distinct_est"].iloc[0]) == 3  # 3 shingles, all distinct
+
+    # split into many blocks -> same sketch (mergeability / partial bound)
+    got3 = distinct_count_kmv(rd.from_arrow(tab).repartition(16), k=256).to_pandas()
+    assert int(got3["n_distinct_est"].iloc[0]) == est
+    assert int(got3["kth_hash"].iloc[0]) == int(got["kth_hash"].iloc[0])
