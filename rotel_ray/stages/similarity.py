@@ -53,35 +53,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def cosine_scores_stage(ds, query_vec: np.ndarray, *, id_col: str = "vec_id",
-                        emb_col: str = "embedding", concurrency=2):
+                        emb_col: str = "embedding"):
     """Append an exact cosine ``sim`` column vs one broadcast query vector."""
     qn = np.asarray(query_vec, dtype=np.float64)
     qn = qn / np.linalg.norm(qn)
 
-    class Cosine:
-        # a single d-dim query vector is small enough to ship by value in the
-        # actor constructor (inlined, once per actor) — ray.put here only
-        # triggers the actor-restart/object-store warning (ray#53727). The
-        # genuinely large broadcast sides (IVF centroids, LSH planes) stay
-        # on ray.put below.
-        def __init__(self, q: np.ndarray):
-            self.q = q
+    # a single d-dim query vector is LIGHT state: a plain task function with
+    # the vector in its closure ships once per task spec (cloudpickle-cached
+    # by Ray), fuses with the upstream read (an actor pool here forces an
+    # object-store hop — see enrich.py), and avoids the actor-restart
+    # object-store warning (ray#53727). The genuinely large broadcast sides
+    # (IVF centroids, LSH planes) stay on ray.put + actor pools below.
+    def cosine(t: pa.Table) -> pa.Table:
+        m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
+        return pa.table({id_col: t.column(id_col), "sim": pa.array(m @ qn)})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
-            return pa.table({id_col: t.column(id_col), "sim": pa.array(m @ self.q)})
-
-    return ds.map_batches(Cosine, batch_format="pyarrow", concurrency=concurrency,
-                          zero_copy_batch=True, fn_constructor_args=(qn,))
+    return ds.map_batches(cosine, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
-                     emb_col: str = "embedding", concurrency=2):
+                     emb_col: str = "embedding"):
     """Exact top-k by cosine. Per-batch partial top-k (argpartition) bounds
     the reduce input to num_batches*k rows; the final sort+limit is over that
     tiny set only — never a full-dataset sort."""
-    scored = cosine_scores_stage(ds, query_vec, id_col=id_col, emb_col=emb_col,
-                                 concurrency=concurrency)
+    scored = cosine_scores_stage(ds, query_vec, id_col=id_col, emb_col=emb_col)
 
     def partial_topk(t: pa.Table) -> pa.Table:
         sims = t.column("sim").to_numpy()
