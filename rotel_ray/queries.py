@@ -983,6 +983,16 @@ def q_distinct_kmv(sf_dir: str):
     return distinct_count_kmv(ds, k=256)
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII substring scrub over turn text: per-pattern match counts plus the
+    masked body (emails/IPv4s/phone-shaped runs -> typed placeholder tokens).
+    One fused task stage, RE2 on both sides so the oracle is bit-exact."""
+    from .stages.pii import pii_scrub_stage
+
+    ds = read_parquet(ensure_transcripts(sf_dir), columns=["conv_id", "turn_idx", "text"])
+    return pii_scrub_stage(ds, keep_cols=["conv_id", "turn_idx", "text"])
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end corpus-curation chain — the composed LLM-training-data
     pipeline: token/alpha quality gate -> language allowlist -> exact dedup
@@ -1918,6 +1928,7 @@ QUERIES = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "heavy_hitters": q_heavy_hitters,
     "attrs_overflow": q_attrs_overflow,
+    "pii_scrub": q_pii_scrub,
 }
 
 
@@ -2997,4 +3008,19 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY 1"""
+    # pii_scrub: SQL is generated from the SAME pattern constants the Ray
+    # stage uses (both engines are RE2), so the two sides cannot drift.
+    from .stages.pii import DEFAULT_PII_PATTERNS as _PII
+
+    _pii_counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in _PII)
+    _pii_masked = "text"
+    for _, pat, repl in _PII:
+        _pii_masked = f"regexp_replace({_pii_masked}, '{pat}', '{repl}', 'g')"
+    sql["pii_scrub"] = f"""
+        SELECT conv_id, turn_idx,
+               {_pii_counts},
+               {_pii_masked} AS text
+        FROM {T}"""
     return sql

@@ -118,3 +118,41 @@ def test_unigram_logprob_top_v_oov(ray_session):
     assert out.loc[1, "lp_sum_unat"] == 3 * la + lb and out.loc[1, "n_tokens"] == 4
     assert out.loc[2, "lp_sum_unat"] == 3 * la + 2 * lb
     assert out.loc[3, "lp_sum_unat"] == la + oov
+
+
+def test_pii_scrub_batch_all_patterns():
+    import pyarrow as pa
+
+    from rotel_ray.stages.pii import scrub_batch
+
+    text = pa.array([
+        "contact Bob.Smith+x@ex-ample.co.uk or call +1 555 123 4567 now",
+        "client 10.1.2.34 retried, peer 192.168.0.1; version 1.2.3 stays",
+        "two mails a@b.io c@d.org",
+        "",
+    ])
+    masked, counts = scrub_batch(text)
+    assert counts["email"].to_pylist() == [1, 0, 2, 0]
+    assert counts["ipv4"].to_pylist() == [0, 2, 0, 0]
+    assert counts["phone"].to_pylist() == [1, 0, 0, 0]
+    got = masked.to_pylist()
+    assert got[0] == "contact [EMAIL] or call [PHONE] now"
+    assert got[1] == "client [IP] retried, peer [IP]; version 1.2.3 stays"
+    assert got[2] == "two mails [EMAIL] [EMAIL]"
+    assert got[3] == ""
+
+
+def test_pii_scrub_stage_counts_on_original_text(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.pii import pii_scrub_stage
+
+    # counts are measured per pattern on the ORIGINAL text, independently:
+    # the email's IP-shaped host counts as an ipv4 match too (2 total), even
+    # though after email masking only one standalone IP remains to scrub
+    ds = ray.data.from_arrow(pa.table({
+        "id": [1], "text": ["a@10.0.0.9.net and 10.0.0.9"]}))
+    out = pii_scrub_stage(ds, keep_cols=["id", "text"]).to_pandas()
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_ipv4"] == 2
+    assert out.loc[0, "text"] == "[EMAIL] and [IP]"
