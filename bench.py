@@ -57,6 +57,8 @@ SECONDARY = [
     "mix_balance",
     "seq_pack",
     "unigram_logprob",
+    "pii_scrub",
+    "bpe_pairs",
 ]
 
 

@@ -993,6 +993,27 @@ def q_pii_scrub(sf_dir: str):
     return pii_scrub_stage(ds, keep_cols=["conv_id", "turn_idx", "text"])
 
 
+def q_bpe_pairs(sf_dir: str):
+    """Corpus-wide byte-pair statistics (the BPE trainer's inner loop): one
+    fused combiner over the bounded 2^16 pair keyspace, tiny shuffle,
+    deterministic (n desc, b1, b2) top-k."""
+    from .stages.bpe import bpe_pair_counts
+
+    ds = read_parquet(ensure_transcripts(sf_dir), columns=["text"])
+    return bpe_pair_counts(ds, top_k=50)
+
+
+def q_bpe_train(sf_dir: str):
+    """Iterative byte-level BPE training (8 merge rounds) over the documents
+    corpus; result is the learned merge table. Oracled bit-exactly by a
+    generated 8-round chained-CTE DuckDB program applying the same greedy
+    run-parity merge rule."""
+    from .stages.bpe import bpe_train
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_train(ds, num_merges=8)
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end corpus-curation chain — the composed LLM-training-data
     pipeline: token/alpha quality gate -> language allowlist -> exact dedup
@@ -1929,6 +1950,8 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "attrs_overflow": q_attrs_overflow,
     "pii_scrub": q_pii_scrub,
+    "bpe_pairs": q_bpe_pairs,
+    "bpe_train": q_bpe_train,
 }
 
 
@@ -3023,4 +3046,59 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                {_pii_counts},
                {_pii_masked} AS text
         FROM {T}"""
+    sql["bpe_pairs"] = f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x != '')) AS w
+          FROM {T}),
+        pairs AS (
+          SELECT ascii(w[i]) AS b1, ascii(w[i + 1]) AS b2
+          FROM toks, unnest(range(1, length(w))) AS t(i))
+        SELECT b1, b2, count(*) AS n
+        FROM pairs GROUP BY 1, 2
+        ORDER BY n DESC, b1, b2 LIMIT 50"""
+    # bpe_train: generated chained-CTE program — one CTE block per merge
+    # round, each applying the SAME greedy run-parity rule as the engine
+    # (overlaps only exist for a == b; keep every other match in a run).
+    _bpe_rounds = 8
+    _parts = ["""w0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY word) AS wid, freq,
+               list_transform(range(1, length(word) + 1), i -> ascii(word[i])) AS syms
+        FROM (SELECT w AS word, count(*) AS freq
+              FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                              x -> x != '')) AS w
+                    FROM documents)
+              GROUP BY 1))"""]
+    for _r in range(_bpe_rounds):
+        _nid = 256 + _r
+        _parts.append(f"""p{_r} AS MATERIALIZED (
+        SELECT w.syms[t.i] AS b1, w.syms[t.i + 1] AS b2,
+               CAST(sum(w.freq) AS BIGINT) AS n
+        FROM w{_r} w, unnest(range(1, len(w.syms))) AS t(i)
+        GROUP BY 1, 2),
+      best{_r} AS MATERIALIZED (SELECT b1, b2, n FROM p{_r} ORDER BY n DESC, b1, b2 LIMIT 1),
+      mm{_r} AS MATERIALIZED (
+        SELECT w.wid, t.i, row_number() OVER (PARTITION BY w.wid ORDER BY t.i) AS rn
+        FROM w{_r} w, best{_r} b, unnest(range(1, len(w.syms))) AS t(i)
+        WHERE w.syms[t.i] = b.b1 AND w.syms[t.i + 1] = b.b2),
+      kept{_r} AS MATERIALIZED (
+        SELECT wid, i FROM (
+          SELECT wid, i, min(i) OVER (PARTITION BY wid, i - rn) AS run_first
+          FROM mm{_r})
+        WHERE (i - run_first) % 2 = 0),
+      w{_r + 1} AS MATERIALIZED (
+        SELECT s.wid, s.freq,
+               list(CASE WHEN k1.i IS NOT NULL THEN {_nid} ELSE s.sym END
+                    ORDER BY s.j) AS syms
+        FROM (SELECT w.wid, w.freq, t.j, w.syms[t.j] AS sym
+              FROM w{_r} w, unnest(range(1, len(w.syms) + 1)) AS t(j)) s
+        LEFT JOIN kept{_r} k1 ON k1.wid = s.wid AND k1.i = s.j
+        LEFT JOIN kept{_r} k2 ON k2.wid = s.wid AND k2.i = s.j - 1
+        WHERE k2.i IS NULL
+        GROUP BY s.wid, s.freq)""")
+    _final = "\n        UNION ALL ".join(
+        f"SELECT CAST({_r} AS INTEGER) AS rank, b1, b2, n, "
+        f"CAST({256 + _r} AS INTEGER) AS new_id FROM best{_r}"
+        for _r in range(_bpe_rounds))
+    sql["bpe_train"] = "WITH " + ",\n      ".join(_parts) + "\n        " + _final
     return sql
