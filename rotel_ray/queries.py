@@ -405,6 +405,35 @@ def q_sim_topk(sf_dir: str, k: int = 10):
     return brute_force_topk(ds, _query_vec(sf_dir), k).select_columns(["vec_id"])
 
 
+def q_hard_negatives(sf_dir: str, k: int = 10):
+    """Hard-negative mining: top-k most-cosine-similar vectors whose LABEL
+    differs from the query vector's — the contrastive-training sampler.
+    Same streaming GEMM + partial top-k as sim_topk with a fused label
+    filter; vec_ids only (float-tie-safe)."""
+    from .stages.similarity import brute_force_topk
+
+    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         filters=[("vec_id", "=", 0)])
+    qv = np.asarray(emb0.column("embedding").to_pylist()[0], dtype=np.float64)
+    qlabel = emb0.column("label").to_pylist()[0]
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    neg = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("label"), qlabel)).drop_columns(["label"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return brute_force_topk(neg, qv, k).select_columns(["vec_id"])
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Global per-dim scalar quantization of the embedding table to uint8
+    codes (exploded rows)."""
+    from .stages.similarity import quantize_embeddings
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds)
+
+
 def q_sim_topk_lsh(sf_dir: str, k: int = 10):
     """Approximate top-k: random-hyperplane LSH bucket probing + exact cosine
     on candidates (the scale path; recall vs exact measured in tests)."""
@@ -1952,6 +1981,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "bpe_pairs": q_bpe_pairs,
     "bpe_train": q_bpe_train,
+    "hard_negatives": q_hard_negatives,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 
@@ -3101,4 +3132,23 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         f"CAST({256 + _r} AS INTEGER) AS new_id FROM best{_r}"
         for _r in range(_bpe_rounds))
     sql["bpe_train"] = "WITH " + ",\n      ".join(_parts) + "\n        " + _final
+    sql["hard_negatives"] = """
+        SELECT vec_id FROM embeddings
+        WHERE label != (SELECT label FROM embeddings WHERE vec_id = 0)
+        ORDER BY list_cosine_similarity(embedding,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC
+        LIMIT 10"""
+    # same op order as the engine: scale = (255.0 / (hi - lo)) first, then
+    # (x - lo) * scale — identical IEEE doubles on both sides
+    sql["embedding_quantize"] = """
+        WITH pos AS (
+          SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,
+                 CAST(embedding[t.i] AS DOUBLE) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM pos GROUP BY dim)
+        SELECT vec_id, dim,
+               CASE WHEN hi = lo THEN 0
+                    ELSE CAST(floor((x - lo) * (255.0 / (hi - lo)) + 0.5) AS INTEGER)
+               END AS qv
+        FROM pos JOIN st USING (dim)"""
     return sql

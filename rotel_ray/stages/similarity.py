@@ -92,6 +92,58 @@ def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10, *, id_col: str = "v
     )
 
 
+def quantize_embeddings(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
+                        num_buckets: int = 8):
+    """Int8-style scalar quantization (the ANN memory-scale path: 4x smaller
+    vectors than float32, distance tables computed on uint8 codes).
+
+    Pass 1 computes GLOBAL per-dimension [lo, hi] via a two-phase min/max
+    (one partial row per dim per batch; the reduce input is dims x batches —
+    tiny). The d-row scale table is collected to the driver and broadcast in
+    the closure, exactly like the k-means centroid loop: it is bounded by
+    model dimensionality, never by corpus size. Pass 2 streams:
+    ``q = floor((x - lo) * (255 / (hi - lo)) + 0.5)``, with the op order
+    fixed so the DuckDB oracle computes bit-identical IEEE doubles.
+
+    Output is EXPLODED (vec_id, dim, qv) rows rather than a list column —
+    list cells hash unreliably in the driver compare (same lesson as the
+    attrs overflow map).
+    """
+    from .aggregate import two_phase_aggregate
+
+    def dim_stats(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int32()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"dim": pa.array(np.arange(m.shape[1], dtype=np.int32)),
+                         "lo": pa.array(m.min(axis=0)), "hi": pa.array(m.max(axis=0))})
+
+    stats = two_phase_aggregate(
+        ds.map_batches(dim_stats, batch_format="pyarrow", zero_copy_batch=True),
+        ["dim"], [("lo", "min", "lo"), ("hi", "max", "hi")], num_buckets=num_buckets)
+    rows = sorted(stats.take_all(), key=lambda r: r["dim"])
+    lo = np.array([r["lo"] for r in rows])
+    hi = np.array([r["hi"] for r in rows])
+    span = hi - lo
+    scale = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0), 0.0)
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        n, d = m.shape if m.size else (len(t), len(lo))
+        q = np.floor((m - lo) * scale + 0.5).astype(np.int32) if m.size else \
+            np.empty((0, len(lo)), np.int32)
+        ids = t.column(id_col).to_numpy()
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int32), n)),
+            "qv": pa.array(q.ravel()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def lsh_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """b-bit signature per row: sign bits of m @ planes packed into int64."""
     bits = (m @ planes) > 0  # (n, b)

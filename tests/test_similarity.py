@@ -142,3 +142,30 @@ def test_semdedup_drops_planted_duplicates():
     assert 48 not in kept and 49 not in kept  # higher ids of the dup pairs
     assert 3 in kept and 7 in kept
     assert len(kept) >= n - 4  # only near-dup pairs dropped
+
+
+def test_quantize_embeddings_reconstruction_and_constant_dim(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((40, 5))
+    m[:, 2] = 7.5  # constant dim -> qv must be 0 everywhere
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(40)),
+        "embedding": [row.astype(np.float32).tolist() for row in m]}))
+    out = quantize_embeddings(ds, num_buckets=2).to_pandas()
+    assert len(out) == 40 * 5
+    assert (out.loc[out.dim == 2, "qv"] == 0).all()
+    assert out.qv.between(0, 255).all()
+    # reconstruction error bounded by half a quantization step per dim
+    m32 = m.astype(np.float32).astype(np.float64)
+    lo, hi = m32.min(axis=0), m32.max(axis=0)
+    q = out.sort_values(["vec_id", "dim"]).qv.to_numpy().reshape(40, 5)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    recon = lo + q * (span / 255.0)
+    err = np.abs(recon - m32)[:, [0, 1, 3, 4]]
+    assert err.max() <= (span[[0, 1, 3, 4]] / 255.0).max() * 0.5 + 1e-12
