@@ -1022,6 +1022,23 @@ def q_pii_scrub(sf_dir: str):
     return pii_scrub_stage(ds, keep_cols=["conv_id", "turn_idx", "text"])
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (hashed unigram+bigram LM ratio, target =
+    lang='en' docs) in integer micro-nats — the importance-resampling data
+    selector. Bounded 1024-bucket feature space; see
+    stages/textstats.py::dsir_weights."""
+    from .stages.textstats import dsir_weights
+
+    base = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "text"])
+    full = base.map_batches(lambda t: t.drop_columns(["lang"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    target = base.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")).select(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return dsir_weights(full, target)
+
+
 def q_bpe_pairs(sf_dir: str):
     """Corpus-wide byte-pair statistics (the BPE trainer's inner loop): one
     fused combiner over the bounded 2^16 pair keyspace, tiny shuffle,
@@ -1983,6 +2000,7 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "hard_negatives": q_hard_negatives,
     "embedding_quantize": q_embedding_quantize,
+    "dsir_weights": q_dsir_weights,
 }
 
 
@@ -3151,4 +3169,42 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     ELSE CAST(floor((x - lo) * (255.0 / (hi - lo)) + 0.5) AS INTEGER)
                END AS qv
         FROM pos JOIN st USING (dim)"""
+    # DSIR: same FNV-1a-over-bytes HUGEINT construct as the simhash/KMV
+    # oracles, shared hash space for unigrams and space-joined bigrams
+    _B, _P, _M = 0xCBF29CE484222325, 1_099_511_628_211, 1 << 64
+
+    def _fnv_sql(e: str) -> str:
+        hx = f"hex(encode({e}))"
+        byte = (f"CAST(16 * (ascii(substr({hx}, 2*i-1, 1)) - CASE WHEN "
+                f"substr({hx}, 2*i-1, 1) >= 'A' THEN 55 ELSE 48 END) "
+                f"+ ascii(substr({hx}, 2*i, 1)) - CASE WHEN substr({hx}, 2*i, 1) "
+                f">= 'A' THEN 55 ELSE 48 END AS HUGEINT)")
+        return (f"list_reduce(list_prepend(CAST({_B} AS HUGEINT), "
+                f"list_transform(range(1, octet_length(encode({e})) + 1), i -> {byte})), "
+                f"(h, x) -> xor(h, x) * {_P} % {_M}::HUGEINT)")
+
+    sql["dsir_weights"] = f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        grams AS (
+          SELECT doc_id, lang, unnest(tk) AS g FROM toks
+          UNION ALL
+          SELECT doc_id, lang, array_to_string(tk[i:i+1], ' ') AS g
+          FROM toks, unnest(range(1, len(tk))) AS t(i)),
+        feats AS (SELECT doc_id, lang, CAST({_fnv_sql('g')} % 1024 AS INTEGER) AS f
+                  FROM grams),
+        cnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r,
+                       CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t
+                FROM feats GROUP BY f),
+        tot AS (SELECT sum(c_r) AS r_tot, sum(c_t) AS t_tot FROM cnt),
+        delta AS (SELECT f,
+            CAST(floor(ln((c_t + 1.0) / (t_tot + 1024.0)) * 1e6) AS BIGINT)
+          - CAST(floor(ln((c_r + 1.0) / (r_tot + 1024.0)) * 1e6) AS BIGINT) AS d
+          FROM cnt, tot)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(d) AS BIGINT) AS w_unat
+        FROM feats JOIN delta USING (f)
+        GROUP BY doc_id"""
     return sql

@@ -425,3 +425,100 @@ def tfidf_topk(ds, *, k: int = 5, text_col: str = "text",
                          "score": pa.array(sc[m])})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+
+DSIR_BUCKETS = 1024
+
+
+def _dsir_features(text: pa.Array | pa.ChunkedArray,
+                   num_buckets: int = DSIR_BUCKETS):
+    """Hashed unigram+bigram feature buckets per doc.
+
+    Returns (bucket ids, doc index per feature, per-doc feature counts).
+    Tokens and space-joined bigrams share one FNV-1a hash space mod
+    ``num_buckets`` — the paper's hashed n-gram featurization. Hashing is
+    per DISTINCT gram (dictionary-encode first), mapped back by index.
+    """
+    from .dedup import _fnv1a
+
+    flat, doc_of, counts = split_tokens(text)
+    grams = [flat]
+    gram_docs = [doc_of]
+    if len(flat) > 1:
+        joined = pc.binary_join_element_wise(flat[:-1], flat[1:], " ")
+        same_doc = doc_of[:-1] == doc_of[1:]
+        grams.append(joined.filter(pa.array(same_doc)))
+        gram_docs.append(doc_of[:-1][same_doc])
+    allg = pa.concat_arrays([g.combine_chunks() if isinstance(g, pa.ChunkedArray)
+                             else g for g in grams])
+    gdoc = np.concatenate(gram_docs) if gram_docs else np.empty(0, np.int64)
+    if len(allg) == 0:
+        return np.empty(0, np.int64), gdoc, np.zeros(len(counts), np.int64)
+    d = pc.dictionary_encode(allg)
+    vocab = np.fromiter((_fnv1a(g) for g in d.dictionary.to_pylist()),
+                        dtype=np.uint64, count=len(d.dictionary))
+    buckets = (vocab % num_buckets).astype(np.int64)[
+        d.indices.to_numpy(zero_copy_only=False)]
+    n_feats = np.bincount(gdoc, minlength=len(counts)).astype(np.int64)
+    return buckets, gdoc, n_feats
+
+
+def dsir_weights(ds, target_ds, *, text_col: str = "text",
+                 id_col: str = "doc_id", num_buckets: int = DSIR_BUCKETS,
+                 shuffle_buckets: int = 8):
+    """Per-doc DSIR importance weight in integer micro-nats.
+
+    Pass 1 fits BOTH hashed-feature multinomials in one sweep: each batch
+    emits (bucket, c_t, c_r) bincount partials (c_t counts only rows that
+    pass the ``target_ds`` membership — here expressed as a second dataset
+    sharing the schema), reduced two-phase. The per-bucket log-ratio table
+    ``delta[f] = floor(ln((c_t+1)/(T+m))*1e6) - floor(ln((c_r+1)/(R+m))*1e6)``
+    (Laplace-smoothed, integer micro-nats) is driver-built from m=1024 rows
+    — bounded by the feature space, never the corpus — and broadcast in the
+    scoring closure. Pass 2 streams: ``w = sum(delta[f])`` over the doc's
+    feature occurrences, exact int64 arithmetic on both engines.
+
+    ``target_ds`` must be a (possibly filtered) view of ``ds``'s rows.
+    """
+    from .aggregate import two_phase_aggregate
+
+    def raw_partial(t: pa.Table) -> pa.Table:
+        b, _, _ = _dsir_features(t.column(text_col), num_buckets)
+        c = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        nz = np.flatnonzero(c)
+        return pa.table({"f": pa.array(nz.astype(np.int32)), "c": pa.array(c[nz])})
+
+    def count(dset):
+        parts = dset.map_batches(raw_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        agg = two_phase_aggregate(parts, ["f"], [("c", "sum", "c")],
+                                  num_buckets=shuffle_buckets)
+        out = np.zeros(num_buckets, np.int64)
+        for r in agg.take_all():  # <= num_buckets rows
+            out[r["f"]] = r["c"]
+        return out
+
+    c_r = count(ds)
+    c_t = count(target_ds)
+    m = float(num_buckets)
+    lp_t = np.floor(np.log((c_t + 1.0) / (c_t.sum() + m)) * 1e6).astype(np.int64)
+    lp_r = np.floor(np.log((c_r + 1.0) / (c_r.sum() + m)) * 1e6).astype(np.int64)
+    delta = lp_t - lp_r
+
+    def score(t: pa.Table) -> pa.Table:
+        b, gdoc, n_feats = _dsir_features(t.column(text_col), num_buckets)
+        w = np.zeros(len(n_feats), np.int64)
+        np.add.at(w, gdoc, delta[b])
+        keep = n_feats > 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "n_feats": pa.array(n_feats[keep]),
+                         "w_unat": pa.array(w[keep])})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -156,3 +156,24 @@ def test_pii_scrub_stage_counts_on_original_text(ray_session):
     out = pii_scrub_stage(ds, keep_cols=["id", "text"]).to_pandas()
     assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_ipv4"] == 2
     assert out.loc[0, "text"] == "[EMAIL] and [IP]"
+
+
+def test_dsir_weights_prefer_target_like_docs(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.textstats import dsir_weights
+
+    target_texts = ["the quick brown fox jumps"] * 8
+    noise_texts = ["zzz qqq kkk vvv www"] * 8
+    rows = pa.table({
+        "doc_id": list(range(18)),
+        "text": target_texts[:1] + noise_texts[:1] + target_texts + noise_texts,
+    })
+    full = ray.data.from_arrow(rows)
+    # target distribution: the fox docs
+    tgt = ray.data.from_arrow(pa.table({"text": target_texts}))
+    out = dsir_weights(full, tgt, shuffle_buckets=2).to_pandas().set_index("doc_id")
+    # doc 0 (target-like) must weigh strictly more than doc 1 (noise)
+    assert out.loc[0, "w_unat"] > out.loc[1, "w_unat"]
+    assert (out.n_feats == 9).all()  # 5 unigrams + 4 bigrams each
