@@ -1039,6 +1039,19 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(full, target)
 
 
+def q_dsir_select(sf_dir: str):
+    """Importance RESAMPLING completed: exact global top-1/4 of documents by
+    DSIR weight (ties by doc_id), each with its exact global rank — the
+    distributed-rank primitive (range-binned partition + driver prefix-sum
+    over <= 4096 bin counts, no single-task global sort)."""
+    from .stages.window import global_topfrac
+
+    w = q_dsir_weights(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "w_unat"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return global_topfrac(w, value_col="w_unat", id_col="doc_id", num=1, den=4)
+
+
 def q_bpe_pairs(sf_dir: str):
     """Corpus-wide byte-pair statistics (the BPE trainer's inner loop): one
     fused combiner over the bounded 2^16 pair keyspace, tiny shuffle,
@@ -2001,6 +2014,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "embedding_quantize": q_embedding_quantize,
     "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
 }
 
 
@@ -3207,4 +3221,11 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(sum(d) AS BIGINT) AS w_unat
         FROM feats JOIN delta USING (f)
         GROUP BY doc_id"""
+    sql["dsir_select"] = f"""
+        SELECT doc_id, w_unat, rnk FROM (
+          SELECT doc_id, w_unat,
+                 CAST(row_number() OVER (ORDER BY w_unat DESC, doc_id) AS BIGINT) AS rnk,
+                 count(*) OVER () AS n
+          FROM ({sql['dsir_weights']}))
+        WHERE rnk <= (n + 3) // 4"""
     return sql

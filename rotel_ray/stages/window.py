@@ -280,3 +280,92 @@ def asof_join_backward(left_ds, right_ds, *, key: str = "user_id", ts_col: str =
     from .aggregate import grouped_apply
 
     return grouped_apply(both, [key], per_bucket)
+
+
+def global_topfrac(ds, *, value_col: str, id_col: str, num: int = 1, den: int = 4,
+                   bins: int = 4096, num_buckets: int = 64):
+    """Exact global top-``num/den`` fraction by ``(value_col desc, id_col
+    asc)`` with each kept row's exact global rank — the selection step of
+    importance resampling / quality filtering.
+
+    Scale shape (exact distributed rank, no global sort materialized on any
+    single task):
+
+    1. one two-phase pass reduces the table to a single (lo, hi, n) row —
+       global value range and row count;
+    2. every row gets an integer range bin ``(v - lo) * bins // span`` (pure
+       int64 math — deterministic); per-bin counts go through the generic
+       two-phase aggregate, so the driver sees <= ``bins`` rows and
+       exclusive-cumsums them in DESCENDING bin order into per-bin rank
+       bases (a few KB, broadcast in the task closure);
+    3. a bucketed ``grouped_apply`` over the bin key sorts each bin's rows
+       (vectorized across the bins sharing a shuffle bucket), adds the bin
+       base, and filters to ``rank <= ceil(n * num / den)`` — rows are
+       dropped inside the reduce task, before any concat.
+
+    Degenerate skew: if every value is identical all rows land in one bin
+    (one task sorts everything) — same caveat as any range partitioning;
+    ``bins`` only bounds driver state, the per-task load follows the value
+    distribution.
+
+    Values must be integers (the engine's exact-arithmetic convention).
+    Output: (id_col, value_col, rnk), only the kept rows.
+    """
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    # three consumers (range stats, bin counts, the rank pass) — checkpoint
+    # the narrow (id, value) table once instead of re-running the upstream
+    # pipeline per consumer (same rationale as seq_pack's counts table)
+    ds = ds.materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        return pa.table({"k": pa.array([0], pa.int32()),
+                         "lo": pa.array([pc.min(v).as_py()], pa.int64()),
+                         "hi": pa.array([pc.max(v).as_py()], pa.int64()),
+                         "n": pa.array([len(t)], pa.int64())})
+
+    stats = two_phase_aggregate(
+        ds.map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], [("lo", "min", "lo"), ("hi", "max", "hi"), ("n", "sum", "n")],
+        num_buckets=1).take_all()
+    if not stats:
+        import ray
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()), value_col: pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64())}))
+    lo, hi, total = int(stats[0]["lo"]), int(stats[0]["hi"]), int(stats[0]["n"])
+    span = max(hi - lo + 1, 1)
+    k = -(-total * num // den)  # ceil(total * num / den), int math
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.int64()).to_numpy(zero_copy_only=False)
+        b = (v - lo) * bins // span
+        return t.append_column("__bin", pa.array(b)).replace_schema_metadata(None)
+
+    binned = ds.map_batches(add_bin, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        ub, uc = np.unique(t.column("__bin").to_numpy(zero_copy_only=False),
+                           return_counts=True)
+        return pa.table({"__bin": pa.array(ub), "c": pa.array(uc.astype(np.int64))})
+
+    cnts = two_phase_aggregate(
+        binned.map_batches(bin_counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["__bin"], [("c", "sum", "c")], num_buckets=num_buckets).take_all()
+    per_bin = np.zeros(bins, np.int64)
+    for r in cnts:
+        per_bin[r["__bin"]] = r["c"]
+    # rank bases: rows in HIGHER-value bins rank first
+    above = np.concatenate([np.cumsum(per_bin[::-1])[::-1][1:], [0]])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__bin", value_col, id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        within = df.groupby("__bin", sort=False).cumcount().to_numpy()
+        rnk = above[df["__bin"].to_numpy()] + within + 1
+        out = df[[id_col, value_col]].copy()
+        out["rnk"] = rnk
+        return out[out.rnk <= k]
+
+    return grouped_apply(binned, ["__bin"], per_bucket, num_buckets=num_buckets)

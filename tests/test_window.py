@@ -121,3 +121,32 @@ def test_range_join_matches_bruteforce():
             if l.user_id == r.user_id and abs(l.ts - r.ts) <= tol:
                 want.add((l.event_id, r.event_id))
     assert got == want and len(want) > 0
+
+
+def test_global_topfrac_exact_ranks_ties_and_degenerate(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.window import global_topfrac
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-50, 50, 333)  # heavy ties
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(333), pa.int64()),
+        "v": pa.array(vals.astype(np.int64))}))
+    out = global_topfrac(ds, value_col="v", id_col="id", num=1, den=3,
+                         bins=16, num_buckets=4).to_pandas()
+    order = sorted(zip(-vals, np.arange(333)))
+    k = -(-333 // 3)
+    expect = {(int(i), int(-nv), r + 1) for r, (nv, i) in enumerate(order[:k])}
+    got = {(int(r.id), int(r.v), int(r.rnk)) for r in out.itertuples()}
+    assert got == expect and len(out) == k
+
+    # all-equal values: single-bin path, ranks = id order
+    ds2 = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(10), pa.int64()),
+        "v": pa.array(np.full(10, 7, np.int64))}))
+    out2 = global_topfrac(ds2, value_col="v", id_col="id", num=1, den=4,
+                          bins=8, num_buckets=2).to_pandas().sort_values("rnk")
+    assert list(out2.id) == [0, 1, 2] and list(out2.rnk) == [1, 2, 3]
