@@ -1052,6 +1052,17 @@ def q_dsir_select(sf_dir: str):
     return global_topfrac(w, value_col="w_unat", id_col="doc_id", num=1, den=4)
 
 
+def q_pack_export(sf_dir: str):
+    """Packed-stream materialization: one row per 2048-token training
+    sequence with exact token/doc counts and an int64 token-id checksum
+    (FNV-hash vocab) — the final pretraining-data export step on top of
+    seq_pack's distributed prefix-sum."""
+    from .stages.pack import pack_sequences
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=2048)
+
+
 def q_bpe_pairs(sf_dir: str):
     """Corpus-wide byte-pair statistics (the BPE trainer's inner loop): one
     fused combiner over the bounded 2^16 pair keyspace, tiny shuffle,
@@ -2015,6 +2026,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "pack_export": q_pack_export,
 }
 
 
@@ -3228,4 +3240,22 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                  count(*) OVER () AS n
           FROM ({sql['dsir_weights']}))
         WHERE rnk <= (n + 3) // 4"""
+    sql["pack_export"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        base AS (
+          SELECT doc_id, tk,
+                 COALESCE(sum(len(tk)) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+          FROM toks),
+        tok AS (
+          SELECT doc_id, CAST((b + u.i - 1) // 2048 AS BIGINT) AS seq_id,
+                 CAST({_fnv_sql('tk[u.i]')} % 65536 AS BIGINT) AS tid
+          FROM base, unnest(range(1, len(tk) + 1)) AS u(i))
+        SELECT seq_id, CAST(sum(tid) AS BIGINT) AS tok_sum,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM tok GROUP BY seq_id"""
     return sql

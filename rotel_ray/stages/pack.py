@@ -116,3 +116,88 @@ def seq_pack(ds, *, seq_len: int = 2048, text_col: str = "text",
 
     return grouped_apply(counts, ["__range"], per_bucket,
                          num_buckets=num_buckets, batch_format="pandas")
+
+
+def pack_sequences(ds, *, seq_len: int = 2048, text_col: str = "text",
+                   id_col: str = "doc_id", vocab_mod: int = 1 << 16,
+                   range_size: int = 65536, num_buckets: int = 64):
+    """Materialized view of the packed training stream, one row per
+    ``seq_len``-token sequence: ``(seq_id, n_tok, n_docs, tok_sum)``.
+
+    Completes :func:`seq_pack`: the same distributed prefix-sum gives every
+    doc its global token offset, and here each doc SCATTERS its token ids
+    (FNV-1a mod ``vocab_mod`` — the hash-vocab stand-in for a learned
+    tokenizer) into the sequences it touches. Per-bucket partials are
+    (seq_id, sums) rows — a sequence straddling a range boundary receives
+    partials from two buckets and the generic two-phase aggregate merges
+    them exactly (each doc lives in exactly one range, so ``n_docs`` sums
+    are collision-free). ``tok_sum`` is the exact int64 checksum the DuckDB
+    oracle reproduces; no stage ever holds the packed stream.
+    """
+    import ray
+
+    from .dedup import _fnv1a
+    from .tokenize import keep_real_tokens
+
+    counts = token_counts(ds, text_col=text_col, id_col=id_col,
+                          range_size=range_size).materialize()
+    totals = two_phase_aggregate(counts, ["__range"],
+                                 [("n_tokens", "sum", "tot")],
+                                 num_buckets=num_buckets)
+    rows = totals.take_all()
+    rng = np.array([r["__range"] for r in rows], dtype=np.int64)
+    tot = np.array([r["tot"] for r in rows], dtype=np.int64)
+    order = np.argsort(rng, kind="stable")
+    rng, tot = rng[order], tot[order]
+    base = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    base_ref = ray.put((rng, base))
+
+    def add_range(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        return pa.table({id_col: ids, text_col: t.column(text_col),
+                         "__range": pc.divide(ids, range_size)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        rngs, bases = ray.get(base_ref)
+        idx = pc.sort_indices(t, [(id_col, "ascending")])
+        t = t.take(idx)
+        flat, doc_of, n = split_tokens(t.column(text_col))
+        d = pc.dictionary_encode(flat)
+        vocab = np.fromiter((_fnv1a(s) for s in d.dictionary.to_pylist()),
+                            dtype=np.uint64, count=len(d.dictionary))
+        tids = ((vocab % vocab_mod).astype(np.int64)[
+            d.indices.to_numpy(zero_copy_only=False)]
+            if len(flat) else np.empty(0, np.int64))
+        rkey = t.column("__range").to_numpy(zero_copy_only=False)
+        cs = np.cumsum(n) - n
+        starts = np.flatnonzero(np.r_[True, rkey[1:] != rkey[:-1]])
+        cs = cs - np.repeat(cs[starts], np.diff(np.r_[starts, len(n)]))
+        tok_start = bases[np.searchsorted(rngs, rkey)] + cs
+        # global position of every token: doc start + within-doc ordinal
+        doc_ord = np.arange(len(tids)) - np.repeat(np.cumsum(n) - n, n)
+        pos = np.repeat(tok_start, n) + doc_ord
+        seq = pos // seq_len
+        uk, inv = np.unique(seq, return_inverse=True)
+        tok_sum = np.bincount(inv, weights=tids).astype(np.int64)
+        n_tok = np.bincount(inv).astype(np.int64)
+        # distinct docs per sequence: a doc's tokens are contiguous, so it
+        # touches the contiguous seq span [first, last] — count via a
+        # difference array over the bucket's present-seq index space
+        nz = n > 0
+        sf = tok_start[nz] // seq_len
+        sl = (tok_start[nz] + n[nz] - 1) // seq_len
+        delta = np.zeros(len(uk) + 1, np.int64)
+        np.add.at(delta, np.searchsorted(uk, sf), 1)
+        np.add.at(delta, np.searchsorted(uk, sl) + 1, -1)
+        n_docs = np.cumsum(delta)[:len(uk)]
+        return pa.table({"seq_id": pa.array(uk), "tok_sum": pa.array(tok_sum),
+                         "n_tok": pa.array(n_tok), "n_docs": pa.array(n_docs)})
+
+    ranged = ds.map_batches(add_range, batch_format="pyarrow", zero_copy_batch=True)
+    parts = grouped_apply(ranged, ["__range"], per_bucket,
+                          num_buckets=num_buckets, batch_format="pyarrow")
+    return two_phase_aggregate(parts, ["seq_id"],
+                               [("tok_sum", "sum", "tok_sum"),
+                                ("n_tok", "sum", "n_tok"),
+                                ("n_docs", "sum", "n_docs")],
+                               num_buckets=num_buckets)

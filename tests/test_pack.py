@@ -77,3 +77,36 @@ def test_tfidf_topk_vs_bruteforce(ray_session):
             expect.append((i, tok, c, c * idf[tok]))
     got = sorted(map(tuple, out[["doc_id", "tok", "tf", "score"]].values))
     assert got == sorted(expect)
+
+
+def test_pack_sequences_vs_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.dedup import _fnv1a
+    from rotel_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "x", "longtokenword"]
+    docs = [" ".join(rng.choice(words, rng.integers(0, 12))) for _ in range(57)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(57), pa.int64()), "text": pa.array(docs)}))
+    out = (pack_sequences(ds, seq_len=16, range_size=8, num_buckets=4)
+           .to_pandas().sort_values("seq_id").reset_index(drop=True))
+
+    # brute force: concatenate in doc_id order, cut at 16
+    stream, doc_of = [], []
+    for i, d in enumerate(docs):
+        for tok in d.split():
+            stream.append(_fnv1a(tok) % (1 << 16))
+            doc_of.append(i)
+    n_seq = -(-len(stream) // 16)
+    assert len(out) == n_seq
+    for s in range(n_seq):
+        seg = slice(s * 16, (s + 1) * 16)
+        row = out.iloc[s]
+        assert row.seq_id == s
+        assert row.tok_sum == sum(stream[seg])
+        assert row.n_tok == len(stream[seg])
+        assert row.n_docs == len(set(doc_of[seg]))
