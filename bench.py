@@ -59,6 +59,8 @@ SECONDARY = [
     "unigram_logprob",
     "pii_scrub",
     "bpe_pairs",
+    "dsir_select",
+    "pack_export",
 ]
 
 
