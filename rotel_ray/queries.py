@@ -1052,6 +1052,15 @@ def q_dsir_select(sf_dir: str):
     return global_topfrac(w, value_col="w_unat", id_col="doc_id", num=1, den=4)
 
 
+def q_token_budget(sf_dir: str):
+    """Exact token-budget subsample (deterministic md5-order prefix until
+    8192 tokens) — reproducible 'give me N tokens uniformly' selection."""
+    from .stages.mix import token_budget_sample
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_budget_sample(ds, budget=8192)
+
+
 def q_pack_export(sf_dir: str):
     """Packed-stream materialization: one row per 2048-token training
     sequence with exact token/doc counts and an int64 token-id checksum
@@ -2027,6 +2036,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
     "pack_export": q_pack_export,
+    "token_budget": q_token_budget,
 }
 
 
@@ -3258,4 +3268,18 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_tok,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM tok GROUP BY seq_id"""
+    sql["token_budget"] = r"""
+        WITH t AS (
+          SELECT doc_id, md5(text) AS h,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x != '')) AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, n,
+                 CAST(COALESCE(sum(n) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+          FROM t)
+        SELECT doc_id, n AS n_tokens, cum_before
+        FROM c WHERE cum_before < 8192"""
     return sql

@@ -120,3 +120,75 @@ def shard_assign(ds, *, n_shards: int = 16, id_col: str = "doc_id",
     rows = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_apply(rows, ["shard"], rank, batch_format="pyarrow",
                          num_buckets=min(num_buckets, n_shards))
+
+
+def token_budget_sample(ds, budget: int, *, id_col: str = "doc_id",
+                        text_col: str = "text", num_buckets: int = 64):
+    """Exact token-budget subsample: walk the corpus in the deterministic
+    uniform order ``(md5(text), doc_id)`` and keep the prefix of documents
+    whose EXCLUSIVE cumulative token count is still below ``budget`` (the
+    "give me exactly ~N tokens, sampled uniformly, reproducibly" selector;
+    the crossing doc is kept, so the kept mass is the least >= budget
+    unless the corpus is smaller).
+
+    Scale shape — the seq_pack prefix-sum re-keyed by hash order:
+
+    1. one pass reduces each doc to (id, md5, n_tokens, range), where
+       ``range`` = first 4 hex chars of the hash (65536 value-ordered
+       ranges, bounded driver state);
+    2. per-range token totals via the generic two-phase aggregate; the
+       driver exclusive-cumsums them in range order and broadcasts the base
+       table; ranges whose base already exceeds the budget contribute
+       nothing downstream;
+    3. a bucketed ``grouped_apply`` over the range key sorts each range by
+       (md5, id), adds the range base to the within-range running sum, and
+       keeps rows with ``cum_before < budget`` — selection happens inside
+       the reduce task.
+
+    Output: (id_col, n_tokens, cum_before), exact int64.
+    """
+    import ray
+
+    from .tokenize import split_tokens
+
+    def prep(t: pa.Table) -> pa.Table:
+        _, _, n = split_tokens(t.column(text_col))
+        hh = _hash_values(t.column(text_col), "md5")
+        rk = _hex4_to_int(pc.utf8_slice_codeunits(hh, 0, 4))
+        return pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                         "__h": hh, "__rk": pa.array(rk.astype(np.int64)),
+                         "n_tokens": pa.array(n)})
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    totals = two_phase_aggregate(narrow, ["__rk"],
+                                 [("n_tokens", "sum", "tot")],
+                                 num_buckets=num_buckets)
+    rows = totals.take_all()  # <= 65536 rows
+    rk = np.array([r["__rk"] for r in rows], dtype=np.int64)
+    tot = np.array([r["tot"] for r in rows], dtype=np.int64)
+    order = np.argsort(rk, kind="stable")
+    rk, tot = rk[order], tot[order]
+    base = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    base_ref = ray.put((rk, base))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        rks, bases = ray.get(base_ref)
+        key = t.column("__rk").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = t.column("__h").to_numpy(zero_copy_only=False).astype("S32")
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, h, key))
+        key, ids, n = key[o], ids[o], n[o]
+        cs = np.cumsum(n) - n
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        cs = cs - np.repeat(cs[starts], np.diff(np.r_[starts, len(n)]))
+        cum_before = bases[np.searchsorted(rks, key)] + cs
+        keep = cum_before < budget
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "n_tokens": pa.array(n[keep]),
+                         "cum_before": pa.array(cum_before[keep])})
+
+    return grouped_apply(narrow, ["__rk"], per_bucket, batch_format="pyarrow",
+                         num_buckets=num_buckets)

@@ -110,3 +110,35 @@ def test_pack_sequences_vs_bruteforce(ray_session):
         assert row.tok_sum == sum(stream[seg])
         assert row.n_tok == len(stream[seg])
         assert row.n_docs == len(set(doc_of[seg]))
+
+
+def test_token_budget_sample_prefix_semantics(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.mix import token_budget_sample
+
+    rng = np.random.default_rng(9)
+    docs = [" ".join(rng.choice(["a", "bb", "ccc", "dd"], rng.integers(1, 9)))
+            for _ in range(80)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(80), pa.int64()), "text": pa.array(docs)}))
+    budget = 100
+    out = (token_budget_sample(ds, budget, num_buckets=4)
+           .to_pandas().sort_values("cum_before"))
+
+    ordered = sorted(range(80), key=lambda i: (hashlib.md5(docs[i].encode()).hexdigest(), i))
+    cum, expect = 0, []
+    for i in ordered:
+        n = len(docs[i].split())
+        if cum >= budget:
+            break
+        expect.append((i, n, cum))
+        cum += n
+    assert [(int(r.doc_id), int(r.n_tokens), int(r.cum_before))
+            for r in out.itertuples()] == expect
+    # kept mass crosses the budget exactly once
+    assert out.cum_before.iloc[-1] < budget <= out.cum_before.iloc[-1] + out.n_tokens.iloc[-1]
