@@ -1052,6 +1052,21 @@ def q_dsir_select(sf_dir: str):
     return global_topfrac(w, value_col="w_unat", id_col="doc_id", num=1, den=4)
 
 
+def q_corpus_pack(sf_dir: str):
+    """THE composed LLM-corpus pipeline end-to-end: quality gate + language
+    allowlist + exact dedup (corpus_curation) -> distributed semi-join of the
+    kept ids back onto the text -> packed-sequence export. Three shuffles
+    total (dedup hash, id co-partition, seq partials), nothing driver-side."""
+    from .stages.dedup import semi_join_ids
+    from .stages.pack import pack_sequences
+
+    kept_ids = q_corpus_curation(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True)
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    curated = semi_join_ids(docs, kept_ids)
+    return pack_sequences(curated, seq_len=1024)
+
+
 def q_token_budget(sf_dir: str):
     """Exact token-budget subsample (deterministic md5-order prefix until
     8192 tokens) — reproducible 'give me N tokens uniformly' selection."""
@@ -2037,6 +2052,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "pack_export": q_pack_export,
     "token_budget": q_token_budget,
+    "corpus_pack": q_corpus_pack,
 }
 
 
@@ -3250,24 +3266,39 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                  count(*) OVER () AS n
           FROM ({sql['dsir_weights']}))
         WHERE rnk <= (n + 3) // 4"""
-    sql["pack_export"] = f"""
+    def _pack_sql(doc_rel: str, seq_len: int) -> str:
+        return f"""
         WITH toks AS (
           SELECT doc_id,
                  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
-          FROM documents),
+          FROM {doc_rel}),
         base AS (
           SELECT doc_id, tk,
                  COALESCE(sum(len(tk)) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
           FROM toks),
         tok AS (
-          SELECT doc_id, CAST((b + u.i - 1) // 2048 AS BIGINT) AS seq_id,
+          SELECT doc_id, CAST((b + u.i - 1) // {seq_len} AS BIGINT) AS seq_id,
                  CAST({_fnv_sql('tk[u.i]')} % 65536 AS BIGINT) AS tid
           FROM base, unnest(range(1, len(tk) + 1)) AS u(i))
         SELECT seq_id, CAST(sum(tid) AS BIGINT) AS tok_sum,
                CAST(count(*) AS BIGINT) AS n_tok,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM tok GROUP BY seq_id"""
+
+    sql["pack_export"] = _pack_sql("documents", 2048)
+    sql["corpus_pack"] = _pack_sql(r"""(
+          SELECT d.doc_id, d.text FROM documents d JOIN (
+            SELECT min(doc_id) AS doc_id
+            FROM (
+              SELECT doc_id, lang, text,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                     length(text) AS n_chars
+              FROM documents)
+            WHERE n_tokens >= 5 AND n_alpha * 2 >= n_chars
+              AND lang IN ('en', 'de', 'fr')
+            GROUP BY md5(text)) k USING (doc_id))""", 1024)
     sql["token_budget"] = r"""
         WITH t AS (
           SELECT doc_id, md5(text) AS h,

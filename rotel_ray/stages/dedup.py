@@ -495,11 +495,25 @@ def minhash_lsh_neardup(ds, *, threshold: float = 0.7, num_perm: int = 64,
                          num_buckets=num_buckets)
 
 
+def semi_join_ids(ds, keep_ids_ds, *, id_col: str = "doc_id", num_buckets: int = 64):
+    """Distributed semi-join: rows of ``ds`` whose ``id_col`` DOES appear in
+    ``keep_ids_ds`` — the 'apply a computed keep-set' counterpart of
+    :func:`anti_join_ids`, same co-partitioned shape."""
+    return _membership_join_ids(ds, keep_ids_ds, id_col=id_col,
+                                num_buckets=num_buckets, keep_members=True)
+
+
 def anti_join_ids(ds, drop_ids_ds, *, id_col: str = "doc_id", num_buckets: int = 64):
     """Distributed anti-join: rows of ``ds`` whose ``id_col`` does NOT appear
     in ``drop_ids_ds`` (a one-column Dataset of ids). Same co-partitioning
     shape as ``bucket_hash_join``: both sides tagged, unioned, bucketed on
     the id, each bucket filters vectorized — no driver-side id set."""
+    return _membership_join_ids(ds, drop_ids_ds, id_col=id_col,
+                                num_buckets=num_buckets, keep_members=False)
+
+
+def _membership_join_ids(ds, ids_ds, *, id_col: str, num_buckets: int,
+                         keep_members: bool):
     sch = ds.schema()
     cols = list(sch.names)
     col_type = dict(zip(sch.names, sch.types))
@@ -519,13 +533,15 @@ def anti_join_ids(ds, drop_ids_ds, *, id_col: str = "doc_id", num_buckets: int =
         )
 
     both = ds.map_batches(tag_keep, batch_format="pyarrow", zero_copy_batch=True).union(
-        drop_ids_ds.map_batches(tag_drop, batch_format="pyarrow", zero_copy_batch=True)
+        ids_ds.map_batches(tag_drop, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        dropped = np.unique(ids[t.column("__drop").to_numpy(zero_copy_only=False) == 1])
-        keep_mask = ~np.isin(ids, dropped)
+        members = np.unique(ids[t.column("__drop").to_numpy(zero_copy_only=False) == 1])
+        keep_mask = np.isin(ids, members)
+        if not keep_members:
+            keep_mask = ~keep_mask
         keep_mask &= t.column("__drop").to_numpy(zero_copy_only=False) == 0
         return t.filter(pa.array(keep_mask)).drop_columns(["__drop"])
 

@@ -392,3 +392,16 @@ def test_shard_assign_deterministic_ranks():
     assert len(got) == 51
     for _, r in got.iterrows():
         assert expect[r["doc_id"]] == (r["shard"], r["pos"])
+
+
+def test_semi_join_ids(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.dedup import semi_join_ids
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5], "text": list("abcde")}))
+    keep = ray.data.from_arrow(pa.table({"doc_id": [2, 4, 9]}))
+    out = semi_join_ids(ds, keep, num_buckets=4).to_pandas().sort_values("doc_id")
+    assert list(out.doc_id) == [2, 4] and list(out.text) == ["b", "d"]
