@@ -1067,6 +1067,16 @@ def q_corpus_pack(sf_dir: str):
     return pack_sequences(curated, seq_len=1024)
 
 
+def q_table_profile(sf_dir: str):
+    """Exact table profile of the events table (rows / nulls / distincts /
+    int ranges per column) — the 'what is in this corpus' operator."""
+    from .stages.profile import table_profile
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "event_type", "props"])
+    return table_profile(ds, ["event_id", "user_id", "event_type", "props"])
+
+
 def q_token_budget(sf_dir: str):
     """Exact token-budget subsample (deterministic md5-order prefix until
     8192 tokens) — reproducible 'give me N tokens uniformly' selection."""
@@ -2053,6 +2063,7 @@ QUERIES = {
     "pack_export": q_pack_export,
     "token_budget": q_token_budget,
     "corpus_pack": q_corpus_pack,
+    "table_profile": q_table_profile,
 }
 
 
@@ -3313,4 +3324,13 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
           FROM t)
         SELECT doc_id, n AS n_tokens, cum_before
         FROM c WHERE cum_before < 8192"""
+    sql["table_profile"] = " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, count(*) AS n,
+               count(*) - count({c}) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               {f'min({c})' if is_int else 'CAST(NULL AS BIGINT)'} AS min_i,
+               {f'max({c})' if is_int else 'CAST(NULL AS BIGINT)'} AS max_i
+            FROM events"""
+        for c, is_int in [("event_id", True), ("user_id", True),
+                          ("event_type", False), ("props", False)])
     return sql
