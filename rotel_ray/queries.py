@@ -1067,6 +1067,20 @@ def q_corpus_pack(sf_dir: str):
     return pack_sequences(curated, seq_len=1024)
 
 
+def q_global_quantiles(sf_dir: str):
+    """Exact GLOBAL p50/p95/p99 of tool-call durations by iterative range
+    bisection — no global sort, driver holds only bin counts (the scale
+    counterpart of duration_quantiles' per-group sorts)."""
+    from .stages.window import global_quantiles
+
+    ds = _parsed(sf_dir)
+    tools = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "tool_call"))
+                   .select(["duration_ms"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return global_quantiles(tools, value_col="duration_ms", qs=(0.5, 0.95, 0.99))
+
+
 def q_table_profile(sf_dir: str):
     """Exact table profile of the events table (rows / nulls / distincts /
     int ranges per column) — the 'what is in this corpus' operator."""
@@ -2064,6 +2078,7 @@ QUERIES = {
     "token_budget": q_token_budget,
     "corpus_pack": q_corpus_pack,
     "table_profile": q_table_profile,
+    "global_quantiles": q_global_quantiles,
 }
 
 
@@ -3333,4 +3348,13 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             FROM events"""
         for c, is_int in [("event_id", True), ("user_id", True),
                           ("event_type", False), ("props", False)])
+    sql["global_quantiles"] = f"""
+        WITH d AS (
+          SELECT CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1) AS BIGINT) AS v
+          FROM {T} WHERE {SQL_IS_TOOL})
+        SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(v, 0.5) AS value FROM d
+        UNION ALL
+        SELECT CAST(0.95 AS DOUBLE), quantile_disc(v, 0.95) FROM d
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM d"""
     return sql

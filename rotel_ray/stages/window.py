@@ -369,3 +369,111 @@ def global_topfrac(ds, *, value_col: str, id_col: str, num: int = 1, den: int = 
         return out[out.rnk <= k]
 
     return grouped_apply(binned, ["__bin"], per_bucket, num_buckets=num_buckets)
+
+
+def global_quantiles(ds, *, value_col: str, qs: tuple = (0.5, 0.95, 0.99),
+                     bins: int = 4096, num_buckets: int = 8):
+    """EXACT global quantiles of an int64 column without any global sort —
+    iterative range bisection (the classic distributed-selection algorithm).
+
+    ``quantile_disc`` semantics (inverted CDF): result for q is the value at
+    1-based rank ``max(1, ceil(q*n))`` of the ascending order.
+
+    Each pass histograms the values into ``bins`` equal-width ranges of each
+    still-unresolved target's current interval (one shared scan for ALL
+    targets), the driver walks the <= bins counts to find the bin holding
+    the target rank, and the interval narrows by ~bins x. Int64 ranges
+    resolve in <= ceil(64 / log2(bins)) = 6 passes; driver state is
+    O(bins * len(qs)) counts. The value table is materialized once
+    (one int64 column) so passes don't re-run the upstream pipeline.
+    """
+    from .aggregate import two_phase_aggregate
+
+    vals = ds.map_batches(
+        lambda t: pa.table({"v": pc.cast(t.column(value_col), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    stats = two_phase_aggregate(
+        vals.map_batches(
+            lambda t: pa.table({"k": pa.array([0], pa.int32()),
+                                "lo": pa.array([pc.min(t.column("v")).as_py()], pa.int64()),
+                                "hi": pa.array([pc.max(t.column("v")).as_py()], pa.int64()),
+                                "n": pa.array([len(t)], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], [("lo", "min", "lo"), ("hi", "max", "hi"), ("n", "sum", "n")],
+        num_buckets=1).take_all()
+    import ray
+    if not stats or not stats[0]["n"] or stats[0]["lo"] is None:
+        return ray.data.from_arrow(pa.table({
+            "q": pa.array([], pa.float64()), "value": pa.array([], pa.int64())}))
+    lo0, hi0, n = int(stats[0]["lo"]), int(stats[0]["hi"]), int(stats[0]["n"])
+
+    # per-target state: interval [lo, hi] and 1-based rank within it;
+    # ceil(q*n) in exact int math (q as the rational it was written as, so
+    # 0.95 means 95/100 — no float-product edge at rank boundaries)
+    from fractions import Fraction
+
+    state = {}
+    for i, q in enumerate(qs):
+        r = Fraction(q).limit_denominator(10**6) * n
+        state[i] = (lo0, hi0, max(1, -(-r.numerator // r.denominator)))
+
+    result = {}
+    while state:
+        for i, (lo, hi, r) in list(state.items()):
+            if lo == hi:
+                result[i] = lo
+                del state[i]
+        if not state:
+            break
+        iv = {i: s for i, s in state.items()}
+
+        def hist(t: pa.Table, iv=dict(iv)) -> pa.Table:
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            ts, bs, cs = [], [], []
+            for i, (lo, hi, _r) in iv.items():
+                m = v[(v >= lo) & (v <= hi)]
+                if len(m) == 0:
+                    continue
+                width = hi - lo + 1
+                b = (m - lo) * bins // width
+                ub, uc = np.unique(b, return_counts=True)
+                ts.append(np.full(len(ub), i, np.int64))
+                bs.append(ub)
+                cs.append(uc.astype(np.int64))
+            if not ts:
+                return pa.table({"t": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({"t": pa.array(np.concatenate(ts)),
+                             "b": pa.array(np.concatenate(bs)),
+                             "c": pa.array(np.concatenate(cs))})
+
+        counts = two_phase_aggregate(
+            vals.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+            ["t", "b"], [("c", "sum", "c")], num_buckets=num_buckets).take_all()
+        per = {}
+        for row in counts:
+            per.setdefault(row["t"], {})[row["b"]] = row["c"]
+        for i, (lo, hi, r) in list(state.items()):
+            width = hi - lo + 1
+            acc = 0
+            for b in range(bins):
+                c = per.get(i, {}).get(b, 0)
+                if acc + c >= r:
+                    # exact bin-b value range under v -> (v-lo)*bins//width:
+                    # [lo + ceil(b*width/bins), lo + ceil((b+1)*width/bins) - 1]
+                    # — the carried rank r-acc is the rank WITHIN exactly
+                    # this value set (floor edges would leak bin b-1 values
+                    # into the next pass and shift ranks)
+                    nlo = lo + (-(-b * width // bins))
+                    nhi = min(hi, lo + (-(-(b + 1) * width // bins)) - 1)
+                    state[i] = (nlo, nhi, r - acc)
+                    break
+                acc += c
+
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array([float(q) for q in qs]),
+        "value": pa.array([result[i] for i in range(len(qs))], pa.int64()),
+    }))

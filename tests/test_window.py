@@ -150,3 +150,32 @@ def test_global_topfrac_exact_ranks_ties_and_degenerate(ray_session):
     out2 = global_topfrac(ds2, value_col="v", id_col="id", num=1, den=4,
                           bins=8, num_buckets=2).to_pandas().sort_values("rnk")
     assert list(out2.id) == [0, 1, 2] and list(out2.rnk) == [1, 2, 3]
+
+
+def test_global_quantiles_exact_vs_sorted(ray_session):
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.window import global_quantiles
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(-10**12, 10**12, 3000),  # huge range -> multi-pass bisection
+        rng.integers(0, 5, 3000),             # heavy ties
+        np.full(50, 42),                      # constant
+        rng.zipf(1.5, 3000).astype(np.int64), # skew
+        np.array([7]),                        # single row
+    ]
+    for vals in cases:
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+        out = global_quantiles(ds, value_col="v", qs=(0.5, 0.95, 0.99),
+                               bins=64, num_buckets=2).to_pandas()
+        s = np.sort(vals)
+        for q, got in zip(out.q, out.value):
+            r = Fraction(float(q)).limit_denominator(10**6) * len(s)
+            rank = max(1, math.ceil(r))
+            assert s[rank - 1] == got, (q, got, s[rank - 1])
