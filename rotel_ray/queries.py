@@ -434,6 +434,16 @@ def q_embedding_quantize(sf_dir: str):
     return quantize_embeddings(ds)
 
 
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes (8 sub-spaces x 8 deterministic codebook
+    entries) over the integer scalar-quantized vectors — all-int64 squared-L2
+    argmin, exactly SQL-verifiable."""
+    from .stages.similarity import pq_codes
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pq_codes(ds, m=8, k=8)
+
+
 def q_sim_topk_lsh(sf_dir: str, k: int = 10):
     """Approximate top-k: random-hyperplane LSH bucket probing + exact cosine
     on candidates (the scale path; recall vs exact measured in tests)."""
@@ -2079,6 +2089,7 @@ QUERIES = {
     "corpus_pack": q_corpus_pack,
     "table_profile": q_table_profile,
     "global_quantiles": q_global_quantiles,
+    "pq_codes": q_pq_codes,
 }
 
 
@@ -3357,4 +3368,33 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT CAST(0.95 AS DOUBLE), quantile_disc(v, 0.95) FROM d
         UNION ALL
         SELECT CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM d"""
+    sql["pq_codes"] = """
+        WITH pos AS (
+          SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,
+                 CAST(embedding[t.i] AS DOUBLE) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM pos GROUP BY dim),
+        q AS (
+          SELECT vec_id, dim, dim // 8 AS sub,
+                 CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                      ELSE CAST(floor((x - lo) * (255.0 / (hi - lo)) + 0.5) AS BIGINT)
+                 END AS qv
+          FROM pos JOIN st USING (dim)),
+        cb AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                 vec_id AS cvid
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        cq AS (SELECT cb.code, q.dim, q.qv AS cqv
+               FROM cb JOIN q ON q.vec_id = cb.cvid),
+        dist AS (
+          SELECT q.vec_id, q.sub, cq.code,
+                 sum((q.qv - cq.cqv) * (q.qv - cq.cqv)) AS d2
+          FROM q JOIN cq ON q.dim = cq.dim
+          GROUP BY 1, 2, 3)
+        SELECT vec_id, CAST(sub AS INTEGER) AS sub, code FROM (
+          SELECT vec_id, sub, code,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY d2, code) AS rn
+          FROM dist)
+        WHERE rn = 1"""
     return sql

@@ -92,6 +92,32 @@ def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10, *, id_col: str = "v
     )
 
 
+def dim_range_stats(ds, *, emb_col: str = "embedding", num_buckets: int = 8):
+    """Global per-dimension (lo, hi) of an embedding column — two-phase
+    min/max, d partial rows per batch, d-row driver result."""
+    from .aggregate import two_phase_aggregate
+
+    def dim_stats(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int32()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"dim": pa.array(np.arange(m.shape[1], dtype=np.int32)),
+                         "lo": pa.array(m.min(axis=0)), "hi": pa.array(m.max(axis=0))})
+
+    stats = two_phase_aggregate(
+        ds.map_batches(dim_stats, batch_format="pyarrow", zero_copy_batch=True),
+        ["dim"], [("lo", "min", "lo"), ("hi", "max", "hi")], num_buckets=num_buckets)
+    rows = sorted(stats.take_all(), key=lambda r: r["dim"])
+    return (np.array([r["lo"] for r in rows]), np.array([r["hi"] for r in rows]))
+
+
+def quant_scale(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    span = hi - lo
+    return np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0), 0.0)
+
+
 def quantize_embeddings(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
                         num_buckets: int = 8):
     """Int8-style scalar quantization (the ANN memory-scale path: 4x smaller
@@ -109,25 +135,8 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id", emb_col: str = "embedding
     list cells hash unreliably in the driver compare (same lesson as the
     attrs overflow map).
     """
-    from .aggregate import two_phase_aggregate
-
-    def dim_stats(t: pa.Table) -> pa.Table:
-        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
-        if m.size == 0:
-            return pa.table({"dim": pa.array([], pa.int32()),
-                             "lo": pa.array([], pa.float64()),
-                             "hi": pa.array([], pa.float64())})
-        return pa.table({"dim": pa.array(np.arange(m.shape[1], dtype=np.int32)),
-                         "lo": pa.array(m.min(axis=0)), "hi": pa.array(m.max(axis=0))})
-
-    stats = two_phase_aggregate(
-        ds.map_batches(dim_stats, batch_format="pyarrow", zero_copy_batch=True),
-        ["dim"], [("lo", "min", "lo"), ("hi", "max", "hi")], num_buckets=num_buckets)
-    rows = sorted(stats.take_all(), key=lambda r: r["dim"])
-    lo = np.array([r["lo"] for r in rows])
-    hi = np.array([r["hi"] for r in rows])
-    span = hi - lo
-    scale = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0), 0.0)
+    lo, hi = dim_range_stats(ds, emb_col=emb_col, num_buckets=num_buckets)
+    scale = quant_scale(lo, hi)
 
     def quant(t: pa.Table) -> pa.Table:
         m = embedding_matrix(t.column(emb_col)).astype(np.float64)
@@ -411,3 +420,51 @@ def semdedup(ds, centroids: np.ndarray, *, tau: float = 0.95,
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_apply(tagged, ["cluster"], per_cluster,
                          batch_format="pyarrow", num_buckets=num_buckets)
+
+
+def pq_codes(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
+             m: int = 8, k: int = 8, num_buckets: int = 8):
+    """Product-quantization codes over the INT scalar-quantized vectors —
+    the PQ memory-scale path for ANN, made exactly verifiable: distances
+    are integer squared-L2 between uint8 codes, so the argmin (ties ->
+    lowest code id) is pure int64 arithmetic on both engines.
+
+    Codebooks are deterministic: the ``k`` lowest-id vectors' quantized
+    sub-vectors (the same convention as the k-means assignment kernel —
+    the Lloyd-refined variant is pytest-verified in kmeans_fit). Each
+    vector splits into ``m`` sub-spaces and gets the code of its nearest
+    codebook entry per sub-space. Output: exploded (vec_id, sub, code).
+    """
+    import ray
+
+    lo, hi = dim_range_stats(ds, emb_col=emb_col, num_buckets=num_buckets)
+    scale = quant_scale(lo, hi)
+    d = len(lo)
+    assert d % m == 0, "dim must divide into m sub-spaces"
+    dsub = d // m
+
+    first = ds.sort(id_col).limit(k).take_all()
+    cmat = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in first])
+    cq = np.floor((cmat - lo) * scale + 0.5).astype(np.int64)
+    codebook = cq.reshape(k, m, dsub)
+    cb_ref = ray.put(codebook)
+
+    def encode(t: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        e = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        n = len(t)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sub": pa.array([], pa.int32()),
+                             "code": pa.array([], pa.int32())})
+        q = np.floor((e - lo) * scale + 0.5).astype(np.int64).reshape(n, 1, m, dsub)
+        dist = ((q - cb.reshape(1, k, m, dsub)) ** 2).sum(axis=3)  # (n, k, m)
+        code = dist.argmin(axis=1).astype(np.int32)  # first occurrence = lowest code
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, m)),
+            "sub": pa.array(np.tile(np.arange(m, dtype=np.int32), n)),
+            "code": pa.array(code.ravel()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)

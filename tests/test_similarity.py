@@ -169,3 +169,25 @@ def test_quantize_embeddings_reconstruction_and_constant_dim(ray_session):
     recon = lo + q * (span / 255.0)
     err = np.abs(recon - m32)[:, [0, 1, 3, 4]]
     assert err.max() <= (span[[0, 1, 3, 4]] / 255.0).max() * 0.5 + 1e-12
+
+
+def test_pq_codes_codebook_vectors_self_code(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.similarity import pq_codes
+
+    rng = np.random.default_rng(4)
+    emb = rng.standard_normal((40, 16)).astype(np.float32)
+    # make the first 4 vectors well-separated so self-distance 0 is unique
+    emb[:4] *= 10
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": [r.tolist() for r in emb]}))
+    out = pq_codes(ds, m=4, k=4, num_buckets=2).to_pandas()
+    assert len(out) == 40 * 4
+    assert out["code"].between(0, 3).all() and out["sub"].between(0, 3).all()
+    for vid in range(4):  # codebook vectors encode to themselves
+        mine = out[out.vec_id == vid].sort_values("sub")
+        assert list(mine["code"]) == [vid] * 4
