@@ -444,6 +444,15 @@ def q_pq_codes(sf_dir: str):
     return pq_codes(ds, m=8, k=8)
 
 
+def q_pq_search(sf_dir: str):
+    """PQ asymmetric-distance top-10 for the vec_id=0 query — the complete
+    quantized-ANN search path (codes + integer ADC tables), bit-exact."""
+    from .stages.similarity import pq_search
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pq_search(ds, _query_vec(sf_dir), k_top=10, m=8, k=8)
+
+
 def q_sim_topk_lsh(sf_dir: str, k: int = 10):
     """Approximate top-k: random-hyperplane LSH bucket probing + exact cosine
     on candidates (the scale path; recall vs exact measured in tests)."""
@@ -2090,6 +2099,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "global_quantiles": q_global_quantiles,
     "pq_codes": q_pq_codes,
+    "pq_search": q_pq_search,
 }
 
 
@@ -3368,7 +3378,7 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT CAST(0.95 AS DOUBLE), quantile_disc(v, 0.95) FROM d
         UNION ALL
         SELECT CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM d"""
-    sql["pq_codes"] = """
+    _pq_cte = """
         WITH pos AS (
           SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,
                  CAST(embedding[t.i] AS DOUBLE) AS x
@@ -3390,11 +3400,25 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
           SELECT q.vec_id, q.sub, cq.code,
                  sum((q.qv - cq.cqv) * (q.qv - cq.cqv)) AS d2
           FROM q JOIN cq ON q.dim = cq.dim
-          GROUP BY 1, 2, 3)
-        SELECT vec_id, CAST(sub AS INTEGER) AS sub, code FROM (
-          SELECT vec_id, sub, code,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY d2, code) AS rn
-          FROM dist)
-        WHERE rn = 1"""
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, code) AS rn
+            FROM dist)
+          WHERE rn = 1)"""
+    sql["pq_codes"] = _pq_cte + """
+        SELECT vec_id, CAST(sub AS INTEGER) AS sub, code FROM codes"""
+    sql["pq_search"] = _pq_cte + """,
+        qq AS (SELECT dim, sub, qv FROM q WHERE vec_id = 0),
+        dtab AS (
+          SELECT qq.sub, cq.code,
+                 sum((qq.qv - cq.cqv) * (qq.qv - cq.cqv)) AS d2
+          FROM qq JOIN cq ON qq.dim = cq.dim
+          GROUP BY 1, 2)
+        SELECT c.vec_id, CAST(sum(t.d2) AS BIGINT) AS adc
+        FROM codes c JOIN dtab t ON t.sub = c.sub AND t.code = c.code
+        GROUP BY 1
+        ORDER BY adc, c.vec_id LIMIT 10"""
     return sql

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -468,3 +469,49 @@ def pq_codes(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
         })
 
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_search(ds, query_vec: np.ndarray, k_top: int = 10, *,
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              m: int = 8, k: int = 8, num_buckets: int = 8):
+    """PQ asymmetric-distance (ADC) top-k: quantize the query with the same
+    global scales, precompute the m x k integer distance table to the
+    codebooks, score every vector as the SUM of its sub-space table entries,
+    and reduce per-batch partial top-k rows (ties -> lowest id). The scan
+    touches only codes-equivalent integers, exactly the PQ search memory
+    story; everything stays int64 so the DuckDB mirror is bit-exact."""
+    import ray
+
+    lo, hi = dim_range_stats(ds, emb_col=emb_col, num_buckets=num_buckets)
+    scale = quant_scale(lo, hi)
+    d = len(lo)
+    dsub = d // m
+
+    first = ds.sort(id_col).limit(k).take_all()
+    cmat = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in first])
+    cq = np.floor((cmat - lo) * scale + 0.5).astype(np.int64).reshape(k, m, dsub)
+    qv = np.floor((np.asarray(query_vec, np.float64) - lo) * scale + 0.5) \
+        .astype(np.int64).reshape(m, dsub)
+    # dtab[s, c] = ||q_s - cb[c, s]||^2 (int64)
+    dtab = ((qv[None, :, :] - cq) ** 2).sum(axis=2).T  # (m, k)
+    cb_ref = ray.put((cq, dtab))
+
+    def score(t: pa.Table) -> pa.Table:
+        cb, tab = ray.get(cb_ref)
+        e = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        n = len(t)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.int64())})
+        q = np.floor((e - lo) * scale + 0.5).astype(np.int64).reshape(n, 1, m, dsub)
+        code = ((q - cb.reshape(1, k, m, dsub)) ** 2).sum(axis=3).argmin(axis=1)  # (n, m)
+        adc = tab[np.arange(m), code].sum(axis=1)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        out = pa.table({id_col: pa.array(ids), "adc": pa.array(adc)})
+        if n > k_top:  # partial top-k: (adc asc, id asc)
+            order = np.lexsort((ids, adc))[:k_top]
+            out = out.take(pa.array(np.sort(order)))
+        return out
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["adc", id_col]).limit(k_top)

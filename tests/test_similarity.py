@@ -191,3 +191,33 @@ def test_pq_codes_codebook_vectors_self_code(ray_session):
     for vid in range(4):  # codebook vectors encode to themselves
         mine = out[out.vec_id == vid].sort_values("sub")
         assert list(mine["code"]) == [vid] * 4
+
+
+def test_pq_search_recall_vs_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.similarity import pq_search
+
+    rng = np.random.default_rng(8)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "embedding": [r.tolist() for r in emb]}))
+    # plant near-duplicates of the query: ADC must surface them — PQ recall
+    # on unstructured Gaussians is poor by construction (codebooks are the
+    # deterministic first-k vectors, not Lloyd-refined), but planted dups
+    # share the query's cells and must beat everything else
+    q = emb[17].astype(np.float64)
+    for vid in (60, 61, 62):
+        emb[vid] = (q + 0.01 * rng.standard_normal(16)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "embedding": [r.tolist() for r in emb]}))
+    out = pq_search(ds, q, k_top=10, m=4, k=8, num_buckets=2).to_pandas()
+    assert len(out) == 10
+    assert {17, 60, 61, 62} <= set(out.vec_id)
+    # ADC of the self-match is the global minimum
+    assert out.sort_values(["adc", "vec_id"]).iloc[0].adc == out.adc.min()
+    assert (out.adc >= 0).all()
