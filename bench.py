@@ -61,6 +61,9 @@ SECONDARY = [
     "bpe_pairs",
     "dsir_select",
     "pack_export",
+    "corpus_pack",
+    "global_quantiles",
+    "pq_search",
 ]
 
 

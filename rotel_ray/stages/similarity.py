@@ -1,6 +1,10 @@
 """Similarity search over an embedding column (``list<float>``).
 
-Two variants, per the large-scale-training-pipeline operator set:
+The ANN family, per the large-scale-training-pipeline operator set: exact
+and approximate top-k (below), distributed k-means + SemDeDup, and the
+quantization scale path (``quantize_embeddings`` scalar codes,
+``pq_codes``/``pq_search`` product quantization with integer ADC). The two
+search baselines:
 
 - ``brute_force_topk`` — the exact baseline: numpy matmul per batch against a
   broadcast (``ray.put`` once) query matrix, global top-k via per-batch
