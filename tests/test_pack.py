@@ -142,3 +142,38 @@ def test_token_budget_sample_prefix_semantics(ray_session):
             for r in out.itertuples()] == expect
     # kept mass crosses the budget exactly once
     assert out.cum_before.iloc[-1] < budget <= out.cum_before.iloc[-1] + out.n_tokens.iloc[-1]
+
+
+def test_pack_sequences_giant_doc_spans_many_sequences(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.pack import pack_sequences
+
+    # one doc of 100 tokens among small docs, seq_len=8 -> spans ~13 seqs
+    docs = ["a b", "x " * 100, "c d e"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(docs)}))
+    out = (pack_sequences(ds, seq_len=8, range_size=2, num_buckets=2)
+           .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    total = 2 + 100 + 3
+    assert out.n_tok.sum() == total
+    assert len(out) == -(-total // 8)
+    # middle sequences are filled entirely by the giant doc
+    assert (out.n_docs.iloc[2:11] == 1).all()
+    # first sequence holds the tail of doc 0 and the head of doc 1
+    assert out.n_docs.iloc[0] == 2
+
+
+def test_token_budget_budget_exceeds_corpus_keeps_all(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.mix import token_budget_sample
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b", "c", "d e f"])}))
+    out = token_budget_sample(ds, budget=10**9, num_buckets=2).to_pandas()
+    assert len(out) == 3 and out.n_tokens.sum() == 6
