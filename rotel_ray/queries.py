@@ -1041,6 +1041,15 @@ def q_pii_scrub(sf_dir: str):
     return pii_scrub_stage(ds, keep_cols=["conv_id", "turn_idx", "text"])
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Bigram-LM doc scoring (add-one-smoothed conditionals, integer
+    micro-nats) — one rung above unigram_logprob on the LM quality ladder."""
+    from .stages.textstats import bigram_logprob
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_logprob(ds)
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (hashed unigram+bigram LM ratio, target =
     lang='en' docs) in integer micro-nats — the importance-resampling data
@@ -2100,6 +2109,7 @@ QUERIES = {
     "global_quantiles": q_global_quantiles,
     "pq_codes": q_pq_codes,
     "pq_search": q_pq_search,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 
@@ -3421,4 +3431,33 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM codes c JOIN dtab t ON t.sub = c.sub AND t.code = c.code
         GROUP BY 1
         ORDER BY adc, c.vec_id LIMIT 10"""
+    sql["bigram_logprob"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+          FROM documents),
+        pos AS (
+          SELECT doc_id, t.i AS i, tk[t.i] AS w,
+                 CASE WHEN t.i > 1 THEN tk[t.i - 1] END AS wp
+          FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s,
+                       CAST(count(*) AS BIGINT) AS v FROM c1),
+        c2 AS (SELECT wp, w, CAST(count(*) AS BIGINT) AS c
+               FROM pos WHERE wp IS NOT NULL GROUP BY 1, 2),
+        terms AS (
+          SELECT p.doc_id,
+                 CASE WHEN p.wp IS NULL
+                      THEN CAST(floor(ln(u.c / t.s) * 1e6) AS BIGINT)
+                      ELSE CAST(floor(ln((COALESCE(b.c, 0) + 1.0)
+                                         / (up.c + t.v)) * 1e6) AS BIGINT)
+                 END AS lp
+          FROM pos p
+          JOIN c1 u ON u.w = p.w
+          LEFT JOIN c1 up ON up.w = p.wp
+          LEFT JOIN c2 b ON b.wp = p.wp AND b.w = p.w
+          CROSS JOIN tot t)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lp) AS BIGINT) AS lp_unat
+        FROM terms GROUP BY doc_id"""
     return sql

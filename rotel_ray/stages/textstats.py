@@ -522,3 +522,85 @@ def dsir_weights(ds, target_ds, *, text_col: str = "text",
                          "w_unat": pa.array(w[keep])})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = 16):
+    """Per-doc BIGRAM log-probability in integer micro-nats — one rung above
+    :func:`unigram_logprob` on the LM-quality ladder (KenLM-style scoring,
+    exactly verifiable).
+
+    Model: first token scores ``ln(c1(w)/total)``; every following position
+    scores the add-one-smoothed conditional
+    ``ln((c2(prev,w) + 1) / (c1(prev) + V))`` with ``V`` = distinct unigram
+    count. Every term becomes ``floor(ln(p) * 1e6)`` int64 micro-nats via
+    the SAME float expression the SQL mirror evaluates per position, so
+    per-doc sums are exact integer arithmetic on both engines.
+
+    Scale shape: unigram and bigram count tables are vocab-bounded two-phase
+    partials (the bigram table is the standard LM-training state; prune like
+    unigram's top_v for open-vocab corpora); both broadcast once via
+    ``ray.put``; scoring is one stateless pass with two Arrow ``index_in``
+    probes. Scoring the training corpus itself means no OOV path.
+    """
+    import ray
+
+    from .aggregate import two_phase_aggregate
+
+    c1_rows = unigram_counts(ds, text_col=text_col,
+                             num_buckets=num_buckets).take_all()
+    toks = pa.array([r["tok"] for r in c1_rows], pa.string())
+    c1 = np.array([r["c"] for r in c1_rows], dtype=np.int64)
+    total = float(c1.sum())
+    v = len(c1)
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = split_tokens(t.column(text_col))
+        if len(flat) < 2:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        joined = pc.binary_join_element_wise(flat[:-1], flat[1:], " ")
+        same = doc_of[:-1] == doc_of[1:]
+        d = pc.dictionary_encode(joined.filter(pa.array(same)))
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table({"bg": d.dictionary, "c": pa.array(cnt)})
+
+    c2_rows = two_phase_aggregate(
+        ds.map_batches(bigram_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bg"], [("c", "sum", "c")], num_buckets=num_buckets).take_all()
+    bgs = pa.array([r["bg"] for r in c2_rows], pa.string())
+    c2 = np.array([r["c"] for r in c2_rows], dtype=np.int64)
+
+    # micro-nat tables, computed ONCE here (driver) with the same float
+    # expressions the SQL mirror uses
+    lp_uni = np.floor(np.log(c1.astype(np.float64) / total) * 1e6).astype(np.int64)
+    ref = ray.put((toks, bgs, c1, c2))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, bg_vocab, c1_l, c2_l = ray.get(ref)
+        flat, doc_of, n_tok = split_tokens(t.column(text_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(n_tok), np.int64)
+        if len(flat):
+            uidx = pc.index_in(flat, vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+            first = np.r_[True, doc_of[1:] != doc_of[:-1]]
+            sums_add = np.where(first, lp_uni[uidx], 0)
+            if len(flat) > 1:
+                joined = pc.binary_join_element_wise(flat[:-1], flat[1:], " ")
+                bidx = pc.index_in(joined, bg_vocab)
+                bvalid = bidx.is_valid().to_numpy(zero_copy_only=False)
+                bnp = bidx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+                cb = np.where(bvalid, c2_l[bnp], 0)
+                cprev = c1_l[uidx[:-1]]
+                lp_bi = np.floor(np.log((cb + 1.0) / (cprev + float(len(c1_l))))
+                                 * 1e6).astype(np.int64)
+                cont = ~first[1:]
+                sums_add[1:] = np.where(cont, lp_bi, sums_add[1:])
+            np.add.at(sums, doc_of, sums_add)
+        m = n_tok > 0
+        return pa.table({id_col: pa.array(ids[m]),
+                         "n_tokens": pa.array(n_tok[m]),
+                         "lp_unat": pa.array(sums[m])})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -177,3 +177,25 @@ def test_dsir_weights_prefer_target_like_docs(ray_session):
     # doc 0 (target-like) must weigh strictly more than doc 1 (noise)
     assert out.loc[0, "w_unat"] > out.loc[1, "w_unat"]
     assert (out.n_feats == 9).all()  # 5 unigrams + 4 bigrams each
+
+
+def test_bigram_logprob_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.textstats import bigram_logprob
+
+    # corpus: doc1 "a b a", doc2 "b a"
+    # c1: a=3, b=2, total=5, V=2; c2: (a,b)=1, (b,a)=2
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["a b a", "b a"]}))
+    out = bigram_logprob(ds, num_buckets=2).to_pandas().set_index("doc_id")
+
+    def mn(x):
+        return int(np.floor(np.log(x) * 1e6))
+
+    lp1 = mn(3 / 5.0) + mn((1 + 1.0) / (3 + 2.0)) + mn((2 + 1.0) / (2 + 2.0))
+    lp2 = mn(2 / 5.0) + mn((2 + 1.0) / (2 + 2.0))
+    assert out.loc[1, "lp_unat"] == lp1 and out.loc[1, "n_tokens"] == 3
+    assert out.loc[2, "lp_unat"] == lp2 and out.loc[2, "n_tokens"] == 2
