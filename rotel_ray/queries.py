@@ -1041,6 +1041,18 @@ def q_pii_scrub(sf_dir: str):
     return pii_scrub_stage(ds, keep_cols=["conv_id", "turn_idx", "text"])
 
 
+def q_norm_dedup(sf_dir: str):
+    """Normalization-aware exact dedup over turn text (lowercase +
+    whitespace collapse + trim, then content-hash groups): one row per
+    normalized-content group with the lexicographic-min (conv_id, turn_idx)
+    keep key and the duplicate count."""
+    from .stages.textstats import normalized_dedup
+
+    ds = read_parquet(ensure_transcripts(sf_dir),
+                      columns=["conv_id", "turn_idx", "text"])
+    return normalized_dedup(ds, key_cols=["conv_id", "turn_idx"])
+
+
 def q_bigram_logprob(sf_dir: str):
     """Bigram-LM doc scoring (add-one-smoothed conditionals, integer
     micro-nats) — one rung above unigram_logprob on the LM quality ladder."""
@@ -2110,6 +2122,7 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "pq_search": q_pq_search,
     "bigram_logprob": q_bigram_logprob,
+    "norm_dedup": q_norm_dedup,
 }
 
 
@@ -3460,4 +3473,10 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(lp) AS BIGINT) AS lp_unat
         FROM terms GROUP BY doc_id"""
+    sql["norm_dedup"] = f"""
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash,
+               min(conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS keep_key,
+               count(*) AS n_dups
+        FROM {T}
+        GROUP BY 1"""
     return sql

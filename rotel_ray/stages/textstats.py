@@ -604,3 +604,38 @@ def bigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "lp_unat": pa.array(sums[m])})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_text(text):
+    """Canonical text normalization for dedup: lowercase, collapse ASCII
+    whitespace runs to one space, trim. Same three kernels the DuckDB
+    mirror applies (both sides RE2/utf8proc)."""
+    x = pc.utf8_lower(text)
+    x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def normalized_dedup(ds, *, text_col: str = "text", key_cols: list[str],
+                     num_buckets: int = 64):
+    """Exact dedup AFTER normalization — catches the case/whitespace
+    variants plain content-hash dedup misses (the C4 'lowercased exact'
+    convention). One row per normalized-content group:
+    (norm_hash, keep_key, n_dups) with keep_key = lexicographic min of the
+    joined key columns. Only (hash, key) rows shuffle."""
+    from .aggregate import two_phase_aggregate
+    from .enrich import _hash_values
+
+    def prep(t: pa.Table) -> pa.Table:
+        norm = normalize_text(t.column(text_col))
+        key = t.column(key_cols[0])
+        for c in key_cols[1:]:
+            key = pc.binary_join_element_wise(
+                pc.cast(key, pa.string()), pc.cast(t.column(c), pa.string()), "#")
+        return pa.table({"norm_hash": _hash_values(norm, "md5"),
+                         "keep_key": pc.cast(key, pa.string())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_aggregate(
+        rows, ["norm_hash"],
+        [("keep_key", "min", "keep_key"), ("keep_key", "count", "n_dups")],
+        num_buckets=num_buckets)

@@ -199,3 +199,20 @@ def test_bigram_logprob_hand_computed(ray_session):
     lp2 = mn(2 / 5.0) + mn((2 + 1.0) / (2 + 2.0))
     assert out.loc[1, "lp_unat"] == lp1 and out.loc[1, "n_tokens"] == 3
     assert out.loc[2, "lp_unat"] == lp2 and out.loc[2, "n_tokens"] == 2
+
+
+def test_normalized_dedup_catches_case_and_whitespace_variants(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.textstats import normalized_dedup
+
+    ds = ray.data.from_arrow(pa.table({
+        "conv_id": ["c1", "c2", "c3", "c4"],
+        "turn_idx": [0, 0, 0, 0],
+        "text": ["Hello  World", "hello world", "  HELLO\tWORLD ", "other"]}))
+    out = (normalized_dedup(ds, key_cols=["conv_id", "turn_idx"], num_buckets=4)
+           .to_pandas().sort_values("n_dups", ascending=False))
+    assert len(out) == 2
+    assert out.iloc[0].n_dups == 3 and out.iloc[0].keep_key == "c1#0"
+    assert out.iloc[1].n_dups == 1
