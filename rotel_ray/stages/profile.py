@@ -73,14 +73,15 @@ def table_profile(ds, columns: list[str], *, num_buckets: int = 32):
     dist = two_phase_aggregate(pairs, ["col_name"], [("one", "sum", "n_distinct")],
                                num_buckets=1)
 
+    empty = {"n": 0, "n_null": 0, "min_i": None, "max_i": None}
     srows = {r["col_name"]: r for r in stats.take_all()}
     drows = {r["col_name"]: r["n_distinct"] for r in dist.take_all()}
     out = pa.table({
         "col_name": pa.array(columns),
-        "n": pa.array([srows[c]["n"] for c in columns], pa.int64()),
-        "n_null": pa.array([srows[c]["n_null"] for c in columns], pa.int64()),
+        "n": pa.array([srows.get(c, empty)["n"] for c in columns], pa.int64()),
+        "n_null": pa.array([srows.get(c, empty)["n_null"] for c in columns], pa.int64()),
         "n_distinct": pa.array([drows.get(c, 0) for c in columns], pa.int64()),
-        "min_i": pa.array([srows[c]["min_i"] for c in columns], pa.int64()),
-        "max_i": pa.array([srows[c]["max_i"] for c in columns], pa.int64()),
+        "min_i": pa.array([srows.get(c, empty)["min_i"] for c in columns], pa.int64()),
+        "max_i": pa.array([srows.get(c, empty)["max_i"] for c in columns], pa.int64()),
     })
     return ray.data.from_arrow(out)

@@ -19,3 +19,15 @@ def test_table_profile_counts_nulls_distincts(ray_session):
     assert out.loc["a", "min_i"] == 1 and out.loc["a", "max_i"] == 5
     assert out.loc["s", "n_distinct"] == 2
     assert np.isnan(out.loc["s", "min_i"]) or out.loc["s", "min_i"] is None
+
+
+def test_table_profile_empty_input(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.profile import table_profile
+
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "s": pa.array([], pa.string())}))
+    out = table_profile(ds, ["a", "s"], num_buckets=2).to_pandas()
+    assert list(out.n) == [0, 0] and list(out.n_distinct) == [0, 0]
