@@ -64,6 +64,7 @@ SECONDARY = [
     "corpus_pack",
     "global_quantiles",
     "pq_search",
+    "quality_classifier",
 ]
 
 

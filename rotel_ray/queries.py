@@ -1172,6 +1172,17 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(ds, num_merges=8)
 
 
+def q_quality_classifier(sf_dir: str):
+    """fastText-style hashed linear quality classifier serving pass (the
+    learned-filter shape of CCNet/DCLM/FineWeb-Edu curation): unigram
+    hashing trick -> deterministic integer weight table -> per-doc score +
+    keep gate, exact int64 on both engines."""
+    from .stages.textstats import hashed_classifier
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return hashed_classifier(ds)
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end corpus-curation chain — the composed LLM-training-data
     pipeline: token/alpha quality gate -> language allowlist -> exact dedup
@@ -2123,6 +2134,7 @@ QUERIES = {
     "pq_search": q_pq_search,
     "bigram_logprob": q_bigram_logprob,
     "norm_dedup": q_norm_dedup,
+    "quality_classifier": q_quality_classifier,
 }
 
 
@@ -3336,6 +3348,24 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                  count(*) OVER () AS n
           FROM ({sql['dsir_weights']}))
         WHERE rnk <= (n + 3) // 4"""
+    # quality_classifier: same FNV hash space; weight formula mirrored
+    # verbatim from stages.textstats._clf_weights (j*2654435761 % 1001 - 500)
+    sql["quality_classifier"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        f AS (
+          SELECT doc_id, CAST({_fnv_sql('tk[u.i]')} % 1024 AS BIGINT) AS j
+          FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)),
+        s AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum((j * 2654435761) % 1001 - 500) AS BIGINT) AS wsum
+          FROM f GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+               COALESCE(s.wsum, 0) + 17 AS score,
+               COALESCE(s.wsum, 0) + 17 > 0 AS keep
+        FROM documents d LEFT JOIN s USING (doc_id)"""
     def _pack_sql(doc_rel: str, seq_len: int) -> str:
         return f"""
         WITH toks AS (

@@ -639,3 +639,58 @@ def normalized_dedup(ds, *, text_col: str = "text", key_cols: list[str],
         rows, ["norm_hash"],
         [("keep_key", "min", "keep_key"), ("keep_key", "count", "n_dups")],
         num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+CLF_DIM = 1024          # hashing-trick feature space (fastText default 2^21)
+CLF_BIAS = 17           # integer bias term
+_CLF_MIX = 2654435761   # Knuth multiplicative constant -> weight table
+
+
+def _clf_weights(dim: int = CLF_DIM) -> np.ndarray:
+    """Deterministic integer weight vector w[j] in [-500, 500].
+
+    Stand-in for a trained linear model's weights: what matters here is the
+    serving plumbing (hashing trick, broadcast-free deterministic weight
+    table, vectorized scoring), not the training run. Integer weights keep
+    the per-doc score exact on both engines."""
+    j = np.arange(dim, dtype=np.int64)
+    return (j * _CLF_MIX) % 1001 - 500
+
+
+def hashed_classifier(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      dim: int = CLF_DIM):
+    """fastText-style linear text classifier scoring (Joulin et al. 2016,
+    'Bag of Tricks'): unigram bag-of-words -> hashing trick (FNV-1a mod
+    ``dim``) -> summed integer weights + bias -> keep/drop gate. The shape
+    of every learned quality filter (CCNet, DCLM, FineWeb-Edu): a tiny
+    broadcast weight table and one stateless vectorized pass.
+
+    Hashing is per DISTINCT token (dictionary-encode first), mapped back by
+    index; the weight table is rebuilt per worker from the formula (cheaper
+    than shipping 8 KB). Emits ALL docs, zero-token docs score = bias.
+    Exact int64 arithmetic -> bit-exact DuckDB oracle.
+    """
+    from .dedup import _fnv1a
+
+    def score(t: pa.Table) -> pa.Table:
+        w = _clf_weights(dim)
+        flat, doc_of, n_tok = split_tokens(t.column(text_col))
+        sums = np.zeros(t.num_rows, np.int64)
+        if len(flat):
+            d = pc.dictionary_encode(flat)
+            vocab = np.fromiter((_fnv1a(x) for x in d.dictionary.to_pylist()),
+                                dtype=np.uint64, count=len(d.dictionary))
+            j = (vocab % dim).astype(np.int64)[
+                d.indices.to_numpy(zero_copy_only=False)]
+            np.add.at(sums, doc_of, w[j])
+        score_v = sums + CLF_BIAS
+        return pa.table({id_col: t.column(id_col),
+                         "n_tokens": pa.array(n_tok),
+                         "score": pa.array(score_v),
+                         "keep": pa.array(score_v > 0)})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -216,3 +216,25 @@ def test_normalized_dedup_catches_case_and_whitespace_variants(ray_session):
     assert len(out) == 2
     assert out.iloc[0].n_dups == 3 and out.iloc[0].keep_key == "c1#0"
     assert out.iloc[1].n_dups == 1
+
+
+def test_hashed_classifier_vs_bruteforce(ray_session):
+    from rotel_ray.stages.dedup import _fnv1a
+    from rotel_ray.stages.textstats import CLF_BIAS, CLF_DIM, _clf_weights, hashed_classifier
+
+    texts = [
+        "the quick brown fox the quick",   # repeated tokens accumulate
+        "",                                 # zero tokens -> score = bias
+        "   ",                              # whitespace-only -> zero tokens
+        "naïve café über",                  # multi-byte UTF-8
+        "a b c d e f g h i j k l m n o p",
+    ]
+    out = hashed_classifier(_docs(texts)).to_pandas().sort_values("doc_id")
+    w = _clf_weights()
+    for i, text in enumerate(texts):
+        toks = text.split()
+        want = CLF_BIAS + sum(int(w[_fnv1a(t) % CLF_DIM]) for t in toks)
+        row = out.iloc[i]
+        assert row.n_tokens == len(toks)
+        assert row.score == want
+        assert bool(row.keep) == (want > 0)
