@@ -65,6 +65,7 @@ SECONDARY = [
     "global_quantiles",
     "pq_search",
     "quality_classifier",
+    "bpe_encode",
 ]
 
 

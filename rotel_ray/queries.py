@@ -1172,6 +1172,20 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(ds, num_merges=8)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer SERVING pass: train the 8-merge BPE table, then encode the
+    corpus with it — per-doc token count plus order-sensitive exact-integer
+    sequence checksums. The oracle replays the train rounds in SQL and joins
+    the final word->symbols table back to each doc's word positions."""
+    from .stages.bpe import bpe_encode, bpe_train
+
+    train = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    merges = [(r["b1"], r["b2"], r["new_id"])
+              for r in bpe_train(train, num_merges=8).take_all()]
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_encode(docs, merges)
+
+
 def q_quality_classifier(sf_dir: str):
     """fastText-style hashed linear quality classifier serving pass (the
     learned-filter shape of CCNet/DCLM/FineWeb-Edu curation): unigram
@@ -2135,6 +2149,7 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "norm_dedup": q_norm_dedup,
     "quality_classifier": q_quality_classifier,
+    "bpe_encode": q_bpe_encode,
 }
 
 
@@ -3284,6 +3299,38 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         f"CAST({256 + _r} AS INTEGER) AS new_id FROM best{_r}"
         for _r in range(_bpe_rounds))
     sql["bpe_train"] = "WITH " + ",\n      ".join(_parts) + "\n        " + _final
+    # bpe_encode: extend the SAME round CTEs — rank distinct words exactly as
+    # w0 did (row_number OVER ORDER BY word), join the final round's
+    # word->symbols table back to every doc's positional words, flatten with
+    # a per-doc token position, aggregate order-sensitive checksums
+    _enc_parts = _parts + [f"""wr AS MATERIALIZED (
+        SELECT word, row_number() OVER (ORDER BY word) AS wid
+        FROM (SELECT DISTINCT w AS word
+              FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                              x -> x != '')) AS w
+                    FROM documents))),
+      docw AS MATERIALIZED (
+        SELECT d.doc_id, u.i AS wpos, d.wl[u.i] AS word
+        FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                         x -> x != '') AS wl FROM documents) d,
+             unnest(range(1, len(d.wl) + 1)) AS u(i)),
+      encf AS MATERIALIZED (
+        SELECT e.doc_id,
+               row_number() OVER (PARTITION BY e.doc_id ORDER BY e.wpos, t.j) AS pos,
+               w.syms[t.j] AS sym
+        FROM docw e JOIN wr USING (word)
+             JOIN w{_bpe_rounds} w ON w.wid = wr.wid,
+             unnest(range(1, len(w.syms) + 1)) AS t(j))"""]
+    _enc_final = """SELECT d.doc_id,
+               COALESCE(s.n_tokens, 0) AS n_tokens,
+               COALESCE(s.sym_sum, 0) AS sym_sum,
+               COALESCE(s.pos_weighted, 0) AS pos_weighted
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(sym) AS BIGINT) AS sym_sum,
+                 CAST(sum(pos * sym) AS BIGINT) AS pos_weighted
+          FROM encf GROUP BY doc_id) s USING (doc_id)"""
+    sql["bpe_encode"] = "WITH " + ",\n      ".join(_enc_parts) + "\n        " + _enc_final
     sql["hard_negatives"] = """
         SELECT vec_id FROM embeddings
         WHERE label != (SELECT label FROM embeddings WHERE vec_id = 0)

@@ -214,3 +214,49 @@ def bpe_train(ds, num_merges: int = 8, *, text_col: str = "text",
         "new_id": pa.array([m["new_id"] for m in merges], pa.int32()),
     })
     return ray.data.from_arrow(tbl)
+
+
+def bpe_encode(ds, merges, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Encode documents with a learned merge table (the tokenizer SERVING
+    pass that follows :func:`bpe_train`): whitespace pre-tokenize, bytes ->
+    symbols, apply every merge in rank order with the same greedy-leftmost
+    rule, emit per-doc token stats.
+
+    ``merges`` is the trained table as [(b1, b2, new_id), ...] in rank
+    order — a few dozen constants captured in the closure (the broadcast
+    side of a tokenizer apply); the pass itself is stateless and fused.
+    Per-doc outputs are order-sensitive exact ints so the DuckDB oracle
+    (the train oracle's final word table joined back to doc word positions)
+    pins the full token SEQUENCE, not just counts: ``sym_sum`` = sum of
+    symbol ids, ``pos_weighted`` = sum of (1-based token position) * id.
+    """
+    mseq = [(int(a), int(b), int(n)) for a, b, n in merges]
+
+    def enc(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        flat, doc_of, _ = split_tokens(t.column(text_col))
+        seg, offs = _string_bytes(flat)
+        sym = seg.astype(np.int64)
+        offs = offs.astype(np.int64)
+        for a, b, nid in mseq:
+            sym, offs = _apply_merge_np(sym, offs, a, b, nid)
+        wcounts = np.diff(offs)
+        ntok = np.zeros(n_docs, np.int64)
+        np.add.at(ntok, doc_of, wcounts)
+        starts = np.r_[0, np.cumsum(ntok)]
+        pos = np.arange(len(sym), dtype=np.int64) - np.repeat(starts[:-1], ntok) + 1
+        ne = ntok > 0
+        sym_sum = np.zeros(n_docs, np.int64)
+        posw = np.zeros(n_docs, np.int64)
+        if ne.any():
+            # reduceat only over non-empty docs' starts (strictly increasing,
+            # in-range); clamping empty-segment starts would truncate the
+            # PREVIOUS doc's segment — see stages/dedup.py signature kernels
+            sym_sum[ne] = np.add.reduceat(sym, starts[:-1][ne])
+            posw[ne] = np.add.reduceat(sym * pos, starts[:-1][ne])
+        return pa.table({id_col: t.column(id_col),
+                         "n_tokens": pa.array(ntok),
+                         "sym_sum": pa.array(sym_sum),
+                         "pos_weighted": pa.array(posw)})
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)

@@ -86,3 +86,35 @@ def test_bpe_train_end_to_end_vs_reference(ray_session):
     got = [tuple(int(x) for x in row)
            for row in out[["rank", "b1", "b2", "n", "new_id"]].itertuples(index=False)]
     assert got == _ref_bpe_train(texts, 6)
+
+
+def test_bpe_encode_vs_reference(ray_session):
+    import ray.data as rd
+
+    from rotel_ray.stages.bpe import bpe_encode
+
+    texts = [
+        "aaaa aa aaa",                 # a==b run-parity merges
+        "hello hello world",
+        "",                            # empty doc mid-batch
+        "naïve café",                  # multi-byte UTF-8
+        "ab ab ab ab",
+        "   ",                         # whitespace-only doc at batch END (reduceat trap)
+    ]
+    merges = [(97, 97, 256), (256, 256, 257), (104, 101, 258), (97, 98, 259)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    out = bpe_encode(ds, merges).to_pandas().sort_values("doc_id")
+
+    for i, text in enumerate(texts):
+        syms = []
+        for w in text.split():
+            s = list(w.encode())
+            for a, b, nid in merges:
+                s = _ref_merge(s, a, b, nid)
+            syms.extend(s)
+        row = out.iloc[i]
+        assert row.n_tokens == len(syms)
+        assert row.sym_sum == sum(syms)
+        assert row.pos_weighted == sum((p + 1) * v for p, v in enumerate(syms))
