@@ -66,6 +66,7 @@ SECONDARY = [
     "pq_search",
     "quality_classifier",
     "bpe_encode",
+    "kmeans_fit_int",
 ]
 
 

@@ -1186,6 +1186,21 @@ def q_bpe_encode(sf_dir: str):
     return bpe_encode(docs, merges)
 
 
+KMEANS_FIT_ROUNDS = 3
+
+
+def q_kmeans_fit_int(sf_dir: str):
+    """Iterative integer Lloyd k-means FIT (init = k lowest-id vectors, 2
+    update rounds + final assignment) — the exactly-verifiable variant of
+    the float spherical fit: floor-scaled int64 vectors, floor-division
+    centroid updates, argmin ties to the lowest centroid id. Oracled by a
+    generated chained-CTE DuckDB program replaying the same rounds."""
+    from .stages.similarity import kmeans_fit_int
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_fit_int(ds, k=KMEANS_K, rounds=KMEANS_FIT_ROUNDS)
+
+
 def q_quality_classifier(sf_dir: str):
     """fastText-style hashed linear quality classifier serving pass (the
     learned-filter shape of CCNet/DCLM/FineWeb-Edu curation): unigram
@@ -2150,6 +2165,7 @@ QUERIES = {
     "norm_dedup": q_norm_dedup,
     "quality_classifier": q_quality_classifier,
     "bpe_encode": q_bpe_encode,
+    "kmeans_fit_int": q_kmeans_fit_int,
 }
 
 
@@ -3395,6 +3411,42 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                  count(*) OVER () AS n
           FROM ({sql['dsir_weights']}))
         WHERE rnk <= (n + 3) // 4"""
+    # kmeans_fit_int: generated chained-CTE program — init from the k
+    # lowest-id vectors, per round assign (argmin dist, ties -> lowest cid)
+    # then FLOOR-division centroid update (empty cluster keeps its previous
+    # centroid), final round emits the assignment. All-integer arithmetic.
+    _km_parts = [f"""kpos AS MATERIALIZED (
+        SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,
+               CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0) AS BIGINT) AS x
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      kc0 AS MATERIALIZED (
+        SELECT CAST(vec_id AS INTEGER) AS cid, dim, x AS c
+        FROM kpos WHERE vec_id < {KMEANS_K})"""]
+    for _r in range(KMEANS_FIT_ROUNDS):
+        _km_parts.append(f"""kd{_r} AS MATERIALIZED (
+        SELECT p.vec_id, c.cid,
+               CAST(sum((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS dist
+        FROM kpos p JOIN kc{_r} c USING (dim)
+        GROUP BY 1, 2),
+      ka{_r} AS MATERIALIZED (
+        SELECT vec_id, cid, dist FROM (
+          SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM kd{_r}) WHERE rn = 1)""")
+        if _r < KMEANS_FIT_ROUNDS - 1:
+            _km_parts.append(f"""kc{_r + 1} AS MATERIALIZED (
+        SELECT c.cid, c.dim,
+               CASE WHEN u.n IS NULL THEN c.c
+                    WHEN u.s >= 0 THEN u.s // u.n
+                    ELSE -((-u.s + u.n - 1) // u.n) END AS c
+        FROM kc{_r} c LEFT JOIN (
+          SELECT a.cid, p.dim, CAST(sum(p.x) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM ka{_r} a JOIN kpos p USING (vec_id) GROUP BY 1, 2) u
+        ON u.cid = c.cid AND u.dim = c.dim)""")
+    sql["kmeans_fit_int"] = (
+        "WITH " + ",\n      ".join(_km_parts)
+        + f"\n        SELECT vec_id, cid AS cluster, dist FROM ka{KMEANS_FIT_ROUNDS - 1}")
     # quality_classifier: same FNV hash space; weight formula mirrored
     # verbatim from stages.textstats._clf_weights (j*2654435761 % 1001 - 500)
     sql["quality_classifier"] = f"""

@@ -519,3 +519,82 @@ def pq_search(ds, query_vec: np.ndarray, k_top: int = 10, *,
 
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.sort(["adc", id_col]).limit(k_top)
+
+
+def kmeans_fit_int(ds, *, k: int = 8, rounds: int = 3, scale: float = 1000.0,
+                   emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Integer Lloyd k-means FIT with a bit-exact oracle (the exactly-
+    verifiable counterpart of the float :func:`kmeans_fit` above, whose
+    cross-batch float accumulation can't be SQL-mirrored).
+
+    Arithmetic is exact end-to-end: vectors int-ize as
+    ``floor(float64(x) * scale)``; assignment is argmin squared-L2 over
+    int64 (ties -> lowest centroid id); the update is the elementwise
+    FLOOR division ``sum // count`` so centroids stay integer; an empty
+    cluster keeps its previous centroid. Deterministic init = the k
+    lowest-id vectors.
+
+    Scale shape: per round ONE streaming pass — each batch emits a (k*d)
+    long-format partial (per-cluster dim sums + counts), reduced two-phase;
+    the only driver state is the k*d centroid matrix (same bounded
+    iterative-state pattern as bpe_train / the float fit). The final round
+    emits per-vector (id, cluster, dist).
+    """
+    from .aggregate import two_phase_aggregate
+
+    first = ds.sort(id_col).limit(k).to_pandas()
+    c = np.floor(np.stack(first[emb_col].to_numpy()).astype(np.float64)
+                 * scale).astype(np.int64)
+    kk, d = c.shape
+
+    def intmat(t: pa.Table) -> np.ndarray:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        return np.floor(m * scale).astype(np.int64)
+
+    def dists(x: np.ndarray, cm: np.ndarray) -> np.ndarray:
+        return ((x * x).sum(axis=1, keepdims=True) - 2 * (x @ cm.T)
+                + (cm * cm).sum(axis=1)[None, :])
+
+    for _ in range(rounds - 1):
+        ref_c = c
+
+        def partials(t: pa.Table, cm=ref_c) -> pa.Table:
+            x = intmat(t)
+            assign = np.argmin(dists(x, cm), axis=1)
+            sums = np.zeros((kk, d), np.int64)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            n_col = np.zeros((kk, d), np.int64)
+            n_col[:, 0] = counts
+            return pa.table({
+                "cid": pa.array(np.repeat(np.arange(kk, dtype=np.int32), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int32), kk)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(n_col.ravel()),
+            })
+
+        part = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        agg = two_phase_aggregate(part, ["cid", "dim"],
+                                  [("s", "sum", "s"), ("n", "sum", "n")],
+                                  num_buckets=8)
+        sums = np.zeros((kk, d), np.int64)
+        counts = np.zeros(kk, np.int64)
+        for r in agg.take_all():  # k*d rows — bounded iterative state
+            sums[r["cid"], r["dim"]] = r["s"]
+            if r["dim"] == 0:
+                counts[r["cid"]] = r["n"]
+        nz = counts > 0
+        c = c.copy()
+        c[nz] = sums[nz] // counts[nz, None]  # numpy // floors — matches SQL CASE
+
+    ref_final = c
+
+    def assign_out(t: pa.Table, cm=ref_final) -> pa.Table:
+        x = intmat(t)
+        dm = dists(x, cm)
+        a = np.argmin(dm, axis=1)
+        return pa.table({id_col: t.column(id_col),
+                         "cluster": pa.array(a.astype(np.int32)),
+                         "dist": pa.array(dm[np.arange(len(a)), a])})
+
+    return ds.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)

@@ -221,3 +221,51 @@ def test_pq_search_recall_vs_exact(ray_session):
     # ADC of the self-match is the global minimum
     assert out.sort_values(["adc", "vec_id"]).iloc[0].adc == out.adc.min()
     assert (out.adc >= 0).all()
+
+
+def _ref_kmeans_int(m, k, rounds, scale=1000.0):
+    x = np.floor(m.astype(np.float64) * scale).astype(np.int64)
+    c = x[:k].copy()
+
+    def dists(cm):
+        return ((x * x).sum(1, keepdims=True) - 2 * (x @ cm.T)
+                + (cm * cm).sum(1)[None, :])
+
+    for _ in range(rounds - 1):
+        a = np.argmin(dists(c), axis=1)
+        for j in range(k):
+            sel = x[a == j]
+            if len(sel):
+                c[j] = sel.sum(0) // len(sel)
+    dm = dists(c)
+    a = np.argmin(dm, axis=1)
+    return a, dm[np.arange(len(a)), a]
+
+
+def test_kmeans_fit_int_matches_reference(ray_session):
+    from rotel_ray.stages.similarity import kmeans_fit_int
+
+    t, m = _emb_table(n=200, d=16, seed=5)
+    out = (kmeans_fit_int(rd.from_arrow(t).repartition(4), k=6, rounds=3)
+           .to_pandas().sort_values("vec_id"))
+    a_ref, d_ref = _ref_kmeans_int(m, k=6, rounds=3)
+    assert (out.cluster.to_numpy() == a_ref).all()
+    assert (out.dist.to_numpy() == d_ref).all()
+
+
+def test_kmeans_fit_int_empty_cluster_keeps_centroid(ray_session):
+    from rotel_ray.stages.similarity import kmeans_fit_int
+
+    # two tight blobs far apart + k=3: the third centroid (init = vec 2,
+    # inside blob A) empties after round 1 and must keep its coordinates
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.01, (20, 8)).astype(np.float32)
+    b = rng.normal(100, 0.01, (20, 8)).astype(np.float32)
+    m = np.vstack([a, b])
+    t = pa.table({"vec_id": pa.array(range(len(m)), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32()))})
+    out = (kmeans_fit_int(rd.from_arrow(t).repartition(3), k=3, rounds=4)
+           .to_pandas().sort_values("vec_id"))
+    a_ref, d_ref = _ref_kmeans_int(m, k=3, rounds=4)
+    assert (out.cluster.to_numpy() == a_ref).all()
+    assert (out.dist.to_numpy() == d_ref).all()
