@@ -67,6 +67,8 @@ SECONDARY = [
     "quality_classifier",
     "bpe_encode",
     "kmeans_fit_int",
+    "turn_transitions",
+    "collocations",
 ]
 
 

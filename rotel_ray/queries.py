@@ -1186,6 +1186,28 @@ def q_bpe_encode(sf_dir: str):
     return bpe_encode(docs, merges)
 
 
+def q_turn_transitions(sf_dir: str):
+    """Conversation state-machine statistics: global (from_role, to_role)
+    transition counts over turn order within each conversation — who speaks
+    after whom, the Markov structure of the transcript corpus."""
+    from .stages.window import transition_counts
+
+    ds = read_parquet(ensure_transcripts(sf_dir),
+                      columns=["conv_id", "turn_idx", "role"])
+    return transition_counts(ds, key="conv_id", order_col="turn_idx",
+                             state_col="role")
+
+
+def q_collocations(sf_dir: str):
+    """Phrase mining: top-50 adjacent-token collocations by PMI (integer
+    micro-nats, min pair count 5) over the documents corpus — broadcast
+    unigram table, distributed bigram scoring, global top-k sort."""
+    from .stages.textstats import collocations
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return collocations(ds, k=50, min_count=5)
+
+
 KMEANS_FIT_ROUNDS = 3
 
 
@@ -2166,6 +2188,8 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "bpe_encode": q_bpe_encode,
     "kmeans_fit_int": q_kmeans_fit_int,
+    "turn_transitions": q_turn_transitions,
+    "collocations": q_collocations,
 }
 
 
@@ -3411,6 +3435,33 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                  count(*) OVER () AS n
           FROM ({sql['dsir_weights']}))
         WHERE rnk <= (n + 3) // 4"""
+    # collocations: identical float expression on both sides — one division
+    # per ln, fixed subtraction order, floor(x*1e6) micro-nats
+    sql["collocations"] = """
+        WITH tk AS (
+          SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        uni AS (SELECT t.w, CAST(count(*) AS BIGINT) AS c1
+                FROM (SELECT unnest(tk) AS w FROM tk) t GROUP BY 1),
+        tot1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM uni),
+        big AS (SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2,
+                       CAST(count(*) AS BIGINT) AS c2
+                FROM tk, unnest(range(1, len(tk))) AS u(i) GROUP BY 1, 2),
+        tot2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM big)
+        SELECT w1, w2, c2 AS n,
+               CAST(floor((ln(CAST(c2 AS DOUBLE) / n2)
+                           - ln(CAST(a.c1 AS DOUBLE) / n1)
+                           - ln(CAST(b.c1 AS DOUBLE) / n1)) * 1e6) AS BIGINT) AS pmi_unat
+        FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot1, tot2
+        WHERE c2 >= 5
+        ORDER BY pmi_unat DESC, w1, w2 LIMIT 50"""
+    sql["turn_transitions"] = f"""
+        WITH s AS (
+          SELECT role,
+                 lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+          FROM {T})
+        SELECT role AS from_state, nxt AS to_state, CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"""
     # kmeans_fit_int: generated chained-CTE program — init from the k
     # lowest-id vectors, per round assign (argmin dist, ties -> lowest cid)
     # then FLOOR-division centroid update (empty cluster keeps its previous

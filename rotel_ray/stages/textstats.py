@@ -694,3 +694,79 @@ def hashed_classifier(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "keep": pa.array(score_v > 0)})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_counts(ds, *, text_col: str = "text", num_buckets: int = 16):
+    """Global within-doc adjacent-bigram frequency table (keys are the two
+    tokens space-joined); same vocab-bounded two-phase shape as
+    :func:`unigram_counts`."""
+    from .aggregate import two_phase_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = split_tokens(t.column(text_col))
+        if len(flat) < 2:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        joined = pc.binary_join_element_wise(flat[:-1], flat[1:], " ")
+        same = doc_of[:-1] == doc_of[1:]
+        d = pc.dictionary_encode(joined.filter(pa.array(same)))
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table({"bg": d.dictionary, "c": pa.array(cnt)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_aggregate(parts, ["bg"], [("c", "sum", "c")],
+                               num_buckets=num_buckets)
+
+
+def collocations(ds, *, text_col: str = "text", k: int = 50,
+                 min_count: int = 5, num_buckets: int = 16):
+    """Top-k adjacent-token collocations by PMI (phrase mining — the
+    word2vec-phrases / NPMI corpus statistic), integer micro-nats.
+
+    ``pmi = ln(p(w1 w2)) - ln(p(w1)) - ln(p(w2))`` evaluated as the exact
+    float expression ``ln(c2/n2) - ln(c1a/n1) - ln(c1b/n1)`` (one division
+    per ln, fixed subtraction order) then ``floor(x * 1e6)`` — identical
+    IEEE doubles on both engines, so ordering and values are bit-exact.
+
+    Scale shape: the unigram table is vocab-bounded and broadcast once; the
+    bigram table stays a Dataset (materialized once for the total + scoring
+    passes); scoring is stateless; the global sort moves only rows that
+    survive ``min_count``.
+    """
+    import ray
+
+    c1_rows = unigram_counts(ds, text_col=text_col,
+                             num_buckets=num_buckets).take_all()
+    toks = pa.array([r["tok"] for r in c1_rows], pa.string())
+    c1 = np.array([r["c"] for r in c1_rows], dtype=np.int64)
+    n1 = float(c1.sum())
+    ref = ray.put((toks, c1))
+
+    bg = bigram_counts(ds, text_col=text_col, num_buckets=num_buckets).materialize()
+    n2 = float(bg.sum("c"))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, c1_l = ray.get(ref)
+        keep = pc.greater_equal(t.column("c"), min_count)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi_unat": pa.array([], pa.int64())})
+        parts = pc.split_pattern(t.column("bg").combine_chunks(), " ")
+        w1 = pc.list_element(parts, 0)
+        w2 = pc.list_element(parts, 1)
+        c2 = t.column("c").to_numpy()
+        ia = pc.index_in(w1, vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = pc.index_in(w2, vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        pmi = (np.log(c2.astype(np.float64) / n2)
+               - np.log(c1_l[ia].astype(np.float64) / n1)
+               - np.log(c1_l[ib].astype(np.float64) / n1))
+        return pa.table({"w1": w1, "w2": w2, "n": pa.array(c2),
+                         "pmi_unat": pa.array(np.floor(pmi * 1e6).astype(np.int64))})
+
+    scored = bg.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["pmi_unat", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)

@@ -477,3 +477,32 @@ def global_quantiles(ds, *, value_col: str, qs: tuple = (0.5, 0.95, 0.99),
         "q": pa.array([float(q) for q in qs]),
         "value": pa.array([result[i] for i in range(len(qs))], pa.int64()),
     }))
+
+
+def transition_counts(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
+                      state_col: str = "role", num_buckets: int = 64):
+    """Global Markov transition counts over per-group ordered sequences —
+    the state-machine statistic of conversation/session analytics (who
+    speaks after whom; which tool follows which). Two bounded shuffles:
+    sequences co-partition by ``key`` hash bucket (grouped_apply — one sort
+    + shift per bucket, vectorized across groups), each bucket emits its
+    (from, to, n) partial, and a tiny two-phase reduce sums partials over
+    the state-space-bounded result."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort")
+        kv = g[key].to_numpy()
+        sv = g[state_col].to_numpy()
+        same = kv[:-1] == kv[1:] if len(g) else np.zeros(0, bool)
+        out = (pd.DataFrame({"from_state": sv[:-1][same], "to_state": sv[1:][same]})
+               .groupby(["from_state", "to_state"], as_index=False, sort=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = grouped_apply(ds, [key], per_bucket,
+                          select=[key, order_col, state_col],
+                          num_buckets=num_buckets)
+    return two_phase_aggregate(parts, ["from_state", "to_state"],
+                               [("n", "sum", "n")], num_buckets=8)

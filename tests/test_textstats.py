@@ -238,3 +238,35 @@ def test_hashed_classifier_vs_bruteforce(ray_session):
         assert row.n_tokens == len(toks)
         assert row.score == want
         assert bool(row.keep) == (want > 0)
+
+
+def test_collocations_vs_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from rotel_ray.stages.textstats import collocations
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(2, 40)))
+             for _ in range(120)] + ["", "solo"]
+    out = collocations(_docs(texts), k=20, min_count=3).to_pandas()
+
+    uni, big = Counter(), Counter()
+    for tx in texts:
+        tk = tx.split()
+        uni.update(tk)
+        big.update(zip(tk[:-1], tk[1:]))
+    n1, n2 = sum(uni.values()), sum(big.values())
+    ref = []
+    for (a, b), c2 in big.items():
+        if c2 >= 3:
+            pmi = (math.log(c2 / n2) - math.log(uni[a] / n1)
+                   - math.log(uni[b] / n1))
+            ref.append((math.floor(pmi * 1e6), a, b, c2))
+    ref.sort(key=lambda r: (-r[0], r[1], r[2]))
+    ref = ref[:20]
+    got = [(int(r.pmi_unat), r.w1, r.w2, int(r.n)) for r in out.itertuples()]
+    assert got == [(p, a, b, c) for p, a, b, c in ref]

@@ -179,3 +179,33 @@ def test_global_quantiles_exact_vs_sorted(ray_session):
             r = Fraction(float(q)).limit_denominator(10**6) * len(s)
             rank = max(1, math.ceil(r))
             assert s[rank - 1] == got, (q, got, s[rank - 1])
+
+
+def test_transition_counts_matches_pandas(ray_session):
+    from collections import Counter
+
+    from rotel_ray.stages.window import transition_counts
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    conv = rng.integers(0, 60, n)
+    # shuffled row order: the operator must sort within conv by turn_idx
+    turn = np.zeros(n, np.int64)
+    for c in np.unique(conv):
+        idx = np.flatnonzero(conv == c)
+        turn[idx] = rng.permutation(len(idx))
+    role = rng.choice(["user", "assistant", "tool", "system"], n)
+    t = pa.table({"conv_id": pa.array([f"c{c}" for c in conv]),
+                  "turn_idx": pa.array(turn, pa.int32()),
+                  "role": pa.array(role)})
+    out = transition_counts(rd.from_arrow(t).repartition(5),
+                            num_buckets=8).to_pandas()
+    ref = Counter()
+    df = pd.DataFrame({"conv_id": t.column("conv_id").to_pylist(),
+                       "turn_idx": turn, "role": role})
+    for _, g in df.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        r = g["role"].to_numpy()
+        for a, b in zip(r[:-1], r[1:]):
+            ref[(a, b)] += 1
+    got = {(r.from_state, r.to_state): r.n for r in out.itertuples()}
+    assert got == dict(ref)
