@@ -69,6 +69,9 @@ SECONDARY = [
     "kmeans_fit_int",
     "turn_transitions",
     "collocations",
+    "doc_chunks",
+    "bm25_topk",
+    "latest_event_per_user",
 ]
 
 

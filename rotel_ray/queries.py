@@ -1198,6 +1198,40 @@ def q_turn_transitions(sf_dir: str):
                              state_col="role")
 
 
+def q_doc_chunks(sf_dir: str):
+    """RAG chunk export: sliding 64-token windows every 48 tokens per doc
+    (overlap 16) with hashed-token checksums — the embedding-index input
+    layout. Doc-local, shuffle-free."""
+    from .stages.pack import doc_chunks
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_chunks(ds, chunk_size=64, stride=48)
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Changelog compaction (CDC latest-wins upsert): one row per user —
+    the newest event by (ts, event_id). Per-batch pre-compaction means the
+    shuffle moves at most one row per (batch, key)."""
+    from .stages.window import latest_per_key
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "event_type"])
+    return latest_per_key(ds, key="user_id", order_cols=["ts", "event_id"])
+
+
+BM25_QUERY_TERMS = ["the", "of", "data"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """Lexical retrieval: BM25 top-10 documents for a fixed 3-term query
+    (integer micro-nat scores, Lucene +1 idf) — the keyword-search
+    counterpart of the embedding sim_topk path."""
+    from .stages.textstats import bm25_topk
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, BM25_QUERY_TERMS, k=10)
+
+
 def q_collocations(sf_dir: str):
     """Phrase mining: top-50 adjacent-token collocations by PMI (integer
     micro-nats, min pair count 5) over the documents corpus — broadcast
@@ -2190,6 +2224,9 @@ QUERIES = {
     "kmeans_fit_int": q_kmeans_fit_int,
     "turn_transitions": q_turn_transitions,
     "collocations": q_collocations,
+    "doc_chunks": q_doc_chunks,
+    "bm25_topk": q_bm25_topk,
+    "latest_event_per_user": q_latest_event_per_user,
 }
 
 
@@ -3435,6 +3472,37 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                  count(*) OVER () AS n
           FROM ({sql['dsir_weights']}))
         WHERE rnk <= (n + 3) // 4"""
+    # bm25_topk: generated from the SAME term list + constants the engine
+    # uses; every float op in the same order (Lucene +1 idf, k1=1.2, b=0.75)
+    from .stages.textstats import BM25_B as _BB, BM25_K1 as _BK
+
+    _bm_df = ",\n               ".join(
+        f"CAST(count(*) FILTER (WHERE len(list_filter(tk, x -> x = '{w}')) > 0)"
+        f" AS BIGINT) AS df_{i}" for i, w in enumerate(BM25_QUERY_TERMS))
+
+    def _bm_term(i: int, w: str) -> str:
+        tf = f"len(list_filter(tk, x -> x = '{w}'))"
+        ratio = "(CAST(len(tk) AS DOUBLE) / (CAST(n_toks AS DOUBLE) / n_docs))"
+        return (f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+                f" * ((CAST({tf} AS DOUBLE) * ({_BK} + 1.0))"
+                f" / ({tf} + {_BK} * (1.0 - {_BB} + {_BB} * {ratio})))")
+
+    _bm_sum = "\n                 + ".join(
+        _bm_term(i, w) for i, w in enumerate(BM25_QUERY_TERMS))
+    sql["bm25_topk"] = f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(sum(len(tk)), 0) AS BIGINT) AS n_toks,
+               {_bm_df}
+          FROM tk)
+        SELECT doc_id,
+               CAST(floor(({_bm_sum}) * 1e6) AS BIGINT) AS score_unat
+        FROM tk, st
+        ORDER BY score_unat DESC, doc_id LIMIT 10"""
     # collocations: identical float expression on both sides — one division
     # per ln, fixed subtraction order, floor(x*1e6) micro-nats
     sql["collocations"] = """
@@ -3455,6 +3523,12 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot1, tot2
         WHERE c2 >= 5
         ORDER BY pmi_unat DESC, w1, w2 LIMIT 50"""
+    sql["latest_event_per_user"] = """
+        SELECT user_id, ts, event_id, event_type FROM (
+          SELECT user_id, ts, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1"""
     sql["turn_transitions"] = f"""
         WITH s AS (
           SELECT role,
@@ -3516,6 +3590,21 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                COALESCE(s.wsum, 0) + 17 AS score,
                COALESCE(s.wsum, 0) + 17 > 0 AS keep
         FROM documents d LEFT JOIN s USING (doc_id)"""
+    sql["doc_chunks"] = f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        ch AS (
+          SELECT doc_id, tk, CAST(u.s // 48 AS BIGINT) AS chunk_idx, u.s AS s
+          FROM tk, unnest(range(0, len(tk), 48)) AS u(s)),
+        tok AS (
+          SELECT doc_id, chunk_idx,
+                 CAST({_fnv_sql('tk[j.i]')} % 65536 AS BIGINT) AS tid
+          FROM ch, unnest(range(s + 1, least(s + 64, len(tk)) + 1)) AS j(i))
+        SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(tid) AS BIGINT) AS tok_sum
+        FROM tok GROUP BY 1, 2"""
     def _pack_sql(doc_rel: str, seq_len: int) -> str:
         return f"""
         WITH toks AS (

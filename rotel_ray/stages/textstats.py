@@ -770,3 +770,71 @@ def collocations(ds, *, text_col: str = "text", k: int = 50,
     scored = bg.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.sort(["pmi_unat", "w1", "w2"],
                        descending=[True, False, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(ds, query_terms: list[str], *, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Lucene-style BM25 top-k retrieval for a fixed term query — the
+    lexical-search counterpart of sim_topk (Robertson/Okapi BM25 with the
+    Lucene +1 idf form).
+
+    Two streaming passes: (1) a stats combiner reduces the corpus to
+    ``2 + |q|`` integers (doc count, token count, per-term doc frequency)
+    via ``Dataset.sum`` over per-batch partials; (2) a stateless scoring
+    pass — per-term tf by vectorized token equality, the BM25 expression
+    evaluated in ONE fixed operation order so the DuckDB mirror produces
+    identical IEEE doubles — then ``floor(x * 1e6)`` micro-nats, global
+    sort, limit k. Only k rows ever leave the scoring stage per block.
+    """
+    import math
+
+    terms = list(query_terms)
+
+    def stats(t: pa.Table) -> pa.Table:
+        flat, doc_of, n = split_tokens(t.column(text_col))
+        out = {"n_docs": [t.num_rows], "n_toks": [int(n.sum())]}
+        for i, term in enumerate(terms):
+            if len(flat):
+                eqv = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+                tf = np.bincount(doc_of[eqv], minlength=len(n))
+                out[f"df_{i}"] = [int((tf > 0).sum())]
+            else:
+                out[f"df_{i}"] = [0]
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+
+    parts = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+    cols = ["n_docs", "n_toks"] + [f"df_{i}" for i in range(len(terms))]
+    tot = parts.sum(cols)
+    n_docs = int(tot["sum(n_docs)"])
+    avgdl = float(tot["sum(n_toks)"]) / n_docs
+    idf = [math.log((n_docs - int(tot[f"sum(df_{i})"]) + 0.5)
+                    / (int(tot[f"sum(df_{i})"]) + 0.5) + 1.0)
+           for i in range(len(terms))]
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, doc_of, n = split_tokens(t.column(text_col))
+        ratio = n.astype(np.float64) / avgdl
+        s = np.zeros(t.num_rows, np.float64)
+        for i, term in enumerate(terms):
+            if len(flat):
+                eqv = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+                tf = np.bincount(doc_of[eqv], minlength=len(n)).astype(np.float64)
+            else:
+                tf = np.zeros(t.num_rows, np.float64)
+            s = s + idf[i] * ((tf * (BM25_K1 + 1.0))
+                              / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * ratio)))
+        return pa.table({id_col: t.column(id_col),
+                         "score_unat": pa.array(
+                             np.floor(s * 1e6).astype(np.int64))})
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["score_unat", id_col],
+                       descending=[True, False]).limit(k)

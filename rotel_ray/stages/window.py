@@ -506,3 +506,32 @@ def transition_counts(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
                           num_buckets=num_buckets)
     return two_phase_aggregate(parts, ["from_state", "to_state"],
                                [("n", "sum", "n")], num_buckets=8)
+
+
+def latest_per_key(ds, *, key: str = "user_id", order_cols: list[str] | None = None,
+                   num_buckets: int = 64):
+    """Latest-wins compaction: one surviving row per key — the newest by
+    ``order_cols`` (default ts desc, then the last column desc as the
+    uniqueness tie-break), i.e. the CDC upsert / changelog-compaction
+    semantics of a keyed event stream.
+
+    Scale shape: per-batch PRE-compaction first (each batch keeps at most
+    one row per key it sees — the combiner step, so the shuffle moves one
+    row per (batch, key), never the stream), then the bucketed grouped_apply
+    picks the global winner per key."""
+    from .aggregate import grouped_apply
+
+    order_cols = order_cols or ["ts", "event_id"]
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols],
+                          ascending=[True] + [False] * len(order_cols),
+                          kind="mergesort")
+        return g[~g[key].duplicated()].reset_index(drop=True)
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(keep_latest(t.to_pandas()),
+                                    preserve_index=False).replace_schema_metadata(None)
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_apply(pre_ds, [key], keep_latest, num_buckets=num_buckets)

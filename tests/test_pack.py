@@ -177,3 +177,91 @@ def test_token_budget_budget_exceeds_corpus_keeps_all(ray_session):
         "text": pa.array(["a b", "c", "d e f"])}))
     out = token_budget_sample(ds, budget=10**9, num_buckets=2).to_pandas()
     assert len(out) == 3 and out.n_tokens.sum() == 6
+
+
+def test_doc_chunks_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from rotel_ray.stages.dedup import _fnv1a
+    from rotel_ray.stages.pack import doc_chunks
+
+    rng = np.random.default_rng(9)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = ["", "one", " ".join(rng.choice(vocab, 7)),
+             " ".join(rng.choice(vocab, 200)), "   ",
+             " ".join(rng.choice(vocab, 64)), " ".join(rng.choice(vocab, 65))]
+    cs, st = 16, 12
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    out = (doc_chunks(ds, chunk_size=cs, stride=st)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"]))
+
+    ref = []
+    for i, tx in enumerate(texts):
+        tids = [_fnv1a(t) % 65536 for t in tx.split()]
+        for ci, s in enumerate(range(0, len(tids), st)):
+            w = tids[s:s + cs]
+            ref.append((i, ci, len(w), sum(w)))
+    got = [(int(r.doc_id), int(r.chunk_idx), int(r.n_tokens), int(r.tok_sum))
+           for r in out.itertuples()]
+    assert got == ref
+
+
+def test_latest_per_key_compaction(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from rotel_ray.stages.window import latest_per_key
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 80, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    out = (latest_per_key(rd.from_pandas(df).repartition(6),
+                          key="user_id", order_cols=["ts", "event_id"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    ref = (df.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False])
+           .drop_duplicates("user_id").sort_values("user_id")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[sorted(out.columns)], ref[sorted(ref.columns)])
+
+
+def test_bm25_topk_vs_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import bm25_topk
+
+    rng = np.random.default_rng(4)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 30))) for _ in range(60)]
+    terms = ["alpha", "beta", "zz_absent"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    out = bm25_topk(ds, terms, k=10).to_pandas()
+
+    N = len(texts)
+    dls = [len(t.split()) for t in texts]
+    avgdl = sum(dls) / N
+    dfs = [sum(1 for t in texts if w in t.split()) for w in terms]
+    idf = [math.log((N - d + 0.5) / (d + 0.5) + 1.0) for d in dfs]
+    scores = []
+    for i, tx in enumerate(texts):
+        tk = tx.split()
+        s = 0.0
+        for j, w in enumerate(terms):
+            tf = float(tk.count(w))
+            s = s + idf[j] * ((tf * (1.2 + 1.0))
+                              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dls[i] / avgdl))))
+        scores.append((math.floor(s * 1e6), i))
+    scores.sort(key=lambda r: (-r[0], r[1]))
+    assert [(int(r.score_unat), int(r.doc_id)) for r in out.itertuples()] \
+        == [(s, i) for s, i in scores[:10]]
