@@ -72,6 +72,7 @@ SECONDARY = [
     "doc_chunks",
     "bm25_topk",
     "latest_event_per_user",
+    "embedding_covariance",
 ]
 
 

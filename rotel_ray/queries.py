@@ -1208,6 +1208,16 @@ def q_doc_chunks(sf_dir: str):
     return doc_chunks(ds, chunk_size=64, stride=48)
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Distributed PCA input: exact-integer second-moment accumulation over
+    the embedding corpus — per (i<=j) dim pair the Gram sum, per-dim sums
+    and count, reduced two-phase over the dimension-bounded keyspace."""
+    from .stages.similarity import embedding_covariance
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return embedding_covariance(ds)
+
+
 def q_latest_event_per_user(sf_dir: str):
     """Changelog compaction (CDC latest-wins upsert): one row per user —
     the newest event by (ts, event_id). Per-batch pre-compaction means the
@@ -2227,6 +2237,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "bm25_topk": q_bm25_topk,
     "latest_event_per_user": q_latest_event_per_user,
+    "embedding_covariance": q_embedding_covariance,
 }
 
 
@@ -3523,6 +3534,20 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot1, tot2
         WHERE c2 >= 5
         ORDER BY pmi_unat DESC, w1, w2 LIMIT 50"""
+    sql["embedding_covariance"] = """
+        WITH pos AS (
+          SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,
+                 CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0) AS BIGINT) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        sums AS (SELECT dim, CAST(sum(x) AS BIGINT) AS s,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM pos GROUP BY dim)
+        SELECT a.dim AS i, b.dim AS j,
+               sa.n AS n, sa.s AS sum_i, sb.s AS sum_j,
+               CAST(sum(a.x * b.x) AS BIGINT) AS s_ij
+        FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        JOIN sums sa ON sa.dim = a.dim JOIN sums sb ON sb.dim = b.dim
+        GROUP BY 1, 2, 3, 4, 5"""
     sql["latest_event_per_user"] = """
         SELECT user_id, ts, event_id, event_type FROM (
           SELECT user_id, ts, event_id, event_type,

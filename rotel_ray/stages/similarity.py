@@ -598,3 +598,42 @@ def kmeans_fit_int(ds, *, k: int = 8, rounds: int = 3, scale: float = 1000.0,
                          "dist": pa.array(dm[np.arange(len(a)), a])})
 
     return ds.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_covariance(ds, *, scale: float = 1000.0,
+                         emb_col: str = "embedding"):
+    """Distributed second-moment (Gram) accumulation — the reduce step of
+    PCA / whitening / covariance estimation, exact-integer variant: vectors
+    int-ize as ``floor(float64(x) * scale)`` and each batch contributes one
+    (d, d) int64 GEMM partial plus per-dim sums and a count, all carried on
+    every upper-triangle (i, j) row; partials reduce two-phase over the
+    d*(d+1)/2 keyspace — the model state is dimension-bounded, never
+    corpus-bounded.
+
+    Emits one row per (i <= j): n, sum_i, sum_j, s_ij = Σ x_i·x_j, all
+    exact int64; the covariance ``(s_ij - sum_i*sum_j/n) / n`` is left to
+    the consumer so nothing stored is a float.
+    """
+    from .aggregate import two_phase_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        x = np.floor(m * scale).astype(np.int64)
+        n, d = x.shape
+        g = x.T @ x
+        iu, ju = np.triu_indices(d)
+        sums = x.sum(axis=0)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int32)),
+            "j": pa.array(ju.astype(np.int32)),
+            "n": pa.array(np.full(len(iu), n, np.int64)),
+            "sum_i": pa.array(sums[iu]),
+            "sum_j": pa.array(sums[ju]),
+            "s_ij": pa.array(g[iu, ju]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_aggregate(parts, ["i", "j"],
+                               [("n", "sum", "n"), ("sum_i", "sum", "sum_i"),
+                                ("sum_j", "sum", "sum_j"), ("s_ij", "sum", "s_ij")],
+                               num_buckets=8)

@@ -269,3 +269,21 @@ def test_kmeans_fit_int_empty_cluster_keeps_centroid(ray_session):
     a_ref, d_ref = _ref_kmeans_int(m, k=3, rounds=4)
     assert (out.cluster.to_numpy() == a_ref).all()
     assert (out.dist.to_numpy() == d_ref).all()
+
+
+def test_embedding_covariance_exact(ray_session):
+    from rotel_ray.stages.similarity import embedding_covariance
+
+    t, m = _emb_table(n=150, d=12, seed=8)
+    out = (embedding_covariance(rd.from_arrow(t).repartition(4))
+           .to_pandas().set_index(["i", "j"]).sort_index())
+    x = np.floor(m.astype(np.float64) * 1000.0).astype(np.int64)
+    g = x.T @ x
+    s = x.sum(0)
+    assert len(out) == 12 * 13 // 2
+    for (i, j), row in out.iterrows():
+        assert row.n == 150 and row.s_ij == g[i, j]
+        assert row.sum_i == s[i] and row.sum_j == s[j]
+    # covariance reconstruction sanity: matches numpy cov up to quantization
+    cov_q = (g / 150 - np.outer(s, s) / 150**2) / 1000.0**2
+    assert np.allclose(cov_q, np.cov(m.astype(np.float64).T, bias=True), atol=1e-4)
