@@ -73,6 +73,8 @@ SECONDARY = [
     "bm25_topk",
     "latest_event_per_user",
     "embedding_covariance",
+    "customer_order_counts",
+    "rolling_value",
 ]
 
 

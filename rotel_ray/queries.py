@@ -1208,6 +1208,39 @@ def q_doc_chunks(sf_dir: str):
     return doc_chunks(ds, chunk_size=64, stride=48)
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER bucket join: every customer with its order count,
+    zero-order customers included — the outer-join path of the big-big
+    bucketed join (aggregate the fact side first so the join moves one row
+    per key, then left-join the dimension side, coalescing misses to 0)."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import bucket_hash_join
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    ones = orders.map_batches(
+        lambda t: t.append_column("n_orders",
+                                  pa.nulls(t.num_rows, pa.int64()).fill_null(1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cnt = two_phase_aggregate(ones, ["o_custkey"], [("n_orders", "sum", "n_orders")],
+                              num_buckets=16)
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    return bucket_hash_join(cust, cnt, on="c_custkey", right_on="o_custkey",
+                            how="left", fill={"n_orders": 0}, num_buckets=16)
+
+
+def q_rolling_value(sf_dir: str):
+    """Per-user rolling 5-event value sum (cents) in (ts, event_id) order —
+    the sliding-row-window aggregate of streaming analytics, vectorized
+    across every key in a bucket."""
+    from .stages.window import rolling_sum
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "value"])
+    return rolling_sum(ds, key="user_id", order_cols=["ts", "event_id"],
+                       value_col="value", window=5)
+
+
 def q_embedding_covariance(sf_dir: str):
     """Distributed PCA input: exact-integer second-moment accumulation over
     the embedding corpus — per (i<=j) dim pair the Gram sum, per-dim sums
@@ -2238,6 +2271,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "latest_event_per_user": q_latest_event_per_user,
     "embedding_covariance": q_embedding_covariance,
+    "customer_order_counts": q_customer_order_counts,
+    "rolling_value": q_rolling_value,
 }
 
 
@@ -3534,6 +3569,18 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot1, tot2
         WHERE c2 >= 5
         ORDER BY pmi_unat DESC, w1, w2 LIMIT 50"""
+    sql["customer_order_counts"] = """
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               COALESCE(o.n_orders, 0) AS n_orders
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1) o ON o_custkey = c_custkey"""
+    sql["rolling_value"] = """
+        SELECT user_id, ts, event_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+        FROM events"""
     sql["embedding_covariance"] = """
         WITH pos AS (
           SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,

@@ -86,12 +86,17 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
 
 
 def bucket_hash_join(left, right, *, on: str, right_on: str | None = None,
-                     num_buckets: int = 64):
-    """Big-big inner equi-join via explicit bucket co-partitioning: both
+                     num_buckets: int = 64, how: str = "inner",
+                     fill: dict | None = None):
+    """Big-big equi-join via explicit bucket co-partitioning: both
     sides are tagged and unioned, hash-bucketed on the join key (one int
     column drives the shuffle), and each bucket joins its two sides with a
     vectorized pandas merge. Task count = num_buckets (power of 2); key skew
     is diluted by hashing; no side is ever collected whole.
+
+    ``how``: 'inner' or 'left' (unmatched left rows keep the right columns
+    null; pass ``fill`` = {col: value} to coalesce them — required for the
+    int-type restore when a right int column can be unmatched).
 
     Same exchange shape as ``Dataset.join`` but with our bucketed groupby
     (measured faster for skinny fact⋈fact joins; see BASELINE.md)."""
@@ -136,7 +141,9 @@ def bucket_hash_join(left, right, *, on: str, right_on: str | None = None,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0][[on] + l_cols]
         r = g[g["__side"] == 1][[on] + r_cols]
-        merged = l.merge(r, on=on, how="inner")
+        merged = l.merge(r, on=on, how=how)
+        if fill:
+            merged = merged.fillna(fill)
         return merged.astype(int_casts) if int_casts else merged
 
     return grouped_apply(both, [on], per_bucket, num_buckets=num_buckets)

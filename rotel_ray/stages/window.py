@@ -535,3 +535,34 @@ def latest_per_key(ds, *, key: str = "user_id", order_cols: list[str] | None = N
 
     pre_ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_apply(pre_ds, [key], keep_latest, num_buckets=num_buckets)
+
+
+def rolling_sum(ds, *, key: str, order_cols: list[str], value_col: str,
+                window: int = 5, num_buckets: int = 64):
+    """Per-key rolling row-window sum (``window`` rows ending at the current
+    row, fewer at the head) over cents-integer values — ROWS BETWEEN n-1
+    PRECEDING AND CURRENT ROW semantics, exact int64.
+
+    One bucketed shuffle; inside a bucket the window is a prefix-sum
+    difference over the (key, order) sort with per-key head correction —
+    vectorized across all keys in the bucket, no per-key Python."""
+    from .aggregate import grouped_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        cents = np.floor(g[value_col].to_numpy() * 100 + 0.5).astype(np.int64)
+        n = len(g)
+        pref = np.r_[0, np.cumsum(cents)]
+        # first row index of each key's run
+        kv = g[key].to_numpy()
+        new_key = np.r_[True, kv[1:] != kv[:-1]] if n else np.zeros(0, bool)
+        run_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        lo = np.maximum(np.arange(n) - window + 1, run_start)
+        roll = pref[np.arange(n) + 1] - pref[lo]
+        out = g[[key, *order_cols]].copy()
+        out["roll_cents"] = roll
+        return out.reset_index(drop=True)
+
+    return grouped_apply(ds, [key], per_bucket,
+                         select=[key, *order_cols, value_col],
+                         num_buckets=num_buckets)

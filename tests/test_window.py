@@ -209,3 +209,44 @@ def test_transition_counts_matches_pandas(ray_session):
             ref[(a, b)] += 1
     got = {(r.from_state, r.to_state): r.n for r in out.itertuples()}
     assert got == dict(ref)
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    from rotel_ray.stages.window import rolling_sum
+
+    rng = np.random.default_rng(6)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**5, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.uniform(0, 100, n),
+    })
+    out = (rolling_sum(rd.from_pandas(df).repartition(5), key="user_id",
+                       order_cols=["ts", "event_id"], value_col="value",
+                       window=5, num_buckets=8)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    s = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    s["cents"] = np.floor(s["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    s["roll_cents"] = (s.groupby("user_id")["cents"]
+                       .rolling(5, min_periods=1).sum()
+                       .reset_index(level=0, drop=True).astype(np.int64))
+    ref = s.sort_values("event_id").reset_index(drop=True)
+    assert (out["roll_cents"].to_numpy() == ref["roll_cents"].to_numpy()).all()
+
+
+def test_bucket_left_join_fill(ray_session):
+    import ray.data as rd2
+
+    from rotel_ray.stages.join import bucket_hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "a": pa.array(["w", "x", "y", "z"])})
+    right = pa.table({"k": pa.array([2, 4], pa.int64()),
+                      "m": pa.array([20, 40], pa.int64())})
+    out = (bucket_hash_join(rd2.from_arrow(left), rd2.from_arrow(right),
+                            on="k", how="left", fill={"m": 0}, num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out["k"]) == [1, 2, 3, 4]
+    assert list(out["m"]) == [0, 20, 0, 40]
+    assert str(out["m"].dtype) == "int64"
