@@ -233,30 +233,36 @@ def bpe_encode(ds, merges, *, text_col: str = "text", id_col: str = "doc_id"):
     mseq = [(int(a), int(b), int(n)) for a, b, n in merges]
 
     def enc(t: pa.Table) -> pa.Table:
-        n_docs = t.num_rows
-        flat, doc_of, _ = split_tokens(t.column(text_col))
-        seg, offs = _string_bytes(flat)
-        sym = seg.astype(np.int64)
-        offs = offs.astype(np.int64)
-        for a, b, nid in mseq:
-            sym, offs = _apply_merge_np(sym, offs, a, b, nid)
-        wcounts = np.diff(offs)
-        ntok = np.zeros(n_docs, np.int64)
-        np.add.at(ntok, doc_of, wcounts)
-        starts = np.r_[0, np.cumsum(ntok)]
-        pos = np.arange(len(sym), dtype=np.int64) - np.repeat(starts[:-1], ntok) + 1
-        ne = ntok > 0
-        sym_sum = np.zeros(n_docs, np.int64)
-        posw = np.zeros(n_docs, np.int64)
-        if ne.any():
-            # reduceat only over non-empty docs' starts (strictly increasing,
-            # in-range); clamping empty-segment starts would truncate the
-            # PREVIOUS doc's segment — see stages/dedup.py signature kernels
-            sym_sum[ne] = np.add.reduceat(sym, starts[:-1][ne])
-            posw[ne] = np.add.reduceat(sym * pos, starts[:-1][ne])
-        return pa.table({id_col: t.column(id_col),
-                         "n_tokens": pa.array(ntok),
-                         "sym_sum": pa.array(sym_sum),
-                         "pos_weighted": pa.array(posw)})
+        return encode_batch(t, mseq, text_col=text_col, id_col=id_col)
 
     return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def encode_batch(t: pa.Table, mseq, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """The per-batch kernel of :func:`bpe_encode` (pure, Ray-free)."""
+    n_docs = t.num_rows
+    flat, doc_of, _ = split_tokens(t.column(text_col))
+    seg, offs = _string_bytes(flat)
+    sym = seg.astype(np.int64)
+    offs = offs.astype(np.int64)
+    for a, b, nid in mseq:
+        sym, offs = _apply_merge_np(sym, offs, a, b, nid)
+    wcounts = np.diff(offs)
+    ntok = np.zeros(n_docs, np.int64)
+    np.add.at(ntok, doc_of, wcounts)
+    starts = np.r_[0, np.cumsum(ntok)]
+    pos = np.arange(len(sym), dtype=np.int64) - np.repeat(starts[:-1], ntok) + 1
+    ne = ntok > 0
+    sym_sum = np.zeros(n_docs, np.int64)
+    posw = np.zeros(n_docs, np.int64)
+    if ne.any():
+        # reduceat only over non-empty docs' starts (strictly increasing,
+        # in-range); clamping empty-segment starts would truncate the
+        # PREVIOUS doc's segment — see stages/dedup.py signature kernels
+        sym_sum[ne] = np.add.reduceat(sym, starts[:-1][ne])
+        posw[ne] = np.add.reduceat(sym * pos, starts[:-1][ne])
+    return pa.table({id_col: t.column(id_col),
+                     "n_tokens": pa.array(ntok),
+                     "sym_sum": pa.array(sym_sum),
+                     "pos_weighted": pa.array(posw)})

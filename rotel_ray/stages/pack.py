@@ -216,30 +216,39 @@ def doc_chunks(ds, *, chunk_size: int = 64, stride: int = 48,
     difference, so per-chunk cost is O(1) regardless of overlap. Emits
     (doc_id, chunk_idx, n_tokens, tok_sum); zero-token docs yield no chunks.
     """
-    from .dedup import _fnv1a
-
     def chunk(t: pa.Table) -> pa.Table:
-        flat, doc_of, n = split_tokens(t.column(text_col))
-        d = pc.dictionary_encode(flat)
-        vocab = np.fromiter((_fnv1a(s) for s in d.dictionary.to_pylist()),
-                            dtype=np.uint64, count=len(d.dictionary))
-        tids = ((vocab % vocab_mod).astype(np.int64)[
-            d.indices.to_numpy(zero_copy_only=False)]
-            if len(flat) else np.empty(0, np.int64))
-        pref = np.r_[0, np.cumsum(tids)]
-        doc_start = np.r_[0, np.cumsum(n)]
-        n_chunks = -(-n // stride)  # ceil; 0 tokens -> 0 chunks
-        total = int(n_chunks.sum())
-        doc_idx = np.repeat(np.arange(t.num_rows), n_chunks)
-        chunk_idx = (np.arange(total, dtype=np.int64)
-                     - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
-        start = chunk_idx * stride
-        clen = np.minimum(chunk_size, n[doc_idx] - start)
-        gs = doc_start[doc_idx] + start
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        return pa.table({id_col: pa.array(ids[doc_idx]),
-                         "chunk_idx": pa.array(chunk_idx),
-                         "n_tokens": pa.array(clen),
-                         "tok_sum": pa.array(pref[gs + clen] - pref[gs])})
+        return chunk_batch(t, chunk_size=chunk_size, stride=stride,
+                           text_col=text_col, id_col=id_col,
+                           vocab_mod=vocab_mod)
 
     return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_batch(t: pa.Table, *, chunk_size: int, stride: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                vocab_mod: int = 65536) -> pa.Table:
+    """The per-batch kernel of :func:`doc_chunks` (pure, Ray-free)."""
+    from .dedup import _fnv1a
+
+    flat, doc_of, n = split_tokens(t.column(text_col))
+    d = pc.dictionary_encode(flat)
+    vocab = np.fromiter((_fnv1a(s) for s in d.dictionary.to_pylist()),
+                        dtype=np.uint64, count=len(d.dictionary))
+    tids = ((vocab % vocab_mod).astype(np.int64)[
+        d.indices.to_numpy(zero_copy_only=False)]
+        if len(flat) else np.empty(0, np.int64))
+    pref = np.r_[0, np.cumsum(tids)]
+    doc_start = np.r_[0, np.cumsum(n)]
+    n_chunks = -(-n // stride)  # ceil; 0 tokens -> 0 chunks
+    total = int(n_chunks.sum())
+    doc_idx = np.repeat(np.arange(t.num_rows), n_chunks)
+    chunk_idx = (np.arange(total, dtype=np.int64)
+                 - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+    start = chunk_idx * stride
+    clen = np.minimum(chunk_size, n[doc_idx] - start)
+    gs = doc_start[doc_idx] + start
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    return pa.table({id_col: pa.array(ids[doc_idx]),
+                     "chunk_idx": pa.array(chunk_idx),
+                     "n_tokens": pa.array(clen),
+                     "tok_sum": pa.array(pref[gs + clen] - pref[gs])})

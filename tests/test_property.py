@@ -194,3 +194,66 @@ def test_flatten_matches_reference_walker(obj):
         assert v == _leaf_to_string(leaf)
         if isinstance(leaf, str):
             assert v == leaf
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(text_lines, min_size=1, max_size=20),
+       st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                min_size=0, max_size=6))
+def test_bpe_encode_batch_equals_per_doc(texts, raw_merges):
+    """The batched encode kernel (shared byte stream + reduceat) is
+    value-identical to per-doc greedy merge application, for ANY merge
+    table — including a==b merges and merges of previously-created ids."""
+    from rotel_ray.stages.bpe import encode_batch
+
+    mseq = [(a, b, 256 + i) for i, (a, b) in enumerate(raw_merges)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = encode_batch(t, mseq)
+
+    def ref_merge(syms, a, b, nid):
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                res.append(nid); i += 2
+            else:
+                res.append(syms[i]); i += 1
+        return res
+
+    for i, tx in enumerate(texts):
+        syms = []
+        for w in tx.split():
+            s = list(w.encode())
+            for a, b, nid in mseq:
+                s = ref_merge(s, a, b, nid)
+            syms.extend(s)
+        assert out.column("n_tokens")[i].as_py() == len(syms)
+        assert out.column("sym_sum")[i].as_py() == sum(syms)
+        assert out.column("pos_weighted")[i].as_py() == \
+            sum((p + 1) * v for p, v in enumerate(syms))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(text_lines, min_size=1, max_size=15),
+       st.integers(1, 20), st.integers(1, 20))
+def test_doc_chunks_tile_exactly(texts, chunk_size, stride):
+    """Chunk windows tile each doc: starts every `stride`, length =
+    min(chunk_size, n - start), checksums equal the per-doc slice sums —
+    for ANY (chunk_size, stride) including overlap and gaps."""
+    from rotel_ray.stages.dedup import _fnv1a
+    from rotel_ray.stages.pack import chunk_batch
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = chunk_batch(t, chunk_size=chunk_size, stride=stride)
+    rows = list(zip(out.column("doc_id").to_pylist(),
+                    out.column("chunk_idx").to_pylist(),
+                    out.column("n_tokens").to_pylist(),
+                    out.column("tok_sum").to_pylist()))
+    ref = []
+    for i, tx in enumerate(texts):
+        tids = [_fnv1a(w) % 65536 for w in tx.split()]
+        for ci, s in enumerate(range(0, len(tids), stride)):
+            w = tids[s:s + chunk_size]
+            ref.append((i, ci, len(w), sum(w)))
+    assert rows == ref
