@@ -1198,6 +1198,10 @@ def q_turn_transitions(sf_dir: str):
                              state_col="role")
 
 
+DOC_CHUNK_SIZE = 64
+DOC_CHUNK_STRIDE = 48
+
+
 def q_doc_chunks(sf_dir: str):
     """RAG chunk export: sliding 64-token windows every 48 tokens per doc
     (overlap 16) with hashed-token checksums — the embedding-index input
@@ -1205,7 +1209,7 @@ def q_doc_chunks(sf_dir: str):
     from .stages.pack import doc_chunks
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return doc_chunks(ds, chunk_size=64, stride=48)
+    return doc_chunks(ds, chunk_size=DOC_CHUNK_SIZE, stride=DOC_CHUNK_STRIDE)
 
 
 def q_customer_order_counts(sf_dir: str):
@@ -3644,23 +3648,31 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     sql["kmeans_fit_int"] = (
         "WITH " + ",\n      ".join(_km_parts)
         + f"\n        SELECT vec_id, cid AS cluster, dist FROM ka{KMEANS_FIT_ROUNDS - 1}")
-    # quality_classifier: same FNV hash space; weight formula mirrored
-    # verbatim from stages.textstats._clf_weights (j*2654435761 % 1001 - 500)
+    # quality_classifier: same FNV hash space; weight formula interpolated
+    # from the SAME constants stages.textstats._clf_weights uses
+    from .stages.textstats import (
+        CLF_BIAS as _CB,
+        CLF_DIM as _CD,
+        CLF_MIX as _CM,
+        CLF_WMOD as _CWM,
+        CLF_WOFF as _CWO,
+    )
+
     sql["quality_classifier"] = f"""
         WITH toks AS (
           SELECT doc_id,
                  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
           FROM documents),
         f AS (
-          SELECT doc_id, CAST({_fnv_sql('tk[u.i]')} % 1024 AS BIGINT) AS j
+          SELECT doc_id, CAST({_fnv_sql('tk[u.i]')} % {_CD} AS BIGINT) AS j
           FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)),
         s AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                 CAST(sum((j * 2654435761) % 1001 - 500) AS BIGINT) AS wsum
+                 CAST(sum((j * {_CM}) % {_CWM} - {_CWO}) AS BIGINT) AS wsum
           FROM f GROUP BY doc_id)
         SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
-               COALESCE(s.wsum, 0) + 17 AS score,
-               COALESCE(s.wsum, 0) + 17 > 0 AS keep
+               COALESCE(s.wsum, 0) + {_CB} AS score,
+               COALESCE(s.wsum, 0) + {_CB} > 0 AS keep
         FROM documents d LEFT JOIN s USING (doc_id)"""
     sql["doc_chunks"] = f"""
         WITH tk AS (
@@ -3668,12 +3680,13 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
           FROM documents),
         ch AS (
-          SELECT doc_id, tk, CAST(u.s // 48 AS BIGINT) AS chunk_idx, u.s AS s
-          FROM tk, unnest(range(0, len(tk), 48)) AS u(s)),
+          SELECT doc_id, tk,
+                 CAST(u.s // {DOC_CHUNK_STRIDE} AS BIGINT) AS chunk_idx, u.s AS s
+          FROM tk, unnest(range(0, len(tk), {DOC_CHUNK_STRIDE})) AS u(s)),
         tok AS (
           SELECT doc_id, chunk_idx,
                  CAST({_fnv_sql('tk[j.i]')} % 65536 AS BIGINT) AS tid
-          FROM ch, unnest(range(s + 1, least(s + 64, len(tk)) + 1)) AS j(i))
+          FROM ch, unnest(range(s + 1, least(s + {DOC_CHUNK_SIZE}, len(tk)) + 1)) AS j(i))
         SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(tid) AS BIGINT) AS tok_sum
         FROM tok GROUP BY 1, 2"""

@@ -104,6 +104,8 @@ def bucket_hash_join(left, right, *, on: str, right_on: str | None = None,
 
     from .aggregate import grouped_apply
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"bucket_hash_join: how={how!r} not in ('inner', 'left')")
     right_on = right_on or on
     l_schema = dict(zip(left.schema().names, left.schema().types))
     r_schema = dict(zip(right.schema().names, right.schema().types))
@@ -135,8 +137,18 @@ def bucket_hash_join(left, right, *, on: str, right_on: str | None = None,
     both = lt.union(rt)
 
     # pandas widens int columns to float when the union frame carries the
-    # other side's nulls; cast back after the inner merge (no nulls survive)
+    # other side's nulls; cast back after the merge (inner leaves no nulls;
+    # a left join leaves them on unmatched right int columns, so those must
+    # be coalesced by `fill` before the cast can succeed — fail fast here
+    # rather than with an IntCastingNaNError deep inside a reduce task)
     int_casts = {c: "int64" for c in l_cols + r_cols if pa.types.is_integer(col_type[c])}
+    if how == "left":
+        uncovered = [c for c in r_cols
+                     if pa.types.is_integer(col_type[c]) and c not in (fill or {})]
+        if uncovered:
+            raise ValueError(
+                "bucket_hash_join(how='left'): right int columns "
+                f"{uncovered} need a fill value (unmatched rows hold nulls)")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0][[on] + l_cols]

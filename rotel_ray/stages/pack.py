@@ -136,8 +136,7 @@ def pack_sequences(ds, *, seq_len: int = 2048, text_col: str = "text",
     """
     import ray
 
-    from .dedup import _fnv1a
-    from .tokenize import keep_real_tokens
+    from .tokenize import hashed_token_ids
 
     counts = token_counts(ds, text_col=text_col, id_col=id_col,
                           range_size=range_size).materialize()
@@ -162,12 +161,7 @@ def pack_sequences(ds, *, seq_len: int = 2048, text_col: str = "text",
         idx = pc.sort_indices(t, [(id_col, "ascending")])
         t = t.take(idx)
         flat, doc_of, n = split_tokens(t.column(text_col))
-        d = pc.dictionary_encode(flat)
-        vocab = np.fromiter((_fnv1a(s) for s in d.dictionary.to_pylist()),
-                            dtype=np.uint64, count=len(d.dictionary))
-        tids = ((vocab % vocab_mod).astype(np.int64)[
-            d.indices.to_numpy(zero_copy_only=False)]
-            if len(flat) else np.empty(0, np.int64))
+        tids = hashed_token_ids(flat, vocab_mod)
         rkey = t.column("__range").to_numpy(zero_copy_only=False)
         cs = np.cumsum(n) - n
         starts = np.flatnonzero(np.r_[True, rkey[1:] != rkey[:-1]])
@@ -228,15 +222,10 @@ def chunk_batch(t: pa.Table, *, chunk_size: int, stride: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 vocab_mod: int = 65536) -> pa.Table:
     """The per-batch kernel of :func:`doc_chunks` (pure, Ray-free)."""
-    from .dedup import _fnv1a
+    from .tokenize import hashed_token_ids
 
     flat, doc_of, n = split_tokens(t.column(text_col))
-    d = pc.dictionary_encode(flat)
-    vocab = np.fromiter((_fnv1a(s) for s in d.dictionary.to_pylist()),
-                        dtype=np.uint64, count=len(d.dictionary))
-    tids = ((vocab % vocab_mod).astype(np.int64)[
-        d.indices.to_numpy(zero_copy_only=False)]
-        if len(flat) else np.empty(0, np.int64))
+    tids = hashed_token_ids(flat, vocab_mod)
     pref = np.r_[0, np.cumsum(tids)]
     doc_start = np.r_[0, np.cumsum(n)]
     n_chunks = -(-n // stride)  # ceil; 0 tokens -> 0 chunks

@@ -647,7 +647,9 @@ def normalized_dedup(ds, *, text_col: str = "text", key_cols: list[str],
 
 CLF_DIM = 1024          # hashing-trick feature space (fastText default 2^21)
 CLF_BIAS = 17           # integer bias term
-_CLF_MIX = 2654435761   # Knuth multiplicative constant -> weight table
+CLF_MIX = 2654435761    # Knuth multiplicative constant -> weight table
+CLF_WMOD = 1001         # weight range: (j*MIX) % WMOD - WOFF in [-500, 500]
+CLF_WOFF = 500
 
 
 def _clf_weights(dim: int = CLF_DIM) -> np.ndarray:
@@ -658,7 +660,7 @@ def _clf_weights(dim: int = CLF_DIM) -> np.ndarray:
     table, vectorized scoring), not the training run. Integer weights keep
     the per-doc score exact on both engines."""
     j = np.arange(dim, dtype=np.int64)
-    return (j * _CLF_MIX) % 1001 - 500
+    return (j * CLF_MIX) % CLF_WMOD - CLF_WOFF
 
 
 def hashed_classifier(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -669,23 +671,20 @@ def hashed_classifier(ds, *, text_col: str = "text", id_col: str = "doc_id",
     of every learned quality filter (CCNet, DCLM, FineWeb-Edu): a tiny
     broadcast weight table and one stateless vectorized pass.
 
-    Hashing is per DISTINCT token (dictionary-encode first), mapped back by
-    index; the weight table is rebuilt per worker from the formula (cheaper
-    than shipping 8 KB). Emits ALL docs, zero-token docs score = bias.
-    Exact int64 arithmetic -> bit-exact DuckDB oracle.
+    Hashing is per DISTINCT token (the shared :func:`hashed_token_ids` id
+    space); the weight table is built once here and captured in the closure
+    (cheaper than shipping 8 KB per batch). Emits ALL docs, zero-token docs
+    score = bias. Exact int64 arithmetic -> bit-exact DuckDB oracle.
     """
-    from .dedup import _fnv1a
+    from .tokenize import hashed_token_ids
+
+    w = _clf_weights(dim)
 
     def score(t: pa.Table) -> pa.Table:
-        w = _clf_weights(dim)
         flat, doc_of, n_tok = split_tokens(t.column(text_col))
         sums = np.zeros(t.num_rows, np.int64)
         if len(flat):
-            d = pc.dictionary_encode(flat)
-            vocab = np.fromiter((_fnv1a(x) for x in d.dictionary.to_pylist()),
-                                dtype=np.uint64, count=len(d.dictionary))
-            j = (vocab % dim).astype(np.int64)[
-                d.indices.to_numpy(zero_copy_only=False)]
+            j = hashed_token_ids(flat, dim)
             np.add.at(sums, doc_of, w[j])
         score_v = sums + CLF_BIAS
         return pa.table({id_col: t.column(id_col),
@@ -729,22 +728,61 @@ def collocations(ds, *, text_col: str = "text", k: int = 50,
     per ln, fixed subtraction order) then ``floor(x * 1e6)`` — identical
     IEEE doubles on both engines, so ordering and values are bit-exact.
 
-    Scale shape: the unigram table is vocab-bounded and broadcast once; the
-    bigram table stays a Dataset (materialized once for the total + scoring
-    passes); scoring is stateless; the global sort moves only rows that
-    survive ``min_count``.
+    Scale shape: ONE tokenize scan emits both gram tables (tagged
+    ``kind`` 0 = unigram / 1 = bigram partials into one two-phase shuffle,
+    materialized once — vocab-bounded); the unigram side broadcasts, the
+    bigram side stays a Dataset for the stateless scoring pass; the global
+    sort moves only rows that survive ``min_count``.
     """
     import ray
 
-    c1_rows = unigram_counts(ds, text_col=text_col,
-                             num_buckets=num_buckets).take_all()
+    from .aggregate import two_phase_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = split_tokens(t.column(text_col))
+        grams, kinds = [flat], [0]
+        if len(flat) > 1:
+            joined = pc.binary_join_element_wise(flat[:-1], flat[1:], " ")
+            same = doc_of[:-1] == doc_of[1:]
+            grams.append(joined.filter(pa.array(same)))
+            kinds.append(1)
+        keys, kind_col, cnts = [], [], []
+        for g, kd in zip(grams, kinds):
+            d = pc.dictionary_encode(g)
+            keys.append(d.dictionary)
+            cnts.append(np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                                    minlength=len(d.dictionary)).astype(np.int64))
+            kind_col.append(np.full(len(d.dictionary), kd, np.int8))
+        return pa.table({
+            "kind": pa.array(np.concatenate(kind_col) if kind_col else
+                             np.empty(0, np.int8)),
+            "key": pa.concat_arrays([x.combine_chunks() if
+                                     isinstance(x, pa.ChunkedArray) else x
+                                     for x in keys]),
+            "c": pa.array(np.concatenate(cnts) if cnts else
+                          np.empty(0, np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    grams = two_phase_aggregate(parts, ["kind", "key"], [("c", "sum", "c")],
+                                num_buckets=num_buckets).materialize()
+
+    def only(kind: int, rename: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("kind"), kind))
+            return pa.table({rename: t.column("key"), "c": t.column("c")})
+        return f
+
+    c1_rows = grams.map_batches(only(0, "tok"), batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
     toks = pa.array([r["tok"] for r in c1_rows], pa.string())
     c1 = np.array([r["c"] for r in c1_rows], dtype=np.int64)
     n1 = float(c1.sum())
     ref = ray.put((toks, c1))
 
-    bg = bigram_counts(ds, text_col=text_col, num_buckets=num_buckets).materialize()
-    n2 = float(bg.sum("c"))
+    bg = grams.map_batches(only(1, "bg"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    n2 = float(bg.sum("c") or 1.0)  # 0-bigram corpus: result is empty anyway
 
     def score(t: pa.Table) -> pa.Table:
         vocab, c1_l = ray.get(ref)

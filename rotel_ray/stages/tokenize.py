@@ -56,3 +56,19 @@ def split_tokens(text) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     doc_of = doc_of[keep]
     counts = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
     return flat, doc_of, counts
+
+
+def hashed_token_ids(flat: pa.Array, mod: int) -> np.ndarray:
+    """FNV-1a token ids mod ``mod`` for a flat token array — hash per
+    DISTINCT token (dictionary-encode first), mapped back by index. The ONE
+    token-id space shared by pack_sequences / doc_chunks / the hashed
+    classifier (and mirrored by the oracles' _fnv_sql)."""
+    from .dedup import _fnv1a
+
+    if len(flat) == 0:
+        return np.empty(0, np.int64)
+    d = pc.dictionary_encode(flat)
+    vocab = np.fromiter((_fnv1a(s) for s in d.dictionary.to_pylist()),
+                        dtype=np.uint64, count=len(d.dictionary))
+    return (vocab % mod).astype(np.int64)[
+        d.indices.to_numpy(zero_copy_only=False)]

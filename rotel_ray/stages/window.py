@@ -530,8 +530,14 @@ def latest_per_key(ds, *, key: str = "user_id", order_cols: list[str] | None = N
         return g[~g[key].duplicated()].reset_index(drop=True)
 
     def pre(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(keep_latest(t.to_pandas()),
-                                    preserve_index=False).replace_schema_metadata(None)
+        # Arrow-native combiner: sort (key asc, order desc) + first-per-key
+        # mask — no pandas round-trip on the full-stream path
+        idx = pc.sort_indices(
+            t, [(key, "ascending")] + [(c, "descending") for c in order_cols])
+        t = t.take(idx)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        first = np.r_[True, kv[1:] != kv[:-1]] if len(kv) else np.zeros(0, bool)
+        return t.filter(pa.array(first)).replace_schema_metadata(None)
 
     pre_ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_apply(pre_ds, [key], keep_latest, num_buckets=num_buckets)

@@ -46,3 +46,20 @@ def test_hash_join_matches_pandas():
     ref = fdf.merge(right, left_on="k", right_on="rk", how="inner")
     assert len(out) == len(ref)
     assert out.groupby("k").size().to_dict() == ref.groupby("k").size().to_dict()
+
+
+def test_bucket_left_join_requires_fill_for_int_cols(ray_session):
+    import pytest as _pt
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from rotel_ray.stages.join import bucket_hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([2], pa.int64()),
+                                    "m": pa.array([5], pa.int64())}))
+    with _pt.raises(ValueError, match="need a fill value"):
+        bucket_hash_join(left, right, on="k", how="left")
+    with _pt.raises(ValueError, match="not in"):
+        bucket_hash_join(left, right, on="k", how="outer")
