@@ -75,6 +75,7 @@ SECONDARY = [
     "embedding_covariance",
     "customer_order_counts",
     "rolling_value",
+    "users_per_type_kmv",
 ]
 
 

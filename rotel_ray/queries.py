@@ -1245,6 +1245,20 @@ def q_rolling_value(sf_dir: str):
                        value_col="value", window=5)
 
 
+KMV_GROUP_K = 64
+
+
+def q_users_per_type_kmv(sf_dir: str):
+    """Per-group KMV distinct sketch: estimated distinct users per event
+    type from k=64 smallest id-permutation hashes — grouped mergeable
+    sketches, bit-exact estimate under the fixed hash."""
+    from .stages.sketch import grouped_kmv
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "user_id"])
+    return grouped_kmv(ds, key="event_type", id_col="user_id", k=KMV_GROUP_K)
+
+
 def q_embedding_covariance(sf_dir: str):
     """Distributed PCA input: exact-integer second-moment accumulation over
     the embedding corpus — per (i<=j) dim pair the Gram sum, per-dim sums
@@ -2277,6 +2291,7 @@ QUERIES = {
     "embedding_covariance": q_embedding_covariance,
     "customer_order_counts": q_customer_order_counts,
     "rolling_value": q_rolling_value,
+    "users_per_type_kmv": q_users_per_type_kmv,
 }
 
 
@@ -3573,6 +3588,24 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot1, tot2
         WHERE c2 >= 5
         ORDER BY pmi_unat DESC, w1, w2 LIMIT 50"""
+    from .stages.sketch import KMV_MIX as _KMIX
+
+    _M64 = 1 << 64
+    sql["users_per_type_kmv"] = f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST(user_id AS HUGEINT) * {_KMIX} % {_M64}::HUGEINT AS h
+          FROM events),
+        r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS nd
+          FROM h)
+        SELECT event_type, CAST(least(nd, {KMV_GROUP_K}) AS BIGINT) AS k_used,
+               CAST(CASE WHEN nd < {KMV_GROUP_K} THEN nd
+                         ELSE {(KMV_GROUP_K - 1) * (1 << 64)}::HUGEINT // h
+                    END AS BIGINT) AS n_distinct_est
+        FROM r WHERE rn = least(nd, {KMV_GROUP_K})"""
     sql["customer_order_counts"] = """
         SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
                COALESCE(o.n_orders, 0) AS n_orders

@@ -156,3 +156,59 @@ def distinct_count_kmv(ds, *, k: int = 256, text_col: str = "text",
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.repartition(1).map_batches(finalize, batch_format="pyarrow",
                                                batch_size=None)
+
+
+KMV_MIX = 0x9E3779B97F4A7C15  # golden-ratio odd multiplier (u64 permutation)
+
+
+def grouped_kmv(ds, *, key: str, id_col: str, k: int = 64,
+                num_buckets: int = 16):
+    """Per-group KMV distinct-count sketch over an integer id column — the
+    GROUPED mergeable-sketch shape (one sketch per key, merged by union +
+    re-truncate), e.g. distinct users per event type without a global
+    distinct shuffle.
+
+    The hash is the fixed odd-multiplier u64 permutation
+    ``h = id * KMV_MIX mod 2^64`` (same family as the minhash perms), so
+    the k-th minimum — and therefore the estimate
+    ``(k-1) * 2^64 // h_k`` (exact count when a group has < k distinct
+    hashes) — is bit-exact against the DuckDB mirror.
+
+    Scale shape: each batch emits at most k smallest distinct hashes per
+    key it sees (the combiner), the bucketed reduce unions and re-truncates
+    per key — shuffle volume is O(batches * keys * k), never the stream.
+    """
+    from .aggregate import grouped_apply
+
+    mix = np.uint64(KMV_MIX)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * mix  # u64 wraparound = mod 2^64
+        df = pd.DataFrame({key: t.column(key).to_numpy(zero_copy_only=False),
+                           "h": h})
+        df = df.drop_duplicates().sort_values([key, "h"], kind="mergesort")
+        df = df.groupby(key, sort=False).head(k)
+        return (pa.Table.from_pandas(df, preserve_index=False)
+                .replace_schema_metadata(None))
+
+    def per_bucket(g) -> "pd.DataFrame":  # noqa: F821
+        import pandas as pd
+
+        g = g.drop_duplicates([key, "h"]).sort_values([key, "h"],
+                                                      kind="mergesort")
+        rows = []
+        for kv, s in g.groupby(key, sort=False)["h"]:
+            hs = s.to_numpy()[:k]
+            if len(hs) < k:
+                est = len(hs)
+            else:
+                est = (k - 1) * (1 << 64) // int(hs[-1])
+            rows.append((kv, len(hs), est))
+        return pd.DataFrame(rows, columns=[key, "k_used", "n_distinct_est"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_apply(parts, [key], per_bucket, num_buckets=num_buckets)

@@ -85,3 +85,31 @@ def test_distinct_count_kmv():
     got3 = distinct_count_kmv(rd.from_arrow(tab).repartition(16), k=256).to_pandas()
     assert int(got3["n_distinct_est"].iloc[0]) == est
     assert int(got3["kth_hash"].iloc[0]) == int(got["kth_hash"].iloc[0])
+
+
+def test_grouped_kmv_estimate_and_exact_small_groups(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.sketch import KMV_MIX, grouped_kmv
+
+    rng = np.random.default_rng(11)
+    # group 'big': 5000 distinct ids (sketched); 'tiny': 7 ids (exact path)
+    big = rng.choice(100000, 5000, replace=False)
+    rows = [("big", int(u)) for u in np.repeat(big, 2)] + \
+           [("tiny", i) for i in range(7)] * 3
+    df = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    out = (grouped_kmv(rd.from_pandas(df).repartition(6), key="event_type",
+                       id_col="user_id", k=64, num_buckets=4)
+           .to_pandas().set_index("event_type"))
+    assert out.loc["tiny", "n_distinct_est"] == 7
+    assert out.loc["tiny", "k_used"] == 7
+    # reference estimate from the same hash
+    h = np.sort((big.astype(np.uint64) * np.uint64(KMV_MIX)))
+    est_ref = 63 * (1 << 64) // int(h[63])
+    assert out.loc["big", "k_used"] == 64
+    assert out.loc["big", "n_distinct_est"] == est_ref
+    # sketch accuracy sanity: within 25% of truth at k=64
+    assert abs(est_ref - 5000) / 5000 < 0.25
