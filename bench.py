@@ -76,6 +76,7 @@ SECONDARY = [
     "customer_order_counts",
     "rolling_value",
     "users_per_type_kmv",
+    "dedup_keep_best",
 ]
 
 

@@ -1245,6 +1245,19 @@ def q_rolling_value(sf_dir: str):
                        value_col="value", window=5)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware cluster dedup: per transitive near-dup cluster the
+    member with the most tokens survives (tie -> lowest id) — keeps the
+    fullest copy where min-id keep would favor truncated variants."""
+    from .stages.dedup import minhash_dedup_keep_best
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang", "text"])
+    return minhash_dedup_keep_best(ds, threshold=0.5,
+                                   keep_cols=["doc_id", "lang"],
+                                   num_buckets=_doc_buckets(sf_dir))
+
+
 KMV_GROUP_K = 64
 
 
@@ -2292,6 +2305,7 @@ QUERIES = {
     "customer_order_counts": q_customer_order_counts,
     "rolling_value": q_rolling_value,
     "users_per_type_kmv": q_users_per_type_kmv,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 
@@ -3341,6 +3355,22 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT d.doc_id, d.lang FROM documents d
         WHERE d.doc_id NOT IN (
           SELECT doc_id FROM ({sql["dedup_clusters"]}) WHERE doc_id != cluster_id)"""
+    sql["dedup_keep_best"] = rf"""
+        WITH cc AS ({sql["dedup_clusters"]}),
+        tok AS (SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x != '')) AS n
+                FROM documents),
+        win AS (
+          SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY t.n DESC, c.doc_id) AS rn
+            FROM cc c JOIN tok t USING (doc_id)) WHERE rn = 1)
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT doc_id FROM cc
+          WHERE doc_id NOT IN (SELECT doc_id FROM win))"""
     sql["corpus_curation"] = r"""
         SELECT min(doc_id) AS doc_id, min(lang) AS lang,
                CAST(min(n_tokens) AS BIGINT) AS n_tokens, count(*) AS n_dups

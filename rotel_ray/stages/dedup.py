@@ -1258,3 +1258,52 @@ def span_dedup(ds, *, width: int = 10, id_col: str = "doc_id",
                          num_buckets=num_buckets)
     return grouped_apply(surv, [id_col], reassemble, batch_format="pyarrow",
                          num_buckets=num_buckets)
+
+
+def minhash_dedup_keep_best(ds, *, threshold: float = 0.7, num_perm: int = 64,
+                            bands: int = 16, k_shingle: int = 3,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            keep_cols: list[str] | None = None,
+                            num_buckets: int = 64):
+    """QUALITY-AWARE cluster dedup: per transitive near-dup cluster keep the
+    member with the MOST tokens (tie -> lowest id) instead of blindly the
+    min id — the curation policy that preserves the fullest copy of a
+    duplicated document (truncated / clipped variants drop).
+
+    Pipeline (all distributed): verified pairs -> min-label components ->
+    co-partition members with their token counts (bucketed join on id) ->
+    per-cluster argmax via grouped_apply -> bucketed anti-join of the
+    losers against the corpus."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply
+    from .join import bucket_hash_join
+
+    pairs = minhash_lsh_neardup(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        k_shingle=k_shingle, text_col=text_col, id_col=id_col,
+        num_buckets=num_buckets,
+    )
+    comp = connected_components(pairs, id_col=id_col, num_buckets=num_buckets)
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        _, _, n = split_tokens(t.column(text_col))
+        return pa.table({id_col: t.column(id_col), "n_tokens": pa.array(n)})
+
+    counts = ds.map_batches(tok_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    members = bucket_hash_join(comp, counts, on=id_col,
+                               num_buckets=num_buckets)
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "n_tokens", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        return g[g["cluster_id"].duplicated()][[id_col]].reset_index(drop=True)
+
+    drop = grouped_apply(members, ["cluster_id"], losers,
+                         num_buckets=num_buckets)
+    keep_side = ds.map_batches(
+        lambda t: t.select(keep_cols or [id_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return anti_join_ids(keep_side, drop, id_col=id_col)

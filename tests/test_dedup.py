@@ -405,3 +405,30 @@ def test_semi_join_ids(ray_session):
     keep = ray.data.from_arrow(pa.table({"doc_id": [2, 4, 9]}))
     out = semi_join_ids(ds, keep, num_buckets=4).to_pandas().sort_values("doc_id")
     assert list(out.doc_id) == [2, 4] and list(out.text) == ["b", "d"]
+
+
+def test_dedup_keep_best_prefers_longest_member(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.dedup import minhash_dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                              # 0: cluster A, 10 tokens
+        base + " lambda mu",               # 1: cluster A, 12 tokens -> WINNER
+        base + " lambda",                  # 2: cluster A, 11 tokens
+        "totally different content here about ships and oceans and tides",  # 3
+        "unrelated second loner document with its own words entirely",      # 4
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "lang": pa.array(["en"] * len(texts)),
+        "text": pa.array(texts)}))
+    out = (minhash_dedup_keep_best(ds, threshold=0.5,
+                                   keep_cols=["doc_id", "lang"], num_buckets=8)
+           .to_pandas())
+    kept = set(out["doc_id"])
+    assert 1 in kept                      # longest member survives
+    assert 0 not in kept and 2 not in kept
+    assert {3, 4} <= kept                 # non-clustered docs untouched
