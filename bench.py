@@ -77,6 +77,7 @@ SECONDARY = [
     "rolling_value",
     "users_per_type_kmv",
     "dedup_keep_best",
+    "mm_resize",
 ]
 
 

@@ -646,6 +646,24 @@ def q_mm_frames(sf_dir: str):
     return ds.select_columns(["media_id", "frame_idx"])
 
 
+def q_mm_resize(sf_dir: str):
+    """Nearest-neighbor 32x32 image resize over the decoded payloads: the
+    resize ARITHMETIC is oracle-checked — DuckDB replays the floor index
+    map byte-for-byte from the original blob (hex-string indexing)."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import MediaDecoder, ensure_media, resize_images
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
+                        concurrency=(1, 4), zero_copy_batch=True)
+    ds = ds.map_batches(resize_images, batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
+    return ds.map_batches(
+        lambda t: t.drop_columns(["resized"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_sessionize(sf_dir: str):
     from .stages.window import sessionize
 
@@ -2306,6 +2324,7 @@ QUERIES = {
     "rolling_value": q_rolling_value,
     "users_per_type_kmv": q_users_per_type_kmv,
     "dedup_keep_best": q_dedup_keep_best,
+    "mm_resize": q_mm_resize,
 }
 
 
@@ -2602,6 +2621,27 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                      unnest(CASE WHEN kind = 'video' AND nframes > 1
                                  THEN range(0, nframes, 4) ELSE [0] END) AS f
               FROM read_parquet('{media_dir}/*.parquet'))"""
+    # mm_resize: replay the nearest-neighbor floor index map over the raw
+    # payload hex (header = 10 bytes; byte k is hex chars 2k+21 / 2k+22)
+    _hd = ("(16 * (ascii(substr(hx, {p}, 1)) "
+           "- CASE WHEN substr(hx, {p}, 1) >= 'A' THEN 55 ELSE 48 END) "
+           "+ ascii(substr(hx, {p} + 1, 1)) "
+           "- CASE WHEN substr(hx, {p} + 1, 1) >= 'A' THEN 55 ELSE 48 END)")
+    _px = _hd.format(p="2 * ((u.i * h) // 32 * w + (v.j * w) // 32) + 21")
+    sql["mm_resize"] = f"""
+        WITH img AS (
+          SELECT media_id, hex(payload) AS hx, width AS w, height AS h
+          FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'image'),
+        b AS (
+          SELECT media_id, u.i AS oi, v.j AS oj, {_px} AS b
+          FROM img, unnest(range(0, 32)) AS u(i), unnest(range(0, 32)) AS v(j))
+        SELECT media_id, CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(b) AS BIGINT) AS px_sum,
+               CAST(max(CASE WHEN oi = 0 AND oj = 0 THEN b END) AS BIGINT)
+                 AS first_px,
+               CAST(max(CASE WHEN oi = 31 AND oj = 31 THEN b END) AS BIGINT)
+                 AS last_px
+        FROM b GROUP BY 1"""
     # brute-force 3-token-shingle Jaccard (same shingle fallback as the
     # engine: docs with < 3 tokens use their distinct tokens). Exact equality
     # holds because every true pair in this corpus has j >= 0.9, where the

@@ -83,6 +83,54 @@ def test_media_pipeline_end_to_end(tmp_path):
     assert set(out.columns) == {"media_id", "kind", "mean_byte", "features"}
 
 
-def test_resize_is_explicit_stub():
-    with pytest.raises(NotImplementedError, match="PIL"):
-        resize_images(generate_media(2))
+def test_resize_drops_non_images():
+    # generate_media emits raw payloads (no decoded body); resize consumes
+    # DECODED rows — build one directly
+    import numpy as np
+    import pyarrow as pa
+
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["audio", "video"]),
+        "body": pa.array([b"\x00" * 8, b"\x00" * 8], pa.binary()),
+        "width": pa.array([8, 2], pa.int32()),
+        "height": pa.array([1, 2], pa.int32()),
+    })
+    assert resize_images(t).num_rows == 0
+
+
+def test_resize_images_nearest_neighbor_exact():
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from rotel_ray.stages.multimodal import resize_images
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for mid, (w, h) in enumerate([(16, 64), (64, 16), (32, 32), (100, 7), (1, 1)]):
+        body = rng.integers(0, 256, w * h, dtype=np.uint8)
+        rows.append((mid, "image", body.tobytes(), w, h))
+    rows.append((99, "audio", b"\x01\x02\x03", 3, 1))  # dropped
+    t = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "kind": pa.array([r[1] for r in rows]),
+        "body": pa.array([r[2] for r in rows], pa.binary()),
+        "width": pa.array([r[3] for r in rows], pa.int32()),
+        "height": pa.array([r[4] for r in rows], pa.int32()),
+    })
+    out = resize_images(t, size=(32, 32))
+    assert out.num_rows == 5  # audio row dropped
+    for i in range(5):
+        mid, _, body, w, h = rows[i]
+        arr = np.frombuffer(body, np.uint8).reshape(h, w)
+        ref = np.empty((32, 32), np.uint8)
+        for oi in range(32):
+            for oj in range(32):
+                ref[oi, oj] = arr[(oi * h) // 32, (oj * w) // 32]
+        got = np.frombuffer(out.column("resized")[i].as_py(), np.uint8).reshape(32, 32)
+        assert (got == ref).all()
+        assert out.column("px_sum")[i].as_py() == int(ref.sum())
+        assert out.column("first_px")[i].as_py() == int(ref[0, 0])
+        assert out.column("last_px")[i].as_py() == int(ref[-1, -1])
