@@ -78,6 +78,7 @@ SECONDARY = [
     "users_per_type_kmv",
     "dedup_keep_best",
     "mm_resize",
+    "slo_burn",
 ]
 
 

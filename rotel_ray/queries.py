@@ -646,6 +646,59 @@ def q_mm_frames(sf_dir: str):
     return ds.select_columns(["media_id", "frame_idx"])
 
 
+def q_slo_burn(sf_dir: str):
+    """Multi-window SLO burn-rate alerting (the SRE error-budget rule):
+    per-tool 5-minute vs 1-hour error ratios, burn flag when the short
+    window exceeds 2x the long — rate comparison done by integer
+    cross-multiplication so the flag is exact on both engines. Pre-
+    aggregation means the hour pass reads 5-minute partials, never rows."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import bucket_hash_join
+
+    ds = _parsed(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "tool_call"))
+        return pa.table({
+            "tool_name": t.column("tool_name"),
+            "w5": pc.floor_temporal(t.column("ts"), multiple=5, unit="minute"),
+            "err": pc.cast(pc.not_equal(pc.fill_null(t.column("tool_exit"), 0), 0),
+                           pa.int64()),
+            "tot": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        })
+
+    per5 = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["tool_name", "w5"], [("err", "sum", "err5"), ("tot", "sum", "tot5")],
+        num_buckets=16).materialize()
+
+    def key60(t: pa.Table) -> pa.Table:
+        w60 = pc.floor_temporal(t.column("w5"), unit="hour")
+        k = pc.binary_join_element_wise(
+            t.column("tool_name"), pc.cast(w60, pa.string()), "#")
+        return t.append_column("k", k)
+
+    with_k = per5.map_batches(key60, batch_format="pyarrow", zero_copy_batch=True)
+    per60 = two_phase_aggregate(
+        with_k.map_batches(lambda t: t.select(["k", "err5", "tot5"]),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], [("err5", "sum", "err60"), ("tot5", "sum", "tot60")],
+        num_buckets=8)
+    joined = bucket_hash_join(with_k, per60, on="k", num_buckets=16)
+
+    def flag(t: pa.Table) -> pa.Table:
+        burn = pc.greater(pc.multiply(t.column("err5"), t.column("tot60")),
+                          pc.multiply(pc.multiply(t.column("err60"), pa.scalar(2)),
+                                      t.column("tot5")))
+        return pa.table({"tool_name": t.column("tool_name"),
+                         "w5": t.column("w5"),
+                         "err5": t.column("err5"), "tot5": t.column("tot5"),
+                         "err60": t.column("err60"), "tot60": t.column("tot60"),
+                         "burn": burn})
+
+    return joined.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_mm_resize(sf_dir: str):
     """Nearest-neighbor 32x32 image resize over the decoded payloads: the
     resize ARITHMETIC is oracle-checked — DuckDB replays the floor index
@@ -2325,6 +2378,7 @@ QUERIES = {
     "users_per_type_kmv": q_users_per_type_kmv,
     "dedup_keep_best": q_dedup_keep_best,
     "mm_resize": q_mm_resize,
+    "slo_burn": q_slo_burn,
 }
 
 
@@ -3429,6 +3483,26 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                quantile_disc(CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1) AS BIGINT), 0.95) AS p95,
                quantile_disc(CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1) AS BIGINT), 0.99) AS p99
         FROM {T} WHERE {SQL_IS_TOOL} GROUP BY 1"""
+    sql["slo_burn"] = f"""
+        WITH t AS (
+          SELECT regexp_extract(text, '^TOOL_CALL tool=(\\w+) ', 1) AS tool_name,
+                 ts,
+                 CAST(regexp_extract(text, 'exit=(\\d+)', 1) AS INTEGER) AS exit
+          FROM {T} WHERE {SQL_IS_TOOL}),
+        p5 AS (
+          SELECT tool_name, time_bucket(INTERVAL '5 minutes', ts) AS w5,
+                 CAST(sum(CASE WHEN exit != 0 THEN 1 ELSE 0 END) AS BIGINT) AS err5,
+                 CAST(count(*) AS BIGINT) AS tot5
+          FROM t GROUP BY 1, 2),
+        p60 AS (
+          SELECT tool_name, date_trunc('hour', w5) AS w60,
+                 CAST(sum(err5) AS BIGINT) AS err60,
+                 CAST(sum(tot5) AS BIGINT) AS tot60
+          FROM p5 GROUP BY 1, 2)
+        SELECT p5.tool_name, w5, err5, tot5, err60, tot60,
+               err5 * tot60 > 2 * err60 * tot5 AS burn
+        FROM p5 JOIN p60 ON p5.tool_name = p60.tool_name
+                        AND date_trunc('hour', w5) = p60.w60"""
     sql["region_revenue"] = f"""
         SELECT n_name,
                CAST(sum({cents.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT)

@@ -123,3 +123,19 @@ def test_fused_aggregate_equals_unfused(transcripts_dir):
             df[c] = df[c].astype("int64")
     assert m_f.equals(m_u), "metrics side diverged"
     assert c_f.equals(c_u), "conv side diverged"
+
+
+def test_slo_burn_window_invariants(ray_session):
+    from rotel_ray.queries import QUERIES
+
+    df = QUERIES["slo_burn"]("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    # hour columns are consistent: err60/tot60 equal the sum of the hour's
+    # 5-minute partials, constant within the (tool, hour) group
+    df["w60"] = df["w5"].dt.floor("h")
+    for (_, _), g in df.groupby(["tool_name", "w60"]):
+        assert (g["err60"] == g["err5"].sum()).all()
+        assert (g["tot60"] == g["tot5"].sum()).all()
+    # the burn flag is exactly the integer cross-multiplication rule
+    want = df["err5"] * df["tot60"] > 2 * df["err60"] * df["tot5"]
+    assert (df["burn"] == want).all()
