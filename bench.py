@@ -79,6 +79,7 @@ SECONDARY = [
     "dedup_keep_best",
     "mm_resize",
     "slo_burn",
+    "mm_resample",
 ]
 
 

@@ -646,6 +646,23 @@ def q_mm_frames(sf_dir: str):
     return ds.select_columns(["media_id", "frame_idx"])
 
 
+def q_mm_resample(sf_dir: str):
+    """Nearest-neighbor 512-sample audio resample over decoded payloads —
+    the 1-D analogue of mm_resize, same byte-exact hex-replay oracle."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import MediaDecoder, ensure_media, resample_audio
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
+                        concurrency=(1, 4), zero_copy_batch=True)
+    ds = ds.map_batches(resample_audio, batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
+    return ds.map_batches(
+        lambda t: t.drop_columns(["resampled"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_slo_burn(sf_dir: str):
     """Multi-window SLO burn-rate alerting (the SRE error-budget rule):
     per-tool 5-minute vs 1-hour error ratios, burn flag when the short
@@ -2379,6 +2396,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "mm_resize": q_mm_resize,
     "slo_burn": q_slo_burn,
+    "mm_resample": q_mm_resample,
 }
 
 
@@ -2695,6 +2713,19 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                  AS first_px,
                CAST(max(CASE WHEN oi = 31 AND oj = 31 THEN b END) AS BIGINT)
                  AS last_px
+        FROM b GROUP BY 1"""
+    _sa = _hd.format(p="2 * ((u.i * w) // 512) + 21")
+    sql["mm_resample"] = f"""
+        WITH aud AS (
+          SELECT media_id, hex(payload) AS hx, width AS w
+          FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'audio'),
+        b AS (
+          SELECT media_id, u.i AS oi, {_sa} AS b
+          FROM aud, unnest(range(0, 512)) AS u(i))
+        SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(b) AS BIGINT) AS sample_sum,
+               CAST(max(CASE WHEN oi = 0 THEN b END) AS BIGINT) AS first_sample,
+               CAST(max(CASE WHEN oi = 511 THEN b END) AS BIGINT) AS last_sample
         FROM b GROUP BY 1"""
     # brute-force 3-token-shingle Jaccard (same shingle fallback as the
     # engine: docs with < 3 tokens use their distinct tokens). Exact equality

@@ -235,6 +235,35 @@ def resize_images(t: pa.Table, size: tuple[int, int] = (32, 32)) -> pa.Table:
     })
 
 
+def resample_audio(t: pa.Table, out_samples: int = 512) -> pa.Table:
+    """Nearest-neighbor audio resample over decoded bodies — the 1-D
+    analogue of :func:`resize_images` (same floor index map
+    ``src = (dst * n) // out``), pure numpy. Non-audio rows drop. Emits the
+    resampled payload plus exact-integer stats for the byte-level oracle."""
+    ids, blobs, sums, firsts, lasts = [], [], [], [], []
+    for mid, kind, body, w in zip(
+            t.column("media_id").to_pylist(), t.column("kind").to_pylist(),
+            t.column("body").to_pylist(), t.column("width").to_pylist()):
+        if kind != "audio":
+            continue
+        arr = np.frombuffer(body, np.uint8)  # audio: width = sample count
+        si = (np.arange(out_samples) * w) // out_samples
+        r = arr[si]
+        ids.append(mid)
+        blobs.append(r.tobytes())
+        sums.append(int(r.sum(dtype=np.int64)))
+        firsts.append(int(r[0]))
+        lasts.append(int(r[-1]))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "resampled": pa.array(blobs, pa.binary()),
+        "n_samples": pa.array([out_samples] * len(ids), pa.int64()),
+        "sample_sum": pa.array(sums, pa.int64()),
+        "first_sample": pa.array(firsts, pa.int64()),
+        "last_sample": pa.array(lasts, pa.int64()),
+    })
+
+
 def media_pipeline(media_dir: str, *, decode_concurrency=(1, 4), feature_concurrency=(1, 4),
                    batch_size: int = 256):
     """read -> decode (actor pool, small batches: payloads are large) ->

@@ -134,3 +134,32 @@ def test_resize_images_nearest_neighbor_exact():
         assert out.column("px_sum")[i].as_py() == int(ref.sum())
         assert out.column("first_px")[i].as_py() == int(ref[0, 0])
         assert out.column("last_px")[i].as_py() == int(ref[-1, -1])
+
+
+def test_resample_audio_nearest_neighbor_exact():
+    import numpy as np
+    import pyarrow as pa
+
+    from rotel_ray.stages.multimodal import resample_audio
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for mid, n in enumerate([256, 1024, 512, 3, 1]):
+        body = rng.integers(0, 256, n, dtype=np.uint8)
+        rows.append((mid, "audio", body.tobytes(), n))
+    rows.append((99, "image", b"\x00" * 4, 2))  # dropped
+    t = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "kind": pa.array([r[1] for r in rows]),
+        "body": pa.array([r[2] for r in rows], pa.binary()),
+        "width": pa.array([r[3] for r in rows], pa.int32()),
+    })
+    out = resample_audio(t, out_samples=512)
+    assert out.num_rows == 5
+    for i in range(5):
+        _, _, body, n = rows[i]
+        arr = np.frombuffer(body, np.uint8)
+        ref = arr[[(k * n) // 512 for k in range(512)]]
+        got = np.frombuffer(out.column("resampled")[i].as_py(), np.uint8)
+        assert (got == ref).all()
+        assert out.column("sample_sum")[i].as_py() == int(ref.sum(dtype=np.int64))
