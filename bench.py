@@ -80,6 +80,7 @@ SECONDARY = [
     "mm_resize",
     "slo_burn",
     "mm_resample",
+    "mm_motion",
 ]
 
 

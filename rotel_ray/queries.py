@@ -663,6 +663,21 @@ def q_mm_resample(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_mm_motion(sf_dir: str):
+    """Frame-differencing motion energy per video (scene-cut primitive):
+    total and peak absolute-difference between consecutive frames, plus the
+    peak pair index — byte-exact hex-replay oracle."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import MediaDecoder, ensure_media, motion_energy
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
+                        concurrency=(1, 4), zero_copy_batch=True)
+    return ds.map_batches(motion_energy, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
 def q_slo_burn(sf_dir: str):
     """Multi-window SLO burn-rate alerting (the SRE error-budget rule):
     per-tool 5-minute vs 1-hour error ratios, burn flag when the short
@@ -2397,6 +2412,7 @@ QUERIES = {
     "mm_resize": q_mm_resize,
     "slo_burn": q_slo_burn,
     "mm_resample": q_mm_resample,
+    "mm_motion": q_mm_motion,
 }
 
 
@@ -2714,6 +2730,30 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(max(CASE WHEN oi = 31 AND oj = 31 THEN b END) AS BIGINT)
                  AS last_px
         FROM b GROUP BY 1"""
+    _b1 = _hd.format(p="2 * (p.p * w * h + q.k) + 21")
+    _b2 = _hd.format(p="2 * ((p.p + 1) * w * h + q.k) + 21")
+    sql["mm_motion"] = f"""
+        WITH vid AS (
+          SELECT media_id, hex(payload) AS hx, width AS w, height AS h,
+                 nframes AS nf
+          FROM read_parquet('{media_dir}/*.parquet')
+          WHERE kind = 'video' AND nframes > 1),
+        d AS (
+          SELECT media_id, p.p,
+                 CAST(sum(abs({_b1} - {_b2})) AS BIGINT) AS diff
+          FROM vid, unnest(range(0, nf - 1)) AS p(p),
+               unnest(range(0, w * h)) AS q(k)
+          GROUP BY 1, 2),
+        pk AS (
+          SELECT media_id, p AS peak_pair, diff AS motion_peak,
+                 row_number() OVER (PARTITION BY media_id
+                                    ORDER BY diff DESC, p) AS rn
+          FROM d)
+        SELECT d.media_id, CAST(sum(d.diff) AS BIGINT) AS motion_total,
+               CAST(max(pk.motion_peak) AS BIGINT) AS motion_peak,
+               CAST(max(pk.peak_pair) AS BIGINT) AS peak_pair
+        FROM d JOIN pk ON pk.media_id = d.media_id AND pk.rn = 1
+        GROUP BY 1"""
     _sa = _hd.format(p="2 * ((u.i * w) // 512) + 21")
     sql["mm_resample"] = f"""
         WITH aud AS (

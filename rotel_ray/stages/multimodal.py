@@ -264,6 +264,33 @@ def resample_audio(t: pa.Table, out_samples: int = 512) -> pa.Table:
     })
 
 
+def motion_energy(t: pa.Table) -> pa.Table:
+    """Frame-differencing motion energy per video — the scene-cut /
+    shot-boundary primitive: for each consecutive frame pair the sum of
+    absolute pixel differences, reduced to per-video total and peak (the
+    peak pair is where a cut detector would split). Pure numpy over decoded
+    bodies; non-video rows (and single-frame videos) drop."""
+    ids, totals, peaks, peak_idx = [], [], [], []
+    for mid, kind, body, w, h, nf in zip(
+            t.column("media_id").to_pylist(), t.column("kind").to_pylist(),
+            t.column("body").to_pylist(), t.column("width").to_pylist(),
+            t.column("height").to_pylist(), t.column("nframes").to_pylist()):
+        if kind != "video" or nf <= 1:
+            continue
+        arr = np.frombuffer(body, np.uint8).reshape(nf, h * w).astype(np.int64)
+        d = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+        ids.append(mid)
+        totals.append(int(d.sum()))
+        peaks.append(int(d.max()))
+        peak_idx.append(int(d.argmax()))  # first max -> lowest pair index
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "motion_total": pa.array(totals, pa.int64()),
+        "motion_peak": pa.array(peaks, pa.int64()),
+        "peak_pair": pa.array(peak_idx, pa.int64()),
+    })
+
+
 def media_pipeline(media_dir: str, *, decode_concurrency=(1, 4), feature_concurrency=(1, 4),
                    batch_size: int = 256):
     """read -> decode (actor pool, small batches: payloads are large) ->

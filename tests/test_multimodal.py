@@ -163,3 +163,32 @@ def test_resample_audio_nearest_neighbor_exact():
         got = np.frombuffer(out.column("resampled")[i].as_py(), np.uint8)
         assert (got == ref).all()
         assert out.column("sample_sum")[i].as_py() == int(ref.sum(dtype=np.int64))
+
+
+def test_motion_energy_vs_bruteforce():
+    from rotel_ray.stages.multimodal import motion_energy
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for mid, (w, h, nf) in enumerate([(4, 4, 5), (8, 2, 2), (3, 3, 10)]):
+        body = rng.integers(0, 256, w * h * nf, dtype=np.uint8)
+        rows.append((mid, "video", body.tobytes(), w, h, nf))
+    rows.append((90, "video", b"\x00" * 6, 3, 2, 1))   # single frame -> drop
+    rows.append((91, "image", b"\x00" * 6, 3, 2, 1))   # non-video -> drop
+    t = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "kind": pa.array([r[1] for r in rows]),
+        "body": pa.array([r[2] for r in rows], pa.binary()),
+        "width": pa.array([r[3] for r in rows], pa.int32()),
+        "height": pa.array([r[4] for r in rows], pa.int32()),
+        "nframes": pa.array([r[5] for r in rows], pa.int32()),
+    })
+    out = motion_energy(t)
+    assert out.num_rows == 3
+    for i in range(3):
+        _, _, body, w, h, nf = rows[i]
+        fr = np.frombuffer(body, np.uint8).reshape(nf, w * h).astype(int)
+        diffs = [int(np.abs(fr[p + 1] - fr[p]).sum()) for p in range(nf - 1)]
+        assert out.column("motion_total")[i].as_py() == sum(diffs)
+        assert out.column("motion_peak")[i].as_py() == max(diffs)
+        assert out.column("peak_pair")[i].as_py() == diffs.index(max(diffs))
