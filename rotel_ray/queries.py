@@ -3195,7 +3195,11 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # (floor(ln(c/total)*1e6)) so per-doc sums are exact int64 in any
     # summation order; ln agrees bit-wise between numpy and DuckDB here
     # (same libm double path), and floor absorbs any last-ulp drift
-    sql["unigram_logprob"] = r"""
+    # vocab capped to the top-2^16 tokens by (count desc, tok asc) exactly
+    # like the engine's distributed top_v_counts selection; capped-out
+    # tokens score as OOV = floor(ln(1/total)*1e6)
+    from .stages.textstats import DEFAULT_TOP_V as _TOPV
+    sql["unigram_logprob"] = rf"""
         WITH toks AS (
           SELECT doc_id, unnest(list_filter(
             regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
@@ -3205,10 +3209,14 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         lp AS (SELECT tok,
                       CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))
                                  * 1000000) AS BIGINT) AS l
-               FROM cnt)
+               FROM cnt
+               QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= {_TOPV}),
+        oov AS (SELECT CAST(floor(ln(1.0 / (SELECT n FROM tot))
+                                  * 1000000) AS BIGINT) AS l)
         SELECT doc_id, count(*) AS n_tokens,
-               CAST(sum(l) AS BIGINT) AS lp_sum_unat
-        FROM toks JOIN lp USING (tok)
+               CAST(sum(COALESCE(lp.l, (SELECT l FROM oov))) AS BIGINT)
+                 AS lp_sum_unat
+        FROM toks LEFT JOIN lp USING (tok)
         GROUP BY doc_id"""
     # sequence packing: pure integer window arithmetic — the engine's
     # distributed prefix-sum must equal the single-window global cumsum
@@ -3234,15 +3242,20 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     ELSE 0 END AS BIGINT) AS n_seqs
         FROM pos"""
     # tf-idf top-k: integer micro-nat idf (floor(ln(N/df)*1e6)) makes
-    # score = tf * idf exact int64; tie-break = term ascending on both sides
-    sql["tfidf_topk"] = r"""
+    # score = tf * idf exact int64; tie-break = term ascending on both
+    # sides; vocab capped to the top-2^16 terms by (df desc, tok asc) —
+    # sklearn max_features semantics, mirroring the engine's distributed
+    # top_v_counts selection (out-of-vocab terms are not scored)
+    sql["tfidf_topk"] = rf"""
         WITH toks AS (
           SELECT doc_id, unnest(list_filter(
             regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
           FROM documents),
         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
                FROM toks GROUP BY doc_id, tok),
-        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+               QUALIFY row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC,
+                                          tok) <= {_TOPV}),
         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
         idf AS (SELECT tok, CAST(floor(ln((SELECT n FROM n) / df) * 1000000)
                                  AS BIGINT) AS idf FROM df)

@@ -796,8 +796,11 @@ def embedding_neardup_exact(ds, *, tau: float = 0.9, id_col: str = "vec_id",
                 }
             )
 
+    # max_restarts=0: the broadcast ref lives in the closure; a restarted
+    # actor could not refetch it if the driver-side ref went out of scope
+    # (ray#53727). This is a declared verification baseline, so no restarts.
     return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=concurrency,
-                          zero_copy_batch=True)
+                          zero_copy_batch=True, max_restarts=0)
 
 
 def embedding_neardup_lsh(ds, *, tau: float = 0.9, num_bands: int = 16,

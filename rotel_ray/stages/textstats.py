@@ -294,8 +294,36 @@ def unigram_counts(ds, *, text_col: str = "text", num_buckets: int = 16):
                                num_buckets=num_buckets)
 
 
+def top_v_counts(counts, *, key_col: str, count_col: str, top_v: int,
+                 batch_size: int | None = None):
+    """Distributed top-``top_v`` selection by ``(count desc, key asc)`` over
+    a (key, count) table whose keys are GLOBALLY DISTINCT (the output shape
+    of :func:`two_phase_aggregate`).
+
+    Scale shape: a stateless per-batch truncation prunes each block to its
+    local top-V (the global top-V is contained in the union of per-block
+    top-Vs because keys are distinct), then a distributed sort + ``limit``
+    picks the winners — the driver never holds more than ``top_v`` rows and
+    no task ever sees the full vocabulary.
+    """
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= top_v:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(count_col, "descending"),
+                                            (key_col, "ascending")])[:top_v]
+        return t.take(idx)
+
+    cand = counts.map_batches(local_top, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              **({"batch_size": batch_size} if batch_size else {}))
+    return cand.sort([count_col, key_col], descending=[True, False]).limit(top_v)
+
+
+DEFAULT_TOP_V = 1 << 16
+
+
 def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                    top_v: int | None = None):
+                    top_v: int | None = DEFAULT_TOP_V):
     """Per-doc unigram log-probability — the CCNet/importance-sampling
     quality signal (Wenzek et al. 2020 use a KenLM 5-gram; the unigram model
     is its exactly-verifiable core; the reference engine has no corpus
@@ -307,21 +335,23 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
     float-sum ordering trap). Output: (id_col, n_tokens, lp_sum_unat) for
     every doc with >= 1 token.
 
-    Scale shape: counts are vocab-bounded two-phase partials; the vocab +
-    micro-nat table is broadcast once via ``ray.put`` (``top_v`` caps it for
-    open-vocab corpora — kept-out tokens score as OOV = floor(ln(1/total) *
-    1e6)); scoring is one stateless map_batches with an Arrow ``index_in``
-    probe. No token-level shuffle anywhere."""
+    Scale shape: counts are vocab-bounded two-phase partials; ``top_v``
+    (default 2^16) caps the broadcast vocabulary via the DISTRIBUTED
+    :func:`top_v_counts` selection — kept-out tokens score as OOV =
+    floor(ln(1/total) * 1e6) and the driver never materializes more than
+    ``top_v`` (tok, c) rows even on an open-vocab corpus; the vocab +
+    micro-nat table is broadcast once via ``ray.put``; scoring is one
+    stateless map_batches with an Arrow ``index_in`` probe. No token-level
+    shuffle anywhere."""
     import ray
 
-    counts = unigram_counts(ds, text_col=text_col)
+    counts = unigram_counts(ds, text_col=text_col).materialize()
+    total = int(counts.sum("c"))
+    if top_v is not None:
+        counts = top_v_counts(counts, key_col="tok", count_col="c", top_v=top_v)
     vocab_rows = counts.take_all()
     toks = np.array([r["tok"] for r in vocab_rows], dtype=object)
     cnts = np.array([r["c"] for r in vocab_rows], dtype=np.int64)
-    total = int(cnts.sum())
-    if top_v is not None and len(toks) > top_v:
-        keep = np.lexsort((toks, -cnts))[:top_v]
-        toks, cnts = toks[keep], cnts[keep]
     lp = np.floor(np.log(cnts.astype(np.float64) / total) * 1e6).astype(np.int64)
     oov = np.int64(np.floor(np.log(1.0 / total) * 1e6))
     vocab_arr = pa.array(toks.astype(str))
@@ -374,7 +404,7 @@ def doc_freq(ds, *, text_col: str = "text", num_buckets: int = 16):
 
 
 def tfidf_topk(ds, *, k: int = 5, text_col: str = "text",
-               id_col: str = "doc_id"):
+               id_col: str = "doc_id", top_v: int | None = DEFAULT_TOP_V):
     """Top-k TF-IDF terms per document, exact-integer scored.
 
     ``idf(tok) = floor(ln(N / df) * 1e6)`` in micro-nats (int64), computed
@@ -384,13 +414,20 @@ def tfidf_topk(ds, *, k: int = 5, text_col: str = "text",
     (id_col, tok, tf, score), k rows per doc (fewer if the doc has < k
     distinct in-vocab terms).
 
-    Scale shape: df partials are vocab-bounded; the (vocab, idf) table is
-    broadcast once via ``ray.put``; scoring + per-doc top-k is one stateless
-    map_batches with no shuffle."""
+    Scale shape: df partials are vocab-bounded; the vocabulary is capped to
+    the ``top_v`` (default 2^16) highest-df terms (ties: term ascending) via
+    the DISTRIBUTED :func:`top_v_counts` selection — scikit-learn's
+    ``max_features`` semantics — so the driver never holds more than
+    ``top_v`` rows even on an open-vocab corpus; out-of-vocab terms are not
+    scored. The (vocab, idf) table is broadcast once via ``ray.put``;
+    scoring + per-doc top-k is one stateless map_batches with no shuffle."""
     import ray
 
     n_docs = ds.count()
-    rows = doc_freq(ds, text_col=text_col).take_all()
+    dfreq = doc_freq(ds, text_col=text_col)
+    if top_v is not None:
+        dfreq = top_v_counts(dfreq, key_col="tok", count_col="df", top_v=top_v)
+    rows = dfreq.take_all()
     toks = np.array([r["tok"] for r in rows], dtype=str)
     dfs = np.array([r["df"] for r in rows], dtype=np.int64)
     # lexicographic vocab order => dictionary index IS the tie-break rank,
@@ -719,7 +756,8 @@ def bigram_counts(ds, *, text_col: str = "text", num_buckets: int = 16):
 
 
 def collocations(ds, *, text_col: str = "text", k: int = 50,
-                 min_count: int = 5, num_buckets: int = 16):
+                 min_count: int = 5, num_buckets: int = 16,
+                 broadcast_limit: int = 1 << 20):
     """Top-k adjacent-token collocations by PMI (phrase mining — the
     word2vec-phrases / NPMI corpus statistic), integer micro-nats.
 
@@ -730,9 +768,13 @@ def collocations(ds, *, text_col: str = "text", k: int = 50,
 
     Scale shape: ONE tokenize scan emits both gram tables (tagged
     ``kind`` 0 = unigram / 1 = bigram partials into one two-phase shuffle,
-    materialized once — vocab-bounded); the unigram side broadcasts, the
-    bigram side stays a Dataset for the stateless scoring pass; the global
-    sort moves only rows that survive ``min_count``.
+    materialized once — vocab-bounded); the bigram side stays a Dataset
+    end-to-end and the global sort moves only rows surviving ``min_count``.
+    The unigram side is resolved by the classic size-gated join decision:
+    when the distinct-unigram count is <= ``broadcast_limit`` it broadcasts
+    once via ``ray.put`` (stateless probe); above the limit it switches to
+    two co-partitioned ``bucket_hash_join``s, so the driver NEVER holds an
+    open-vocab table — both plans evaluate the identical float expression.
     """
     import ray
 
@@ -773,39 +815,84 @@ def collocations(ds, *, text_col: str = "text", k: int = 50,
             return pa.table({rename: t.column("key"), "c": t.column("c")})
         return f
 
-    c1_rows = grams.map_batches(only(0, "tok"), batch_format="pyarrow",
-                                zero_copy_batch=True).take_all()
-    toks = pa.array([r["tok"] for r in c1_rows], pa.string())
-    c1 = np.array([r["c"] for r in c1_rows], dtype=np.int64)
-    n1 = float(c1.sum())
-    ref = ray.put((toks, c1))
-
+    uni = grams.map_batches(only(0, "tok"), batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    n_uni = uni.count()  # metadata on a materialized dataset — no pass
+    n1 = float(uni.sum("c") or 1.0)
     bg = grams.map_batches(only(1, "bg"), batch_format="pyarrow",
                            zero_copy_batch=True)
     n2 = float(bg.sum("c") or 1.0)  # 0-bigram corpus: result is empty anyway
 
-    def score(t: pa.Table) -> pa.Table:
-        vocab, c1_l = ray.get(ref)
-        keep = pc.greater_equal(t.column("c"), min_count)
-        t = t.filter(keep)
-        if t.num_rows == 0:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
-                             "pmi_unat": pa.array([], pa.int64())})
-        parts = pc.split_pattern(t.column("bg").combine_chunks(), " ")
-        w1 = pc.list_element(parts, 0)
-        w2 = pc.list_element(parts, 1)
-        c2 = t.column("c").to_numpy()
-        ia = pc.index_in(w1, vocab).to_numpy(zero_copy_only=False).astype(np.int64)
-        ib = pc.index_in(w2, vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+    def finish(t: pa.Table, w1, w2, c2, c1a, c1b) -> pa.Table:
         pmi = (np.log(c2.astype(np.float64) / n2)
-               - np.log(c1_l[ia].astype(np.float64) / n1)
-               - np.log(c1_l[ib].astype(np.float64) / n1))
+               - np.log(c1a.astype(np.float64) / n1)
+               - np.log(c1b.astype(np.float64) / n1))
         return pa.table({"w1": w1, "w2": w2, "n": pa.array(c2),
                          "pmi_unat": pa.array(np.floor(pmi * 1e6).astype(np.int64))})
 
-    scored = bg.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    if n_uni <= broadcast_limit:
+        # small-vocab plan: one ray.put broadcast, stateless probe — the
+        # classic broadcast-vs-shuffle join decision, driver state bounded
+        # by broadcast_limit
+        c1_rows = uni.take_all()
+        toks = pa.array([r["tok"] for r in c1_rows], pa.string())
+        c1 = np.array([r["c"] for r in c1_rows], dtype=np.int64)
+        ref = ray.put((toks, c1))
+
+        def score(t: pa.Table) -> pa.Table:
+            vocab, c1_l = ray.get(ref)
+            t = t.filter(pc.greater_equal(t.column("c"), min_count))
+            if t.num_rows == 0:
+                return pa.table({"w1": pa.array([], pa.string()),
+                                 "w2": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64()),
+                                 "pmi_unat": pa.array([], pa.int64())})
+            parts = pc.split_pattern(t.column("bg").combine_chunks(), " ")
+            w1 = pc.list_element(parts, 0)
+            w2 = pc.list_element(parts, 1)
+            c2 = t.column("c").to_numpy()
+            ia = pc.index_in(w1, vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = pc.index_in(w2, vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+            return finish(t, w1, w2, c2, c1_l[ia], c1_l[ib])
+
+        scored = bg.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        # open-vocab plan: NOTHING vocab-sized ever reaches the driver —
+        # split the surviving bigrams and resolve c1(w1)/c1(w2) with two
+        # co-partitioned bucket_hash_joins against the unigram Dataset
+        from .join import bucket_hash_join
+
+        def split_bg(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater_equal(t.column("c"), min_count))
+            parts = pc.split_pattern(t.column("bg").combine_chunks(), " ")
+            return pa.table({"w1": pc.list_element(parts, 0),
+                             "w2": pc.list_element(parts, 1),
+                             "c2": t.column("c")})
+
+        def rename(new: str):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({"tok": t.column("tok"), new: t.column("c")})
+            return f
+
+        bgs = bg.map_batches(split_bg, batch_format="pyarrow", zero_copy_batch=True)
+        uni_a = uni.map_batches(rename("c1a"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+        uni_b = uni.map_batches(rename("c1b"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+        j1 = bucket_hash_join(bgs, uni_a, on="w1", right_on="tok",
+                              num_buckets=num_buckets)
+        j2 = bucket_hash_join(j1, uni_b, on="w2", right_on="tok",
+                              num_buckets=num_buckets)
+
+        def score_joined(t: pa.Table) -> pa.Table:
+            c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(np.int64)
+            c1a = t.column("c1a").to_numpy(zero_copy_only=False).astype(np.int64)
+            c1b = t.column("c1b").to_numpy(zero_copy_only=False).astype(np.int64)
+            return finish(t, t.column("w1"), t.column("w2"), c2, c1a, c1b)
+
+        scored = j2.map_batches(score_joined, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
     return scored.sort(["pmi_unat", "w1", "w2"],
                        descending=[True, False, False]).limit(k)
 

@@ -270,3 +270,81 @@ def test_collocations_vs_bruteforce(ray_session):
     ref = ref[:20]
     got = [(int(r.pmi_unat), r.w1, r.w2, int(r.n)) for r in out.itertuples()]
     assert got == [(p, a, b, c) for p, a, b, c in ref]
+
+
+def test_top_v_counts_distributed_selection(ray_session):
+    """>top_v distinct keys: the driver-visible result is exactly the
+    brute-force top-V by (count desc, key asc) and never exceeds top_v."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.textstats import top_v_counts
+
+    rng = np.random.default_rng(11)
+    keys = [f"t{i:04d}" for i in range(500)]
+    cnts = rng.integers(1, 40, 500)  # many count ties -> key tie-break matters
+    tbl = pa.table({"tok": keys, "c": cnts.astype("int64")})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    rows = top_v_counts(ds, key_col="tok", count_col="c", top_v=50).take_all()
+    assert len(rows) == 50
+    got = [(r["tok"], r["c"]) for r in rows]
+    want = sorted(zip(keys, cnts.tolist()), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert sorted(got) == sorted(want)
+
+
+def test_tfidf_topk_binding_top_v(ray_session):
+    """top_v smaller than the vocab: only the top-V df terms are scored."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rotel_ray.stages.textstats import tfidf_topk
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 30)))
+             for _ in range(80)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    out = tfidf_topk(ds, k=3, top_v=20).to_pandas()
+
+    docs = [t.split() for t in texts]
+    df = {}
+    for d in docs:
+        for tok in set(d):
+            df[tok] = df.get(tok, 0) + 1
+    keep = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    idf = {t: int(math.floor(math.log(len(docs) / c) * 1e6)) for t, c in keep}
+    expect = []
+    for i, d in enumerate(docs):
+        tf = {}
+        for tok in d:
+            if tok in idf:
+                tf[tok] = tf.get(tok, 0) + 1
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1] * idf[kv[0]], kv[0]))
+        for tok, c in ranked[:3]:
+            expect.append((i, tok, c, c * idf[tok]))
+    got = sorted(map(tuple, out[["doc_id", "tok", "tf", "score"]].values))
+    assert got == sorted(expect)
+
+
+def test_collocations_join_path_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the co-partitioned-join plan; results must
+    be identical to the broadcast plan (same float expression both ways)."""
+    import numpy as np
+
+    from rotel_ray.stages.textstats import collocations
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(2, 40)))
+             for _ in range(120)] + ["", "solo"]
+    a = collocations(_docs(texts), k=20, min_count=3).to_pandas()
+    b = collocations(_docs(texts), k=20, min_count=3,
+                     broadcast_limit=0).to_pandas()
+    va = [tuple(r) for r in a[["w1", "w2", "n", "pmi_unat"]].values]
+    vb = [tuple(r) for r in b[["w1", "w2", "n", "pmi_unat"]].values]
+    assert va == vb
