@@ -584,11 +584,13 @@ def q_quality_full(sf_dir: str):
 
 def q_mm_features(sf_dir: str):
     """Multimodal decode -> byte-histogram features (actor-pool stages over
-    binary payload columns; codec stubbed, plumbing real). The full feature
-    pipeline runs; the oracle-checked projection compares the recomputed
-    mean_byte against the generator's metadata column (the 16-bin histogram
-    list layout is pytest-verified in tests/test_multimodal.py — float-list
-    columns don't survive the driver's value-hash canonicalization)."""
+    binary payload columns; REAL stdlib PNG/WAV codecs for image/audio,
+    synthetic FVID for video). The full feature pipeline runs; the
+    oracle-checked projection compares the recomputed mean_byte against the
+    generator's metadata column — which now requires a correct zlib inflate
+    + un-filter for every PNG row (the 16-bin histogram list layout is
+    pytest-verified in tests/test_multimodal.py — float-list columns don't
+    survive the driver's value-hash canonicalization)."""
     from .generator import sf_from_dir
     from .stages.multimodal import ensure_media, media_pipeline
 
@@ -629,11 +631,47 @@ def q_mm_meta(sf_dir: str):
     media_dir = ensure_media(sf_from_dir(sf_dir))
     ds = read_parquet(media_dir)
     ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), zero_copy_batch=True)
+                        concurrency=(1, 4), zero_copy_batch=True,
+                        max_restarts=0)
     return ds.map_batches(
         lambda t: t.select(["media_id", "kind", "width", "height", "nframes", "n_bytes"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def q_mm_decode(sf_dir: str):
+    """Codec correctness gate over the MIXED corpus: decode every payload
+    (PNG via stdlib zlib inflate + un-filter, WAV via RIFF chunk walk, FVID
+    header parse) and emit exact-integer byte stats of the decoded body.
+    The oracle replays the generator's pre-encode body_hex — any decode
+    divergence (filter math, chunk offsets, RIFF padding) breaks equality."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import MediaDecoder, ensure_media
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
+                        concurrency=(1, 4), zero_copy_batch=True,
+                        max_restarts=0)
+
+    def stats(t: pa.Table) -> pa.Table:
+        bodies = t.column("body").to_pylist()
+        sums, firsts, lasts = [], [], []
+        for b in bodies:
+            arr = np.frombuffer(b, np.uint8)
+            sums.append(int(arr.sum(dtype=np.int64)))
+            firsts.append(int(arr[0]))
+            lasts.append(int(arr[-1]))
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "kind": t.column("kind"),
+            "n_bytes": t.column("n_bytes"),
+            "byte_sum": pa.array(sums, pa.int64()),
+            "first_byte": pa.array(firsts, pa.int64()),
+            "last_byte": pa.array(lasts, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_mm_frames(sf_dir: str):
@@ -655,7 +693,8 @@ def q_mm_resample(sf_dir: str):
     media_dir = ensure_media(sf_from_dir(sf_dir))
     ds = read_parquet(media_dir, columns=["media_id", "payload"])
     ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), zero_copy_batch=True)
+                        concurrency=(1, 4), zero_copy_batch=True,
+                        max_restarts=0)
     ds = ds.map_batches(resample_audio, batch_format="pyarrow", batch_size=256,
                         zero_copy_batch=True)
     return ds.map_batches(
@@ -673,7 +712,8 @@ def q_mm_motion(sf_dir: str):
     media_dir = ensure_media(sf_from_dir(sf_dir))
     ds = read_parquet(media_dir, columns=["media_id", "payload"])
     ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), zero_copy_batch=True)
+                        concurrency=(1, 4), zero_copy_batch=True,
+                        max_restarts=0)
     return ds.map_batches(motion_energy, batch_format="pyarrow",
                           batch_size=256, zero_copy_batch=True)
 
@@ -741,7 +781,8 @@ def q_mm_resize(sf_dir: str):
     media_dir = ensure_media(sf_from_dir(sf_dir))
     ds = read_parquet(media_dir, columns=["media_id", "payload"])
     ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), zero_copy_batch=True)
+                        concurrency=(1, 4), zero_copy_batch=True,
+                        max_restarts=0)
     ds = ds.map_batches(resize_images, batch_format="pyarrow", batch_size=256,
                         zero_copy_batch=True)
     return ds.map_batches(
@@ -2320,6 +2361,7 @@ QUERIES = {
     "mm_features": q_mm_features,
     "mm_frames": q_mm_frames,
     "mm_meta": q_mm_meta,
+    "mm_decode": q_mm_decode,
     "doc_sample": q_doc_sample,
     # --- SQL-verified additions ---
     "token_jaccard": q_token_jaccard,
@@ -2709,16 +2751,19 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                      unnest(CASE WHEN kind = 'video' AND nframes > 1
                                  THEN range(0, nframes, 4) ELSE [0] END) AS f
               FROM read_parquet('{media_dir}/*.parquet'))"""
-    # mm_resize: replay the nearest-neighbor floor index map over the raw
-    # payload hex (header = 10 bytes; byte k is hex chars 2k+21 / 2k+22)
+    # mm_resize: replay the nearest-neighbor floor index map over the
+    # generator's body_hex (raw pre-encode bytes; byte k is hex chars
+    # 2k+1 / 2k+2). The engine must reproduce those bytes by REALLY
+    # decoding the PNG payload (zlib inflate + un-filter), so the codec
+    # itself is under oracle here, not just the resize arithmetic.
     _hd = ("(16 * (ascii(substr(hx, {p}, 1)) "
            "- CASE WHEN substr(hx, {p}, 1) >= 'A' THEN 55 ELSE 48 END) "
            "+ ascii(substr(hx, {p} + 1, 1)) "
            "- CASE WHEN substr(hx, {p} + 1, 1) >= 'A' THEN 55 ELSE 48 END)")
-    _px = _hd.format(p="2 * ((u.i * h) // 32 * w + (v.j * w) // 32) + 21")
+    _px = _hd.format(p="2 * ((u.i * h) // 32 * w + (v.j * w) // 32) + 1")
     sql["mm_resize"] = f"""
         WITH img AS (
-          SELECT media_id, hex(payload) AS hx, width AS w, height AS h
+          SELECT media_id, body_hex AS hx, width AS w, height AS h
           FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'image'),
         b AS (
           SELECT media_id, u.i AS oi, v.j AS oj, {_px} AS b
@@ -2730,11 +2775,25 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(max(CASE WHEN oi = 31 AND oj = 31 THEN b END) AS BIGINT)
                  AS last_px
         FROM b GROUP BY 1"""
-    _b1 = _hd.format(p="2 * (p.p * w * h + q.k) + 21")
-    _b2 = _hd.format(p="2 * ((p.p + 1) * w * h + q.k) + 21")
+    _bk = _hd.format(p="2 * u.k + 1")
+    sql["mm_decode"] = f"""
+        WITH m AS (
+          SELECT media_id, kind, body_hex AS hx,
+                 CAST(width AS BIGINT) * height * nframes AS n
+          FROM read_parquet('{media_dir}/*.parquet')),
+        b AS (
+          SELECT media_id, kind, n, u.k AS k, {_bk} AS b
+          FROM m, unnest(range(0, n)) AS u(k))
+        SELECT media_id, max(kind) AS kind, CAST(max(n) AS BIGINT) AS n_bytes,
+               CAST(sum(b) AS BIGINT) AS byte_sum,
+               CAST(max(CASE WHEN k = 0 THEN b END) AS BIGINT) AS first_byte,
+               CAST(max(CASE WHEN k = n - 1 THEN b END) AS BIGINT) AS last_byte
+        FROM b GROUP BY media_id"""
+    _b1 = _hd.format(p="2 * (p.p * w * h + q.k) + 1")
+    _b2 = _hd.format(p="2 * ((p.p + 1) * w * h + q.k) + 1")
     sql["mm_motion"] = f"""
         WITH vid AS (
-          SELECT media_id, hex(payload) AS hx, width AS w, height AS h,
+          SELECT media_id, body_hex AS hx, width AS w, height AS h,
                  nframes AS nf
           FROM read_parquet('{media_dir}/*.parquet')
           WHERE kind = 'video' AND nframes > 1),
@@ -2754,10 +2813,10 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(max(pk.peak_pair) AS BIGINT) AS peak_pair
         FROM d JOIN pk ON pk.media_id = d.media_id AND pk.rn = 1
         GROUP BY 1"""
-    _sa = _hd.format(p="2 * ((u.i * w) // 512) + 21")
+    _sa = _hd.format(p="2 * ((u.i * w) // 512) + 1")
     sql["mm_resample"] = f"""
         WITH aud AS (
-          SELECT media_id, hex(payload) AS hx, width AS w
+          SELECT media_id, body_hex AS hx, width AS w
           FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'audio'),
         b AS (
           SELECT media_id, u.i AS oi, {_sa} AS b

@@ -39,13 +39,78 @@ def test_decoder_roundtrip():
 
 
 def test_decoder_strict_rejects_corrupt():
+    # truncation breaks each container differently: PNG loses IHDR/IDAT,
+    # WAV loses fmt/data, FVID fails the strict body-size check
     t = generate_media(3)
-    bad = t.set_column(
-        t.column_names.index("payload"), "payload",
-        pa.array([p[: HEADER.size + 3] for p in t.column("payload").to_pylist()], pa.binary()),
-    )
-    with pytest.raises(ValueError, match="size mismatch"):
-        MediaDecoder(strict=True)(bad)
+    for i, msg in [(0, "truncated PNG"), (1, "truncated WAV"),
+                   (2, "size mismatch")]:
+        bad = t.slice(i, 1).set_column(
+            t.column_names.index("payload"), "payload",
+            pa.array([t.column("payload")[i].as_py()[: HEADER.size + 3]],
+                     pa.binary()),
+        )
+        with pytest.raises(ValueError, match=msg):
+            MediaDecoder(strict=True)(bad)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The encoder cycles filter types by row; ≥5-row images exercise all
+    five PNG filters (None/Sub/Up/Average/Paeth) through the decoder."""
+    import numpy as np
+
+    from rotel_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(2)
+    for h, w in [(1, 1), (5, 3), (8, 8), (64, 64), (7, 200), (200, 7)]:
+        a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        data = encode_png(a)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert (decode_png(data) == a).all(), (h, w)
+    # gradient rows make Sub/Paeth filters produce long zero runs
+    g = (np.arange(16)[:, None] + np.arange(32)[None, :]).astype(np.uint8)
+    assert (decode_png(encode_png(g)) == g).all()
+
+
+def test_png_decoder_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rotel_ray.stages.multimodal import _png_chunk, decode_png
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    bad = magic + _png_chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_png(bad)
+    # wrong scanline byte count
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 3)
+    bad = magic + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+    with pytest.raises(ValueError, match="scanline"):
+        decode_png(bad)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF0000")
+
+
+def test_wav_codec_roundtrip_and_padding():
+    import numpy as np
+
+    from rotel_ray.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(4)
+    for n in (1, 2, 255, 256, 1001):  # odd n exercises the RIFF pad byte
+        s = rng.integers(0, 256, n, dtype=np.uint8)
+        data = encode_wav(s, rate=8000)
+        got, rate = decode_wav(data)
+        assert rate == 8000 and (got == s).all(), n
+        # RIFF size field covers everything after the 8-byte header
+        import struct
+        assert struct.unpack_from("<I", data, 4)[0] == len(data) - 8
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"RIFX" + b"\x00" * 20)
 
 
 def test_features_normalized_histogram():
