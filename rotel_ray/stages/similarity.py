@@ -232,7 +232,7 @@ def ivf_topk(ds, query_vec: np.ndarray, k: int = 10, *, n_centroids: int = 16,
             )
 
     cand = ds.map_batches(Probe, batch_format="pyarrow", concurrency=concurrency,
-                          zero_copy_batch=True)
+                          zero_copy_batch=True, max_restarts=0)
 
     def partial_topk(t: pa.Table) -> pa.Table:
         sims = t.column("sim").to_numpy()
@@ -279,7 +279,7 @@ def lsh_topk(ds, query_vec: np.ndarray, k: int = 10, *, num_bits: int = 8,
             )
 
     cand = ds.map_batches(Candidates, batch_format="pyarrow", concurrency=concurrency,
-                          zero_copy_batch=True)
+                          zero_copy_batch=True, max_restarts=0)
 
     def partial_topk(t: pa.Table) -> pa.Table:
         sims = t.column("sim").to_numpy()

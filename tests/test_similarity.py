@@ -287,3 +287,58 @@ def test_embedding_covariance_exact(ray_session):
     # covariance reconstruction sanity: matches numpy cov up to quantization
     cov_q = (g / 150 - np.outer(s, s) / 150**2) / 1000.0**2
     assert np.allclose(cov_q, np.cov(m.astype(np.float64).T, bias=True), atol=1e-4)
+
+
+def test_planted_fixture_deterministic(tmp_path):
+    """Rebuilding the planted fixtures in a fresh root is byte-identical."""
+    import filecmp
+
+    import pyarrow.parquet as pq
+
+    from rotel_ray.stages.planted import (ensure_planted_neardup,
+                                          ensure_planted_topk)
+
+    sf = "/root/testdata/sf0.001"
+    a1 = ensure_planted_topk(sf, root=str(tmp_path / "r1"))
+    a2 = ensure_planted_topk(sf, root=str(tmp_path / "r2"))
+    assert filecmp.cmp(a1 + "/part-0000.parquet", a2 + "/part-0000.parquet",
+                       shallow=False)
+    b1 = ensure_planted_neardup(sf, root=str(tmp_path / "r1"))
+    b2 = ensure_planted_neardup(sf, root=str(tmp_path / "r2"))
+    assert filecmp.cmp(b1 + "/part-0000.parquet", b2 + "/part-0000.parquet",
+                       shallow=False)
+    assert pq.read_table(a1).num_rows > pq.read_table(
+        f"{sf}/embeddings.parquet").num_rows
+
+
+def test_planted_topk_approx_equals_exact(ray_session):
+    """Over the planted fixture the approximate paths provably return the
+    exact top-k: LSH, IVF and brute force agree on ids."""
+    import ray
+
+    from rotel_ray.stages.planted import ensure_planted_topk
+    from rotel_ray.stages.similarity import (brute_force_topk, ivf_topk,
+                                             lsh_topk)
+
+    sf = "/root/testdata/sf0.001"
+    path = ensure_planted_topk(sf)
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t0 = pq.read_table(f"{sf}/embeddings.parquet")
+    q = np.asarray(
+        t0.filter(__import__("pyarrow").compute.equal(
+            __import__("pyarrow").compute.field("vec_id"), 0))
+        .column("embedding").to_pylist()[0], dtype=np.float64)
+
+    def ids(res):
+        return [r["vec_id"] for r in res.select_columns(["vec_id"]).take_all()]
+
+    ds = ray.data.read_parquet(path)
+    exact = ids(brute_force_topk(ds, q, 10))
+    assert ids(lsh_topk(ds, q, 10)) == exact
+    assert ids(ivf_topk(ds, q, 10)) == exact
+    # vec 0 itself leads; the rest are planted ids
+    from rotel_ray.stages.planted import PLANT_BASE
+
+    assert exact[0] == 0 and all(v >= PLANT_BASE for v in exact[1:])
