@@ -2113,7 +2113,13 @@ def q_dd_span(sf_dir: str):
     (root or server/consumer kind), _dd.measured (client/producer kind —
     enable_otlp_compute_top_level_by_span_kind path), error flag from the
     status, http status-code metric (otel_util.rs:288-307), start/duration
-    ns. Fused stateless map_batches over the parsed transcripts."""
+    ns — plus the general ``set_metric_otlp`` metrics map
+    (transformer.rs:196-197,433-441): every Int/Double-valued span attr
+    lands in the f64 metrics map, with ``sampling.priority`` renamed to
+    ``_sampling_priority_v1``. The per-turn numeric attr set (synthesized
+    sampling.priority + custom.load, parsed duration_ms + tool.exit)
+    exercises the rename, Int and Double branches; the map serializes as
+    sorted-key canonical JSON. Fused stateless map_batches."""
     from .functions.scalar import be_u64, span_id_from, trace_id_from
 
     ds = _parsed(sf_dir)
@@ -2146,6 +2152,30 @@ def q_dd_span(sf_dir: str):
         dur = pc.fill_null(
             pc.multiply(pc.cast(t.column("duration_ms"), pa.int64()),
                         np.int64(1_000_000)), 0)
+        # set_metric_otlp metrics map: f64 values of integral attrs render
+        # as "<int>.0" (and halves as ".5") on both engines — byte-stable
+        turn64 = pc.cast(turn, pa.int64())
+
+        def jnum(key: str, ints: pa.Array) -> pa.Array:
+            return pc.binary_join_element_wise(
+                pa.nulls(n, pa.string()).fill_null(f'"{key}":'),
+                pc.cast(ints, pa.string()), ".0", "",
+                null_handling="emit_null")
+
+        sp = jnum("_sampling_priority_v1", pc.bit_wise_and(turn64, 1))
+        half = pc.cast(pc.divide(turn64, 2), pa.string())
+        frac = pc.if_else(pc.equal(pc.bit_wise_and(turn64, 1), 0),
+                          pa.scalar(".0"), pa.scalar(".5"))
+        cl = pc.binary_join_element_wise(
+            pa.nulls(n, pa.string()).fill_null('"custom.load":'), half, frac,
+            "", null_handling="emit_null")
+        dm = jnum("duration_ms", pc.cast(t.column("duration_ms"), pa.int64()))
+        te = jnum("tool.exit", pc.cast(t.column("tool_exit"), pa.int64()))
+        body = pc.binary_join_element_wise(sp, cl, dm, te, ",",
+                                           null_handling="skip")
+        metrics_json = pc.binary_join_element_wise(
+            pa.nulls(n, pa.string()).fill_null("{"), body, "}", "",
+            null_handling="emit_null")
         return pa.table({
             "conv_id": conv,
             "turn_idx": turn,
@@ -2159,6 +2189,7 @@ def q_dd_span(sf_dir: str):
             "status_code": pc.cast(t.column("status"), pa.float64()),
             "start": ns,
             "duration": dur,
+            "metrics_json": metrics_json,
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -3289,6 +3320,15 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(0 AS INTEGER) AS flags
         FROM (SELECT conv_id, ts, CAST({SQL_STATUS} AS BIGINT) AS st FROM {T})
         WHERE st IS NOT NULL GROUP BY conv_id"""
+    # every ClickHouse metric row carries the five Exemplars.* columns
+    # (schema.rs:177-200) — empty canonical-JSON arrays on exemplar-less
+    # input, exactly what the reference serializes
+    from .stages.ch_metrics import EXEMPLAR_COLS as _ECOLS
+
+    _exe = ", ".join(f"'[]' AS {c}" for c in _ECOLS)
+    for _q in ("ch_metrics_gauge", "ch_metrics_sum", "ch_metrics_histogram",
+               "ch_metrics_exp_histogram", "ch_metrics_summary"):
+        sql[_q] = f"SELECT *, {_exe} FROM ({sql[_q]})"
     # unigram-LM scoring: per-token log-probs are integer micro-nats
     # (floor(ln(c/total)*1e6)) so per-doc sums are exact int64 in any
     # summation order; ln agrees bit-wise between numpy and DuckDB here
@@ -3433,7 +3473,16 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                                  AS INTEGER) <> 0) AS INTEGER) AS error,
                CAST({SQL_STATUS} AS DOUBLE) AS status_code,
                epoch_ns(ts) AS start,
-               coalesce({SQL_DURATION} * 1000000, 0) AS duration
+               coalesce({SQL_DURATION} * 1000000, 0) AS duration,
+               '{{' || concat_ws(',',
+                 '"_sampling_priority_v1":' || CAST(turn_idx % 2 AS VARCHAR)
+                   || '.0',
+                 '"custom.load":' || CAST(turn_idx // 2 AS VARCHAR)
+                   || CASE WHEN turn_idx % 2 = 0 THEN '.0' ELSE '.5' END,
+                 '"duration_ms":' || CAST({SQL_DURATION} AS VARCHAR) || '.0',
+                 CASE WHEN {SQL_IS_TOOL} THEN '"tool.exit":'
+                   || regexp_extract(text, 'exit=(\d+)', 1) || '.0' END
+               ) || '}}' AS metrics_json
         FROM {T}"""
     # ClickHouse logs/traces row tables (transform_logs.rs / transform_traces.rs)
     _EXIT = r"CAST(regexp_extract(text, 'exit=(\d+)', 1) AS INTEGER)"

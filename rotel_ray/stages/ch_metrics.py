@@ -18,8 +18,12 @@ Reference semantics (all citations into /root/reference):
 - Array-valued columns follow the ``MapOrJson`` convention of the file
   exporter (``src/exporters/file/parquet/common.rs:16-20``): canonical JSON
   strings (ints only, so the text form is byte-stable across engines).
-- Exemplar columns are omitted (our batch fixture has no exemplars; the
-  reference emits empty arrays there).
+- ``src/exporters/clickhouse/schema.rs:177-200``: every metric row carries
+  the five ``Exemplars.*`` columns (FilteredAttributes / TimeUnix / Value /
+  SpanId / TraceId). The reference emits EMPTY arrays for exemplar-less
+  input (the normal case; our transcript fixture has no tracing-linked
+  exemplars), so each row gets the empty-array form — serialized as the
+  canonical-JSON ``'[]'`` per the array convention above.
 
 Shapes over the transcript analogue:
 
@@ -52,6 +56,16 @@ def _ns(ts: pa.Array) -> pa.Array:
                        np.int64(1000))
 
 
+EXEMPLAR_COLS = ("exemplars_filtered_attributes", "exemplars_time_unix",
+                 "exemplars_value", "exemplars_span_id", "exemplars_trace_id")
+
+
+def _exemplar_cols(n: int) -> dict[str, pa.Array]:
+    """Empty Exemplars.* arrays (schema.rs:177-200) in the canonical-JSON
+    array form — what the reference serializes for exemplar-less metrics."""
+    return {c: pa.nulls(n, pa.string()).fill_null("[]") for c in EXEMPLAR_COLS}
+
+
 def _attrs_json(key: str, vals: pa.Array) -> pa.Array:
     head = pa.nulls(len(vals), pa.string()).fill_null('{"%s":"' % key)
     return pc.binary_join_element_wise(head, pc.cast(vals, pa.string()),
@@ -73,6 +87,7 @@ def gauge_rows(parsed_ds):
             "time_unix": ns,
             "value": pc.cast(t.column("body_bytes_sent"), pa.float64()),
             "flags": pa.nulls(t.num_rows, pa.int32()).fill_null(0),
+            **_exemplar_cols(t.num_rows),
         })
 
     return parsed_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -97,6 +112,7 @@ def sum_rows(parsed_ds):
             "aggregation_temporality": pa.nulls(t.num_rows, pa.int32()).fill_null(
                 AGG_TEMPORALITY_CUMULATIVE),
             "is_monotonic": pa.nulls(t.num_rows, pa.bool_()).fill_null(True),
+            **_exemplar_cols(t.num_rows),
         })
 
     return parsed_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -162,6 +178,7 @@ def histogram_rows(parsed_ds):
             "max": pa.array(np.maximum.reduceat(vals, starts).astype(np.float64)),
             "aggregation_temporality": pa.nulls(len(uniq), pa.int32()).fill_null(
                 AGG_TEMPORALITY_CUMULATIVE),
+            **_exemplar_cols(len(uniq)),
         })
 
     pre = parsed_ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
@@ -215,6 +232,7 @@ def exp_histogram_rows(parsed_ds):
             "max": pa.array(np.maximum.reduceat(vals, starts).astype(np.float64)),
             "aggregation_temporality": pa.nulls(len(uniq), pa.int32()).fill_null(
                 AGG_TEMPORALITY_CUMULATIVE),
+            **_exemplar_cols(len(uniq)),
         })
 
     pre = parsed_ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
@@ -255,6 +273,7 @@ def summary_rows(parsed_ds):
             "value_at_quantiles_value": pa.array(
                 ["[" + ",".join(map(str, row)) + "]" for row in vq]),
             "flags": pa.nulls(len(uniq), pa.int32()).fill_null(0),
+            **_exemplar_cols(len(uniq)),
         })
 
     pre = parsed_ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
