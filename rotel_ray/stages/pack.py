@@ -37,24 +37,48 @@ from .aggregate import grouped_apply, two_phase_aggregate
 from .tokenize import split_tokens
 
 
+def auto_range_size(n_docs: int, floor: int = 65536) -> int:
+    """Prefix-sum range size balancing driver state against task size: the
+    smallest power of two >= sqrt(n_docs) (floored at 64k), so BOTH the
+    driver's range-total table (n_docs / range_size rows) and each bucket
+    task's doc count (~range_size) stay O(sqrt(n_docs)). 10^12 docs ->
+    2^20 ranges of 2^20 docs (~1M driver rows / ~16 MB, vs ~15M at the old
+    fixed 64k)."""
+    import math
+
+    if n_docs <= 1:
+        return floor
+    return max(floor, 1 << math.ceil(math.log2(math.sqrt(n_docs))))
+
+
 def token_counts(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                 range_size: int = 65536):
-    """``(id_col, n_tokens, __range)`` table — whitespace token counts with
-    the prefix-sum range key attached.  Same token definition as the other
-    text operators (shared hardened tokenizer, see tokenize.py)."""
+                 range_size: int | None = 65536):
+    """``(id_col, n_tokens[, __range])`` table — whitespace token counts,
+    optionally with the prefix-sum range key attached (``range_size=None``
+    omits it so the caller can auto-size after counting). Same token
+    definition as the other text operators (shared tokenizer)."""
 
     def f(t: pa.Table) -> pa.Table:
         _, _, n_tok = split_tokens(t.column(text_col))
         ids = pc.cast(t.column(id_col), pa.int64())
-        rng = pc.divide(ids, range_size)
-        return pa.table({id_col: ids, "n_tokens": pa.array(n_tok),
-                         "__range": rng})
+        cols = {id_col: ids, "n_tokens": pa.array(n_tok)}
+        if range_size is not None:
+            cols["__range"] = pc.divide(ids, range_size)
+        return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _attach_range(id_col: str, range_size: int):
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__range", pc.divide(pc.cast(t.column(id_col), pa.int64()),
+                                 range_size)).replace_schema_metadata(None)
+    return f
+
+
 def seq_pack(ds, *, seq_len: int = 2048, text_col: str = "text",
-             id_col: str = "doc_id", range_size: int = 65536,
+             id_col: str = "doc_id", range_size: int | None = None,
              num_buckets: int = 64):
     """Map every document to its span in the packed training stream.
 
@@ -62,16 +86,22 @@ def seq_pack(ds, *, seq_len: int = 2048, text_col: str = "text",
     seq_last, n_seqs)`` where ``tok_start`` is the doc's exclusive global
     token offset in doc_id order, ``seq_first/seq_last`` the first/last
     ``seq_len``-token sequence the doc touches (null for 0-token docs), and
-    ``n_seqs`` how many sequences it spans (0 for 0-token docs)."""
+    ``n_seqs`` how many sequences it spans (0 for 0-token docs).
+
+    ``range_size=None`` (default) auto-sizes via :func:`auto_range_size` so
+    the driver's range-total table stays O(sqrt(n_docs))."""
     import ray
 
-    counts = token_counts(ds, text_col=text_col, id_col=id_col,
-                          range_size=range_size)
     # Materializing here is deliberate: `counts` is two int64 columns per doc
     # (~0.01% of the corpus bytes) and feeds BOTH the range-total aggregate
     # and the final offset pass — without the checkpoint each consumer would
     # re-read and re-tokenize the full text.
-    counts = counts.materialize()
+    counts = token_counts(ds, text_col=text_col, id_col=id_col,
+                          range_size=None).materialize()
+    if range_size is None:
+        range_size = auto_range_size(counts.count())
+    counts = counts.map_batches(_attach_range(id_col, range_size),
+                                batch_format="pyarrow", zero_copy_batch=True)
 
     totals = two_phase_aggregate(counts, ["__range"],
                                  [("n_tokens", "sum", "tot")],
@@ -120,7 +150,7 @@ def seq_pack(ds, *, seq_len: int = 2048, text_col: str = "text",
 
 def pack_sequences(ds, *, seq_len: int = 2048, text_col: str = "text",
                    id_col: str = "doc_id", vocab_mod: int = 1 << 16,
-                   range_size: int = 65536, num_buckets: int = 64):
+                   range_size: int | None = None, num_buckets: int = 64):
     """Materialized view of the packed training stream, one row per
     ``seq_len``-token sequence: ``(seq_id, n_tok, n_docs, tok_sum)``.
 
@@ -139,7 +169,11 @@ def pack_sequences(ds, *, seq_len: int = 2048, text_col: str = "text",
     from .tokenize import hashed_token_ids
 
     counts = token_counts(ds, text_col=text_col, id_col=id_col,
-                          range_size=range_size).materialize()
+                          range_size=None).materialize()
+    if range_size is None:
+        range_size = auto_range_size(counts.count())
+    counts = counts.map_batches(_attach_range(id_col, range_size),
+                                batch_format="pyarrow", zero_copy_batch=True)
     totals = two_phase_aggregate(counts, ["__range"],
                                  [("n_tokens", "sum", "tot")],
                                  num_buckets=num_buckets)

@@ -265,3 +265,23 @@ def test_bm25_topk_vs_bruteforce(ray_session):
     scores.sort(key=lambda r: (-r[0], r[1]))
     assert [(int(r.score_unat), int(r.doc_id)) for r in out.itertuples()] \
         == [(s, i) for s, i in scores[:10]]
+
+
+def test_auto_range_size_scaling():
+    """Driver range-table rows stay O(sqrt(n_docs)) at simulated web scale."""
+    from rotel_ray.stages.pack import auto_range_size
+
+    assert auto_range_size(0) == 65536
+    assert auto_range_size(10_000) == 65536          # floor
+    assert auto_range_size(1 << 32) == 1 << 16       # sqrt exactly
+    assert auto_range_size(10**9) == 1 << 15 or auto_range_size(10**9) == 65536
+    rs9 = auto_range_size(10**9)
+    assert 10**9 // rs9 <= 2 * int(10**4.5) + 1      # driver rows ~ sqrt(n)
+    rs12 = auto_range_size(10**12)
+    assert rs12 == 1 << 20
+    assert 10**12 // rs12 <= 1_000_000               # ~1M rows, not 15M
+    # power of two and monotone
+    for n in (10**6, 10**9, 10**12, 10**15):
+        rs = auto_range_size(n)
+        assert rs & (rs - 1) == 0
+        assert auto_range_size(n * 100) >= rs
