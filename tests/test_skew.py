@@ -128,3 +128,68 @@ def test_two_phase_salted_equals_unsalted():
                                   batch_size=2048, salt=8)
               .to_pandas().set_index("k").sort_index())
     assert base.equals(salted)
+
+
+def test_flagship_hot_conversation_end_to_end(ray_session, tmp_path):
+    """North-rule skew clause at the FLAGSHIP surface: one conversation
+    holding 10% of the corpus must flow through parse -> enrich -> route ->
+    aggregate with correct results, and the two-phase combiner must bound
+    what the shuffle ever sees of the hot key."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from rotel_ray.generator import generate_shard
+    from rotel_ray.pipelines.flagship import run_flagship
+    from rotel_ray.stages.aggregate import _conv_partial, conv_aggregate
+    from rotel_ray.stages.parse import parse_stage
+
+    n = 60_000
+    t = generate_shard(0, n)
+    # plant the hot conversation: 10% of all turns on one conv_id
+    rng = np.random.default_rng(13)
+    hot = rng.random(n) < 0.10
+    conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+    conv[hot] = "conv-HOT"
+    # hot conv turns get fresh turn_idx so (conv_id, turn_idx) stays unique
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False).copy()
+    turn[hot] = np.arange(int(hot.sum()), dtype=turn.dtype)
+    t = t.set_column(t.column_names.index("conv_id"), "conv_id",
+                     pa.array(conv.astype(str)))
+    t = t.set_column(t.column_names.index("turn_idx"), "turn_idx",
+                     pa.array(turn))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # several files so the flagship waves + multi-block shuffle are real
+    per = n // 4
+    for s in range(4):
+        pq.write_table(t.slice(s * per, per), in_dir / f"part-{s}.parquet")
+
+    out_dir = tmp_path / "out"
+    res = run_flagship(str(in_dir), str(out_dir), waves=2,
+                       enrich_concurrency=2, batch_size=8192)
+    # every turn routes to exactly one data sink (aggregate sinks are extra)
+    assert res["sink_counts"]["traces"] + res["sink_counts"]["logs"] == n
+
+    # conv_agg correctness under the hot key, vs a pandas reference
+    parsed = parse_stage(ray.data.read_parquet(str(in_dir)))
+    got = conv_aggregate(parsed).to_pandas().set_index("conv_id")
+    pdf = parsed.to_pandas()
+    ref = pdf.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"),
+        n_tool_calls=("event_type", lambda s: (s == "tool_call").sum()),
+        n_errors=("event_type", lambda s: (s == "error").sum()),
+    )
+    assert len(got) == len(ref)
+    assert got["n_turns"].to_dict() == ref["n_turns"].to_dict()
+    assert got["n_tool_calls"].to_dict() == ref["n_tool_calls"].to_dict()
+    assert got.loc["conv-HOT", "n_turns"] == int(hot.sum())
+
+    # the bounded-memory property: the per-batch combiner collapses the hot
+    # conversation to ONE partial row per batch, so the shuffle moves
+    # O(n_batches) rows for the hot key, never its raw turns
+    hot_parsed = pa.Table.from_pandas(pdf[pdf.conv_id == "conv-HOT"],
+                                      preserve_index=False)
+    partial = _conv_partial(hot_parsed)
+    assert hot_parsed.num_rows > 5_000 and partial.num_rows == 1
