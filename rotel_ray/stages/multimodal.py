@@ -124,22 +124,26 @@ def decode_png(data: bytes) -> np.ndarray:
         elif ft == 2:
             rec = (line + prev) & 0xFF
         elif ft == 3:
-            rec = np.empty(w, np.int32)
+            # left-dependency is inherently sequential; plain-list scalar
+            # ops are ~3x numpy scalar indexing in this loop
+            lf, pv, rl = line.tolist(), prev.tolist(), [0] * w
             a = 0
             for x in range(w):
-                a = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-                rec[x] = a
+                a = (lf[x] + ((a + pv[x]) >> 1)) & 0xFF
+                rl[x] = a
+            rec = np.asarray(rl, np.int32)
         elif ft == 4:
-            rec = np.empty(w, np.int32)
-            a = 0
+            lf, pv, rl = line.tolist(), prev.tolist(), [0] * w
+            a = c = 0
             for x in range(w):
-                b = int(prev[x])
-                c = int(prev[x - 1]) if x else 0
+                b = pv[x]
                 p = a + b - c
                 pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
-                a = (line[x] + pred) & 0xFF
-                rec[x] = a
+                a = (lf[x] + pred) & 0xFF
+                rl[x] = a
+                c = b
+            rec = np.asarray(rl, np.int32)
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec.astype(np.uint8)
