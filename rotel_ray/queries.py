@@ -1445,6 +1445,51 @@ def q_embedding_covariance(sf_dir: str):
     return embedding_covariance(ds)
 
 
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog distinct users (4096 registers, splitmix64-mixed) — the
+    industry-standard cardinality sketch with an exact-integer register
+    core, fully DuckDB-oracled including the harmonic sum and the
+    linear-counting small-range branch (stages/sketch.py::hll_distinct)."""
+    from .stages.sketch import hll_distinct
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_distinct(ds)
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-family size histogram over the minhash transitive clusters
+    — dedup-run forensics: (cluster_size, n_clusters)."""
+    from .stages.dedup import (connected_components, dup_cluster_sizes,
+                               minhash_lsh_neardup)
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    nb = _doc_buckets(sf_dir)
+    cc = connected_components(minhash_lsh_neardup(ds, threshold=0.5,
+                                                  num_buckets=nb),
+                              num_buckets=nb)
+    return dup_cluster_sizes(cc)
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: distinct normalized texts shared
+    by each source pair (a < b) — inter-snapshot leakage forensics."""
+    from .stages.dedup import source_overlap
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+    return source_overlap(ds)
+
+
+def q_latest_with_tombstones(sf_dir: str):
+    """CDC compaction with deletes: latest-wins per user, keys whose newest
+    event is an 'error' tombstone are dropped (log-compaction semantics)."""
+    from .stages.window import latest_with_tombstones
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "event_type"])
+    return latest_with_tombstones(ds, key="user_id",
+                                  order_cols=["ts", "event_id"])
+
+
 def q_latest_event_per_user(sf_dir: str):
     """Changelog compaction (CDC latest-wins upsert): one row per user —
     the newest event by (ts, event_id). Per-batch pre-compaction means the
@@ -2467,6 +2512,10 @@ QUERIES = {
     "duration_quantiles": q_duration_quantiles,
     "dedup_keep": q_dedup_keep,
     "dedup_clusters": q_dedup_clusters,
+    "distinct_hll": q_distinct_hll,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "source_overlap": q_source_overlap,
+    "latest_with_tombstones": q_latest_with_tombstones,
     "dedup_keep_clustered": q_dedup_keep_clustered,
     "doc_repetition": q_doc_repetition,
     "doc_sample_stratified": q_doc_sample_stratified,
@@ -3676,6 +3725,69 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
           SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
         )
         SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id"""
+    sql["dup_cluster_sizes"] = f"""
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM (SELECT cluster_id, count(*) AS sz
+              FROM ({sql["dedup_clusters"]}) GROUP BY cluster_id)
+        GROUP BY sz"""
+    # HyperLogLog: the register table, the exact-integer harmonic sum and
+    # the fixed-order float estimate all mirror stages/sketch.py
+    from .stages.sketch import HLL_P as _HP
+    from .stages.sketch import HLL_RMAX as _HRMAX
+    from .stages.sketch import splitmix64_sql as _smix
+
+    _hm = 1 << _HP
+    _2rmax = 1 << _HRMAX
+    sql["distinct_hll"] = f"""
+        WITH h AS (SELECT DISTINCT {_smix("user_id")} AS h FROM events),
+        r AS (SELECT CAST(h >> {_HRMAX - 1} AS BIGINT) AS reg,
+                     CAST(h % {1 << (_HRMAX - 1)}::HUGEINT AS BIGINT) AS low
+              FROM h),
+        rr AS (SELECT reg,
+                      max(CASE WHEN low = 0 THEN {_HRMAX}
+                               ELSE {_HRMAX} - length(bin(low)) END) AS r
+               FROM r GROUP BY reg),
+        agg AS (SELECT count(*) AS n_present,
+                       CAST(sum(CAST(1::BIGINT << ({_HRMAX} - r) AS HUGEINT))
+                            AS HUGEINT) AS s_present
+                FROM rr),
+        s AS (SELECT {_hm} - n_present AS n_zero,
+                     s_present + ({_hm} - n_present)::HUGEINT
+                       * {_2rmax}::HUGEINT AS s
+              FROM agg),
+        est AS (SELECT n_zero, s,
+                       0.7213 / (1 + 1.079 / {float(_hm)!r}) * {float(_hm)!r}
+                         * {float(_hm)!r} * {float(_2rmax)!r}
+                         / CAST(s AS DOUBLE) AS raw
+                FROM s)
+        SELECT CAST({_hm} AS BIGINT) AS m, CAST(n_zero AS BIGINT) AS n_zero,
+               CAST(s // 4294967296 AS BIGINT) AS s_hi,
+               CAST(s % 4294967296 AS BIGINT) AS s_lo,
+               CAST(floor(CASE WHEN n_zero > 0 AND raw <= 2.5 * {_hm}
+                               THEN {float(_hm)!r} * ln({float(_hm)!r} / n_zero)
+                               ELSE raw END * 1000) AS BIGINT) AS est_e3
+        FROM est"""
+    # source overlap: first-8-normalized-tokens fingerprint, normalization
+    # mirrors textstats.normalize_text
+    sql["source_overlap"] = r"""
+        WITH d AS (
+          SELECT DISTINCT source,
+                 md5(array_to_string(
+                   (regexp_split_to_array(trim(regexp_replace(
+                      lower(text), '\s+', ' ', 'g')), ' '))[1:8], ' ')) AS h
+          FROM documents)
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2"""
+    sql["latest_with_tombstones"] = """
+        SELECT user_id, ts, event_id, event_type FROM (
+          SELECT user_id, ts, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND event_type != 'error'"""
     sql["dedup_keep_clustered"] = f"""
         SELECT d.doc_id, d.lang FROM documents d
         WHERE d.doc_id NOT IN (

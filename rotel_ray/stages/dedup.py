@@ -1310,3 +1310,83 @@ def minhash_dedup_keep_best(ds, *, threshold: float = 0.7, num_perm: int = 64,
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return anti_join_ids(keep_side, drop, id_col=id_col)
+
+
+def dup_cluster_sizes(cc, *, num_buckets: int = 16):
+    """Duplicate-family size histogram — the corpus-forensics summary of a
+    dedup run: for each transitive-cluster size, how many families have it.
+    Input = the (doc_id, cluster_id) output of :func:`connected_components`;
+    two vocab-free two-phase aggregates (by cluster, then by size), driver
+    never sees per-doc rows."""
+    from .aggregate import two_phase_aggregate
+
+    sizes = two_phase_aggregate(cc, ["cluster_id"],
+                                [("doc_id", "count", "cluster_size")],
+                                num_buckets=num_buckets)
+
+    def drop_key(t: pa.Table) -> pa.Table:
+        return t.select(["cluster_size"]).append_column(
+            "one", pa.nulls(t.num_rows, pa.int64()).fill_null(1))
+
+    per_size = sizes.map_batches(drop_key, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return two_phase_aggregate(per_size, ["cluster_size"],
+                               [("one", "sum", "n_clusters")],
+                               num_buckets=num_buckets)
+
+
+OVERLAP_FP_TOKENS = 8
+_OVERLAP_SCHEMA = pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
+                             ("n_shared", pa.int64())])
+
+
+def source_overlap(ds, *, text_col: str = "text", src_col: str = "source",
+                   fp_tokens: int = OVERLAP_FP_TOKENS, num_buckets: int = 64):
+    """Cross-source contamination matrix: for every source pair (a < b),
+    the number of DISTINCT document fingerprints present in BOTH sources —
+    the inter-snapshot leakage signal (e.g. web snapshot A re-crawled into
+    snapshot B). The fingerprint is the first ``fp_tokens`` normalized
+    tokens hashed (what contamination checks key on — exact-text equality
+    misses trivially perturbed copies).
+
+    Scale shape: (fp_hash, source) pairs deduped per batch, then ONE
+    hash-bucketed shuffle; inside a bucket a self-merge on the hash emits
+    (src_a, src_b, partial count) rows — exact per bucket because each hash
+    lives in exactly one bucket — and a tiny two-phase sum folds buckets.
+    Driver state = n_sources^2 rows."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+    from .enrich import _hash_values
+    from .textstats import normalize_text
+
+    def prep(t: pa.Table) -> pa.Table:
+        norm = normalize_text(t.column(text_col))
+        toks = pc.split_pattern(norm.combine_chunks() if
+                                isinstance(norm, pa.ChunkedArray) else norm, " ")
+        fp = pc.binary_join(pc.list_slice(toks, 0, fp_tokens), " ")
+        tbl = pa.table({"h": _hash_values(fp, "md5"),
+                        "src": pc.cast(t.column(src_col), pa.string())})
+        df = tbl.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    pairs = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="h")
+        m = m[m.src_x < m.src_y]
+        out = (m.groupby(["src_x", "src_y"], sort=False).size()
+               .reset_index(name="n_shared")
+               .rename(columns={"src_x": "src_a", "src_y": "src_b"}))
+        # pinned schema so all-empty buckets still carry typed columns;
+        # metadata stripped (b'pandas' blob breaks Ray's schema hashing)
+        return pa.Table.from_pandas(out, schema=_OVERLAP_SCHEMA,
+                                    preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    partials = grouped_apply(pairs, ["h"], per_bucket, num_buckets=num_buckets)
+    return two_phase_aggregate(partials, ["src_a", "src_b"],
+                               [("n_shared", "sum", "n_shared")],
+                               num_buckets=8)

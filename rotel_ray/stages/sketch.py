@@ -212,3 +212,131 @@ def grouped_kmv(ds, *, key: str, id_col: str, k: int = 64,
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_apply(parts, [key], per_bucket, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality (Flajolet/Fusy/Gandouet/Meunier 2007)
+# ---------------------------------------------------------------------------
+
+HLL_P = 12                       # 2^12 = 4096 registers
+HLL_RANK_BITS = 64 - HLL_P       # 52 suffix bits
+HLL_RMAX = HLL_RANK_BITS + 1     # all-zero suffix rank
+
+
+SPLITMIX_C1 = 0xBF58476D1CE4E5B9
+SPLITMIX_C2 = 0x94D049BB133111EB
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """The splitmix64 finalizer (Steele/Lea/Flood 2014) — a full-avalanche
+    u64 mixer, needed because HLL ranks read SUFFIX bits where the simple
+    odd-multiplier permutation is badly non-uniform."""
+    z = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(SPLITMIX_C1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(SPLITMIX_C2)
+        return z ^ (z >> np.uint64(31))
+
+
+def _mulmod64_sql(a: str, c: int) -> str:
+    """``(a * c) mod 2^64`` for a < 2^64 in DuckDB HUGEINT without INT128
+    overflow: split ``a`` into 32-bit halves so every product stays < 2^97
+    (the established < 2^127 HUGEINT envelope)."""
+    m, lo = 1 << 64, 1 << 32
+    return (f"(({a} % {lo}::HUGEINT) * {c}::HUGEINT"
+            f" + (({a} >> 32) * {c}::HUGEINT % {lo}::HUGEINT)"
+            f" * {lo}::HUGEINT) % {m}::HUGEINT")
+
+
+def splitmix64_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`splitmix64` — HUGEINT mod-2^64 arithmetic
+    with xor/shift. ``expr`` should be a bare column reference (it is
+    textually duplicated by the expansion)."""
+    z0 = f"CAST({expr} AS HUGEINT)"
+    z1 = _mulmod64_sql(f"xor({z0}, {z0} >> 30)", SPLITMIX_C1)
+    z2 = _mulmod64_sql(f"xor({z1}, {z1} >> 27)", SPLITMIX_C2)
+    return f"xor({z2}, {z2} >> 31)"
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (doubling method — no float
+    log2, which mis-rounds at power-of-two boundaries)."""
+    v = x.copy()
+    bl = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl += (v == 1)
+    return bl
+
+
+def hll_distinct(ds, *, id_col: str = "user_id", num_buckets: int = 16):
+    """HyperLogLog distinct count over an integer id column — the
+    industry-standard cardinality sketch, built with an EXACT integer core
+    so the sketch itself (not just its inputs) is DuckDB-oracle-able:
+
+    - ``h = splitmix64(id)`` (full-avalanche mixer — the odd-multiplier
+      permutation's suffix bits are too structured for rank statistics);
+    - register ``h >> 52``, rank = leading-zero count of the 52-bit suffix
+      + 1 (all-zero suffix -> 53), merged by per-register max;
+    - the harmonic sum is the exact integer ``S = sum 2^(53 - r)`` with
+      r = 0 for never-touched registers, so the raw estimate
+      ``alpha_m * m^2 * 2^53 / S`` is ONE float division of two exactly
+      agreed values, and the small-range linear-counting branch
+      (``raw <= 2.5m`` with empty registers -> ``m * ln(m / V)``) mirrors
+      with a fixed expression order.
+
+    Scale shape: per-batch distinct -> (register, rank) partials, one
+    vocab-free two-phase max over <= 4096 keys; the driver folds 4096 rows.
+    Output one row: (m, n_zero, s_hi, s_lo, est_e3) — S split into two
+    exact int64 halves, estimate in milli-units.
+    """
+    import math
+
+    import ray
+
+    from .aggregate import two_phase_aggregate
+
+    m = 1 << HLL_P
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.unique(t.column(id_col).to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+        h = splitmix64(ids)
+        reg = (h >> np.uint64(HLL_RANK_BITS)).astype(np.int64)
+        low = h & np.uint64((1 << HLL_RANK_BITS) - 1)
+        rank = np.where(low == 0, HLL_RMAX,
+                        HLL_RANK_BITS - _bit_length_u64(low) + 1)
+        order = np.argsort(reg, kind="stable")
+        reg, rank = reg[order], rank[order]
+        starts = np.flatnonzero(np.r_[True, reg[1:] != reg[:-1]]) \
+            if len(reg) else np.empty(0, np.int64)
+        if len(reg):
+            mx = np.maximum.reduceat(rank, starts)
+            reg = reg[starts]
+        else:
+            mx = np.empty(0, np.int64)
+        return pa.table({"reg": pa.array(reg), "r": pa.array(mx)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    regs = two_phase_aggregate(parts, ["reg"], [("r", "max", "r")],
+                               num_buckets=num_buckets)
+    rows = regs.take_all()  # <= 4096 rows — bounded driver state
+    ranks = np.array([row["r"] for row in rows], dtype=np.int64)
+    n_zero = m - len(ranks)
+    s = int(np.sum(1 << (HLL_RMAX - ranks))) + n_zero * (1 << HLL_RMAX)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * float(m) * float(m) * float(1 << HLL_RMAX) / float(s)
+    if n_zero > 0 and raw <= 2.5 * m:
+        est = float(m) * math.log(float(m) / n_zero)
+    else:
+        est = raw
+    out = pa.table({
+        "m": pa.array([m], pa.int64()),
+        "n_zero": pa.array([n_zero], pa.int64()),
+        "s_hi": pa.array([s >> 32], pa.int64()),
+        "s_lo": pa.array([s & 0xFFFFFFFF], pa.int64()),
+        "est_e3": pa.array([int(math.floor(est * 1000))], pa.int64()),
+    })
+    return ray.data.from_arrow(out)

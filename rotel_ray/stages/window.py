@@ -572,3 +572,26 @@ def rolling_sum(ds, *, key: str, order_cols: list[str], value_col: str,
     return grouped_apply(ds, [key], per_bucket,
                          select=[key, *order_cols, value_col],
                          num_buckets=num_buckets)
+
+
+def latest_with_tombstones(ds, *, key: str = "user_id",
+                           order_cols: list[str] | None = None,
+                           tombstone_col: str = "event_type",
+                           tombstones: tuple = ("error",),
+                           num_buckets: int = 64):
+    """CDC compaction WITH deletes: latest-wins per key, then any key whose
+    winning row is a tombstone disappears entirely — the Kafka
+    log-compaction / Debezium delete-marker semantics (a delete only wins
+    if nothing newer re-upserts the key). Built on :func:`latest_per_key`;
+    the tombstone filter is a stateless post-pass, so the scale shape
+    (per-batch pre-compaction, one bucketed shuffle) is unchanged."""
+    latest = latest_per_key(ds, key=key, order_cols=order_cols,
+                            num_buckets=num_buckets)
+
+    def drop_tombstones(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t.column(tombstone_col),
+                                  value_set=pa.array(list(tombstones))))
+        return t.filter(keep)
+
+    return latest.map_batches(drop_tombstones, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -432,3 +432,33 @@ def test_dedup_keep_best_prefers_longest_member(ray_session):
     assert 1 in kept                      # longest member survives
     assert 0 not in kept and 2 not in kept
     assert {3, 4} <= kept                 # non-clustered docs untouched
+
+
+def test_dup_cluster_sizes_vs_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.dedup import dup_cluster_sizes
+
+    # synthetic (doc_id, cluster_id): clusters of sizes 1,1,2,3,3
+    cc = pa.table({"doc_id": [0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
+                   "cluster_id": [0, 1, 2, 2, 5, 5, 5, 7, 7, 7]})
+    out = dup_cluster_sizes(rd.from_arrow(cc).repartition(4)).to_pandas()
+    got = dict(zip(out.cluster_size, out.n_clusters))
+    assert got == {1: 2, 2: 1, 3: 2}
+
+
+def test_source_overlap_vs_bruteforce(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.dedup import source_overlap
+
+    texts = ["a b c d e f g h tail1", "A  b c d e f g h tail2",  # same fp, norm-insensitive
+             "x y z", "x y z", "unique one here"]
+    srcs = ["s1", "s2", "s1", "s3", "s2"]
+    ds = rd.from_arrow(pa.table({"text": texts, "source": srcs})).repartition(3)
+    out = source_overlap(ds).to_pandas()
+    got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1}

@@ -113,3 +113,51 @@ def test_grouped_kmv_estimate_and_exact_small_groups(ray_session):
     assert out.loc["big", "n_distinct_est"] == est_ref
     # sketch accuracy sanity: within 25% of truth at k=64
     assert abs(est_ref - 5000) / 5000 < 0.25
+
+
+def test_splitmix64_parity_and_bit_length():
+    import duckdb
+    import numpy as np
+
+    from rotel_ray.stages.sketch import (_bit_length_u64, splitmix64,
+                                         splitmix64_sql)
+
+    ids = np.random.default_rng(3).integers(0, 1 << 62, 500, dtype=np.uint64)
+    py = splitmix64(ids)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest($1::UBIGINT[]) AS x",
+                [[int(i) for i in ids]])
+    db = con.execute(
+        f"SELECT CAST({splitmix64_sql('x')} AS VARCHAR) FROM t").fetchall()
+    assert (py == np.array([int(v[0]) for v in db], dtype=np.uint64)).all()
+    # exact bit length incl. power-of-two boundaries float log2 mis-rounds
+    xs = np.array([0, 1, 2, 3, 4, (1 << 52) - 1, 1 << 52, (1 << 63)],
+                  dtype=np.uint64)
+    assert _bit_length_u64(xs).tolist() == [0, 1, 2, 2, 3, 52, 53, 64]
+
+
+def test_hll_distinct_accuracy_and_fields(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.sketch import HLL_RMAX, hll_distinct, splitmix64
+
+    u = np.random.default_rng(0).integers(0, 20_000, 100_000)
+    ds = rd.from_arrow(pa.table({"user_id": u})).repartition(8)
+    r = hll_distinct(ds).take_all()[0]
+    true = len(np.unique(u))
+    assert abs(r["est_e3"] / 1000 - true) / true < 0.05  # 3 sigma at m=4096
+    # register/harmonic-sum fields match a single-process reference
+    h = splitmix64(np.unique(u).astype(np.uint64))
+    reg = (h >> np.uint64(52)).astype(np.int64)
+    low = h & np.uint64((1 << 52) - 1)
+    from rotel_ray.stages.sketch import _bit_length_u64
+    rank = np.where(low == 0, HLL_RMAX, 52 - _bit_length_u64(low) + 1)
+    regs = {}
+    for g, rk in zip(reg, rank):
+        regs[g] = max(regs.get(g, 0), int(rk))
+    s = sum(1 << (HLL_RMAX - v) for v in regs.values()) \
+        + (4096 - len(regs)) * (1 << HLL_RMAX)
+    assert r["s_hi"] == s >> 32 and r["s_lo"] == s & 0xFFFFFFFF
+    assert r["n_zero"] == 4096 - len(regs)

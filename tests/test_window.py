@@ -250,3 +250,34 @@ def test_bucket_left_join_fill(ray_session):
     assert list(out["k"]) == [1, 2, 3, 4]
     assert list(out["m"]) == [0, 20, 0, 40]
     assert str(out["m"].dtype) == "int64"
+
+
+def test_latest_with_tombstones(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import latest_with_tombstones
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 300, n),
+        "ts": rng.integers(0, 10_000, n),
+        "event_id": np.arange(n),
+        "event_type": rng.choice(["view", "click", "error"], n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(8)
+    out = latest_with_tombstones(ds, key="user_id",
+                                 order_cols=["ts", "event_id"]).to_pandas()
+    ref = (df.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False])
+           .drop_duplicates("user_id"))
+    ref = ref[ref.event_type != "error"]
+    got = out.sort_values("user_id").reset_index(drop=True)
+    ref = ref.sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == ref["user_id"].tolist()
+    assert got["event_id"].tolist() == ref["event_id"].tolist()
+    # some keys really did vanish via tombstone
+    assert len(got) < df.user_id.nunique()
