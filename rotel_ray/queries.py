@@ -1225,6 +1225,16 @@ def q_bigram_logprob(sf_dir: str):
     return bigram_logprob(ds)
 
 
+def q_kn_bigram_logprob(sf_dir: str):
+    """Interpolated Kneser-Ney bigram doc scoring (absolute discount 0.75,
+    continuation-probability backoff) in integer micro-nats — the top rung
+    of the LM-quality ladder above unigram/bigram scoring."""
+    from .stages.textstats import kn_bigram_logprob
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return kn_bigram_logprob(ds)
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (hashed unigram+bigram LM ratio, target =
     lang='en' docs) in integer micro-nats — the importance-resampling data
@@ -2513,6 +2523,7 @@ QUERIES = {
     "dedup_keep": q_dedup_keep,
     "dedup_clusters": q_dedup_clusters,
     "distinct_hll": q_distinct_hll,
+    "kn_bigram_logprob": q_kn_bigram_logprob,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "source_overlap": q_source_overlap,
     "latest_with_tombstones": q_latest_with_tombstones,
@@ -4318,6 +4329,43 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM codes c JOIN dtab t ON t.sub = c.sub AND t.code = c.code
         GROUP BY 1
         ORDER BY adc, c.vec_id LIMIT 10"""
+    # interpolated Kneser-Ney: same positions CTE; continuation terms use
+    # the fixed expression greatest(c2-d,0)/c1 + d*left/c1 * (right/T)
+    # exactly as stages/textstats.py::kn_bigram_logprob evaluates it
+    sql["kn_bigram_logprob"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+          FROM documents),
+        pos AS (
+          SELECT doc_id, t.i AS i, tk[t.i] AS w,
+                 CASE WHEN t.i > 1 THEN tk[t.i - 1] END AS wp
+          FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM c1),
+        c2 AS (SELECT wp, w, CAST(count(*) AS BIGINT) AS c
+               FROM pos WHERE wp IS NOT NULL GROUP BY 1, 2),
+        lft AS (SELECT wp, CAST(count(*) AS BIGINT) AS n FROM c2 GROUP BY wp),
+        rgt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM c2 GROUP BY w),
+        ts AS (SELECT CAST(count(*) AS DOUBLE) AS ty FROM c2),
+        terms AS (
+          SELECT p.doc_id,
+                 CASE WHEN p.wp IS NULL
+                      THEN CAST(floor(ln(u.c / t.s) * 1e6) AS BIGINT)
+                      ELSE CAST(floor(ln(
+                        greatest(b.c - 0.75, 0) / up.c
+                        + 0.75 * l.n / up.c * (r.n / ts.ty)) * 1e6) AS BIGINT)
+                 END AS lp
+          FROM pos p
+          JOIN c1 u ON u.w = p.w
+          LEFT JOIN c1 up ON up.w = p.wp
+          LEFT JOIN c2 b ON b.wp = p.wp AND b.w = p.w
+          LEFT JOIN lft l ON l.wp = p.wp
+          LEFT JOIN rgt r ON r.w = p.w
+          CROSS JOIN tot t CROSS JOIN ts)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lp) AS BIGINT) AS lp_unat
+        FROM terms GROUP BY doc_id"""
     sql["bigram_logprob"] = r"""
         WITH toks AS (
           SELECT doc_id,

@@ -963,3 +963,101 @@ def bm25_topk(ds, query_terms: list[str], *, k: int = 10,
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.sort(["score_unat", id_col],
                        descending=[True, False]).limit(k)
+
+
+def kn_bigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int = 16, discount: float = 0.75):
+    """Per-doc interpolated Kneser–Ney bigram log-probability in integer
+    micro-nats — the top rung of the LM-quality ladder (Kneser & Ney 1995 /
+    Chen & Goodman 1999 interpolated form), exactly verifiable.
+
+    Model: the first token scores ``ln(c1(w)/total)``; every continuation
+    position scores ``ln(p)`` with
+
+        p = max(c2 - d, 0)/c1(w1) + d*left(w1)/c1(w1) * (right(w2)/T)
+
+    where ``left(w1)`` = distinct continuations of w1, ``right(w2)`` =
+    distinct left-contexts of w2 (the continuation probability numerator),
+    ``T`` = distinct bigram types and ``d`` the absolute discount. One fixed
+    float expression -> ``floor(ln(p) * 1e6)`` int64, identical IEEE doubles
+    on both engines, so per-doc sums are exact.
+
+    Scale shape: identical to :func:`bigram_logprob` — vocab-bounded
+    two-phase count tables broadcast once (left/right/T are derived from
+    the bigram table on the driver), one stateless scoring pass with two
+    Arrow ``index_in`` probes. Scoring the training corpus itself means
+    every doc bigram exists in the tables (no OOV path); cap like
+    unigram's ``top_v`` for open-vocab corpora."""
+    import ray
+
+    from .aggregate import two_phase_aggregate
+
+    c1_rows = unigram_counts(ds, text_col=text_col,
+                             num_buckets=num_buckets).take_all()
+    toks = pa.array([r["tok"] for r in c1_rows], pa.string())
+    c1 = np.array([r["c"] for r in c1_rows], dtype=np.int64)
+    total = float(c1.sum())
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = split_tokens(t.column(text_col))
+        if len(flat) < 2:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        joined = pc.binary_join_element_wise(flat[:-1], flat[1:], " ")
+        same = doc_of[:-1] == doc_of[1:]
+        d = pc.dictionary_encode(joined.filter(pa.array(same)))
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table({"bg": d.dictionary, "c": pa.array(cnt)})
+
+    c2_rows = two_phase_aggregate(
+        ds.map_batches(bigram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["bg"], [("c", "sum", "c")], num_buckets=num_buckets).take_all()
+    bgs = pa.array([r["bg"] for r in c2_rows], pa.string())
+    c2 = np.array([r["c"] for r in c2_rows], dtype=np.int64)
+
+    # continuation stats, derived on the driver from the (tiny) bigram vocab
+    parts = pc.split_pattern(bgs, " ")
+    w1i = pc.index_in(pc.list_element(parts, 0), toks) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    w2i = pc.index_in(pc.list_element(parts, 1), toks) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    left = np.bincount(w1i, minlength=len(c1)).astype(np.int64)
+    right = np.bincount(w2i, minlength=len(c1)).astype(np.int64)
+    n_types = float(len(c2_rows))
+
+    lp_uni = np.floor(np.log(c1.astype(np.float64) / total) * 1e6).astype(np.int64)
+    ref = ray.put((toks, bgs, c1.astype(np.float64), c2, left, right))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, bg_vocab, c1f, c2_l, left_l, right_l = ray.get(ref)
+        flat, doc_of, n_tok = split_tokens(t.column(text_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(n_tok), np.int64)
+        if len(flat):
+            uidx = pc.index_in(flat, vocab).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            first = np.r_[True, doc_of[1:] != doc_of[:-1]]
+            sums_add = np.where(first, lp_uni[uidx], 0)
+            if len(flat) > 1:
+                joined = pc.binary_join_element_wise(flat[:-1], flat[1:], " ")
+                bidx = pc.index_in(joined, bg_vocab)
+                bnp = bidx.fill_null(0).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                bval = bidx.is_valid().to_numpy(zero_copy_only=False)
+                cb = np.where(bval, c2_l[bnp], 0).astype(np.float64)
+                i1, i2 = uidx[:-1], uidx[1:]
+                p = (np.maximum(cb - discount, 0.0) / c1f[i1]
+                     + discount * left_l[i1] / c1f[i1]
+                     * (right_l[i2] / n_types))
+                lp_bi = np.floor(np.log(p) * 1e6).astype(np.int64)
+                cont = ~first[1:]
+                sums_add[1:] = np.where(cont, lp_bi, sums_add[1:])
+            np.add.at(sums, doc_of, sums_add)
+        m = n_tok > 0
+        return pa.table({id_col: pa.array(ids[m]),
+                         "n_tokens": pa.array(n_tok[m]),
+                         "lp_unat": pa.array(sums[m])})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
