@@ -484,6 +484,21 @@ def _doc_buckets(sf_dir: str) -> int:
     return auto_buckets(pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows)
 
 
+
+def _docs_hint(sf_dir: str):
+    """Parquet-metadata row-count hint scoped over plan construction
+    (aggregate.input_rows_hint): at small scale the exchanges built inside
+    collapse to single-task coalesces (sort launch latency dominates
+    there); at corpus scale the hint exceeds the threshold and plans are
+    unchanged. Metadata only — never a count() execution."""
+    import pyarrow.parquet as pq
+
+    from .stages.aggregate import input_rows_hint
+
+    return input_rows_hint(
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows)
+
+
 KMEANS_K = 8
 
 
@@ -519,7 +534,8 @@ def q_dedup_minhash(sf_dir: str):
     from .stages.dedup import minhash_lsh_neardup
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_neardup(ds, threshold=0.5, num_buckets=_doc_buckets(sf_dir))
+    with _docs_hint(sf_dir):
+        return minhash_lsh_neardup(ds, threshold=0.5, num_buckets=_doc_buckets(sf_dir))
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -527,7 +543,8 @@ def q_dedup_simhash(sf_dir: str):
     from .stages.dedup import simhash_neardup
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_neardup(ds, max_hamming=3, num_buckets=_doc_buckets(sf_dir))
+    with _docs_hint(sf_dir):
+        return simhash_neardup(ds, max_hamming=3, num_buckets=_doc_buckets(sf_dir))
 
 
 def q_token_jaccard(sf_dir: str):
@@ -1090,8 +1107,9 @@ def q_dedup_keep(sf_dir: str):
     from .stages.dedup import minhash_dedup_keep
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
-    return minhash_dedup_keep(ds, threshold=0.5, keep_cols=["doc_id", "lang"],
-                              num_buckets=_doc_buckets(sf_dir))
+    with _docs_hint(sf_dir):
+        return minhash_dedup_keep(ds, threshold=0.5, keep_cols=["doc_id", "lang"],
+                                  num_buckets=_doc_buckets(sf_dir))
 
 
 def q_doc_repetition(sf_dir: str):
@@ -1137,8 +1155,10 @@ def q_dedup_clusters(sf_dir: str):
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     nb = _doc_buckets(sf_dir)
-    return connected_components(minhash_lsh_neardup(ds, threshold=0.5, num_buckets=nb),
-                                num_buckets=nb)
+    with _docs_hint(sf_dir):
+        return connected_components(
+            minhash_lsh_neardup(ds, threshold=0.5, num_buckets=nb),
+            num_buckets=nb)
 
 
 def q_dedup_keep_clustered(sf_dir: str):
@@ -1148,8 +1168,10 @@ def q_dedup_keep_clustered(sf_dir: str):
     from .stages.dedup import minhash_dedup_keep_clustered
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
-    return minhash_dedup_keep_clustered(ds, threshold=0.5, keep_cols=["doc_id", "lang"],
-                                        num_buckets=_doc_buckets(sf_dir))
+    with _docs_hint(sf_dir):
+        return minhash_dedup_keep_clustered(ds, threshold=0.5,
+                                            keep_cols=["doc_id", "lang"],
+                                            num_buckets=_doc_buckets(sf_dir))
 
 
 def q_span_dedup(sf_dir: str):
@@ -1160,7 +1182,8 @@ def q_span_dedup(sf_dir: str):
     from .stages.dedup import span_dedup
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return span_dedup(ds, width=10, num_buckets=_doc_buckets(sf_dir))
+    with _docs_hint(sf_dir):
+        return span_dedup(ds, width=10, num_buckets=_doc_buckets(sf_dir))
 
 
 def q_mix_balance(sf_dir: str):
@@ -1273,11 +1296,12 @@ def q_corpus_pack(sf_dir: str):
     from .stages.dedup import semi_join_ids
     from .stages.pack import pack_sequences
 
-    kept_ids = q_corpus_curation(sf_dir).map_batches(
-        lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True)
-    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    curated = semi_join_ids(docs, kept_ids)
-    return pack_sequences(curated, seq_len=1024)
+    with _docs_hint(sf_dir):
+        kept_ids = q_corpus_curation(sf_dir).map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True)
+        docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        curated = semi_join_ids(docs, kept_ids)
+        return pack_sequences(curated, seq_len=1024)
 
 
 def q_global_quantiles(sf_dir: str):
@@ -1342,7 +1366,8 @@ def q_bpe_train(sf_dir: str):
     from .stages.bpe import bpe_train
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    return bpe_train(ds, num_merges=8)
+    with _docs_hint(sf_dir):
+        return bpe_train(ds, num_merges=8)
 
 
 def q_bpe_encode(sf_dir: str):
@@ -1352,11 +1377,12 @@ def q_bpe_encode(sf_dir: str):
     the final word->symbols table back to each doc's word positions."""
     from .stages.bpe import bpe_encode, bpe_train
 
-    train = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    merges = [(r["b1"], r["b2"], r["new_id"])
-              for r in bpe_train(train, num_merges=8).take_all()]
-    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return bpe_encode(docs, merges)
+    with _docs_hint(sf_dir):
+        train = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        merges = [(r["b1"], r["b2"], r["new_id"])
+                  for r in bpe_train(train, num_merges=8).take_all()]
+        docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return bpe_encode(docs, merges)
 
 
 def q_turn_transitions(sf_dir: str):
@@ -1426,9 +1452,10 @@ def q_dedup_keep_best(sf_dir: str):
 
     ds = read_parquet(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "lang", "text"])
-    return minhash_dedup_keep_best(ds, threshold=0.5,
-                                   keep_cols=["doc_id", "lang"],
-                                   num_buckets=_doc_buckets(sf_dir))
+    with _docs_hint(sf_dir):
+        return minhash_dedup_keep_best(ds, threshold=0.5,
+                                       keep_cols=["doc_id", "lang"],
+                                       num_buckets=_doc_buckets(sf_dir))
 
 
 KMV_GROUP_K = 64
@@ -1474,10 +1501,11 @@ def q_dup_cluster_sizes(sf_dir: str):
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     nb = _doc_buckets(sf_dir)
-    cc = connected_components(minhash_lsh_neardup(ds, threshold=0.5,
-                                                  num_buckets=nb),
-                              num_buckets=nb)
-    return dup_cluster_sizes(cc)
+    with _docs_hint(sf_dir):
+        cc = connected_components(minhash_lsh_neardup(ds, threshold=0.5,
+                                                      num_buckets=nb),
+                                  num_buckets=nb)
+        return dup_cluster_sizes(cc)
 
 
 def q_source_overlap(sf_dir: str):

