@@ -33,6 +33,32 @@ from .stages.aggregate import (
 from .stages.parse import parse_stage
 from .stages.route import route_stage
 
+def _table_hint(sf_dir: str, table: str = "documents"):
+    """Parquet-metadata row-count hint scoped over plan construction
+    (aggregate.input_rows_hint) — see _docs_hint."""
+    import pyarrow.parquet as pq
+
+    from .stages.aggregate import input_rows_hint
+
+    return input_rows_hint(
+        pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows)
+
+
+def _hinted(table: str):
+    """Decorator: run the query's plan construction under the row-count
+    hint of its driving table, so tiny exchanges coalesce at small scale
+    (no-op at corpus scale). Metadata only — never an execution."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(sf_dir, *a, **k):
+            with _table_hint(sf_dir, table):
+                return fn(sf_dir, *a, **k)
+        return wrapped
+    return deco
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (classification predicates mirror stages/parse.py)
 # ---------------------------------------------------------------------------
@@ -305,6 +331,7 @@ def q_nation_orders(sf_dir: str):
     )
 
 
+@_hinted("events")
 def q_events_minute(sf_dir: str):
     ds = read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
@@ -326,6 +353,7 @@ def q_events_minute(sf_dir: str):
     return _cast_final(agg, {"ts_minute": pa.timestamp("us")})
 
 
+@_hinted("events")
 def q_top_users(sf_dir: str):
     ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     ds = ds.map_batches(
@@ -547,6 +575,7 @@ def q_dedup_simhash(sf_dir: str):
         return simhash_neardup(ds, max_hamming=3, num_buckets=_doc_buckets(sf_dir))
 
 
+@_hinted("documents")
 def q_token_jaccard(sf_dir: str):
     """Exact token-set Jaccard on the deterministic (2i, 2i+1) pairing."""
     from .stages.dedup import token_jaccard_pairs
@@ -749,6 +778,7 @@ def q_mm_motion(sf_dir: str):
                           batch_size=256, zero_copy_batch=True)
 
 
+@_hinted("events")
 def q_slo_burn(sf_dir: str):
     """Multi-window SLO burn-rate alerting (the SRE error-budget rule):
     per-tool 5-minute vs 1-hour error ratios, burn flag when the short
@@ -821,6 +851,7 @@ def q_mm_resize(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_hinted("events")
 def q_sessionize(sf_dir: str):
     from .stages.window import sessionize
 
@@ -829,6 +860,7 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, gap_minutes=30.0)
 
 
+@_hinted("events")
 def q_top_events_per_user(sf_dir: str):
     from .stages.window import topk_per_group
 
@@ -836,6 +868,7 @@ def q_top_events_per_user(sf_dir: str):
     return topk_per_group(ds, key="user_id", order_col="value", id_col="event_id", k=3)
 
 
+@_hinted("events")
 def q_asof_purchase_click(sf_dir: str):
     """For each purchase, the user's most recent click at or before it."""
     from .stages.window import asof_join_backward
@@ -856,6 +889,7 @@ def q_asof_purchase_click(sf_dir: str):
     return out.map_batches(fix_types, batch_format="pyarrow")
 
 
+@_hinted("events")
 def q_events_hopping(sf_dir: str):
     """Hopping-window aggregate: 5-min windows sliding by 1 min over events
     (each event fans out to the 5 windows containing it)."""
@@ -865,6 +899,7 @@ def q_events_hopping(sf_dir: str):
     return hopping_window_aggregate(ds, window_minutes=5, hop_minutes=1)
 
 
+@_hinted("events")
 def q_range_join(sf_dir: str):
     """Time-range join: every error within ±1 hour of a purchase by the same
     user (bucketed time-grid co-partitioning, no all-pairs)."""
@@ -1126,6 +1161,7 @@ SAMPLE_STRATA = {"en": "8000", "de": "4000", "fr": "2000"}
 SAMPLE_DEFAULT_THR = "1000"
 
 
+@_hinted("documents")
 def q_doc_sample_stratified(sf_dir: str):
     """Stratified deterministic sampling: per-language keep rates expressed
     as 4-hex md5-prefix thresholds (en 1/2, de 1/4, fr 1/8, others 1/16).
@@ -1186,6 +1222,7 @@ def q_span_dedup(sf_dir: str):
         return span_dedup(ds, width=10, num_buckets=_doc_buckets(sf_dir))
 
 
+@_hinted("documents")
 def q_mix_balance(sf_dir: str):
     """Source re-mixing to an equal token share (Gopher/DoReMi-style static
     mix): per-source token totals via two-phase aggregate, integer-exact
@@ -1197,6 +1234,7 @@ def q_mix_balance(sf_dir: str):
     return mix_balance(ds, num_buckets=_doc_buckets(sf_dir))
 
 
+@_hinted("documents")
 def q_shard_assign(sf_dir: str):
     """Deterministic global shuffle + shard for training export: shard =
     md5-prefix mod 16, pos = rank in shard by (md5, doc_id). Reproducible
@@ -1227,6 +1265,7 @@ def q_pii_scrub(sf_dir: str):
     return pii_scrub_stage(ds, keep_cols=["conv_id", "turn_idx", "text"])
 
 
+@_hinted("documents")
 def q_norm_dedup(sf_dir: str):
     """Normalization-aware exact dedup over turn text (lowercase +
     whitespace collapse + trim, then content-hash groups): one row per
@@ -1258,6 +1297,7 @@ def q_kn_bigram_logprob(sf_dir: str):
     return kn_bigram_logprob(ds)
 
 
+@_hinted("documents")
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (hashed unigram+bigram LM ratio, target =
     lang='en' docs) in integer micro-nats — the importance-resampling data
@@ -1275,6 +1315,7 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(full, target)
 
 
+@_hinted("documents")
 def q_dsir_select(sf_dir: str):
     """Importance RESAMPLING completed: exact global top-1/4 of documents by
     DSIR weight (ties by doc_id), each with its exact global rank — the
@@ -1337,6 +1378,7 @@ def q_token_budget(sf_dir: str):
     return token_budget_sample(ds, budget=8192)
 
 
+@_hinted("documents")
 def q_pack_export(sf_dir: str):
     """Packed-stream materialization: one row per 2048-token training
     sequence with exact token/doc counts and an int64 token-id checksum
@@ -1411,6 +1453,7 @@ def q_doc_chunks(sf_dir: str):
     return doc_chunks(ds, chunk_size=DOC_CHUNK_SIZE, stride=DOC_CHUNK_STRIDE)
 
 
+@_hinted("orders")
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER bucket join: every customer with its order count,
     zero-order customers included — the outer-join path of the big-big
@@ -1432,6 +1475,7 @@ def q_customer_order_counts(sf_dir: str):
                             how="left", fill={"n_orders": 0}, num_buckets=16)
 
 
+@_hinted("events")
 def q_rolling_value(sf_dir: str):
     """Per-user rolling 5-event value sum (cents) in (ts, event_id) order —
     the sliding-row-window aggregate of streaming analytics, vectorized
@@ -1461,6 +1505,7 @@ def q_dedup_keep_best(sf_dir: str):
 KMV_GROUP_K = 64
 
 
+@_hinted("events")
 def q_users_per_type_kmv(sf_dir: str):
     """Per-group KMV distinct sketch: estimated distinct users per event
     type from k=64 smallest id-permutation hashes — grouped mergeable
@@ -1482,6 +1527,7 @@ def q_embedding_covariance(sf_dir: str):
     return embedding_covariance(ds)
 
 
+@_hinted("events")
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct users (4096 registers, splitmix64-mixed) — the
     industry-standard cardinality sketch with an exact-integer register
@@ -1517,6 +1563,7 @@ def q_source_overlap(sf_dir: str):
     return source_overlap(ds)
 
 
+@_hinted("events")
 def q_latest_with_tombstones(sf_dir: str):
     """CDC compaction with deletes: latest-wins per user, keys whose newest
     event is an 'error' tombstone are dropped (log-compaction semantics)."""
@@ -1528,6 +1575,7 @@ def q_latest_with_tombstones(sf_dir: str):
                                   order_cols=["ts", "event_id"])
 
 
+@_hinted("events")
 def q_latest_event_per_user(sf_dir: str):
     """Changelog compaction (CDC latest-wins upsert): one row per user —
     the newest event by (ts, event_id). Per-batch pre-compaction means the
@@ -2130,6 +2178,7 @@ def q_ch_metrics_summary(sf_dir: str):
     return summary_rows(_parsed(sf_dir))
 
 
+@_hinted("documents")
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: training docs sharing any token 8-gram
     with the eval split (doc_id % 19 == 0 plays the held-out benchmark).
@@ -2159,6 +2208,7 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(ds)
 
 
+@_hinted("documents")
 def q_seq_pack(sf_dir: str):
     """Sequence packing (concat-and-chunk): map every document to its span
     in the seq_len-token packed training stream via a distributed exclusive
@@ -2178,6 +2228,7 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, k=5)
 
 
+@_hinted("documents")
 def q_dup_ngrams(sf_dir: str):
     """Intra-corpus duplicate k-gram statistics (Lee et al. exact-substring
     dedup signal): one bucketed shuffle of (doc, gram, multiplicity) rows —
