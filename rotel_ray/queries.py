@@ -690,9 +690,8 @@ def q_mm_meta(sf_dir: str):
 
     media_dir = ensure_media(sf_from_dir(sf_dir))
     ds = read_parquet(media_dir)
-    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), zero_copy_batch=True,
-                        max_restarts=0)
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
     return ds.map_batches(
         lambda t: t.select(["media_id", "kind", "width", "height", "nframes", "n_bytes"]),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -710,9 +709,8 @@ def q_mm_decode(sf_dir: str):
 
     media_dir = ensure_media(sf_from_dir(sf_dir))
     ds = read_parquet(media_dir, columns=["media_id", "payload"])
-    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), zero_copy_batch=True,
-                        max_restarts=0)
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
 
     def stats(t: pa.Table) -> pa.Table:
         bodies = t.column("body").to_pylist()
@@ -752,9 +750,8 @@ def q_mm_resample(sf_dir: str):
 
     media_dir = ensure_media(sf_from_dir(sf_dir))
     ds = read_parquet(media_dir, columns=["media_id", "payload"])
-    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), zero_copy_batch=True,
-                        max_restarts=0)
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
     ds = ds.map_batches(resample_audio, batch_format="pyarrow", batch_size=256,
                         zero_copy_batch=True)
     return ds.map_batches(
@@ -771,9 +768,8 @@ def q_mm_motion(sf_dir: str):
 
     media_dir = ensure_media(sf_from_dir(sf_dir))
     ds = read_parquet(media_dir, columns=["media_id", "payload"])
-    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), zero_copy_batch=True,
-                        max_restarts=0)
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
     return ds.map_batches(motion_energy, batch_format="pyarrow",
                           batch_size=256, zero_copy_batch=True)
 
@@ -841,9 +837,8 @@ def q_mm_resize(sf_dir: str):
 
     media_dir = ensure_media(sf_from_dir(sf_dir))
     ds = read_parquet(media_dir, columns=["media_id", "payload"])
-    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), zero_copy_batch=True,
-                        max_restarts=0)
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
     ds = ds.map_batches(resize_images, batch_format="pyarrow", batch_size=256,
                         zero_copy_batch=True)
     return ds.map_batches(

@@ -773,6 +773,33 @@ def embedding_neardup_exact(ds, *, tau: float = 0.9, id_col: str = "vec_id",
     ids_all = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     m_all = np.stack(full.column(emb_col).to_pylist()).astype(np.float64)
     m_all /= np.maximum(np.linalg.norm(m_all, axis=1, keepdims=True), 1e-12)
+
+    def find_pairs(t: pa.Table, ids_ref, m_ref) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ m_ref.T  # (b, N)
+        bi, aj = np.nonzero(sims >= tau)
+        a = ids[bi]
+        b = ids_ref[aj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+                "cos_sim": pa.array(sims[bi[keep], aj[keep]]),
+            }
+        )
+
+    if m_all.nbytes < (8 << 20):
+        # small reference set: ship it in the task closure (cloudpickle-
+        # cached once per task spec) — fuses with the upstream read and
+        # skips actor-pool startup entirely
+        def fused(t: pa.Table) -> pa.Table:
+            return find_pairs(t, ids_all, m_all)
+
+        return ds.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True)
+
     ref = ray.put((ids_all, m_all))
 
     class PairFinder:
@@ -780,21 +807,7 @@ def embedding_neardup_exact(ds, *, tau: float = 0.9, id_col: str = "vec_id",
             self.ids_all, self.m_all = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = embedding_matrix(t.column(emb_col)).astype(np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            sims = m @ self.m_all.T  # (b, N)
-            bi, aj = np.nonzero(sims >= tau)
-            a = ids[bi]
-            b = self.ids_all[aj]
-            keep = a < b
-            return pa.table(
-                {
-                    "vec_a": pa.array(a[keep]),
-                    "vec_b": pa.array(b[keep]),
-                    "cos_sim": pa.array(sims[bi[keep], aj[keep]]),
-                }
-            )
+            return find_pairs(t, self.ids_all, self.m_all)
 
     # max_restarts=0: the broadcast ref lives in the closure; a restarted
     # actor could not refetch it if the driver-side ref went out of scope

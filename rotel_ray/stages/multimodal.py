@@ -1,8 +1,11 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media travel as opaque ``binary`` payload columns with typed metadata, and
-every transform is an actor-pool ``map_batches`` stage sized for large
-payloads (small ``batch_size``, bounded actor heap).
+every transform is a ``map_batches`` stage sized for large payloads (small
+``batch_size``, bounded per-task heap). The stdlib codecs are STATELESS,
+so the default compute mode is plain tasks (fuses with the read); the
+actor-pool mode remains one flag away for deployments whose decode loads
+real codec state in ``__init__`` (see ``media_pipeline``).
 
 Codec boundary (round 3): images and audio now use REAL container formats
 decoded with stdlib-only codecs implemented in this module —
@@ -16,7 +19,7 @@ decoded with stdlib-only codecs implemented in this module —
   is expressible in the stdlib; the decode boundary for video is a header
   parse + ``np.frombuffer``, everything after it is real array math).
 
-``MediaDecoder`` sniffs the payload magic, so one actor pool serves mixed
+``MediaDecoder`` sniffs the payload magic, so one decode stage serves mixed
 corpora. The fixture generator stores ``body_hex`` — the raw pre-encode
 bytes — as a metadata column; the DuckDB oracles replay their position math
 over ``body_hex`` while the engine must reproduce those bytes by actually
@@ -460,15 +463,25 @@ def motion_energy(t: pa.Table) -> pa.Table:
 
 
 def media_pipeline(media_dir: str, *, decode_concurrency=(1, 4), feature_concurrency=(1, 4),
-                   batch_size: int = 256):
-    """read -> decode (actor pool, small batches: payloads are large) ->
-    features. Returns the lazy features Dataset."""
+                   batch_size: int = 256, compute: str = "tasks"):
+    """read -> decode -> features over binary payload columns (small
+    batches: payloads are large). Returns the lazy features Dataset.
+
+    ``compute="tasks"`` (default): the stdlib codecs are STATELESS, so
+    callable INSTANCES run as plain tasks that fuse with the read — no
+    actor-pool startup, no object-store hop (see the enrich-stage fusion
+    note in BASELINE.md). ``compute="actors"`` keeps the actor-pool shape
+    for deployments whose decode loads real codec state (a model, a JIT'd
+    library) in ``__init__``; max_restarts=0 there because Ray Data ships
+    the fused ctor bundle by object-store ref (ray#53727)."""
     from ..io import read_parquet
 
     ds = read_parquet(media_dir, columns=["media_id", "payload"])
-    # max_restarts=0 on the stateless codec pools: the pool replaces dead
-    # actors and task retries cover in-flight batches, and Ray Data ships
-    # the fused ctor bundle by object-store ref (ray#53727 warning otherwise)
+    if compute == "tasks":
+        ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                            batch_size=batch_size, zero_copy_batch=True)
+        return ds.map_batches(MediaFeatures(), batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
     ds = ds.map_batches(
         MediaDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=decode_concurrency, zero_copy_batch=True, max_restarts=0,
@@ -485,8 +498,8 @@ def frame_sample_pipeline(media_dir: str, *, every: int = 4, concurrency=(1, 4),
 
     ds = read_parquet(media_dir, columns=["media_id", "payload"])
     ds = ds.map_batches(
-        MediaDecoder, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, zero_copy_batch=True, max_restarts=0,
+        MediaDecoder(), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
     )
     return ds.map_batches(
         lambda t: frame_sample_batch(t, every), batch_format="pyarrow",
