@@ -81,6 +81,17 @@ SECONDARY = [
     "slo_burn",
     "mm_resample",
     "mm_motion",
+    # round 3
+    "mm_decode",
+    "distinct_hll",
+    "kn_bigram_logprob",
+    "source_overlap",
+    "latest_with_tombstones",
+    "dup_cluster_sizes",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "embedding_neardup_lsh",
+    "tfidf_topk",
 ]
 
 

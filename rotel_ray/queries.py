@@ -433,6 +433,7 @@ def q_sim_topk(sf_dir: str, k: int = 10):
     return brute_force_topk(ds, _query_vec(sf_dir), k).select_columns(["vec_id"])
 
 
+@_hinted("embeddings")
 def q_hard_negatives(sf_dir: str, k: int = 10):
     """Hard-negative mining: top-k most-cosine-similar vectors whose LABEL
     differs from the query vector's — the contrastive-training sampler.
@@ -453,6 +454,7 @@ def q_hard_negatives(sf_dir: str, k: int = 10):
     return brute_force_topk(neg, qv, k).select_columns(["vec_id"])
 
 
+@_hinted("embeddings")
 def q_embedding_quantize(sf_dir: str):
     """Global per-dim scalar quantization of the embedding table to uint8
     codes (exploded rows)."""
@@ -462,6 +464,7 @@ def q_embedding_quantize(sf_dir: str):
     return quantize_embeddings(ds)
 
 
+@_hinted("embeddings")
 def q_pq_codes(sf_dir: str):
     """Product-quantization codes (8 sub-spaces x 8 deterministic codebook
     entries) over the integer scalar-quantized vectors — all-int64 squared-L2
@@ -472,6 +475,7 @@ def q_pq_codes(sf_dir: str):
     return pq_codes(ds, m=8, k=8)
 
 
+@_hinted("embeddings")
 def q_pq_search(sf_dir: str):
     """PQ asymmetric-distance top-10 for the vec_id=0 query — the complete
     quantized-ANN search path (codes + integer ADC tables), bit-exact."""
@@ -530,6 +534,7 @@ def _docs_hint(sf_dir: str):
 KMEANS_K = 8
 
 
+@_hinted("embeddings")
 def q_embedding_kmeans_assign(sf_dir: str):
     """Embedding cluster ASSIGNMENT (the per-vector step of SemDeDup-style
     k-means curation): centroids = the KMEANS_K lowest-id vectors
@@ -544,6 +549,7 @@ def q_embedding_kmeans_assign(sf_dir: str):
     return kmeans_assign(ds, centroids)
 
 
+@_hinted("embeddings")
 def q_semdedup(sf_dir: str):
     """SemDeDup end-to-end: deterministic centroids (lowest-id vectors) ->
     cluster assignment -> within-cluster cosine >= 0.95 drops the higher id
@@ -587,6 +593,7 @@ def q_token_jaccard(sf_dir: str):
 NEARDUP_TAU = 0.45
 
 
+@_hinted("embeddings")
 def q_embedding_neardup(sf_dir: str):
     """All embedding pairs with cosine >= tau (exact broadcast baseline);
     pairs only — the float similarity stays out of the hash compare."""
@@ -597,6 +604,7 @@ def q_embedding_neardup(sf_dir: str):
     return pairs.select_columns(["vec_a", "vec_b"])
 
 
+@_hinted("embeddings")
 def q_embedding_neardup_lsh(sf_dir: str):
     """LSH-bucketed near-dup pairs (scale path). Runs over the PLANTED
     fixture — the corpus plus exact-2x-scaled clones whose band signatures
@@ -1512,6 +1520,7 @@ def q_users_per_type_kmv(sf_dir: str):
     return grouped_kmv(ds, key="event_type", id_col="user_id", k=KMV_GROUP_K)
 
 
+@_hinted("embeddings")
 def q_embedding_covariance(sf_dir: str):
     """Distributed PCA input: exact-integer second-moment accumulation over
     the embedding corpus — per (i<=j) dim pair the Gram sum, per-dim sums
@@ -1608,6 +1617,7 @@ def q_collocations(sf_dir: str):
 KMEANS_FIT_ROUNDS = 3
 
 
+@_hinted("embeddings")
 def q_kmeans_fit_int(sf_dir: str):
     """Iterative integer Lloyd k-means FIT (init = k lowest-id vectors, 2
     update rounds + final assignment) — the exactly-verifiable variant of

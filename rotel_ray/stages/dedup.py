@@ -853,7 +853,7 @@ def embedding_neardup_lsh(ds, *, tau: float = 0.9, num_bands: int = 16,
     bucketed = ds.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs(t: pa.Table) -> pa.Table:
-        m = np.stack(t.column(emb_col).to_pylist()).astype(np.float64)
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         buckets = t.column("bucket").to_numpy(zero_copy_only=False)

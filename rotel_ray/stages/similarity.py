@@ -216,23 +216,17 @@ def ivf_topk(ds, query_vec: np.ndarray, k: int = 10, *, n_centroids: int = 16,
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     probes = np.argsort(-(centroids @ qn))[:n_probe]
-    ref = ray.put((centroids, probes, qn))
+    # centroid table is n_centroids x d floats (KBs): task-closure broadcast
+    def probe(t: pa.Table) -> pa.Table:
+        m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
+        assign = np.argmax(m @ centroids.T, axis=1)
+        mask = np.isin(assign, probes)
+        sims = m[mask] @ qn
+        return pa.table(
+            {id_col: t.column(id_col).filter(pa.array(mask)), "sim": pa.array(sims)}
+        )
 
-    class Probe:
-        def __init__(self):
-            self.centroids, self.probes, self.q = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
-            assign = np.argmax(m @ self.centroids.T, axis=1)
-            mask = np.isin(assign, self.probes)
-            sims = m[mask] @ self.q
-            return pa.table(
-                {id_col: t.column(id_col).filter(pa.array(mask)), "sim": pa.array(sims)}
-            )
-
-    cand = ds.map_batches(Probe, batch_format="pyarrow", concurrency=concurrency,
-                          zero_copy_batch=True, max_restarts=0)
+    cand = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
     def partial_topk(t: pa.Table) -> pa.Table:
         sims = t.column("sim").to_numpy()
@@ -263,23 +257,19 @@ def lsh_topk(ds, query_vec: np.ndarray, k: int = 10, *, num_bits: int = 8,
     planes = make_planes(dim, num_bits, seed)
     qsig = int(lsh_signatures(qn[None, :], planes)[0])
     probes = _probe_buckets(qsig, num_bits, probe_hamming)
-    bref = ray.put((planes, probes, qn))
+    # planes + probes + query are a few KB: ship them in the task closure
+    # (cloudpickle-cached per task spec) — fuses with the read, no actor
+    # pool startup, no object-store ref to lose (ray#53727)
+    def candidates(t: pa.Table) -> pa.Table:
+        m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
+        sigs = lsh_signatures(m, planes)
+        mask = np.isin(sigs, probes)
+        sims = m[mask] @ qn
+        return pa.table(
+            {id_col: t.column(id_col).filter(pa.array(mask)), "sim": pa.array(sims)}
+        )
 
-    class Candidates:
-        def __init__(self):
-            self.planes, self.probes, self.q = ray.get(bref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(embedding_matrix(t.column(emb_col)).astype(np.float64))
-            sigs = lsh_signatures(m, self.planes)
-            mask = np.isin(sigs, self.probes)
-            sims = m[mask] @ self.q
-            return pa.table(
-                {id_col: t.column(id_col).filter(pa.array(mask)), "sim": pa.array(sims)}
-            )
-
-    cand = ds.map_batches(Candidates, batch_format="pyarrow", concurrency=concurrency,
-                          zero_copy_batch=True, max_restarts=0)
+    cand = ds.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
 
     def partial_topk(t: pa.Table) -> pa.Table:
         sims = t.column("sim").to_numpy()
