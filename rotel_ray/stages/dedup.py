@@ -938,6 +938,33 @@ def connected_components(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
     if n_edge_rows == 0:
         return ray.data.from_arrow(empty)
 
+    from .aggregate import LOCAL_COALESCE_ROWS
+
+    if n_edge_rows <= LOCAL_COALESCE_ROWS:
+        # measured-small graph (n_edge_rows is exact — the edges table is
+        # already materialized): ONE task holding the whole graph runs the
+        # min-label loop in-memory to convergence, replacing 3-5 distributed
+        # rounds (2 executions each). Same semantics: label = min reachable
+        # id; at corpus scale the distributed iteration below runs instead.
+        def local_cc(t: pa.Table) -> pa.Table:
+            src = t.column(id_col).to_numpy(zero_copy_only=False)
+            dst = t.column("__dst").to_numpy(zero_copy_only=False)
+            nodes, inv = np.unique(np.concatenate([src, dst]),
+                                   return_inverse=True)
+            si, di = inv[:len(src)], inv[len(src):]
+            lab = nodes.copy()
+            while True:
+                new = lab.copy()
+                np.minimum.at(new, di, lab[si])  # edges carry both directions
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            return pa.table({id_col: pa.array(nodes).cast(id_type),
+                             label_col: pa.array(lab).cast(id_type)})
+
+        return edges.repartition(1).map_batches(local_cc, batch_format="pyarrow",
+                                                batch_size=None)
+
     # right-size the iteration: the pair graph is usually tiny relative to
     # the corpus, and a fixed 64-way bucket fan-out would make every
     # iteration pay ~100 near-empty tasks (measured 6 s/iteration at 1 k
