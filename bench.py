@@ -92,6 +92,7 @@ SECONDARY = [
     "sim_topk_ivf",
     "embedding_neardup_lsh",
     "tfidf_topk",
+    "otlp_spans_json",
 ]
 
 

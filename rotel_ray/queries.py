@@ -2353,6 +2353,53 @@ def q_ch_traces_row(sf_dir: str):
     return span_rows(_parsed(sf_dir))
 
 
+def q_otlp_spans_json(sf_dir: str):
+    """OTLP/JSON span export — the reference's primary exporter wire shape
+    restated per the proto3 JSON mapping (one ExportTraceServiceRequest
+    document per tool-call span; see stages/transform.py::otlp_span_json).
+    The oracle-checked projection PARSES each emitted document back down
+    the resourceSpans -> scopeSpans -> spans hierarchy — a structurally
+    malformed document cannot round-trip."""
+    import json as _json
+
+    from .stages.transform import otlp_span_json
+
+    events = _parsed(sf_dir).map_batches(otlp_span_json, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+    def parse_back(t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("service", "trace_id", "span_id",
+                                "parent_span_id", "name", "kind", "start_ns",
+                                "end_ns", "tool_exit", "status_code")}
+        for ev in t.column("event").to_pylist():
+            doc = _json.loads(ev)
+            rs = doc["resourceSpans"][0]
+            attrs = {a["key"]: a["value"] for a in rs["resource"]["attributes"]}
+            sc = rs["scopeSpans"][0]
+            assert sc["scope"]["name"] == "rotel_ray"
+            sp = sc["spans"][0]
+            sattrs = {a["key"]: a["value"] for a in sp["attributes"]}
+            rows["service"].append(attrs["service.name"]["stringValue"])
+            rows["trace_id"].append(sp["traceId"])
+            rows["span_id"].append(sp["spanId"])
+            rows["parent_span_id"].append(sp.get("parentSpanId", ""))
+            rows["name"].append(sp["name"])
+            rows["kind"].append(sp["kind"])
+            rows["start_ns"].append(int(sp["startTimeUnixNano"]))
+            rows["end_ns"].append(int(sp["endTimeUnixNano"]))
+            rows["tool_exit"].append(int(sattrs["tool.exit"]["intValue"]))
+            rows["status_code"].append(sp["status"]["code"])
+        return pa.table({
+            "conv_id": t.column("conv_id"), "turn_idx": t.column("turn_idx"),
+            **{k: pa.array(v, pa.int64() if k in ("kind", "start_ns", "end_ns",
+                                                  "tool_exit", "status_code")
+                           else pa.string()) for k, v in rows.items()},
+        })
+
+    return events.map_batches(parse_back, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_metrics_emf_json(sf_dir: str):
     """EMF JSON event serialization + namespace fallback chain
     (awsemf/transformer.rs:533-619, 746-766): grouped metrics with
@@ -2598,6 +2645,7 @@ QUERIES = {
     "ch_logs_row": q_ch_logs_row,
     "ch_traces_row": q_ch_traces_row,
     "metrics_emf_json": q_metrics_emf_json,
+    "otlp_spans_json": q_otlp_spans_json,
     "xray_groups": q_xray_groups,
     "redaction_body": q_redaction_body,
     "file_source_gz": q_file_source_gz,
@@ -3695,6 +3743,26 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     ELSE '[]' END AS events_attributes,
                '[]' AS links_trace_id, '[]' AS links_span_id,
                '[]' AS links_trace_state, '[]' AS links_attributes
+        FROM {T} WHERE {SQL_IS_TOOL}"""
+    # OTLP/JSON spans: the parse-back projection must equal this direct
+    # computation from the raw turns (ids/times/exit mirror span_ids,
+    # ch_traces_row and dd_span fragments)
+    _EXIT0 = r"CAST(regexp_extract(text, 'exit=(\d+)', 1) AS BIGINT)"
+    sql["otlp_spans_json"] = rf"""
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               role AS service,
+               md5(conv_id) AS trace_id,
+               substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
+               CASE WHEN turn_idx = 0 THEN ''
+                    ELSE substr(md5(conv_id || ':' || (turn_idx - 1)), 1, 16)
+               END AS parent_span_id,
+               regexp_extract(text, 'tool=(\w+)', 1) AS name,
+               CAST(3 AS BIGINT) AS kind,
+               epoch_ns(ts) AS start_ns,
+               epoch_ns(ts) + coalesce({SQL_DURATION}, 0) * 1000000 AS end_ns,
+               {_EXIT0} AS tool_exit,
+               CAST(CASE WHEN {_EXIT0} <> 0 THEN 2 ELSE 1 END AS BIGINT)
+                 AS status_code
         FROM {T} WHERE {SQL_IS_TOOL}"""
     sql["metrics_emf_json"] = f"""
         SELECT 'svc/rotel' AS namespace, {SQL_EVENT_TYPE} AS name,

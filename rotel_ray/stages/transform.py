@@ -848,3 +848,71 @@ def error_tagging(t: pa.Table, *, attrs: dict[str, str] | None = None
     code_msg = pc.coalesce(_fmt(code, _const(t, " "), a("http.status_text")), code)
     msg = pc.coalesce(exc_msg, status_msg, code_msg)
     return msg, a("exception.type"), a("exception.stacktrace")
+
+
+def otlp_span_json(t: pa.Table) -> pa.Table:
+    """OTLP/JSON span serialization — the reference's PRIMARY exporter wire
+    shape restated per the proto3 JSON mapping of
+    ExportTraceServiceRequest: resourceSpans -> resource.attributes
+    (service.name = role) -> scopeSpans (scope rotel_ray/0.2) -> one CLIENT
+    span per tool-call turn with md5-derived hex ids (same id scheme as
+    span_ids/ch_traces_row), STRING-encoded unix-nano times (proto3 JSON
+    renders 64-bit ints as strings), a tool.exit intValue attribute and
+    OK/ERROR status from the exit code.
+
+    One request document per span — the per-event verifiable unit; the
+    reference batches many spans under one resource entry, which changes
+    framing, not span content (src/exporters/otlp/request.rs hierarchy,
+    src/otlp/trace.rs span fields). Values originate from \\w+ regex
+    captures, so no JSON escaping is required (asserted upstream by the
+    parser). Output: (conv_id, turn_idx, event) with event = the JSON
+    document, stateless and fully vectorized."""
+    from .enrich import _hash_values
+
+    t = t.filter(pc.equal(t.column("event_type"), "tool_call"))
+    n = t.num_rows
+    conv = pc.cast(t.column("conv_id").combine_chunks(), pa.string())
+    turn = pc.cast(t.column("turn_idx"), pa.int64())
+    key = pc.binary_join_element_wise(conv, pc.cast(turn, pa.string()), ":")
+    pkey = pc.binary_join_element_wise(
+        conv, pc.cast(pc.subtract(turn, 1), pa.string()), ":")
+    trace_id = _hash_values(conv, "md5")
+    span_id = pc.utf8_slice_codeunits(_hash_values(key, "md5"), 0, 16)
+    parent_id = pc.utf8_slice_codeunits(_hash_values(pkey, "md5"), 0, 16)
+    is_root = pc.equal(turn, 0)
+    parent_frag = pc.if_else(
+        is_root, pa.scalar(""),
+        pc.binary_join_element_wise(
+            pa.nulls(n, pa.string()).fill_null('"parentSpanId":"'),
+            parent_id, '",', "", null_handling="emit_null"))
+    ns = pc.multiply(
+        pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        np.int64(1000))
+    dur_ns = pc.multiply(pc.cast(pc.fill_null(t.column("duration_ms"), 0),
+                                 pa.int64()), np.int64(1_000_000))
+    start_ns = pc.cast(ns, pa.string())
+    end_ns = pc.cast(pc.add(ns, dur_ns), pa.string())
+    exit_s = pc.cast(pc.fill_null(t.column("tool_exit"), 0), pa.string())
+    status = pc.if_else(
+        pc.fill_null(pc.not_equal(t.column("tool_exit"), 0), False),
+        pa.scalar("2"), pa.scalar("1"))
+    tool = pc.fill_null(pc.cast(t.column("tool_name"), pa.string()), "")
+
+    def const(s: str) -> pa.Array:
+        return pa.nulls(n, pa.string()).fill_null(s)
+
+    event = pc.binary_join_element_wise(
+        const('{"resourceSpans":[{"resource":{"attributes":[{"key":'
+              '"service.name","value":{"stringValue":"'),
+        pc.cast(t.column("role"), pa.string()),
+        const('"}}]},"scopeSpans":[{"scope":{"name":"rotel_ray","version":'
+              '"0.2"},"spans":[{"traceId":"'),
+        trace_id, const('","spanId":"'), span_id, const('",'),
+        parent_frag, const('"name":"'), tool,
+        const('","kind":3,"startTimeUnixNano":"'), start_ns,
+        const('","endTimeUnixNano":"'), end_ns,
+        const('","attributes":[{"key":"tool.exit","value":{"intValue":"'),
+        exit_s, const('"}}],"status":{"code":'), status,
+        const('}}]}]}]}'),
+        "", null_handling="emit_null")
+    return pa.table({"conv_id": conv, "turn_idx": turn, "event": event})
