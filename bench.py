@@ -93,6 +93,8 @@ SECONDARY = [
     "embedding_neardup_lsh",
     "tfidf_topk",
     "otlp_spans_json",
+    "otlp_logs_json",
+    "otlp_metrics_json",
 ]
 
 

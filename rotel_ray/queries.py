@@ -2400,6 +2400,93 @@ def q_otlp_spans_json(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_otlp_logs_json(sf_dir: str):
+    """OTLP/JSON log export (ExportLogsServiceRequest per parsed line, see
+    stages/transform.py::otlp_log_json) with a parse-back oracle — body
+    escaping must round-trip the raw line exactly."""
+    import json as _json
+
+    from .stages.transform import otlp_log_json
+
+    events = _parsed(sf_dir).map_batches(otlp_log_json, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+    def parse_back(t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("service", "time_ns", "severity_number",
+                                "severity_text", "body", "event_type",
+                                "trace_id", "span_id")}
+        for ev in t.column("event").to_pylist():
+            doc = _json.loads(ev)
+            rl = doc["resourceLogs"][0]
+            attrs = {a["key"]: a["value"] for a in rl["resource"]["attributes"]}
+            sc = rl["scopeLogs"][0]
+            assert sc["scope"]["name"] == "rotel_ray"
+            lr = sc["logRecords"][0]
+            lattrs = {a["key"]: a["value"] for a in lr["attributes"]}
+            rows["service"].append(attrs["service.name"]["stringValue"])
+            rows["time_ns"].append(int(lr["timeUnixNano"]))
+            rows["severity_number"].append(lr["severityNumber"])
+            rows["severity_text"].append(lr["severityText"])
+            rows["body"].append(lr["body"]["stringValue"])
+            rows["event_type"].append(lattrs["event.type"]["stringValue"])
+            rows["trace_id"].append(lr.get("traceId", ""))
+            rows["span_id"].append(lr.get("spanId", ""))
+        ints = {"time_ns", "severity_number"}
+        return pa.table({
+            "conv_id": t.column("conv_id"), "turn_idx": t.column("turn_idx"),
+            **{k: pa.array(v, pa.int64() if k in ints else pa.string())
+               for k, v in rows.items()},
+        })
+
+    return events.map_batches(parse_back, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_otlp_metrics_json(sf_dir: str):
+    """OTLP/JSON metric export (ExportMetricsServiceRequest per grouped
+    stat-set row, histogram data point with string u64 count — see
+    stages/transform.py::otlp_metric_json) with a parse-back oracle."""
+    import json as _json
+
+    from .stages.aggregate import metrics_aggregate as _magg
+    from .stages.transform import otlp_metric_json
+
+    agg = _magg(_parsed(sf_dir))
+    events = agg.map_batches(otlp_metric_json, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def parse_back(t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("namespace", "name", "role", "time_ns",
+                                "value_count", "value_sum", "value_min",
+                                "value_max")}
+        for ev in t.column("event").to_pylist():
+            doc = _json.loads(ev)
+            rm = doc["resourceMetrics"][0]
+            rattrs = {a["key"]: a["value"] for a in rm["resource"]["attributes"]}
+            sm = rm["scopeMetrics"][0]
+            m = sm["metrics"][0]
+            dp = m["histogram"]["dataPoints"][0]
+            assert m["histogram"]["aggregationTemporality"] == 2
+            dattrs = {a["key"]: a["value"] for a in dp["attributes"]}
+            rows["namespace"].append(rattrs["service.namespace"]["stringValue"])
+            rows["name"].append(m["name"])
+            rows["role"].append(dattrs["role"]["stringValue"])
+            rows["time_ns"].append(int(dp["timeUnixNano"]))
+            rows["value_count"].append(int(dp["count"]))
+            rows["value_sum"].append(float(dp["sum"]))
+            rows["value_min"].append(float(dp["min"]))
+            rows["value_max"].append(float(dp["max"]))
+        ints = {"time_ns", "value_count"}
+        flts = {"value_sum", "value_min", "value_max"}
+        return pa.table({
+            k: pa.array(v, pa.int64() if k in ints else
+                        pa.float64() if k in flts else pa.string())
+            for k, v in rows.items()})
+
+    return events.map_batches(parse_back, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_metrics_emf_json(sf_dir: str):
     """EMF JSON event serialization + namespace fallback chain
     (awsemf/transformer.rs:533-619, 746-766): grouped metrics with
@@ -2646,6 +2733,8 @@ QUERIES = {
     "ch_traces_row": q_ch_traces_row,
     "metrics_emf_json": q_metrics_emf_json,
     "otlp_spans_json": q_otlp_spans_json,
+    "otlp_logs_json": q_otlp_logs_json,
+    "otlp_metrics_json": q_otlp_metrics_json,
     "xray_groups": q_xray_groups,
     "redaction_body": q_redaction_body,
     "file_source_gz": q_file_source_gz,
@@ -3764,6 +3853,31 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(CASE WHEN {_EXIT0} <> 0 THEN 2 ELSE 1 END AS BIGINT)
                  AS status_code
         FROM {T} WHERE {SQL_IS_TOOL}"""
+    sql["otlp_logs_json"] = rf"""
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               role AS service,
+               epoch_ns(ts) AS time_ns,
+               CAST({SQL_SEVERITY} AS BIGINT) AS severity_number,
+               {SQL_SEV_TEXT} AS severity_text,
+               text AS body,
+               {SQL_EVENT_TYPE} AS event_type,
+               CASE WHEN {SQL_IS_TOOL} THEN md5(conv_id) ELSE '' END
+                 AS trace_id,
+               CASE WHEN {SQL_IS_TOOL}
+                    THEN substr(md5(conv_id || ':' || turn_idx), 1, 16)
+                    ELSE '' END AS span_id
+        FROM {T}"""
+    sql["otlp_metrics_json"] = f"""
+        SELECT 'rotel_ray' AS namespace, {SQL_EVENT_TYPE} AS name, role,
+               epoch_ms(date_trunc('minute', ts)) * 1000000 AS time_ns,
+               count(*) AS value_count,
+               CAST(sum(coalesce({SQL_DURATION}, {SQL_BYTES}, 0)) AS DOUBLE)
+                 AS value_sum,
+               CAST(min(coalesce({SQL_DURATION}, {SQL_BYTES}, 0)) AS DOUBLE)
+                 AS value_min,
+               CAST(max(coalesce({SQL_DURATION}, {SQL_BYTES}, 0)) AS DOUBLE)
+                 AS value_max
+        FROM {T} GROUP BY 1, 2, 3, 4"""
     sql["metrics_emf_json"] = f"""
         SELECT 'svc/rotel' AS namespace, {SQL_EVENT_TYPE} AS name,
                role, 'role' AS dims,

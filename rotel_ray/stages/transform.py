@@ -916,3 +916,108 @@ def otlp_span_json(t: pa.Table) -> pa.Table:
         const('}}]}]}]}'),
         "", null_handling="emit_null")
     return pa.table({"conv_id": conv, "turn_idx": turn, "event": event})
+
+
+def _json_escape(arr: pa.Array) -> pa.Array:
+    """Vectorized JSON string escaping for line-based text: backslash and
+    double-quote (the only JSON-special characters the transcript grammars
+    produce — control characters would make the parse-back json.loads fail
+    loudly, which is the guard we want)."""
+    x = pc.replace_substring(arr, pattern="\\", replacement="\\\\")
+    return pc.replace_substring(x, pattern='"', replacement='\\"')
+
+
+def otlp_log_json(t: pa.Table) -> pa.Table:
+    """OTLP/JSON log export (proto3 JSON mapping of
+    ExportLogsServiceRequest): one document per parsed line — resourceLogs
+    -> resource.attributes(service.name = role) -> scopeLogs (rotel_ray) ->
+    one logRecord with string unix-nano time, masked severity number/text
+    (same mapping as ch_logs_row / the reference's severity tables), the
+    raw line as a JSON-escaped body stringValue, an event.type attribute,
+    and trace/span ids on span-bearing (tool-call) lines only. Stateless,
+    fully vectorized string assembly; reference:
+    src/exporters/otlp/request.rs + src/otlp/logs semantics."""
+    from .enrich import _hash_values
+
+    n = t.num_rows
+    conv = pc.cast(t.column("conv_id").combine_chunks(), pa.string())
+    turn = pc.cast(t.column("turn_idx"), pa.int64())
+    key = pc.binary_join_element_wise(conv, pc.cast(turn, pa.string()), ":")
+    is_tool = pc.equal(t.column("event_type"), "tool_call")
+    trace_id = _hash_values(conv, "md5")
+    span_id = pc.utf8_slice_codeunits(_hash_values(key, "md5"), 0, 16)
+
+    def const(s: str) -> pa.Array:
+        return pa.nulls(n, pa.string()).fill_null(s)
+
+    id_frag = pc.if_else(
+        is_tool,
+        pc.binary_join_element_wise(const(',"traceId":"'), trace_id,
+                                    const('","spanId":"'), span_id,
+                                    const('"'), "",
+                                    null_handling="emit_null"),
+        pa.scalar(""))
+    ns = pc.cast(pc.multiply(
+        pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        np.int64(1000)), pa.string())
+    event = pc.binary_join_element_wise(
+        const('{"resourceLogs":[{"resource":{"attributes":[{"key":'
+              '"service.name","value":{"stringValue":"'),
+        pc.cast(t.column("role"), pa.string()),
+        const('"}}]},"scopeLogs":[{"scope":{"name":"rotel_ray","version":'
+              '"0.2"},"logRecords":[{"timeUnixNano":"'), ns,
+        const('","severityNumber":'),
+        pc.cast(t.column("severity_number"), pa.string()),
+        const(',"severityText":"'),
+        pc.cast(t.column("severity_text"), pa.string()),
+        const('","body":{"stringValue":"'),
+        _json_escape(pc.cast(t.column("text"), pa.string())),
+        const('"},"attributes":[{"key":"event.type","value":{"stringValue":"'),
+        pc.cast(t.column("event_type"), pa.string()),
+        const('"}}]'), id_frag, const('}]}]}]}'),
+        "", null_handling="emit_null")
+    return pa.table({"conv_id": conv, "turn_idx": turn, "event": event})
+
+
+def otlp_metric_json(t: pa.Table) -> pa.Table:
+    """OTLP/JSON metric export (proto3 JSON mapping of
+    ExportMetricsServiceRequest): one document per grouped-metric row —
+    resourceMetrics -> scopeMetrics -> one histogram metric whose single
+    data point carries the stat set (count as a JSON string per the u64
+    mapping, sum/min/max as numbers), the group's role attribute and
+    cumulative temporality. Input = the metrics_aggregate output shape."""
+    n = t.num_rows
+    role = pc.utf8_replace_slice(t.column("group_key").combine_chunks(),
+                                 0, 5, "")  # "role=<r>" -> "<r>"
+    ms = pc.cast(pc.cast(t.column("ts_minute"), pa.timestamp("ms")), pa.int64())
+    ns = pc.cast(pc.multiply(ms, np.int64(1_000_000)), pa.string())
+
+    def const(s: str) -> pa.Array:
+        return pa.nulls(n, pa.string()).fill_null(s)
+
+    def dbl(col: str) -> pa.Array:
+        # integral-valued doubles: render as <int>.0 exactly like repr()
+        return pc.binary_join_element_wise(
+            pc.cast(pc.cast(t.column(col), pa.int64()), pa.string()),
+            ".0", "", null_handling="emit_null")
+
+    event = pc.binary_join_element_wise(
+        const('{"resourceMetrics":[{"resource":{"attributes":[{"key":'
+              '"service.namespace","value":{"stringValue":"'),
+        pc.cast(t.column("namespace"), pa.string()),
+        const('"}}]},"scopeMetrics":[{"scope":{"name":"rotel_ray","version":'
+              '"0.2"},"metrics":[{"name":"'),
+        pc.cast(t.column("name"), pa.string()),
+        const('","histogram":{"dataPoints":[{"timeUnixNano":"'), ns,
+        const('","count":"'),
+        pc.cast(t.column("value_count"), pa.string()),
+        const('","sum":'), dbl("value_sum"),
+        const(',"min":'), dbl("value_min"),
+        const(',"max":'), dbl("value_max"),
+        const(',"attributes":[{"key":"role","value":{"stringValue":"'),
+        role,
+        const('"}}]}],"aggregationTemporality":2}}]}]}]}'),
+        "", null_handling="emit_null")
+    return pa.table({"namespace": t.column("namespace"),
+                     "name": t.column("name"), "group_key": t.column("group_key"),
+                     "ts_minute": t.column("ts_minute"), "event": event})
