@@ -162,6 +162,22 @@ def input_rows_hint(n_rows: int | None):
     return _cm()
 
 
+def bounded_take_all(ds, limit: int, what: str = "table") -> list[dict]:
+    """take_all with a hard row bound: pulls at most ``limit + 1`` rows
+    (distributed limit — the driver never materializes more) and raises a
+    loud, actionable error instead of silently OOM-ing the driver when an
+    assumed-bounded broadcast side turns out not to be. Use for vocab-style
+    broadcast tables whose size is a corpus property, not a constant."""
+    rows = ds.limit(limit + 1).take_all()
+    if len(rows) > limit:
+        raise ValueError(
+            f"{what} exceeds the {limit}-row driver broadcast bound; "
+            "cap it with a distributed top-V selection "
+            "(textstats.top_v_counts) or a hashed feature space before "
+            "broadcasting")
+    return rows
+
+
 def _coalesce_small(local_rows_hint: int | None) -> bool:
     hint = local_rows_hint if local_rows_hint is not None else _ROWS_HINT.get()
     return hint is not None and hint <= LOCAL_COALESCE_ROWS

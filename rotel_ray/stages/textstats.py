@@ -584,8 +584,11 @@ def bigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     from .aggregate import two_phase_aggregate
 
-    c1_rows = unigram_counts(ds, text_col=text_col,
-                             num_buckets=num_buckets).take_all()
+    from .aggregate import bounded_take_all
+
+    c1_rows = bounded_take_all(
+        unigram_counts(ds, text_col=text_col, num_buckets=num_buckets),
+        1 << 22, "bigram_logprob unigram vocab")
     toks = pa.array([r["tok"] for r in c1_rows], pa.string())
     c1 = np.array([r["c"] for r in c1_rows], dtype=np.int64)
     total = float(c1.sum())
@@ -603,9 +606,10 @@ def bigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           minlength=len(d.dictionary)).astype(np.int64)
         return pa.table({"bg": d.dictionary, "c": pa.array(cnt)})
 
-    c2_rows = two_phase_aggregate(
+    c2_rows = bounded_take_all(two_phase_aggregate(
         ds.map_batches(bigram_partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["bg"], [("c", "sum", "c")], num_buckets=num_buckets).take_all()
+        ["bg"], [("c", "sum", "c")], num_buckets=num_buckets),
+        1 << 23, "bigram_logprob bigram vocab")
     bgs = pa.array([r["bg"] for r in c2_rows], pa.string())
     c2 = np.array([r["c"] for r in c2_rows], dtype=np.int64)
 
@@ -992,8 +996,11 @@ def kn_bigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     from .aggregate import two_phase_aggregate
 
-    c1_rows = unigram_counts(ds, text_col=text_col,
-                             num_buckets=num_buckets).take_all()
+    from .aggregate import bounded_take_all
+
+    c1_rows = bounded_take_all(
+        unigram_counts(ds, text_col=text_col, num_buckets=num_buckets),
+        1 << 22, "kn_bigram_logprob unigram vocab")
     toks = pa.array([r["tok"] for r in c1_rows], pa.string())
     c1 = np.array([r["c"] for r in c1_rows], dtype=np.int64)
     total = float(c1.sum())
@@ -1010,10 +1017,11 @@ def kn_bigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           minlength=len(d.dictionary)).astype(np.int64)
         return pa.table({"bg": d.dictionary, "c": pa.array(cnt)})
 
-    c2_rows = two_phase_aggregate(
+    c2_rows = bounded_take_all(two_phase_aggregate(
         ds.map_batches(bigram_partial, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["bg"], [("c", "sum", "c")], num_buckets=num_buckets).take_all()
+        ["bg"], [("c", "sum", "c")], num_buckets=num_buckets),
+        1 << 23, "kn_bigram_logprob bigram vocab")
     bgs = pa.array([r["bg"] for r in c2_rows], pa.string())
     c2 = np.array([r["c"] for r in c2_rows], dtype=np.int64)
 

@@ -171,3 +171,16 @@ def test_input_rows_hint_coalesce_matches_bucketed(ray_session):
     a_big, b_big = run(10**9)               # bucketed plans (hint too large)
     pd.testing.assert_frame_equal(a_small, a_big)
     pd.testing.assert_frame_equal(b_small, b_big)
+
+
+def test_bounded_take_all_raises_loudly(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from rotel_ray.stages.aggregate import bounded_take_all
+
+    ds = rd.from_arrow(pa.table({"x": list(range(100))}))
+    assert len(bounded_take_all(ds, 100)) == 100
+    with pytest.raises(ValueError, match="broadcast bound"):
+        bounded_take_all(ds, 99, "test table")
