@@ -95,6 +95,8 @@ SECONDARY = [
     "otlp_spans_json",
     "otlp_logs_json",
     "otlp_metrics_json",
+    "users_per_type_hll",
+    "weighted_sample",
 ]
 
 

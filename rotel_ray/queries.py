@@ -1532,6 +1532,30 @@ def q_embedding_covariance(sf_dir: str):
 
 
 @_hinted("events")
+@_hinted("events")
+def q_users_per_type_hll(sf_dir: str):
+    """Per-group HyperLogLog distinct users per event type — the grouped
+    mergeable form of distinct_hll (constant registers/key), bit-exact
+    oracle incl. per-group harmonic sums and estimates."""
+    from .stages.sketch import grouped_hll
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "user_id"])
+    return grouped_hll(ds, key="event_type", id_col="user_id")
+
+
+@_hinted("documents")
+def q_weighted_sample(sf_dir: str, k: int = 50):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential keys, weight = n_chars): the 50 winners by
+    hash-exponential key — the one-pass distributed weighted sampler."""
+    from .stages.mix import weighted_sample
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, k, weight_col="n_chars")
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct users (4096 registers, splitmix64-mixed) — the
     industry-standard cardinality sketch with an exact-integer register
@@ -2744,6 +2768,8 @@ QUERIES = {
     "dedup_keep": q_dedup_keep,
     "dedup_clusters": q_dedup_clusters,
     "distinct_hll": q_distinct_hll,
+    "users_per_type_hll": q_users_per_type_hll,
+    "weighted_sample": q_weighted_sample,
     "kn_bigram_logprob": q_kn_bigram_logprob,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "source_overlap": q_source_overlap,
@@ -4045,6 +4071,48 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                                THEN {float(_hm)!r} * ln({float(_hm)!r} / n_zero)
                                ELSE raw END * 1000) AS BIGINT) AS est_e3
         FROM est"""
+    _uhll = _smix("user_id")
+    sql["users_per_type_hll"] = f"""
+        WITH h AS (SELECT DISTINCT event_type, {_uhll} AS h FROM events),
+        r AS (SELECT event_type, CAST(h >> {_HRMAX - 1} AS BIGINT) AS reg,
+                     CAST(h % {1 << (_HRMAX - 1)}::HUGEINT AS BIGINT) AS low
+              FROM h),
+        rr AS (SELECT event_type, reg,
+                      max(CASE WHEN low = 0 THEN {_HRMAX}
+                               ELSE {_HRMAX} - length(bin(low)) END) AS r
+               FROM r GROUP BY 1, 2),
+        agg AS (SELECT event_type, count(*) AS n_present,
+                       CAST(sum(CAST(1::BIGINT << ({_HRMAX} - r) AS HUGEINT))
+                            AS HUGEINT) AS s_present
+                FROM rr GROUP BY 1),
+        s AS (SELECT event_type, {_hm} - n_present AS n_zero,
+                     s_present + ({_hm} - n_present)::HUGEINT
+                       * {_2rmax}::HUGEINT AS s
+              FROM agg),
+        est AS (SELECT event_type, n_zero, s,
+                       0.7213 / (1 + 1.079 / {float(_hm)!r}) * {float(_hm)!r}
+                         * {float(_hm)!r} * {float(_2rmax)!r}
+                         / CAST(s AS DOUBLE) AS raw
+                FROM s)
+        SELECT event_type, CAST(n_zero AS BIGINT) AS n_zero,
+               CAST(s // 4294967296 AS BIGINT) AS s_hi,
+               CAST(s % 4294967296 AS BIGINT) AS s_lo,
+               CAST(floor(CASE WHEN n_zero > 0 AND raw <= 2.5 * {_hm}
+                               THEN {float(_hm)!r} * ln({float(_hm)!r} / n_zero)
+                               ELSE raw END * 1000) AS BIGINT) AS est_e3
+        FROM est"""
+    # Efraimidis-Spirakis weighted sample: one fixed float expression
+    # (ln(u)/w * 1e9 floor) mirrored from stages/mix.py::weighted_sample
+    _dhash = _smix("doc_id")
+    sql["weighted_sample"] = f"""
+        SELECT doc_id, n_chars, es_key_unat FROM (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(floor(ln((CAST({_dhash} AS DOUBLE) + 1.0)
+                               / 18446744073709551616.0)
+                            / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1e9)
+                      AS BIGINT) AS es_key_unat
+          FROM documents)
+        ORDER BY es_key_unat DESC, doc_id LIMIT 50"""
     # source overlap: first-8-normalized-tokens fingerprint, normalization
     # mirrors textstats.normalize_text
     sql["source_overlap"] = r"""

@@ -192,3 +192,45 @@ def token_budget_sample(ds, budget: int, *, id_col: str = "doc_id",
 
     return grouped_apply(narrow, ["__rk"], per_bucket, batch_format="pyarrow",
                          num_buckets=num_buckets)
+
+
+def weighted_sample(ds, k: int, *, id_col: str = "doc_id",
+                    weight_col: str = "n_chars", text_col: str | None = None):
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis (2006) exponential-keys algorithm, the standard
+    one-pass distributed weighted sampler: each row gets the key
+    ``u^(1/w)`` (equivalently ``ln(u)/w``) with ``u`` a content-hash
+    uniform in (0,1), and the global top-k keys ARE a weighted sample
+    without replacement.
+
+    Determinism + exactness: ``u = (splitmix64(id) + 1) / 2^64`` (pure
+    function of the row, no RNG state), the key is evaluated with ONE
+    fixed float expression (``ln(u) / w``, larger is better) and the
+    selection is integer-tie-free (distinct hashes), so the DuckDB mirror
+    selects the identical k rows. Scale shape: stateless key pass ->
+    per-batch partial top-k -> global sort of batches*k rows -> limit."""
+    from .sketch import splitmix64
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        w = np.maximum(t.column(weight_col).to_numpy(zero_copy_only=False)
+                       .astype(np.float64), 1.0)
+        key = np.log(u) / w  # monotone in u^(1/w); larger = better
+        return pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                         weight_col: t.column(weight_col),
+                         "es_key_unat": pa.array(
+                             np.floor(key * 1e9).astype(np.int64))})
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        kv = t.column("es_key_unat").to_numpy(zero_copy_only=False)
+        if len(kv) > k:
+            idx = np.argpartition(-kv, k)[:k]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    scored = ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+    return (scored.map_batches(partial_topk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .sort(["es_key_unat", id_col], descending=[True, False]).limit(k))

@@ -161,3 +161,54 @@ def test_hll_distinct_accuracy_and_fields(ray_session):
         + (4096 - len(regs)) * (1 << HLL_RMAX)
     assert r["s_hi"] == s >> 32 and r["s_lo"] == s & 0xFFFFFFFF
     assert r["n_zero"] == 4096 - len(regs)
+
+
+def test_grouped_hll_accuracy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.sketch import grouped_hll
+
+    rng = np.random.default_rng(9)
+    n = 100_000
+    df = pd.DataFrame({"event_type": rng.choice(["a", "b", "c"], n),
+                       "user_id": rng.integers(0, 8000, n)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(8)
+    out = grouped_hll(ds, key="event_type", id_col="user_id").to_pandas()
+    truth = df.groupby("event_type")["user_id"].nunique()
+    assert len(out) == 3
+    for r in out.itertuples():
+        t = truth[r.event_type]
+        assert abs(r.est_e3 / 1000 - t) / t < 0.06
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.mix import weighted_sample
+    from rotel_ray.stages.sketch import splitmix64
+
+    n = 4000
+    rng = np.random.default_rng(4)
+    w = np.where(np.arange(n) < 200, 500, 1).astype(np.int64)  # heavy head
+    t = pa.table({"doc_id": np.arange(n), "n_chars": w})
+
+    def run():
+        ds = rd.from_arrow(t).repartition(8)
+        return [r["doc_id"] for r in
+                weighted_sample(ds, 100, weight_col="n_chars").take_all()]
+
+    a, b = run(), run()
+    assert a == b  # pure function of content, no RNG state
+    # brute-force reference: same key expression
+    h = splitmix64(np.arange(n).astype(np.uint64))
+    u = (h.astype(np.float64) + 1.0) / 2.0**64
+    key = np.floor(np.log(u) / np.maximum(w.astype(np.float64), 1.0) * 1e9)
+    order = np.lexsort((np.arange(n), -key))[:100]
+    assert a == list(order)
+    # weighting bites: heavy items (5% of rows, 500x weight) dominate
+    assert sum(1 for d in a if d < 200) > 50
