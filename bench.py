@@ -97,6 +97,8 @@ SECONDARY = [
     "otlp_metrics_json",
     "users_per_type_hll",
     "weighted_sample",
+    "corpus_diff",
+    "vocab_kl",
 ]
 
 

@@ -1556,6 +1556,36 @@ def q_weighted_sample(sf_dir: str, k: int = 50):
     return weighted_sample(ds, k, weight_col="n_chars")
 
 
+@_hinted("documents")
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff between corpus versions (incremental-ingest primitive):
+    every doc id classified added / removed / changed / unchanged against a
+    deterministic v2 snapshot (drops, recrawl drift, new docs — see
+    stages/mix.py::ensure_docs_v2). One tagged (id, md5, side) shuffle."""
+    from .stages.mix import corpus_diff, ensure_docs_v2
+
+    v1 = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    v2 = read_parquet(ensure_docs_v2(sf_dir), columns=["doc_id", "text"])
+    return corpus_diff(v1, v2)
+
+
+@_hinted("documents")
+def q_vocab_kl(sf_dir: str):
+    """Distribution drift: exact-integer KL divergence between the English
+    and non-English documents' unigram distributions (add-one smoothed over
+    the union vocab, nano-nat floor per term -> order-free integer sum)."""
+    from .stages.textstats import vocab_kl
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    p = docs.map_batches(lambda t: t.filter(pc.equal(t.column("lang"), "en"))
+                         .select(["text"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    q = docs.map_batches(lambda t: t.filter(pc.not_equal(t.column("lang"), "en"))
+                         .select(["text"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return vocab_kl(p, q)
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct users (4096 registers, splitmix64-mixed) — the
     industry-standard cardinality sketch with an exact-integer register
@@ -2770,6 +2800,8 @@ QUERIES = {
     "distinct_hll": q_distinct_hll,
     "users_per_type_hll": q_users_per_type_hll,
     "weighted_sample": q_weighted_sample,
+    "corpus_diff": q_corpus_diff,
+    "vocab_kl": q_vocab_kl,
     "kn_bigram_logprob": q_kn_bigram_logprob,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "source_overlap": q_source_overlap,
@@ -4113,6 +4145,41 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                       AS BIGINT) AS es_key_unat
           FROM documents)
         ORDER BY es_key_unat DESC, doc_id LIMIT 50"""
+    from .stages.mix import ensure_docs_v2 as _edv2
+
+    _v2dir = _edv2(sf_dir)
+    sql["corpus_diff"] = f"""
+        WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+        v2 AS (SELECT doc_id, md5(text) AS h
+               FROM read_parquet('{_v2dir}/*.parquet'))
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.h IS NULL THEN 'added'
+                    WHEN v2.h IS NULL THEN 'removed'
+                    WHEN v1.h = v2.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id"""
+    # vocab KL: identical fixed float expression per union-vocab term
+    # (p recomputed textually so both engines evaluate the same tree)
+    sql["vocab_kl"] = r"""
+        WITH pt AS (SELECT unnest(list_filter(
+                      regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+                    FROM documents WHERE lang = 'en'),
+        qt AS (SELECT unnest(list_filter(
+                 regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+               FROM documents WHERE lang != 'en'),
+        cp AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM pt GROUP BY tok),
+        cq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM qt GROUP BY tok),
+        u AS (SELECT COALESCE(cp.c, 0) AS c_p, COALESCE(cq.c, 0) AS c_q
+              FROM cp FULL JOIN cq ON cp.tok = cq.tok),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                      CAST(sum(c_p) AS BIGINT) AS np,
+                      CAST(sum(c_q) AS BIGINT) AS nq FROM u)
+        SELECT st.v AS vocab_size, st.np AS n_p, st.nq AS n_q,
+               CAST(sum(CAST(floor(
+                 ((c_p + 1.0) / (np + v))
+                 * ln(((c_p + 1.0) / (np + v)) / ((c_q + 1.0) / (nq + v)))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS kl_nanonats
+        FROM u, st GROUP BY 1, 2, 3"""
     # source overlap: first-8-normalized-tokens fingerprint, normalization
     # mirrors textstats.normalize_text
     sql["source_overlap"] = r"""

@@ -234,3 +234,90 @@ def weighted_sample(ds, k: int, *, id_col: str = "doc_id",
     return (scored.map_batches(partial_topk, batch_format="pyarrow",
                                zero_copy_batch=True)
             .sort(["es_key_unat", id_col], descending=[True, False]).limit(k))
+
+
+def ensure_docs_v2(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Deterministic 'next snapshot' of the documents table — the corpus-
+    versioning fixture: drops every doc with doc_id % 7 == 3, rewrites the
+    text of every doc_id % 11 == 5 (recrawl drift), and adds one new doc
+    per source (ids 5_000_000+). Pure function of the input, cached with
+    the usual atomic rename."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..generator import sf_from_dir
+
+    out = os.path.join(root, f"docs_v2_sf{sf_from_dir(sf_dir):g}")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    keep = ids % 7 != 3
+    t = t.filter(pa.array(keep))
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    text = np.asarray(t.column("text").to_pylist(), dtype=object)
+    mod = ids % 11 == 5
+    text[mod] = np.char.add(text[mod].astype(str), " recrawl v2")
+    t = t.set_column(t.column_names.index("text"), "text",
+                     pa.array(text.astype(str)))
+    srcs = sorted(set(t.column("source").to_pylist()))
+    extra = pa.table({
+        "doc_id": pa.array([5_000_000 + i for i in range(len(srcs))], pa.int64()),
+        "text": pa.array([f"new snapshot doc for {s}" for s in srcs]),
+        "lang": pa.array(["en"] * len(srcs)),
+        "source": pa.array(srcs),
+        "n_chars": pa.array([len(f"new snapshot doc for {s}") for s in srcs],
+                            pa.int64()),
+    })
+    t = pa.concat_tables([t.select(extra.column_names), extra])
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(t.replace_schema_metadata(None),
+                   os.path.join(tmp, "part-0000.parquet"))
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def corpus_diff(v1_ds, v2_ds, *, id_col: str = "doc_id",
+                text_col: str = "text", num_buckets: int = 64):
+    """Snapshot diff between two corpus versions — the incremental-ingest
+    primitive: every doc id is classified added (v2 only) / removed (v1
+    only) / changed (both, content hash differs) / unchanged. One tagged
+    hash-bucketed shuffle on the id (rows carry (id, md5, side) only, never
+    the text); per bucket a vectorized pandas pivot assigns the status."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply
+    from .enrich import _hash_values
+
+    def prep(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: pc.cast(t.column(id_col), pa.int64()),
+                "__h": _hash_values(t.column(text_col), "md5"),
+                "__side": pa.nulls(t.num_rows, pa.int8()).fill_null(side),
+            })
+        return f
+
+    both = v1_ds.map_batches(prep(1), batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        v2_ds.map_batches(prep(2), batch_format="pyarrow", zero_copy_batch=True))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(index=id_col, columns="__side", values="__h",
+                           aggfunc="first")
+        h1 = p[1] if 1 in p.columns else pd.Series(index=p.index, dtype=object)
+        h2 = p[2] if 2 in p.columns else pd.Series(index=p.index, dtype=object)
+        status = np.where(h1.isna(), "added",
+                          np.where(h2.isna(), "removed",
+                                   np.where(h1 == h2, "unchanged", "changed")))
+        return pd.DataFrame({id_col: p.index.to_numpy(),
+                             "status": status})
+
+    return grouped_apply(both, [id_col], per_bucket, num_buckets=num_buckets)

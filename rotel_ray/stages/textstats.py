@@ -1069,3 +1069,68 @@ def kn_bigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "lp_unat": pa.array(sums[m])})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def vocab_kl(p_ds, q_ds, *, text_col: str = "text", num_buckets: int = 16,
+             scale: int = 10**9):
+    """Exact-integer KL divergence between two corpora's unigram
+    distributions — the distribution-drift / domain-shift statistic
+    (add-one smoothed over the UNION vocabulary so every term is finite):
+
+        KL(P||Q) = sum_t p_t * ln(p_t / q_t),
+        p_t = (c_p + 1) / (n_p + V),  q_t = (c_q + 1) / (n_q + V)
+
+    evaluated per term as ONE fixed float expression then
+    ``floor(x * scale)`` int64 nano-nats, so the final sum is exact integer
+    arithmetic in any order (the usual float-sum-order trap).
+
+    Scale shape: one tagged tokenize pass -> a vocab-bounded two-phase
+    (tok, c_p, c_q) table; three scalars (n_p, n_q, V) from Dataset sums;
+    the per-term scoring is a stateless map over the counts table and the
+    result is a single-row integer reduce. Nothing vocab-sized reaches the
+    driver. Output: (vocab_size, n_p, n_q, kl_nanonats)."""
+    import ray
+
+    from .aggregate import two_phase_aggregate
+
+    def partial(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            flat, _, _ = split_tokens(t.column(text_col))
+            d = pc.dictionary_encode(flat)
+            cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                              minlength=len(d.dictionary)).astype(np.int64)
+            zero = np.zeros(len(cnt), np.int64)
+            return pa.table({"tok": d.dictionary,
+                             "c_p": pa.array(cnt if side == "p" else zero),
+                             "c_q": pa.array(cnt if side == "q" else zero)})
+        return f
+
+    parts = p_ds.map_batches(partial("p"), batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        q_ds.map_batches(partial("q"), batch_format="pyarrow",
+                         zero_copy_batch=True))
+    counts = two_phase_aggregate(parts, ["tok"],
+                                 [("c_p", "sum", "c_p"), ("c_q", "sum", "c_q")],
+                                 num_buckets=num_buckets).materialize()
+    v = counts.count()
+    tot = counts.sum(["c_p", "c_q"])
+    n_p, n_q = int(tot["sum(c_p)"]), int(tot["sum(c_q)"])
+
+    def score(t: pa.Table) -> pa.Table:
+        cp = t.column("c_p").to_numpy(zero_copy_only=False).astype(np.float64)
+        cq = t.column("c_q").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (cp + 1.0) / (n_p + v)
+        q = (cq + 1.0) / (n_q + v)
+        term = p * np.log(p / q)
+        return pa.table({"kl": pa.array(
+            np.floor(term * scale).astype(np.int64))})
+
+    scored = counts.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    kl = int(scored.sum("kl"))
+    return ray.data.from_arrow(pa.table({
+        "vocab_size": pa.array([v], pa.int64()),
+        "n_p": pa.array([n_p], pa.int64()),
+        "n_q": pa.array([n_q], pa.int64()),
+        "kl_nanonats": pa.array([kl], pa.int64()),
+    }))
