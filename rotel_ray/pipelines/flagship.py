@@ -15,7 +15,7 @@ import glob
 import os
 import time
 
-import ray.data as rd
+import ray.data as rd  # noqa: F401 — fault-injection patch point for tests
 
 from ..io import read_parquet
 from ..stages.aggregate import fused_metrics_conv_aggregate

@@ -18,10 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-import ray
-import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
-
 from .generator import ensure_transcripts
 from .io import read_parquet
 from .stages.aggregate import (

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .aggregate import two_phase_aggregate
 from .tokenize import split_tokens
