@@ -99,6 +99,8 @@ SECONDARY = [
     "weighted_sample",
     "corpus_diff",
     "vocab_kl",
+    "corpus_report",
+    "doc_quality_rank",
 ]
 
 

@@ -1553,6 +1553,78 @@ def q_weighted_sample(sf_dir: str, k: int = 50):
 
 
 @_hinted("documents")
+def q_corpus_report(sf_dir: str):
+    """Per-source dataset card — the 'what went into this training run'
+    summary a corpus release ships: docs, token/char mass, language mix and
+    exact-duplicate groups per source, in one two-phase pass over per-batch
+    partials (the dup-group count is a second vocab-bounded aggregate on
+    (source, content-hash))."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.enrich import _hash_values
+    from .stages.tokenize import split_tokens
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "source", "lang", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, n_tok = split_tokens(t.column("text"))
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "n_tokens": pa.array(n_tok),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            "n_en": pc.cast(pc.equal(t.column("lang"), "en"), pa.int64()),
+        })
+
+    base = two_phase_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("n_docs", "sum", "n_docs"), ("n_tokens", "sum", "n_tokens"),
+         ("n_chars", "sum", "n_chars"), ("n_en", "sum", "n_en")])
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t.column("source"),
+                         "h": _hash_values(t.column("text"), "md5")})
+
+    hashes = ds.map_batches(hash_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    groups = two_phase_aggregate(hashes, ["source", "h"],
+                                 [("h", "count", "n")])
+
+    def per_src(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "dup": pc.cast(pc.greater(t.column("n"), 1), pa.int64()),
+        })
+
+    distincts = two_phase_aggregate(
+        groups.map_batches(per_src, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("one", "sum", "n_distinct_texts"),
+                     ("dup", "sum", "n_dup_groups")])
+    from .stages.join import bucket_hash_join
+
+    return bucket_hash_join(base, distincts, on="source", num_buckets=8)
+
+
+@_hinted("documents")
+def q_doc_quality_rank(sf_dir: str):
+    """Exact global quality ranking of every document (classifier score
+    desc, doc_id asc) via the range-binned distributed rank — the
+    curriculum-ordering / quality-percentile primitive (num=den=1 keeps
+    ALL rows; only bin counts ever reach the driver)."""
+    from .stages.textstats import hashed_classifier
+    from .stages.window import global_topfrac
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = hashed_classifier(ds).map_batches(
+        lambda t: t.select(["doc_id", "score"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return global_topfrac(scored, value_col="score", id_col="doc_id",
+                          num=1, den=1)
+
+
+@_hinted("documents")
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff between corpus versions (incremental-ingest primitive):
     every doc id classified added / removed / changed / unchanged against a
@@ -2798,6 +2870,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "corpus_diff": q_corpus_diff,
     "vocab_kl": q_vocab_kl,
+    "corpus_report": q_corpus_report,
+    "doc_quality_rank": q_doc_quality_rank,
     "kn_bigram_logprob": q_kn_bigram_logprob,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "source_overlap": q_source_overlap,
@@ -4602,6 +4676,36 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                COALESCE(s.wsum, 0) + {_CB} AS score,
                COALESCE(s.wsum, 0) + {_CB} > 0 AS keep
         FROM documents d LEFT JOIN s USING (doc_id)"""
+    # global quality rank: the classifier score ranked (desc, id asc) over
+    # ALL docs — mirrors global_topfrac(num=1, den=1)
+    sql["doc_quality_rank"] = f"""
+        WITH sc AS (
+          SELECT doc_id, score FROM ({sql["quality_classifier"]}))
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rnk
+        FROM sc"""
+    sql["corpus_report"] = r"""
+        WITH tok AS (
+          SELECT source, lang, n_chars,
+                 len(list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x != '')) AS nt,
+                 md5(text) AS h
+          FROM documents),
+        base AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_en
+          FROM tok GROUP BY source),
+        g AS (SELECT source, h, count(*) AS n FROM tok GROUP BY 1, 2),
+        d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_texts,
+                     CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_groups
+              FROM g GROUP BY source)
+        SELECT base.*, d.n_distinct_texts, d.n_dup_groups
+        FROM base JOIN d USING (source)"""
     sql["doc_chunks"] = f"""
         WITH tk AS (
           SELECT doc_id,
