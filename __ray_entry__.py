@@ -9,8 +9,9 @@ calls ray.init()/ray.shutdown().
   rotel_ray.generator, no external data).
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2).
 - ``oracle_sql()``: matching DuckDB SQL per query (column names/types align
-  by construction). Non-SQL-expressible ops (minhash/simhash near-dup,
-  lang-id heuristics, ...) are rows-only.
+  by construction). Every query carries an exact oracle — the approximate
+  ANN paths run over planted fixtures that make them exactly checkable
+  (rotel_ray/stages/planted.py).
 """
 
 from __future__ import annotations
