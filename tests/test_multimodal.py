@@ -257,3 +257,20 @@ def test_motion_energy_vs_bruteforce():
         assert out.column("motion_total")[i].as_py() == sum(diffs)
         assert out.column("motion_peak")[i].as_py() == max(diffs)
         assert out.column("peak_pair")[i].as_py() == diffs.index(max(diffs))
+
+
+def test_png_codec_large_image():
+    """A 512x512 image (~262 KB body, 512 scanlines across all 5 filters)
+    round-trips — the larger-payload regime the small-batch actor sizing is
+    designed for."""
+    import numpy as np
+
+    from rotel_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 256, (512, 512), dtype=np.uint8)
+    data = encode_png(a)
+    assert (decode_png(data) == a).all()
+    # gradient image: zlib should compress the filtered stream well below raw
+    g = (np.add.outer(np.arange(512), np.arange(512)) % 256).astype(np.uint8)
+    assert len(encode_png(g)) < g.size // 4
