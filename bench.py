@@ -101,6 +101,7 @@ SECONDARY = [
     "vocab_kl",
     "corpus_report",
     "doc_quality_rank",
+    "inverted_index",
 ]
 
 

@@ -1553,6 +1553,17 @@ def q_weighted_sample(sf_dir: str, k: int = 50):
 
 
 @_hinted("documents")
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (the retrieval-index construction op): one row
+    per token with exact df and the ascending posting list, one token-keyed
+    shuffle with vectorized per-bucket assembly."""
+    from .stages.textstats import inverted_index
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return inverted_index(ds)
+
+
+@_hinted("documents")
 def q_corpus_report(sf_dir: str):
     """Per-source dataset card — the 'what went into this training run'
     summary a corpus release ships: docs, token/char mass, language mix and
@@ -2872,6 +2883,7 @@ QUERIES = {
     "vocab_kl": q_vocab_kl,
     "corpus_report": q_corpus_report,
     "doc_quality_rank": q_doc_quality_rank,
+    "inverted_index": q_inverted_index,
     "kn_bigram_logprob": q_kn_bigram_logprob,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "source_overlap": q_source_overlap,
@@ -4685,6 +4697,15 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY score DESC, doc_id)
                     AS BIGINT) AS rnk
         FROM sc"""
+    sql["inverted_index"] = r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(list_filter(
+            regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+          FROM documents)
+        SELECT tok AS token, CAST(count(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings,
+               false AS truncated
+        FROM toks GROUP BY tok"""
     sql["corpus_report"] = r"""
         WITH tok AS (
           SELECT source, lang, n_chars,

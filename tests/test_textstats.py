@@ -348,3 +348,24 @@ def test_collocations_join_path_matches_broadcast(ray_session):
     va = [tuple(r) for r in a[["w1", "w2", "n", "pmi_unat"]].values]
     vb = [tuple(r) for r in b[["w1", "w2", "n", "pmi_unat"]].values]
     assert va == vb
+
+
+def test_inverted_index_truncation_and_exact_df(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import inverted_index
+
+    texts = ["hot common a", "hot common b", "hot c", "hot d", "rare e"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(5)),
+                                 "text": texts})).repartition(3)
+    out = inverted_index(ds, max_postings=2).to_pandas().set_index("token")
+    assert out.loc["hot", "df"] == 4            # df stays exact
+    assert out.loc["hot", "postings"] == "0,1"  # first 2 ids ascending
+    assert bool(out.loc["hot", "truncated"])
+    assert out.loc["rare", "postings"] == "4"
+    assert not bool(out.loc["rare", "truncated"])
+    full = inverted_index(ds).to_pandas().set_index("token")
+    assert full.loc["hot", "postings"] == "0,1,2,3"
+    assert not full["truncated"].any()
