@@ -102,6 +102,7 @@ SECONDARY = [
     "corpus_report",
     "doc_quality_rank",
     "inverted_index",
+    "source_lm_score",
 ]
 
 

@@ -1553,6 +1553,48 @@ def q_weighted_sample(sf_dir: str, k: int = 50):
 
 
 @_hinted("documents")
+def q_source_lm_score(sf_dir: str):
+    """Per-source language-model quality — the domain-weighting signal
+    (DoReMi-style per-domain loss, computed here with the exactly-verifiable
+    unigram LM): per source, doc/token mass, total micro-nat log-prob and
+    the mean log-prob per token as an exact FLOOR division (int math — the
+    negative-floor-div convention both engines mirror)."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import bucket_hash_join
+    from .stages.textstats import unigram_logprob
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source", "text"])
+    scored = unigram_logprob(docs.map_batches(
+        lambda t: t.select(["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True))
+    src = docs.map_batches(lambda t: t.select(["doc_id", "source"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucket_hash_join(scored, src, on="doc_id", num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t.column("source"),
+                         "n_docs": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+                         "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+                         "lp_sum_unat": t.column("lp_sum_unat")})
+
+    agg = two_phase_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n_docs", "sum", "n_docs"),
+                     ("n_tokens", "sum", "n_tokens"),
+                     ("lp_sum_unat", "sum", "lp_sum_unat")], num_buckets=8)
+
+    def mean_lp(t: pa.Table) -> pa.Table:
+        lp = t.column("lp_sum_unat").to_numpy(zero_copy_only=False)
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "mean_lp_unat", pa.array(lp // np.maximum(nt, 1))) \
+            .replace_schema_metadata(None)
+
+    return agg.map_batches(mean_lp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_hinted("documents")
 def q_inverted_index(sf_dir: str):
     """Inverted-index build (the retrieval-index construction op): one row
     per token with exact df and the ascending posting list, one token-keyed
@@ -2884,6 +2926,7 @@ QUERIES = {
     "corpus_report": q_corpus_report,
     "doc_quality_rank": q_doc_quality_rank,
     "inverted_index": q_inverted_index,
+    "source_lm_score": q_source_lm_score,
     "kn_bigram_logprob": q_kn_bigram_logprob,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "source_overlap": q_source_overlap,
@@ -4697,6 +4740,23 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY score DESC, doc_id)
                     AS BIGINT) AS rnk
         FROM sc"""
+    # per-source LM quality: reuse the per-doc unigram scoring (cap mirror
+    # included), group by source; mean = exact FLOOR division via the
+    # mathematical-mod identity (DuckDB // truncates toward zero)
+    sql["source_lm_score"] = f"""
+        WITH per_doc AS ({sql["unigram_logprob"]}),
+        j AS (SELECT d.source, p.n_tokens, p.lp_sum_unat
+              FROM per_doc p JOIN documents d USING (doc_id)),
+        a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                     CAST(sum(lp_sum_unat) AS BIGINT) AS lp_sum_unat
+              FROM j GROUP BY source)
+        SELECT source, n_docs, n_tokens, lp_sum_unat,
+               CAST((lp_sum_unat
+                     - ((lp_sum_unat % greatest(n_tokens, 1))
+                        + greatest(n_tokens, 1)) % greatest(n_tokens, 1))
+                    / greatest(n_tokens, 1) AS BIGINT) AS mean_lp_unat
+        FROM a"""
     sql["inverted_index"] = r"""
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest(list_filter(
