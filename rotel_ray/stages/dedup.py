@@ -1430,3 +1430,30 @@ def source_overlap(ds, *, text_col: str = "text", src_col: str = "source",
     return two_phase_aggregate(partials, ["src_a", "src_b"],
                                [("n_shared", "sum", "n_shared")],
                                num_buckets=8)
+
+
+def lsh_params(threshold: float, num_perm: int = 64, *,
+               fp_weight: float = 0.5) -> tuple[int, int]:
+    """Optimal (bands, rows_per_band) for a MinHash LSH at ``threshold`` —
+    the standard banding-parameter search (Leskovec/Rajaraman/Ullman ch.3;
+    the same integral-minimization datasketch ships): over every (b, r)
+    with b*r <= num_perm, numerically integrate the false-positive mass
+    below the threshold and the false-negative mass above it of the
+    S-curve ``1 - (1 - s^r)^b`` and pick the minimizer of
+    ``fp_weight * FP + (1 - fp_weight) * FN``.
+
+    Pure driver-side arithmetic (no floats cross an engine boundary);
+    pinned by tests against exhaustive search."""
+    xs = (np.arange(1000) + 0.5) / 1000.0
+    best, best_err = (1, num_perm), float("inf")
+    for b in range(1, num_perm + 1):
+        r = num_perm // b
+        if r == 0:
+            break
+        prob = 1.0 - (1.0 - xs ** r) ** b
+        fp = prob[xs < threshold].sum() / 1000.0
+        fn = (1.0 - prob[xs >= threshold]).sum() / 1000.0
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best

@@ -462,3 +462,26 @@ def test_source_overlap_vs_bruteforce(ray_session):
     out = source_overlap(ds).to_pandas()
     got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
     assert got == {("s1", "s2"): 1, ("s1", "s3"): 1}
+
+
+def test_lsh_params_optimal():
+    """The banding search matches exhaustive evaluation and moves the right
+    way with the threshold (higher tau -> more rows per band)."""
+    import numpy as np
+
+    from rotel_ray.stages.dedup import lsh_params
+
+    def err(b, r, tau, w=0.5):
+        xs = (np.arange(1000) + 0.5) / 1000.0
+        prob = 1.0 - (1.0 - xs ** r) ** b
+        return (w * prob[xs < tau].sum() / 1000.0
+                + (1 - w) * (1.0 - prob[xs >= tau]).sum() / 1000.0)
+
+    for tau in (0.3, 0.5, 0.7, 0.9):
+        b, r = lsh_params(tau, 64)
+        assert b * r <= 64
+        best = min(err(bb, 64 // bb, tau) for bb in range(1, 65) if 64 // bb)
+        assert abs(err(b, r, tau) - best) < 1e-12
+    b_lo, r_lo = lsh_params(0.3, 64)
+    b_hi, r_hi = lsh_params(0.9, 64)
+    assert r_hi > r_lo  # tighter tau -> longer bands (better selectivity)
