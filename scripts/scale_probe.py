@@ -107,6 +107,19 @@ def main() -> None:
         keep_cols=["doc_id"], num_buckets=nb).materialize()
     t3 = time.time()
 
+    # the distributed prefix-sum (auto-ranged) and the top-V vocabulary
+    # selection, both above the coalesce threshold
+    from rotel_ray.stages.pack import seq_pack
+    from rotel_ray.stages.textstats import unigram_logprob
+
+    packed = seq_pack(read_parquet(path, columns=["doc_id", "text"]),
+                      seq_len=2048).materialize()
+    t4 = time.time()
+    scored = unigram_logprob(read_parquet(path, columns=["doc_id", "text"]),
+                             top_v=4096).materialize()  # binding cap: vocab 10k+
+    t5 = time.time()
+    n_packed, n_scored = packed.count(), scored.count()
+
     # planted recall: every clone id's pair must be present
     got = set()
     for r in pairs.select_columns(["doc_a", "doc_b"]).take_all():
@@ -128,6 +141,10 @@ def main() -> None:
         "n_kept": n_kept,
         "cc_rows": cc.count(),
         "docs_per_sec_pairs": round(n_docs / (t1 - t0), 1),
+        "seq_pack_sec": round(t4 - t3, 1),
+        "seq_pack_rows": n_packed,
+        "unigram_topv_sec": round(t5 - t4, 1),
+        "unigram_rows": n_scored,
     }))
     ray.shutdown()
 
