@@ -103,6 +103,7 @@ SECONDARY = [
     "doc_quality_rank",
     "inverted_index",
     "source_lm_score",
+    "attr_mi",
 ]
 
 

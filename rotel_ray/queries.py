@@ -1553,6 +1553,18 @@ def q_weighted_sample(sf_dir: str, k: int = 50):
 
 
 @_hinted("documents")
+def q_attr_mi(sf_dir: str):
+    """Exact mutual information between the documents' lang and source
+    attributes (plug-in MI, nano-nat floor per joint cell -> order-free
+    integer sum) — attribute-dependency profiling (PAPERS.md: MI across
+    attributes, ICDE'24)."""
+    from .stages.profile import attr_mi
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return attr_mi(ds, x_col="lang", y_col="source")
+
+
+@_hinted("documents")
 def q_source_lm_score(sf_dir: str):
     """Per-source language-model quality — the domain-weighting signal
     (DoReMi-style per-domain loss, computed here with the exactly-verifiable
@@ -2927,6 +2939,7 @@ QUERIES = {
     "doc_quality_rank": q_doc_quality_rank,
     "inverted_index": q_inverted_index,
     "source_lm_score": q_source_lm_score,
+    "attr_mi": q_attr_mi,
     "kn_bigram_logprob": q_kn_bigram_logprob,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "source_overlap": q_source_overlap,
@@ -4757,6 +4770,26 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                         + greatest(n_tokens, 1)) % greatest(n_tokens, 1))
                     / greatest(n_tokens, 1) AS BIGINT) AS mean_lp_unat
         FROM a"""
+    # attr MI: identical fixed per-cell float expression on both engines
+    sql["attr_mi"] = """
+        WITH j AS (SELECT lang AS x, source AS y,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+        st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      CAST(count(*) AS BIGINT) AS n_cells FROM j),
+        mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY x),
+        my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY y)
+        SELECT st.n AS n_rows, st.n_cells,
+               (SELECT CAST(count(*) AS BIGINT) FROM mx) AS n_x,
+               (SELECT CAST(count(*) AS BIGINT) FROM my) AS n_y,
+               CAST(sum(CAST(floor(
+                 (j.c / CAST(st.n AS DOUBLE))
+                 * ln((j.c / CAST(st.n AS DOUBLE))
+                      / ((mx.cx / CAST(st.n AS DOUBLE))
+                         * (my.cy / CAST(st.n AS DOUBLE))))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_nanonats
+        FROM j JOIN mx USING (x) JOIN my USING (y), st
+        GROUP BY 1, 2, 3, 4"""
     sql["inverted_index"] = r"""
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest(list_filter(

@@ -85,3 +85,70 @@ def table_profile(ds, columns: list[str], *, num_buckets: int = 32):
         "max_i": pa.array([srows.get(c, empty)["max_i"] for c in columns], pa.int64()),
     })
     return ray.data.from_arrow(out)
+
+
+def attr_mi(ds, *, x_col: str, y_col: str, num_buckets: int = 16,
+            scale: int = 10**9, marginal_limit: int = 1 << 20):
+    """Exact-integer mutual information between two categorical columns —
+    the attribute-dependency statistic (cf. the ICDE'24 cross-table MI
+    estimation line; here the exact plug-in MI over one table):
+
+        MI(X;Y) = sum_xy p_xy * ln(p_xy / (p_x * p_y))
+
+    evaluated per joint cell as ONE fixed float expression then
+    ``floor(x * scale)`` int64 nano-nats, so the final sum is exact integer
+    arithmetic in any order. Scale shape: the joint-cell table is a
+    vocab-bounded two-phase aggregate (|X|*|Y| cells at most — never the
+    rows); the marginals are derived FROM it and broadcast (bounded_take_all
+    guards the pull); scoring is one stateless pass over the cells and the
+    result a single-row integer reduce.
+
+    Output: (n_rows, n_cells, n_x, n_y, mi_nanonats)."""
+    import ray
+
+    from .aggregate import bounded_take_all, two_phase_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        tmp = pa.table({"x": pc.cast(t.column(x_col), pa.string()),
+                        "y": pc.cast(t.column(y_col), pa.string())})
+        g = tmp.group_by(["x", "y"]).aggregate([("x", "count")])
+        return g.rename_columns(["x", "y", "c"])
+
+    joint = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["x", "y"], [("c", "sum", "c")], num_buckets=num_buckets).materialize()
+    n = int(joint.sum("c"))
+    n_cells = joint.count()
+
+    xm = bounded_take_all(
+        two_phase_aggregate(joint, ["x"], [("c", "sum", "c")],
+                            num_buckets=num_buckets),
+        marginal_limit, "attr_mi x marginal")
+    ym = bounded_take_all(
+        two_phase_aggregate(joint, ["y"], [("c", "sum", "c")],
+                            num_buckets=num_buckets),
+        marginal_limit, "attr_mi y marginal")
+    cx = {r["x"]: r["c"] for r in xm}
+    cy = {r["y"]: r["c"] for r in ym}
+    ref = ray.put((cx, cy))
+
+    def score(t: pa.Table) -> pa.Table:
+        cx_l, cy_l = ray.get(ref)
+        cxy = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        px = np.array([cx_l[v] for v in t.column("x").to_pylist()],
+                      np.float64) / n
+        py = np.array([cy_l[v] for v in t.column("y").to_pylist()],
+                      np.float64) / n
+        pxy = cxy / n
+        term = pxy * np.log(pxy / (px * py))
+        return pa.table({"mi": pa.array(np.floor(term * scale).astype(np.int64))})
+
+    mi = int(joint.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True).sum("mi"))
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_cells": pa.array([n_cells], pa.int64()),
+        "n_x": pa.array([len(cx)], pa.int64()),
+        "n_y": pa.array([len(cy)], pa.int64()),
+        "mi_nanonats": pa.array([mi], pa.int64()),
+    }))
