@@ -29,27 +29,33 @@ from .stages.aggregate import (
 from .stages.parse import parse_stage
 from .stages.route import route_stage
 
-def _table_hint(sf_dir: str, table: str = "documents"):
+def _table_hint(sf_dir: str, table: str = "documents", fanout: int = 1):
     """Parquet-metadata row-count hint scoped over plan construction
-    (aggregate.input_rows_hint) — see _docs_hint."""
+    (aggregate.input_rows_hint) — see _docs_hint. ``fanout`` scales the
+    hint for queries whose exchanges see MORE rows than the driving table
+    (per-token k-gram explodes, window fan-outs): the hint contract is an
+    upper bound on rows feeding every exchange, so an exploding query must
+    declare its per-row expansion factor or the coalesce could funnel a
+    fanned-out exchange through one merge task at mid scale."""
     import pyarrow.parquet as pq
 
     from .stages.aggregate import input_rows_hint
 
     return input_rows_hint(
-        pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows)
+        fanout * pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows)
 
 
-def _hinted(table: str):
+def _hinted(table: str, fanout: int = 1):
     """Decorator: run the query's plan construction under the row-count
     hint of its driving table, so tiny exchanges coalesce at small scale
-    (no-op at corpus scale). Metadata only — never an execution."""
+    (no-op at corpus scale). Metadata only — never an execution.
+    ``fanout`` must be set by queries that explode rows (see _table_hint)."""
     import functools
 
     def deco(fn):
         @functools.wraps(fn)
         def wrapped(sf_dir, *a, **k):
-            with _table_hint(sf_dir, table):
+            with _table_hint(sf_dir, table, fanout):
                 return fn(sf_dir, *a, **k)
         return wrapped
     return deco
@@ -888,10 +894,11 @@ def q_asof_purchase_click(sf_dir: str):
     return out.map_batches(fix_types, batch_format="pyarrow")
 
 
-@_hinted("events")
+@_hinted("events", fanout=5)
 def q_events_hopping(sf_dir: str):
     """Hopping-window aggregate: 5-min windows sliding by 1 min over events
-    (each event fans out to the 5 windows containing it)."""
+    (each event fans out to the 5 windows containing it — fanout=5 keeps the
+    exchange-rows hint honest)."""
     from .stages.window import hopping_window_aggregate
 
     ds = read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
@@ -1527,7 +1534,6 @@ def q_embedding_covariance(sf_dir: str):
     return embedding_covariance(ds)
 
 
-@_hinted("events")
 @_hinted("events")
 def q_users_per_type_hll(sf_dir: str):
     """Per-group HyperLogLog distinct users per event type — the grouped
@@ -2370,11 +2376,13 @@ def q_ch_metrics_summary(sf_dir: str):
     return summary_rows(_parsed(sf_dir))
 
 
-@_hinted("documents")
+@_hinted("documents", fanout=64)
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: training docs sharing any token 8-gram
     with the eval split (doc_id % 19 == 0 plays the held-out benchmark).
-    Eval grams broadcast once; train side is one stateless probe pass."""
+    Eval grams broadcast once; train side is one stateless probe pass.
+    fanout=64 ≈ grams per doc: exchanges here carry per-gram rows, not
+    per-doc rows, so the coalesce hint must scale with the explode."""
     from .stages.dedup import decontaminate
 
     docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -2420,11 +2428,13 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, k=5)
 
 
-@_hinted("documents")
+@_hinted("documents", fanout=64)
 def q_dup_ngrams(sf_dir: str):
     """Intra-corpus duplicate k-gram statistics (Lee et al. exact-substring
     dedup signal): one bucketed shuffle of (doc, gram, multiplicity) rows —
-    corpus gram totals are per-bucket segment sums, nothing broadcast."""
+    corpus gram totals are per-bucket segment sums, nothing broadcast.
+    fanout=64 ≈ grams per doc (the shuffle moves one row per (doc, 8-gram),
+    so the coalesce hint scales with the explode, not the doc count)."""
     from .stages.dedup import dup_ngram_stats
 
     ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -3159,6 +3169,12 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     from .stages.planted import (PLANTED_NEARDUP_TAU as _PTAU,
                                  ensure_planted_neardup, ensure_planted_topk)
 
+    # deliberate side effect: building the SQL dict guarantees the fixture
+    # parquet exists, so the oracle SQL is runnable regardless of whether
+    # the harness executes it before or after the matching query (the
+    # queries also ensure_* themselves). Cost: a no-op isdir check when the
+    # (content-fingerprint-keyed) cache is warm; the quadratic margin scan
+    # runs only on a cold cache at oracle scale (sf <= 0.1).
     _ptopk = ensure_planted_topk(sf_dir)
     _pnd = ensure_planted_neardup(sf_dir)
     for _q in ("sim_topk_lsh", "sim_topk_ivf"):

@@ -249,7 +249,10 @@ def ensure_docs_v2(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
 
     from ..generator import sf_from_dir
 
-    out = os.path.join(root, f"docs_v2_sf{sf_from_dir(sf_dir):g}")
+    from .planted import source_tag
+
+    tag = source_tag(f"{sf_dir}/documents.parquet")
+    out = os.path.join(root, f"docs_v2_g2_sf{sf_from_dir(sf_dir):g}_{tag}")
     if os.path.isdir(out) and os.listdir(out):
         return out
     t = pq.read_table(f"{sf_dir}/documents.parquet")

@@ -56,6 +56,20 @@ PLANT_BASE = 10_000_000
 PLANTED_NEARDUP_TAU = 0.99
 N_PLANT_TOPK = 12
 
+# bump when the fixture-generation code changes — the constant is part of
+# the cache key so a stale /tmp fixture can never be silently reused
+PLANTED_GEN_VERSION = 2
+
+
+def source_tag(path: str) -> str:
+    """Short content fingerprint of a source parquet (row count + byte size),
+    baked into fixture cache keys: if the source table is ever regenerated
+    with different contents, the key changes and the fixture (with its
+    build-time retrievability/margin assertions) is rebuilt instead of a
+    stale one being reused."""
+    md = pq.ParquetFile(path).metadata
+    return f"{md.num_rows}r{os.path.getsize(path):x}"
+
 
 def _read_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -95,7 +109,10 @@ def ensure_planted_topk(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
     """
     from ..generator import sf_from_dir
 
-    out = os.path.join(root, f"planted_topk_sf{sf_from_dir(sf_dir):g}")
+    tag = source_tag(f"{sf_dir}/embeddings.parquet")
+    out = os.path.join(
+        root,
+        f"planted_topk_g{PLANTED_GEN_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
     if os.path.isdir(out) and os.listdir(out):
         return out
     ids, m = _read_embeddings(sf_dir)
@@ -156,7 +173,10 @@ def ensure_planted_neardup(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
     """Original embeddings + exact-scaled (2x) clones of seeded rows."""
     from ..generator import sf_from_dir
 
-    out = os.path.join(root, f"planted_neardup_sf{sf_from_dir(sf_dir):g}")
+    tag = source_tag(f"{sf_dir}/embeddings.parquet")
+    out = os.path.join(
+        root,
+        f"planted_neardup_g{PLANTED_GEN_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
     if os.path.isdir(out) and os.listdir(out):
         return out
     ids, m = _read_embeddings(sf_dir)

@@ -347,7 +347,11 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     counts = unigram_counts(ds, text_col=text_col).materialize()
     total = int(counts.sum("c"))
-    if top_v is not None:
+    # top-V of a table with <= top_v rows is the identity — skip the extra
+    # sort+limit exchange when the materialized vocab is already bounded
+    # (count() is metadata-only on a materialized Dataset). Exact at every
+    # scale: the truncation only changes results when vocab > top_v.
+    if top_v is not None and counts.count() > top_v:
         counts = top_v_counts(counts, key_col="tok", count_col="c", top_v=top_v)
     vocab_rows = counts.take_all()
     toks = np.array([r["tok"] for r in vocab_rows], dtype=object)
@@ -424,8 +428,10 @@ def tfidf_topk(ds, *, k: int = 5, text_col: str = "text",
     import ray
 
     n_docs = ds.count()
-    dfreq = doc_freq(ds, text_col=text_col)
-    if top_v is not None:
+    dfreq = doc_freq(ds, text_col=text_col).materialize()
+    # same identity-skip as unigram_logprob: the top-V selection only
+    # changes the vocabulary when vocab > top_v
+    if top_v is not None and dfreq.count() > top_v:
         dfreq = top_v_counts(dfreq, key_col="tok", count_col="df", top_v=top_v)
     rows = dfreq.take_all()
     toks = np.array([r["tok"] for r in rows], dtype=str)
@@ -1056,11 +1062,19 @@ def kn_bigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 bval = bidx.is_valid().to_numpy(zero_copy_only=False)
                 cb = np.where(bval, c2_l[bnp], 0).astype(np.float64)
                 i1, i2 = uidx[:-1], uidx[1:]
+                cont = ~first[1:]
                 p = (np.maximum(cb - discount, 0.0) / c1f[i1]
                      + discount * left_l[i1] / c1f[i1]
                      * (right_l[i2] / n_types))
+                # masked cross-doc boundary pairs can have p == 0 (w1 never
+                # a bigram-left, w2 never a bigram-right); their lp is
+                # discarded by the cont mask, but log(0) -> -inf and the
+                # int64 cast of -inf is undefined in numpy — clamp masked
+                # positions to 1.0 (log 1 = 0) before the log. Within-doc
+                # pairs always have p > 0 (their bigram is in c2, so
+                # left[w1] >= 1 and right[w2] >= 1).
+                p = np.where(cont, p, 1.0)
                 lp_bi = np.floor(np.log(p) * 1e6).astype(np.int64)
-                cont = ~first[1:]
                 sums_add[1:] = np.where(cont, lp_bi, sums_add[1:])
             np.add.at(sums, doc_of, sums_add)
         m = n_tok > 0
