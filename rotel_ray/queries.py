@@ -703,7 +703,8 @@ def q_mm_meta(sf_dir: str):
     ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow", batch_size=256,
                         zero_copy_batch=True)
     return ds.map_batches(
-        lambda t: t.select(["media_id", "kind", "width", "height", "nframes", "n_bytes"]),
+        lambda t: t.select(["media_id", "kind", "width", "height", "nframes",
+                            "channels", "n_bytes"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
@@ -3302,8 +3303,8 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
 
     media_dir = _em(_sfd(sf_dir))
     sql["mm_meta"] = f"""
-        SELECT media_id, kind, width, height, nframes,
-               CAST(width AS BIGINT) * height * nframes AS n_bytes
+        SELECT media_id, kind, width, height, nframes, channels,
+               CAST(width AS BIGINT) * height * nframes * channels AS n_bytes
         FROM read_parquet('{media_dir}/*.parquet')"""
     sql["mm_features"] = f"""
         SELECT media_id, kind, mean_byte
@@ -3323,26 +3324,29 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
            "- CASE WHEN substr(hx, {p}, 1) >= 'A' THEN 55 ELSE 48 END) "
            "+ ascii(substr(hx, {p} + 1, 1)) "
            "- CASE WHEN substr(hx, {p} + 1, 1) >= 'A' THEN 55 ELSE 48 END)")
-    _px = _hd.format(p="2 * ((u.i * h) // 32 * w + (v.j * w) // 32) + 1")
+    _px = _hd.format(
+        p="2 * (((u.i * h) // 32 * w + (v.j * w) // 32) * ch + l.c) + 1")
     sql["mm_resize"] = f"""
         WITH img AS (
-          SELECT media_id, body_hex AS hx, width AS w, height AS h
+          SELECT media_id, body_hex AS hx, width AS w, height AS h,
+                 channels AS ch
           FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'image'),
         b AS (
-          SELECT media_id, u.i AS oi, v.j AS oj, {_px} AS b
-          FROM img, unnest(range(0, 32)) AS u(i), unnest(range(0, 32)) AS v(j))
+          SELECT media_id, ch, u.i AS oi, v.j AS oj, l.c AS oc, {_px} AS b
+          FROM img, unnest(range(0, 32)) AS u(i), unnest(range(0, 32)) AS v(j),
+               unnest(range(0, ch)) AS l(c))
         SELECT media_id, CAST(count(*) AS BIGINT) AS n_px,
                CAST(sum(b) AS BIGINT) AS px_sum,
-               CAST(max(CASE WHEN oi = 0 AND oj = 0 THEN b END) AS BIGINT)
-                 AS first_px,
-               CAST(max(CASE WHEN oi = 31 AND oj = 31 THEN b END) AS BIGINT)
-                 AS last_px
+               CAST(max(CASE WHEN oi = 0 AND oj = 0 AND oc = 0 THEN b END)
+                 AS BIGINT) AS first_px,
+               CAST(max(CASE WHEN oi = 31 AND oj = 31 AND oc = ch - 1 THEN b
+                 END) AS BIGINT) AS last_px
         FROM b GROUP BY 1"""
     _bk = _hd.format(p="2 * u.k + 1")
     sql["mm_decode"] = f"""
         WITH m AS (
           SELECT media_id, kind, body_hex AS hx,
-                 CAST(width AS BIGINT) * height * nframes AS n
+                 CAST(width AS BIGINT) * height * nframes * channels AS n
           FROM read_parquet('{media_dir}/*.parquet')),
         b AS (
           SELECT media_id, kind, n, u.k AS k, {_bk} AS b

@@ -7,13 +7,16 @@ so the default compute mode is plain tasks (fuses with the read); the
 actor-pool mode remains one flag away for deployments whose decode loads
 real codec state in ``__init__`` (see ``media_pipeline``).
 
-Codec boundary (round 3): images and audio now use REAL container formats
-decoded with stdlib-only codecs implemented in this module —
+Codec boundary (round 3, widened round 4): images and audio use REAL
+container formats decoded with stdlib-only codecs implemented here —
 
-- **PNG** (8-bit grayscale, non-interlaced): full chunk parse, zlib inflate,
-  and all five scanline filters (None/Sub/Up/Average/Paeth) un-applied; the
-  sibling encoder cycles filter types per row so decode genuinely exercises
-  the whole filter set (spec: RFC 2083 §6).
+- **PNG** (color types 0 grayscale / 2 RGB / 3 palette / 6 RGBA at bit
+  depth 8, plus 16-bit for types 0/2/6; non-interlaced): full chunk parse
+  incl. PLTE, zlib inflate, and all five scanline filters
+  (None/Sub/Up/Average/Paeth) un-applied at the color type's bytes-per-
+  pixel offset; the sibling encoder cycles filter types per row AND the
+  fixture cycles color types per image, so decode genuinely exercises the
+  whole filter × color-type matrix (spec: RFC 2083 §4.1.1, §6).
 - **WAV** (RIFF PCM mono u8): chunk walk honouring the RIFF even-byte pad.
 - **video** stays the declared synthetic ``FVID`` container (no video codec
   is expressible in the stdlib; the decode boundary for video is a header
@@ -54,17 +57,27 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data)))
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """Minimal REAL PNG encoder: 8-bit grayscale, one IDAT, stdlib zlib.
-    Scanline filters cycle 0..4 by row so a decoder must implement the full
-    filter set (all arithmetic mod 256 per the spec)."""
-    h, w = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+# channel counts per PNG color type (RFC 2083 §4.1.1); palette rows carry
+# 1-byte indices on the wire but expand to RGB on decode
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _filter_scanlines(rows: np.ndarray, bpp: int) -> bytes:
+    """Apply the five PNG scanline filters (cycling 0..4 by row) to a
+    (h, row_bytes) byte matrix. ``bpp`` is the filter unit — bytes per
+    complete pixel — so the 'left' neighbor of byte x is byte x-bpp
+    (RFC 2083 §6.2). All arithmetic mod 256."""
+    h, rb = rows.shape
     raw = bytearray()
-    prev = np.zeros(w, np.int16)
+    prev = np.zeros(rb, np.int16)
+    z = np.zeros(bpp, np.int16)
+
+    def shift(v: np.ndarray) -> np.ndarray:  # v delayed by bpp bytes
+        return np.concatenate([z, v[:-bpp]]) if rb > bpp else z[:rb]
+
     for y in range(h):
-        row = arr[y].astype(np.int16)
-        left = np.r_[np.int16(0), row[:-1]]
+        row = rows[y].astype(np.int16)
+        left = shift(row)
         ft = y % 5
         if ft == 0:
             f = row
@@ -75,7 +88,7 @@ def encode_png(arr: np.ndarray) -> bytes:
         elif ft == 3:
             f = row - (left + prev) // 2
         else:
-            ul = np.r_[np.int16(0), prev[:-1]]
+            ul = shift(prev)
             p = left + prev - ul
             pa_, pb_, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
             pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
@@ -84,26 +97,127 @@ def encode_png(arr: np.ndarray) -> bytes:
         raw.append(ft)
         raw.extend((f & 0xFF).astype(np.uint8).tobytes())
         prev = row
-    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return bytes(raw)
+
+
+def encode_png(arr: np.ndarray, *, ctype: int = 0, depth: int = 8,
+               palette: np.ndarray | None = None) -> bytes:
+    """Minimal REAL PNG encoder, stdlib zlib only. Supports color types
+    0 (grayscale), 2 (RGB), 3 (palette, with PLTE chunk), 6 (RGBA) at
+    depth 8, plus depth 16 for types 0/2/6 (big-endian samples per spec).
+    Scanline filters cycle 0..4 by row so a decoder must implement the
+    full filter set.
+
+    ``arr`` shapes: (h, w) for gray/palette-indices, (h, w, c) for RGB(A);
+    dtype uint8 for depth 8, uint16 for depth 16. ``palette`` is an
+    (n <= 256, 3) uint8 color table, required for ctype 3."""
+    if ctype == 3:
+        if palette is None or depth != 8:
+            raise ValueError("palette PNG needs a PLTE table and depth 8")
+        h, w = arr.shape
+        rows, bpp = arr.astype(np.uint8), 1
+    else:
+        nch = _PNG_CHANNELS[ctype]
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        if c != nch:
+            raise ValueError(f"color type {ctype} needs {nch} channels, got {c}")
+        if depth == 8:
+            rows = arr.astype(np.uint8).reshape(h, w * c)
+        elif depth == 16:
+            # network byte order: each sample serializes big-endian
+            rows = arr.astype(">u2").view(np.uint8).reshape(h, w * c * 2)
+        else:
+            raise ValueError(f"unsupported bit depth {depth}")
+        bpp = nch * depth // 8
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return (out + _png_chunk(b"IDAT", zlib.compress(_filter_scanlines(rows, bpp)))
             + _png_chunk(b"IEND", b""))
 
 
+def _unfilter_scanlines(raw: bytes, h: int, rb: int, bpp: int) -> np.ndarray:
+    """Invert the PNG scanline filters: (h, rb) reconstructed byte matrix.
+    Sub uses the per-lane cumsum-mod identity (lanes = byte position mod
+    bpp are independent); Average/Paeth carry a left dependency and run
+    per byte (plain-list scalar ops are ~3x numpy scalar indexing here —
+    do not 'fix' this into numpy-per-element)."""
+    stride = rb + 1
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.empty((h, rb), np.uint8)
+    prev = np.zeros(rb, np.int32)
+    for y in range(h):
+        ft = raw[y * stride]
+        line = np.frombuffer(raw, np.uint8, rb, y * stride + 1).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:
+            # rec[x] = line[x] + rec[x-bpp]: cumsum per byte lane, mod at
+            # the end == mod each step
+            rec = (np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1)) & 0xFF
+        elif ft == 2:
+            rec = (line + prev) & 0xFF
+        elif ft == 3:
+            lf, pv, rl = line.tolist(), prev.tolist(), [0] * rb
+            for x in range(rb):
+                a = rl[x - bpp] if x >= bpp else 0
+                rl[x] = (lf[x] + ((a + pv[x]) >> 1)) & 0xFF
+            rec = np.asarray(rl, np.int32)
+        elif ft == 4:
+            lf, pv, rl = line.tolist(), prev.tolist(), [0] * rb
+            for x in range(rb):
+                a = rl[x - bpp] if x >= bpp else 0
+                c = pv[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                rl[x] = (lf[x] + pred) & 0xFF
+            rec = np.asarray(rl, np.int32)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Pure-stdlib PNG decode (8-bit grayscale, non-interlaced): chunk walk,
-    zlib inflate, un-filter. Sub uses the cumsum-mod identity (bpp=1);
-    Average/Paeth carry a left dependency and run per pixel."""
+    """Pure-stdlib PNG decode, non-interlaced: chunk walk, zlib inflate,
+    un-filter, color-type expansion. Supported: color types 0/2/6 at depth
+    8 or 16 and palette (type 3, depth 8) — the shapes a real image corpus
+    hits day one. Returns
+
+    - ``(h, w)`` uint8 for 8-bit grayscale,
+    - ``(h, w)`` big-endian uint16 (dtype ``>u2``) for 16-bit grayscale,
+    - ``(h, w, c)`` uint8 (or ``>u2`` at depth 16) for RGB/RGBA,
+    - ``(h, w, 3)`` uint8 palette-expanded RGB for type 3,
+
+    so ``.tobytes()`` always equals the pre-filter sample stream (16-bit
+    samples are big-endian on the wire per RFC 2083 §2.1)."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
-    pos, idat, w, h = 8, [], None, None
+    pos, idat, w, h, plte = 8, [], None, None, None
+    depth = ctype = 0
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         typ = data[pos + 4:pos + 8]
         chunk = data[pos + 8:pos + 8 + ln]
         if typ == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", chunk)
-            if depth != 8 or ctype != 0 or interlace != 0:
-                raise ValueError("only 8-bit grayscale non-interlaced PNG supported")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if ctype == 3:
+                if depth != 8:
+                    raise ValueError("palette PNG: only 8-bit indices supported")
+            elif ctype not in _PNG_CHANNELS or depth not in (8, 16):
+                raise ValueError(
+                    f"unsupported PNG color type {ctype} / bit depth {depth}")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(chunk)
         elif typ == b"IEND":
@@ -112,46 +226,19 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("truncated PNG: missing IHDR/IDAT")
     raw = zlib.decompress(b"".join(idat))
-    stride = w + 1
-    if len(raw) != h * stride:
-        raise ValueError("PNG scanline data size mismatch")
-    out = np.empty((h, w), np.uint8)
-    prev = np.zeros(w, np.int32)
-    for y in range(h):
-        ft = raw[y * stride]
-        line = np.frombuffer(raw, np.uint8, w, y * stride + 1).astype(np.int32)
-        if ft == 0:
-            rec = line
-        elif ft == 1:
-            rec = np.cumsum(line) & 0xFF  # mod at the end == mod each step
-        elif ft == 2:
-            rec = (line + prev) & 0xFF
-        elif ft == 3:
-            # left-dependency is inherently sequential; plain-list scalar
-            # ops are ~3x numpy scalar indexing in this loop
-            lf, pv, rl = line.tolist(), prev.tolist(), [0] * w
-            a = 0
-            for x in range(w):
-                a = (lf[x] + ((a + pv[x]) >> 1)) & 0xFF
-                rl[x] = a
-            rec = np.asarray(rl, np.int32)
-        elif ft == 4:
-            lf, pv, rl = line.tolist(), prev.tolist(), [0] * w
-            a = c = 0
-            for x in range(w):
-                b = pv[x]
-                p = a + b - c
-                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
-                a = (lf[x] + pred) & 0xFF
-                rl[x] = a
-                c = b
-            rec = np.asarray(rl, np.int32)
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-    return out
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = _unfilter_scanlines(raw, h, w, 1)
+        return plte[idx]  # (h, w, 3) expanded RGB
+    nch = _PNG_CHANNELS[ctype]
+    bpp = nch * depth // 8
+    m = _unfilter_scanlines(raw, h, w * bpp, bpp)
+    if depth == 16:
+        m = m.reshape(h, w * nch, 2).copy().view(">u2").reshape(h, w, nch)
+    else:
+        m = m.reshape(h, w, nch)
+    return m[:, :, 0] if nch == 1 else m
 
 
 def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
@@ -194,6 +281,9 @@ MEDIA_SCHEMA = pa.schema(
         ("width", pa.int32()),
         ("height", pa.int32()),
         ("nframes", pa.int32()),
+        # bytes per pixel of the DECODED body: 1 gray8, 2 gray16, 3
+        # RGB/palette-expanded, 4 RGBA; 1 for audio samples / video frames
+        ("channels", pa.int32()),
         # generator-side metadata: deterministic functions of the raw
         # PRE-ENCODE bytes, written at generation time. body_hex lets the
         # DuckDB oracles replay byte-position math while the engine must
@@ -206,23 +296,43 @@ MEDIA_SCHEMA = pa.schema(
 
 CODEC_OF = {"image": "png", "audio": "wav", "video": "fvid"}
 
+# image variant cycle: (color type, bit depth, decoded bytes/pixel) — real
+# corpora are RGB/RGBA day one, so the fixture cycles color types the same
+# way the encoder cycles scanline filters
+_IMG_VARIANTS = [(0, 8, 1), (2, 8, 3), (6, 8, 4), (3, 8, 3), (0, 16, 2)]
 
-def make_payload(media_id: int, kind: str, rng: np.random.Generator) -> tuple[bytes, bytes, int, int, int]:
-    """Returns (encoded payload, raw body bytes, width, height, nframes)."""
+
+def make_payload(media_id: int, kind: str, rng: np.random.Generator
+                 ) -> tuple[bytes, bytes, int, int, int, int]:
+    """Returns (encoded payload, raw body bytes, width, height, nframes,
+    channels). ``body`` is always the decoded byte stream the engine must
+    reproduce (palette images store the EXPANDED RGB bytes; 16-bit images
+    store big-endian sample bytes)."""
     if kind == "image":
         w, h, f = int(rng.integers(16, 65)), int(rng.integers(16, 65)), 1
-    elif kind == "audio":
+        ctype, depth, ch = _IMG_VARIANTS[(media_id // 3) % len(_IMG_VARIANTS)]
+        if ctype == 3:
+            pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+            idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+            payload = encode_png(idx, ctype=3, palette=pal)
+            body = pal[idx].tobytes()
+        elif depth == 16:
+            px = rng.integers(0, 65_536, (h, w), dtype=np.uint16)
+            payload = encode_png(px, ctype=0, depth=16)
+            body = px.astype(">u2").tobytes()
+        else:
+            shape = (h, w) if ch == 1 else (h, w, ch)
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            payload = encode_png(px, ctype=ctype)
+            body = px.tobytes()
+        return payload, body, w, h, f, ch
+    if kind == "audio":
         w, h, f = int(rng.integers(256, 1025)), 1, 1  # w = samples
-    else:
-        w, h, f = int(rng.integers(8, 33)), int(rng.integers(8, 33)), int(rng.integers(2, 17))
+        body = rng.integers(0, 256, w, dtype=np.uint8)
+        return encode_wav(body), body.tobytes(), w, h, f, 1
+    w, h, f = int(rng.integers(8, 33)), int(rng.integers(8, 33)), int(rng.integers(2, 17))
     body = rng.integers(0, 256, w * h * f, dtype=np.uint8)
-    if kind == "image":
-        payload = encode_png(body.reshape(h, w))
-    elif kind == "audio":
-        payload = encode_wav(body)
-    else:
-        payload = HEADER.pack(MAGIC[kind], w, h, f) + body.tobytes()
-    return payload, body.tobytes(), w, h, f
+    return HEADER.pack(MAGIC[kind], w, h, f) + body.tobytes(), body.tobytes(), w, h, f, 1
 
 
 def generate_media(n: int, shard: int = 0) -> pa.Table:
@@ -239,6 +349,7 @@ def generate_media(n: int, shard: int = 0) -> pa.Table:
             "width": pa.array([r[2] for r in rows], pa.int32()),
             "height": pa.array([r[3] for r in rows], pa.int32()),
             "nframes": pa.array([r[4] for r in rows], pa.int32()),
+            "channels": pa.array([r[5] for r in rows], pa.int32()),
             "mean_byte": pa.array(means, pa.float64()),
             "body_hex": pa.array([r[1].hex().upper() for r in rows], pa.string()),
         },
@@ -248,7 +359,8 @@ def generate_media(n: int, shard: int = 0) -> pa.Table:
 
 def ensure_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
     """Deterministic media parquet (one shard per 1k items, atomic rename)."""
-    out = os.path.join(root, f"media_v3_sf{sf:g}")  # v3: real PNG/WAV payloads
+    # v4: images cycle PNG color types 0/2/6/3 + 16-bit (channels column)
+    out = os.path.join(root, f"media_v4_sf{sf:g}")
     if os.path.isdir(out) and os.listdir(out):
         return out
     n = max(300, int(sf * 30_000))
@@ -276,19 +388,24 @@ class MediaDecoder:
     def __init__(self, strict: bool = True):
         self.strict = strict
 
-    def _decode_body(self, payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    def _decode_body(self, payload: bytes) -> tuple[str, int, int, int, int, bytes]:
+        """Returns (kind, width, height, nframes, channels, body_bytes);
+        ``channels`` = decoded bytes per pixel (gray8 1, gray16 2, RGB /
+        palette-expanded 3, RGBA 4; audio/video 1)."""
         if payload[:8] == PNG_MAGIC:
             px = decode_png(payload)
-            return "image", px.shape[1], px.shape[0], 1, px.reshape(-1)
+            h, w = px.shape[0], px.shape[1]
+            nch = px.shape[2] if px.ndim == 3 else 1
+            return "image", w, h, 1, nch * px.dtype.itemsize, px.tobytes()
         if payload[:4] == b"RIFF":
             samples, _rate = decode_wav(payload)
-            return "audio", samples.size, 1, 1, samples
+            return "audio", samples.size, 1, 1, 1, samples.tobytes()
         magic, w, h, f = HEADER.unpack_from(payload)
         kind = {v: k for k, v in MAGIC.items()}[magic]
         body = np.frombuffer(payload, dtype=np.uint8, offset=HEADER.size)
         if self.strict and body.size != w * h * f:
             raise ValueError(f"payload size mismatch: {body.size} != {w}*{h}*{f}")
-        return kind, w, h, f, body
+        return kind, w, h, f, 1, body.tobytes()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column("payload").to_pylist()
@@ -300,8 +417,9 @@ class MediaDecoder:
                 "width": pa.array([d[1] for d in decoded], pa.int32()),
                 "height": pa.array([d[2] for d in decoded], pa.int32()),
                 "nframes": pa.array([d[3] for d in decoded], pa.int32()),
-                "n_bytes": pa.array([d[4].size for d in decoded], pa.int64()),
-                "body": pa.array([d[4].tobytes() for d in decoded], pa.binary()),
+                "channels": pa.array([d[4] for d in decoded], pa.int32()),
+                "n_bytes": pa.array([len(d[5]) for d in decoded], pa.int64()),
+                "body": pa.array([d[5] for d in decoded], pa.binary()),
             }
         )
 
@@ -373,33 +491,41 @@ def resize_images(t: pa.Table, size: tuple[int, int] = (32, 32)) -> pa.Table:
     PIL/opencv deployment swaps only the interpolation call.
 
     Non-image rows are dropped. Emits the resized payload plus exact-integer
-    stats (pixel sum, corner pixels) that the DuckDB oracle reproduces
+    stats (byte sum, corner bytes) that the DuckDB oracle reproduces
     byte-for-byte from the ORIGINAL payload blob via the same index map —
     so the resize arithmetic, not just the plumbing, is oracle-checked.
-    Per-row iteration over binary blobs is inherent to codec-shaped work
-    (same as the decode/frame stages above)."""
+    Multi-channel images (``channels`` = decoded bytes/pixel > 1) resize
+    whole pixels: the index map selects pixel (si, sj) and keeps all its
+    bytes, so ``n_px`` counts OUTPUT BYTES (= out_w*out_h*channels) and
+    first/last are the first/last byte of the resized stream. Per-row
+    iteration over binary blobs is inherent to codec-shaped work (same as
+    the decode/frame stages above)."""
     out_w, out_h = size
-    ids, blobs, sums, firsts, lasts = [], [], [], [], []
+    has_ch = "channels" in t.column_names
+    chs = (t.column("channels").to_pylist() if has_ch
+           else [1] * t.num_rows)
+    ids, blobs, sums, firsts, lasts, npx = [], [], [], [], [], []
     si_cache: dict[tuple[int, int], np.ndarray] = {}
-    for mid, kind, body, w, h in zip(
+    for mid, kind, body, w, h, ch in zip(
             t.column("media_id").to_pylist(), t.column("kind").to_pylist(),
             t.column("body").to_pylist(), t.column("width").to_pylist(),
-            t.column("height").to_pylist()):
+            t.column("height").to_pylist(), chs):
         if kind != "image":
             continue
-        arr = np.frombuffer(body, np.uint8).reshape(h, w)
+        arr = np.frombuffer(body, np.uint8).reshape(h, w, ch)
         si = si_cache.setdefault((h, out_h), (np.arange(out_h) * h) // out_h)
         sj = si_cache.setdefault((w, out_w), (np.arange(out_w) * w) // out_w)
         r = arr[si][:, sj]
         ids.append(mid)
         blobs.append(r.tobytes())
-        sums.append(int(r.sum()))
-        firsts.append(int(r[0, 0]))
-        lasts.append(int(r[-1, -1]))
+        sums.append(int(r.sum(dtype=np.int64)))
+        firsts.append(int(r[0, 0, 0]))
+        lasts.append(int(r[-1, -1, -1]))
+        npx.append(out_w * out_h * ch)
     return pa.table({
         "media_id": pa.array(ids, pa.int64()),
         "resized": pa.array(blobs, pa.binary()),
-        "n_px": pa.array([out_w * out_h] * len(ids), pa.int64()),
+        "n_px": pa.array(npx, pa.int64()),
         "px_sum": pa.array(sums, pa.int64()),
         "first_px": pa.array(firsts, pa.int64()),
         "last_px": pa.array(lasts, pa.int64()),

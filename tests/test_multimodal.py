@@ -30,12 +30,28 @@ def test_decoder_roundtrip():
     t = generate_media(30)
     out = MediaDecoder()(t)
     assert out.column("media_id").to_pylist() == t.column("media_id").to_pylist()
-    for w, h, f, nb in zip(out.column("width").to_pylist(), out.column("height").to_pylist(),
-                           out.column("nframes").to_pylist(), out.column("n_bytes").to_pylist()):
-        assert nb == w * h * f
+    for w, h, f, ch, nb in zip(out.column("width").to_pylist(), out.column("height").to_pylist(),
+                               out.column("nframes").to_pylist(),
+                               out.column("channels").to_pylist(),
+                               out.column("n_bytes").to_pylist()):
+        assert nb == w * h * f * ch
     # header fields round-trip against the generator's metadata columns
     assert out.column("width").to_pylist() == t.column("width").to_pylist()
     assert out.column("kind").to_pylist() == t.column("kind").to_pylist()
+    assert out.column("channels").to_pylist() == t.column("channels").to_pylist()
+
+
+def test_decoder_body_matches_generator_bytes_all_variants():
+    """The decoded byte stream must equal the generator's pre-encode bytes
+    for EVERY image variant (gray8 / RGB / RGBA / palette-expanded / 16-bit
+    big-endian) plus audio and video — the in-repo mirror of the hex-replay
+    oracles."""
+    t = generate_media(45)  # 15 images -> all 5 variants x3
+    out = MediaDecoder()(t)
+    assert sorted(set(t.column("channels").to_pylist())) == [1, 2, 3, 4]
+    for i in range(t.num_rows):
+        assert out.column("body")[i].as_py() == bytes.fromhex(
+            t.column("body_hex")[i].as_py()), i
 
 
 def test_decoder_strict_rejects_corrupt():
@@ -71,6 +87,31 @@ def test_png_codec_roundtrip_all_filters():
     assert (decode_png(encode_png(g)) == g).all()
 
 
+def test_png_codec_roundtrip_color_types():
+    """RGB / RGBA / palette / 16-bit roundtrips, including >= 5-row images
+    so every scanline filter runs at each color type's bpp offset."""
+    import numpy as np
+
+    from rotel_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for ct, c in [(2, 3), (6, 4)]:
+        for h, w in [(1, 1), (6, 5), (40, 33)]:
+            a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            assert (decode_png(encode_png(a, ctype=ct)) == a).all(), (ct, h, w)
+    # palette: decode expands indices through PLTE to RGB
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 11), dtype=np.uint8)
+    assert (decode_png(encode_png(idx, ctype=3, palette=pal)) == pal[idx]).all()
+    # 16-bit: big-endian samples on the wire, dtype >u2 back
+    for ct, c in [(0, 1), (2, 3), (6, 4)]:
+        shape = (7, 6) if c == 1 else (7, 6, c)
+        a = rng.integers(0, 65_536, shape, dtype=np.uint16)
+        d = decode_png(encode_png(a, ctype=ct, depth=16))
+        assert d.dtype == np.dtype(">u2") and (d == a).all(), ct
+        assert d.tobytes() == a.astype(">u2").tobytes()
+
+
 def test_png_decoder_rejects_unsupported():
     import struct
     import zlib
@@ -80,10 +121,15 @@ def test_png_decoder_rejects_unsupported():
     from rotel_ray.stages.multimodal import _png_chunk, decode_png
 
     magic = b"\x89PNG\r\n\x1a\n"
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    # sub-byte depth
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 4, 0, 0, 0, 0)
     bad = magic + _png_chunk(b"IHDR", ihdr)
-    with pytest.raises(ValueError, match="grayscale"):
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bad)
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1)
+    bad = magic + _png_chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="interlaced"):
         decode_png(bad)
     # wrong scanline byte count
     ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
@@ -93,6 +139,27 @@ def test_png_decoder_rejects_unsupported():
         decode_png(bad)
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JFIF0000")
+
+
+def test_png_against_pil_if_present():
+    """Cross-check the stdlib codec against PIL when available (the
+    production decode seam) — skip-gated: PIL is not in this container."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from rotel_ray.stages.multimodal import encode_png
+
+    rng = np.random.default_rng(12)
+    for ct, shape in [(0, (9, 7)), (2, (9, 7, 3)), (6, (9, 7, 4))]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        img = PIL.open(io.BytesIO(encode_png(a, ctype=ct)))
+        assert (np.asarray(img).reshape(shape) == a).all(), ct
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 8), dtype=np.uint8)
+    img = PIL.open(io.BytesIO(encode_png(idx, ctype=3, palette=pal))).convert("RGB")
+    assert (np.asarray(img) == pal[idx]).all()
 
 
 def test_wav_codec_roundtrip_and_padding():
@@ -199,6 +266,41 @@ def test_resize_images_nearest_neighbor_exact():
         assert out.column("px_sum")[i].as_py() == int(ref.sum())
         assert out.column("first_px")[i].as_py() == int(ref[0, 0])
         assert out.column("last_px")[i].as_py() == int(ref[-1, -1])
+
+
+def test_resize_images_multichannel_exact():
+    """RGB/RGBA/16-bit bodies resize whole pixels (all channel bytes move
+    together through the floor index map)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rotel_ray.stages.multimodal import resize_images
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for mid, (w, h, ch) in enumerate([(16, 40, 3), (50, 9, 4), (20, 20, 2)]):
+        body = rng.integers(0, 256, w * h * ch, dtype=np.uint8)
+        rows.append((mid, body.tobytes(), w, h, ch))
+    t = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "kind": pa.array(["image"] * 3),
+        "body": pa.array([r[1] for r in rows], pa.binary()),
+        "width": pa.array([r[2] for r in rows], pa.int32()),
+        "height": pa.array([r[3] for r in rows], pa.int32()),
+        "channels": pa.array([r[4] for r in rows], pa.int32()),
+    })
+    out = resize_images(t, size=(32, 32))
+    for i, (_, body, w, h, ch) in enumerate(rows):
+        arr = np.frombuffer(body, np.uint8).reshape(h, w, ch)
+        si = (np.arange(32) * h) // 32
+        sj = (np.arange(32) * w) // 32
+        ref = arr[si][:, sj]
+        got = np.frombuffer(out.column("resized")[i].as_py(), np.uint8)
+        assert (got == ref.reshape(-1)).all()
+        assert out.column("n_px")[i].as_py() == 32 * 32 * ch
+        assert out.column("px_sum")[i].as_py() == int(ref.sum(dtype=np.int64))
+        assert out.column("first_px")[i].as_py() == int(ref[0, 0, 0])
+        assert out.column("last_px")[i].as_py() == int(ref[-1, -1, -1])
 
 
 def test_resample_audio_nearest_neighbor_exact():
