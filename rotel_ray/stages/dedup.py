@@ -762,16 +762,38 @@ def token_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def embedding_neardup_exact(ds, *, tau: float = 0.9, id_col: str = "vec_id",
-                            emb_col: str = "embedding", concurrency=2):
+                            emb_col: str = "embedding", concurrency=2,
+                            broadcast_limit: int = 1 << 30):
     """All pairs with cosine >= tau. Baseline: the normalized (id, vector)
     matrix is broadcast once (ray.put) and each batch does one GEMM against
     it, emitting only its (a < b) half. O(n^2/p) compute, O(n*d) broadcast —
-    the verification baseline; use the LSH variant at corpus scale."""
-    full = pa.Table.from_pandas(
-        ds.select_columns([id_col, emb_col]).to_pandas(), preserve_index=False
-    )
-    ids_all = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    m_all = np.stack(full.column(emb_col).to_pylist()).astype(np.float64)
+    the verification baseline; use the LSH variant at corpus scale.
+
+    The broadcast side is built by STREAMING blocks off the (column-pruned)
+    dataset — per-block zero-copy packed arrays concatenated on the driver —
+    never a whole-table ``to_pandas`` / Python-object materialization, and
+    it is size-gated: past ``broadcast_limit`` bytes (default 1 GiB of f64)
+    the build aborts loudly and points at :func:`embedding_neardup_lsh`
+    (same contract as collocations' broadcast-vs-join gate)."""
+    ids_parts: list[np.ndarray] = []
+    m_parts: list[np.ndarray] = []
+    nbytes = 0
+    pruned = ds.select_columns([id_col, emb_col])
+    for b in pruned.iter_batches(batch_format="pyarrow", batch_size=4096):
+        ids_parts.append(
+            b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        mm = embedding_matrix(b.column(emb_col)).astype(np.float64)
+        m_parts.append(mm)
+        nbytes += mm.nbytes + ids_parts[-1].nbytes
+        if nbytes > broadcast_limit:
+            raise ValueError(
+                f"embedding_neardup_exact: broadcast side exceeds "
+                f"{broadcast_limit} bytes — this is the O(n*d)-broadcast "
+                f"verification baseline; use embedding_neardup_lsh at "
+                f"corpus scale (or raise broadcast_limit explicitly)")
+    ids_all = (np.concatenate(ids_parts) if ids_parts
+               else np.empty(0, np.int64))
+    m_all = np.vstack(m_parts) if m_parts else np.empty((0, 1), np.float64)
     m_all /= np.maximum(np.linalg.norm(m_all, axis=1, keepdims=True), 1e-12)
 
     def find_pairs(t: pa.Table, ids_ref, m_ref) -> pa.Table:
