@@ -46,6 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip waves already committed in the manifest")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus when this process owns the session")
+    p.add_argument("--ddl", default=None, choices=["traces", "logs", "metrics"],
+                   help="print the ClickHouse CREATE TABLE statements for a "
+                        "signal and exit (the clickhouse-ddl create analogue)")
+    p.add_argument("--ddl-database", default="otel")
+    p.add_argument("--ddl-table-prefix", default="otel")
+    p.add_argument("--ddl-engine", default="MergeTree",
+                   choices=["MergeTree", "ReplicatedMergeTree", "Null"])
+    p.add_argument("--ddl-cluster", default=None)
+    p.add_argument("--ddl-ttl-secs", type=int, default=0)
+    p.add_argument("--ddl-enable-json", action="store_true")
     return p
 
 
@@ -88,6 +98,16 @@ def main(argv: list[str] | None = None) -> int:
         from .queries import QUERIES
 
         print("\n".join(sorted(QUERIES)))
+        return 0
+    if args.ddl:
+        from .stages.ch_ddl import get_ddl
+
+        for stmt in get_ddl(args.ddl, cluster=args.ddl_cluster,
+                            database=args.ddl_database,
+                            table_prefix=args.ddl_table_prefix,
+                            engine=args.ddl_engine, ttl_secs=args.ddl_ttl_secs,
+                            use_json=args.ddl_enable_json):
+            print(stmt)
         return 0
     if args.query is None and not (args.input and args.out):
         print("either --query NAME or both --input and --out are required", file=sys.stderr)

@@ -3817,14 +3817,15 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(0 AS INTEGER) AS flags
         FROM (SELECT conv_id, ts, CAST({SQL_STATUS} AS BIGINT) AS st FROM {T})
         WHERE st IS NOT NULL GROUP BY conv_id"""
-    # every ClickHouse metric row carries the five Exemplars.* columns
-    # (schema.rs:177-200) — empty canonical-JSON arrays on exemplar-less
-    # input, exactly what the reference serializes
+    # sum/gauge/histogram/exp-histogram rows carry the five Exemplars.*
+    # columns (schema.rs:177-200) — empty canonical-JSON arrays on
+    # exemplar-less input, exactly what the reference serializes. Summary
+    # rows do NOT (MetricsSummaryRow, schema.rs:364-380).
     from .stages.ch_metrics import EXEMPLAR_COLS as _ECOLS
 
     _exe = ", ".join(f"'[]' AS {c}" for c in _ECOLS)
     for _q in ("ch_metrics_gauge", "ch_metrics_sum", "ch_metrics_histogram",
-               "ch_metrics_exp_histogram", "ch_metrics_summary"):
+               "ch_metrics_exp_histogram"):
         sql[_q] = f"SELECT *, {_exe} FROM ({sql[_q]})"
     # unigram-LM scoring: per-token log-probs are integer micro-nats
     # (floor(ln(c/total)*1e6)) so per-doc sums are exact int64 in any

@@ -272,8 +272,10 @@ def summary_rows(parsed_ds):
             "value_at_quantiles_quantile": pa.array([q_json] * len(uniq)),
             "value_at_quantiles_value": pa.array(
                 ["[" + ",".join(map(str, row)) + "]" for row in vq]),
+            # NO Exemplars.* here: MetricsSummaryRow is the one metric row
+            # without them (schema.rs:364-380; the summary DDL table has no
+            # Exemplars Nested either, ddl_metrics.rs METRICS_SUMMARY_*)
             "flags": pa.nulls(len(uniq), pa.int32()).fill_null(0),
-            **_exemplar_cols(len(uniq)),
         })
 
     pre = parsed_ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
