@@ -71,7 +71,7 @@ def run_flagship(
     import pyarrow.parquet as pq
 
     for w, frag in enumerate(chunks):
-        if manifest.is_done(w):
+        if manifest.is_done(w, frag):  # fingerprint-checked resume
             continue
         t0 = time.time()
         sink_counts: dict[str, int] = {}

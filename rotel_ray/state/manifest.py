@@ -11,11 +11,20 @@ idempotent-output mechanism (SURVEY.md §4 checkpoint row).
 
 Manifest is an append-only JSONL file; each record (FIXTURES.md §5):
 
-    {partition_id, input_fragments, status, rows_in, rows_parsed,
-     rows_failed, sink_counts: {sink: n}, sink_files, wall_ms}
+    {partition_id, input_fragments, input_fingerprints, status, rows_in,
+     rows_parsed, rows_failed, sink_counts: {sink: n}, sink_files, wall_ms}
 
 Appends are atomic at the OS level (single O_APPEND write < PIPE_BUF for
 records this size); a torn trailing line is ignored on load.
+
+Resume safety (round 4): each commit records a per-fragment fingerprint
+(path, size, mtime_ns) — the batch analogue of the reference's
+device+inode file re-identification
+(src/receivers/file/receiver.rs:129-157). ``is_done(w, fragments)``
+treats a committed wave as done only if every input fragment still
+matches its recorded fingerprint, so replacing an input file between
+runs forces exactly that wave to recompute instead of silently keeping
+stale outputs.
 """
 
 from __future__ import annotations
@@ -23,6 +32,17 @@ from __future__ import annotations
 import json
 import os
 import time
+
+
+def fragment_fingerprints(paths: list[str]) -> list[dict]:
+    """Per-fragment identity (path, byte size, mtime_ns). size+mtime_ns
+    catches both in-place rewrites and replacements without reading data
+    (a content hash would re-read the whole input every resume)."""
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append({"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns})
+    return out
 
 
 class Manifest:
@@ -43,8 +63,25 @@ class Manifest:
                     if rec.get("status") == "done":
                         self._done[rec["partition_id"]] = rec
 
-    def is_done(self, partition_id: int) -> bool:
-        return partition_id in self._done
+    def is_done(self, partition_id: int,
+                input_fragments: list[str] | None = None) -> bool:
+        """Committed AND (when ``input_fragments`` is given) every fragment
+        still matches the fingerprint recorded at commit time. A wave whose
+        input changed (or whose record predates fingerprinting) is treated
+        as not-done and recomputes; its new commit supersedes the old
+        record (load keeps the last record per partition)."""
+        rec = self._done.get(partition_id)
+        if rec is None:
+            return False
+        if input_fragments is None:
+            return True
+        recorded = rec.get("input_fingerprints")
+        if recorded is None:
+            return False  # pre-fingerprint record: can't prove freshness
+        try:
+            return recorded == fragment_fingerprints(input_fragments)
+        except OSError:
+            return False  # an input fragment disappeared
 
     def done_records(self) -> list[dict]:
         return list(self._done.values())
@@ -63,6 +100,7 @@ class Manifest:
         rec = {
             "partition_id": partition_id,
             "input_fragments": input_fragments,
+            "input_fingerprints": fragment_fingerprints(input_fragments),
             "status": "done",
             "rows_in": rows_in,
             "rows_parsed": rows_parsed,

@@ -89,6 +89,41 @@ def test_resume_skips_done_and_matches(flagship_out):
     assert len(redone) == 1
 
 
+def test_resume_recomputes_wave_with_changed_input(transcripts_dir, tmp_path):
+    """Input-fingerprint resume safety: replacing an input fragment between
+    runs must re-run exactly the wave that reads it (the reference
+    re-identifies files by device+inode, receiver.rs:129-157; the batch
+    analogue records (path, size, mtime_ns) per fragment at commit)."""
+    tdir = str(tmp_path / "in")
+    shutil.copytree(transcripts_dir, tdir)
+    out = str(tmp_path / "out")
+    totals = run_flagship(tdir, out, waves=3, enrich_concurrency=2, resume=False)
+
+    manifest_path = os.path.join(out, "manifest.jsonl")
+    recs = {r["partition_id"]: r for r in
+            (json.loads(x) for x in open(manifest_path) if x.strip())}
+    assert all("input_fingerprints" in r for r in recs.values())
+
+    files = sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+    victim_wave = 1 if len(files) > 1 else 0
+    victim_file = files[victim_wave]  # wave w reads files[w::waves]
+    st = os.stat(victim_file)
+    os.utime(victim_file, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+
+    totals2 = run_flagship(tdir, out, waves=3, enrich_concurrency=2, resume=True)
+    assert totals2["sink_counts"] == totals["sink_counts"]  # same data -> same rows
+    recs2_all = [json.loads(x) for x in open(manifest_path) if x.strip()]
+    # exactly one new record appended, for the victim wave, superseding it
+    assert len(recs2_all) == len(recs) + 1
+    assert recs2_all[-1]["partition_id"] == victim_wave
+    for r in recs2_all[:-1]:  # the original commits are untouched
+        assert r == recs[r["partition_id"]]
+
+    # unchanged inputs -> a further resume run recomputes nothing
+    run_flagship(tdir, out, waves=3, enrich_concurrency=2, resume=True)
+    assert len([x for x in open(manifest_path) if x.strip()]) == len(recs2_all)
+
+
 def test_rerun_is_idempotent(flagship_out):
     out, totals, tdir = flagship_out
     totals3 = run_flagship(tdir, out, waves=3, enrich_concurrency=2, resume=True)
