@@ -98,31 +98,25 @@ def _write_fixture(out: str, ids: np.ndarray, m: np.ndarray) -> str:
     return out
 
 
-def ensure_planted_topk(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
-                        n_plant: int = N_PLANT_TOPK, num_bits: int = 8,
-                        probe_hamming: int = 2, n_centroids: int = 16,
-                        n_probe: int = 4, train_rows: int = 2048) -> str:
-    """Original embeddings + ``n_plant`` verified-retrievable planted rows.
-
-    The LSH/IVF parameters must match the query's (lsh_topk / ivf_topk
-    defaults); membership is verified on the exact float32 values written.
-    """
-    from ..generator import sf_from_dir
-
-    tag = source_tag(f"{sf_dir}/embeddings.parquet")
-    out = os.path.join(
-        root,
-        f"planted_topk_g{PLANTED_GEN_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
-    if os.path.isdir(out) and os.listdir(out):
-        return out
-    ids, m = _read_embeddings(sf_dir)
+def plant_topk_vectors(ids: np.ndarray, m: np.ndarray, *,
+                       n_plant: int = N_PLANT_TOPK, num_bits: int = 8,
+                       probe_hamming: int = 2, n_centroids: int = 16,
+                       n_probe: int = 4, train_rows: int = 2048,
+                       margin: float = 0.05
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Build ``n_plant`` float32 vectors at distinct target cosines to the
+    query (row with id 0), VERIFIED retrievable by both lsh_topk (probed
+    bucket within ``probe_hamming``) and ivf_topk (probed cell of centroids
+    trained on the first ``train_rows`` rows of orig+planted, replicating
+    the query's training sample). Returns (planted_ids, planted_vecs).
+    Shared by the sf-scale fixture and the 500k-vector scale probe."""
     q = m[ids == 0][0].astype(np.float64)
     qn = q / np.linalg.norm(q)
     mn = _normalize(m.astype(np.float64))
     organic = mn @ qn
     organic_max = float(np.sort(organic)[-2])  # exclude vec 0 itself
     targets = 0.96 - 0.005 * np.arange(n_plant)
-    if organic_max > targets.min() - 0.05:
+    if organic_max > targets.min() - margin:
         raise AssertionError(
             f"planted band too close to organic cosines ({organic_max:.3f})")
 
@@ -141,14 +135,13 @@ def ensure_planted_topk(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
             w /= np.linalg.norm(w)
             c = targets[i]
             vs[i] = (c * qn + np.sqrt(1.0 - c * c) * w).astype(np.float32)
-        full = np.concatenate([m, vs])
-        fn = _normalize(full.astype(np.float64))
-        pn = fn[len(m):]
+        pn = _normalize(vs.astype(np.float64))
         # LSH membership on the exact stored values
         ok = np.array([int(s) in probes_lsh for s in lsh_signatures(pn, planes)])
         # IVF membership: replicate ivf_topk's training sample = first
         # train_rows rows of the final table (file order = orig then planted)
-        sample = full[:min(train_rows, len(full))].astype(np.float64)
+        sample = np.concatenate([m, vs])[:min(train_rows, len(m) + n_plant)] \
+            .astype(np.float64)
         centroids = _kmeans_lite(sample, n_centroids, seed=LSH_SEED)
         cell_probes = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
         assign = np.argmax(pn @ centroids.T, axis=1)
@@ -162,9 +155,34 @@ def ensure_planted_topk(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
     # final sanity: planted sims distinct and dominating (float32 round-trip)
     sims = pn @ qn
     assert (np.diff(np.sort(sims)) > 1e-4).all()
-    assert sims.min() > organic_max + 0.05
-    all_ids = np.concatenate([ids, PLANT_BASE + np.arange(n_plant)])
-    return _write_fixture(out, all_ids, full)
+    assert sims.min() > organic_max + margin
+    return PLANT_BASE + np.arange(n_plant), vs
+
+
+def ensure_planted_topk(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
+                        n_plant: int = N_PLANT_TOPK, num_bits: int = 8,
+                        probe_hamming: int = 2, n_centroids: int = 16,
+                        n_probe: int = 4, train_rows: int = 2048) -> str:
+    """Original embeddings + ``n_plant`` verified-retrievable planted rows.
+
+    The LSH/IVF parameters must match the query's (lsh_topk / ivf_topk
+    defaults); membership is verified on the exact float32 values written.
+    """
+    from ..generator import sf_from_dir
+
+    tag = source_tag(f"{sf_dir}/embeddings.parquet")
+    out = os.path.join(
+        root,
+        f"planted_topk_g{PLANTED_GEN_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    ids, m = _read_embeddings(sf_dir)
+    plant_ids, vs = plant_topk_vectors(
+        ids, m, n_plant=n_plant, num_bits=num_bits,
+        probe_hamming=probe_hamming, n_centroids=n_centroids,
+        n_probe=n_probe, train_rows=train_rows)
+    all_ids = np.concatenate([ids, plant_ids])
+    return _write_fixture(out, all_ids, np.concatenate([m, vs]))
 
 
 def ensure_planted_neardup(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,

@@ -68,6 +68,125 @@ def ensure_big_docs(n_docs: int, root: str = "/tmp/rotel_ray_data") -> str:
     return out
 
 
+EMB_DIM = 64
+EMB_CLONE_STEP = 50
+
+
+def ensure_big_embeddings(n_vecs: int, root: str = "/tmp/rotel_ray_data"
+                          ) -> tuple[str, int, list[int]]:
+    """n_vecs organic gaussian vectors (dim EMB_DIM) + verified-retrievable
+    planted top-k rows (stages/planted.plant_topk_vectors — the same
+    builder the sf fixture uses) + exact 2x-scaled clones of every
+    EMB_CLONE_STEP-th row (IEEE-exact near-dups: identical normalized
+    vector => identical LSH signature in every band => recall 1 by
+    construction, no quadratic margin scan needed at this scale).
+
+    Returns (path, n_clones, planted_topk_ids)."""
+    out = os.path.join(root, f"bigembs_{n_vecs}_d{EMB_DIM}")
+    meta = os.path.join(out, "_meta.txt")
+    if os.path.isdir(out) and os.path.exists(meta):
+        n_clones, *pids = [int(x) for x in open(meta).read().split()]
+        return out, n_clones, pids
+    from rotel_ray.stages.planted import plant_topk_vectors
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    per = 100_000
+    shards = []  # (organic_ids, organic_m, clone_ids, clone_m) per shard
+    for shard in range((n_vecs + per - 1) // per):
+        rng = np.random.default_rng(4242 + shard)
+        n = min(per, n_vecs - shard * per)
+        m = rng.standard_normal((n, EMB_DIM)).astype(np.float32)
+        ids = (shard * per + np.arange(n)).astype(np.int64)
+        src = np.arange(0, n, EMB_CLONE_STEP)
+        shards.append((ids, m, CLONE_BASE + ids[src], m[src] * np.float32(2.0)))
+    org_ids = np.concatenate([s[0] for s in shards])
+    org_m = np.concatenate([s[1] for s in shards])
+    # plant against the ORGANIC corpus only: the clone of vec 0 has cosine
+    # exactly 1.0 to the query and would trip the margin guard; its
+    # retrievability is by construction (identical normalized vector).
+    # IVF training-sample replication stays valid because shard 0's file
+    # leads with its organic rows, so the first train_rows read are organic.
+    plant_ids, vs = plant_topk_vectors(org_ids, org_m)
+    n_clones = sum(len(s[2]) for s in shards)
+
+    def write(shard: int, ids: np.ndarray, m: np.ndarray) -> None:
+        tbl = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), pa.float32()), EMB_DIM),
+        })
+        pq.write_table(tbl, os.path.join(tmp, f"part-{shard:04d}.parquet"))
+
+    for i, (ids, m, cids, cm) in enumerate(shards):
+        write(i, np.r_[ids, cids], np.concatenate([m, cm]))
+    write(len(shards), plant_ids, vs)
+    with open(os.path.join(tmp, "_meta.txt"), "w") as f:
+        f.write(" ".join(map(str, [n_clones] + plant_ids.tolist())))
+    os.replace(tmp, out)
+    return out, n_clones, plant_ids.tolist()
+
+
+def ann_probe(n_vecs: int) -> dict:
+    """The ANN paths above the coalesce threshold: banded-LSH near-dup over
+    500k+ vectors (16-band explode -> bucketed exact verify -> two-phase
+    pair dedup) plus LSH- and IVF-probed top-k with planted ground truth."""
+    import pyarrow.parquet as _pq
+
+    from rotel_ray.io import read_parquet
+    from rotel_ray.stages.dedup import embedding_neardup_lsh
+    from rotel_ray.stages.similarity import ivf_topk, lsh_topk
+
+    path, n_clones, plant_ids = ensure_big_embeddings(n_vecs)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    t0 = _pq.read_table(files[0], columns=["vec_id", "embedding"])
+    q = np.array(t0.column("embedding")[0].as_py(), dtype=np.float64)
+
+    # tau=0.99 corpus: wide bands (16 bits) keep buckets tiny (~n/2^16 rows)
+    # so the in-bucket exact verify stays cheap; exact clones share every
+    # band's signature, so planted recall is 1 by construction regardless
+    t_start = time.time()
+    ds = read_parquet(path, columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_lsh(ds, tau=0.99, num_bands=4,
+                                  bits_per_band=16).materialize()
+    t_nd = time.time()
+    got = {(r["vec_a"], r["vec_b"])
+           for r in pairs.select_columns(["vec_a", "vec_b"]).take_all()}
+    # clone sources are every EMB_CLONE_STEP-th id within each 100k shard,
+    # and 100k % step == 0, so globally: every id % step == 0
+    planted_pairs = [(i, CLONE_BASE + i)
+                     for i in range(0, n_vecs, EMB_CLONE_STEP)]
+    found = sum(1 for p in planted_pairs if p in got)
+
+    k = 10
+    t1 = time.time()
+    lsh = lsh_topk(read_parquet(path, columns=["vec_id", "embedding"]), q, k=k)
+    lsh_ids = [r["vec_id"] for r in lsh.take_all()]
+    t2 = time.time()
+    ivf = ivf_topk(read_parquet(path, columns=["vec_id", "embedding"]), q, k=k)
+    ivf_ids = [r["vec_id"] for r in ivf.take_all()]
+    t3 = time.time()
+    # ground truth: vec 0 and its exact clone (sim 1.0 both, retrievable by
+    # construction) + the k-2 highest planted rows
+    expect = {0, CLONE_BASE + 0} | set(plant_ids[:k - 2])
+    return {
+        "ann_n_vecs": n_vecs,
+        "ann_n_clones": n_clones,
+        "neardup_lsh_sec": round(t_nd - t_start, 1),
+        "neardup_pairs": pairs.count(),
+        "neardup_planted": len(planted_pairs),
+        "neardup_planted_found": found,
+        "neardup_planted_recall": round(found / max(len(planted_pairs), 1), 4),
+        "vecs_per_sec_neardup": round(n_vecs / (t_nd - t_start), 1),
+        "lsh_topk_sec": round(t2 - t1, 1),
+        "lsh_topk_recall": round(len(set(lsh_ids) & expect) / k, 4),
+        "ivf_topk_sec": round(t3 - t2, 1),
+        "ivf_topk_recall": round(len(set(ivf_ids) & expect) / k, 4),
+    }
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     path = ensure_big_docs(n_docs)
@@ -127,9 +246,13 @@ def main() -> None:
     planted = [(i, CLONE_BASE + i) for i in range(0, n_docs, 50)]
     found = sum(1 for a, b in planted if (a, b) in got or (b, a) in got)
     n_kept = kept.count()
+
+    ann = ann_probe(n_docs)  # same scale for the embedding paths
+
     import json
 
     print(json.dumps({
+        **ann,
         "n_docs": n_docs,
         "pairs_sec": round(t1 - t0, 1),
         "cc_sec": round(t2 - t1, 1),
