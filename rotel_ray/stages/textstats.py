@@ -159,23 +159,22 @@ def _fnv_bytes(data: bytes) -> int:
 
 
 def doc_fingerprint(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 5, w: int = 4, concurrency=2):
-    """Per-doc winnowing fingerprint (actor pool; numpy per doc)."""
+                    k: int = 5, w: int = 4):
+    """Per-doc winnowing fingerprint. Stateless (k/w live in the task
+    closure), so it runs task-mode and fuses with the read — the round-3
+    stateless-stage rule; the old actor-pool form also carried the
+    ctor-args-in-object-store restart hazard (ray#53727)."""
 
-    class Fingerprinter:
-        def __init__(self):
-            self.k, self.w = k, w
+    def fingerprint(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        fps = np.fromiter(
+            (_winnow_fingerprint(x or "", k, w) for x in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table({id_col: t.column(id_col), "fingerprint": pa.array(fps)})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t.column(text_col).to_pylist()
-            fps = np.fromiter(
-                (_winnow_fingerprint(x or "", self.k, self.w) for x in texts),
-                dtype=np.int64,
-                count=len(texts),
-            )
-            return pa.table({id_col: t.column(id_col), "fingerprint": pa.array(fps)})
-
-    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=concurrency,
+    return ds.map_batches(fingerprint, batch_format="pyarrow",
                           zero_copy_batch=True)
 
 
