@@ -104,6 +104,9 @@ SECONDARY = [
     "inverted_index",
     "source_lm_score",
     "attr_mi",
+    "decontaminate_bloom",
+    "vocab_growth",
+    "text_normalize",
 ]
 
 

@@ -2399,6 +2399,51 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(tr, ev, k=8)
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """Bloom-filter decontamination — the constant-size-broadcast scale
+    path of q_decontaminate (same eval split): eval grams fold into a
+    2^20-bit filter (128 KiB whatever the benchmark-suite size), train
+    side is one stateless vectorized probe. md5 double hashing of the
+    literal gram text makes the filter (and its false positives)
+    bit-for-bit reproducible in SQL."""
+    from .stages.dedup import decontaminate_bloom
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def is_eval(t):
+        d = t.column("doc_id")
+        return pc.equal(pc.subtract(d, pc.multiply(pc.divide(d, 19), 19)), 0)
+    ev = docs.map_batches(
+        lambda t: t.filter(is_eval(t)), batch_format="pyarrow", zero_copy_batch=True)
+    tr = docs.map_batches(
+        lambda t: t.filter(pc.invert(is_eval(t))), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return decontaminate_bloom(tr, ev, k=8)
+
+
+@_hinted("documents")
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth curve: distinct-token count of every
+    power-of-two doc_id prefix — (token, min doc_id) two-phase partials
+    bucketed by bit_length into a <= 64-row histogram; nothing vocab-sized
+    reaches the driver."""
+    from .stages.textstats import vocab_growth
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_growth(ds)
+
+
+def q_text_normalize(sf_dir: str):
+    """Unicode ingest normalization (NFC + control/zero-width strip +
+    whitespace collapse + trim) over the dirtied unicode fixture — every
+    hazard class oracle-checked against DuckDB's nfc_normalize +
+    regexp_replace with the SAME RE2 patterns."""
+    from .stages.clean import ensure_unicode_docs, text_normalize
+
+    ds = read_parquet(ensure_unicode_docs(sf_dir), columns=["doc_id", "text"])
+    return text_normalize(ds)
+
+
 def q_unigram_logprob(sf_dir: str):
     """Unigram-LM quality scoring over the documents corpus (CCNet-style
     perplexity proxy): global token counts (two-phase, vocab-bounded) ->
@@ -2923,6 +2968,9 @@ QUERIES = {
     "ch_metrics_summary": q_ch_metrics_summary,
     "dd_span": q_dd_span,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "vocab_growth": q_vocab_growth,
+    "text_normalize": q_text_normalize,
     "unigram_logprob": q_unigram_logprob,
     "seq_pack": q_seq_pack,
     "tfidf_topk": q_tfidf_topk,
@@ -3943,6 +3991,68 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT tr.doc_id, count(*) AS n_overlap
         FROM tr JOIN ev ON tr.g = ev.g
         GROUP BY tr.doc_id"""
+    # Bloom-filter decontamination: bit positions = md5 double hashing of
+    # the literal gram text ((h1 + j*h2) mod 2^20 with h1/h2 the first two
+    # 48-bit md5 halves — stages/dedup.decontaminate_bloom), so the filter
+    # AND its false positives reproduce bit-for-bit in SQL
+    _MD5H = ("CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+             "list_transform(string_split(substr(md5(g), {off}, 12), ''), "
+             "c -> CAST(ascii(c) - CASE WHEN ascii(c) >= 97 THEN 87 ELSE 48 "
+             "END AS HUGEINT))), (h, d) -> h * 16 + d) AS BIGINT)")
+    _BH1, _BH2 = _MD5H.format(off=1), _MD5H.format(off=13)
+    _BM = 1 << 20
+    sql["decontaminate_bloom"] = rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 8 THEN
+                   list_distinct(list_transform(range(1, len(tk) - 6),
+                                 i -> array_to_string(tk[i:i+7], ' ')))
+                 ELSE list_distinct(tk) END AS gs
+          FROM toks),
+        ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 19 = 0),
+        evp AS (SELECT DISTINCT ({_BH1} + j.j * {_BH2}) % {_BM} AS p
+                FROM ev, unnest([0, 1, 2]) AS j(j)),
+        tr AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 19 <> 0),
+        trh AS (SELECT doc_id, {_BH1} AS h1, {_BH2} AS h2 FROM tr)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+        FROM trh
+        WHERE (h1          ) % {_BM} IN (SELECT p FROM evp)
+          AND (h1 +     h2 ) % {_BM} IN (SELECT p FROM evp)
+          AND (h1 + 2 * h2 ) % {_BM} IN (SELECT p FROM evp)
+        GROUP BY doc_id"""
+    sql["vocab_growth"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x != '')) AS tok
+          FROM documents),
+        firsts AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+        n AS (SELECT count(*) AS c FROM documents),
+        ps AS (SELECT DISTINCT least(CAST(pow(2, j.j) AS BIGINT), c) AS p
+               FROM n, unnest(range(0, 1 + CAST(ceil(log2(c)) AS BIGINT)))
+                 AS j(j))
+        SELECT ps.p AS prefix_docs, CAST(count(*) AS BIGINT) AS vocab_size
+        FROM ps JOIN firsts ON firsts.fd < ps.p
+        GROUP BY ps.p"""
+    # unicode normalization over the dirtied fixture: identical RE2
+    # patterns on both engines; DuckDB nfc_normalize mirrors stdlib
+    # unicodedata.normalize("NFC", ...)
+    from .stages.clean import ZAP_PATTERN as _ZAP
+    from .stages.clean import ensure_unicode_docs as _eud
+
+    _unidir = _eud(sf_dir)
+    sql["text_normalize"] = f"""
+        SELECT doc_id, text_norm, text_norm <> text AS changed
+        FROM (
+          SELECT doc_id, text,
+                 trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                      '{_ZAP}', '', 'g'), '[ \t]+', ' ', 'g'), ' ')
+                   AS text_norm
+          FROM read_parquet('{_unidir}/*.parquet'))"""
     # Datadog minimal DDSpan conversion: hex md5 ids folded to BE u64 in
     # HUGEINT arithmetic (fits: 16 hex digits < 2^64), truncation mirrors
     # convert_trace_id/convert_span_id (transformer.rs:455-469)

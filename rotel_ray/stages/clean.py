@@ -1,0 +1,111 @@
+"""Unicode text cleaning — the day-one corpus-ingest normalization pass.
+
+Web-scale text arrives with decomposed accents (NFD), zero-width
+characters, stray C0 controls and run-on whitespace; every training
+pipeline normalizes these before tokenization (the ftfy/CCNet cleanup
+step). ``text_normalize`` applies, in order:
+
+1. Unicode NFC normalization (stdlib ``unicodedata`` — the per-string C
+   call; DuckDB's ``nfc_normalize`` is the oracle mirror),
+2. strip control + zero-width characters (one vectorized RE2 kernel;
+   the same RE2 pattern runs in DuckDB's ``regexp_replace``),
+3. collapse space/tab runs to a single space (vectorized RE2),
+4. trim leading/trailing spaces.
+
+The documents corpus is ASCII, so a deterministic UNICODE FIXTURE
+(``ensure_unicode_docs``) derives a dirtied table from it — per
+``doc_id % 5``: decomposed-accent prefix, zero-width insertion, doubled
+whitespace + tab, control char + trailing spaces, or untouched — making
+every branch of the cleaner oracle-checked against real unicode input.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import unicodedata
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# C0 controls (minus \t\n\r, which are whitespace), DEL, zero-widths, BOM —
+# one RE2 class shared verbatim with the DuckDB oracle
+ZAP_PATTERN = (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+               r"\x{200B}-\x{200D}\x{FEFF}]")
+WS_PATTERN = r"[ \t]+"
+
+
+def normalize_strings(texts: list[str | None]) -> list[str | None]:
+    """The scalar reference kernel (NFC only) — RE2 steps run vectorized
+    in the batch function below."""
+    return [None if t is None else unicodedata.normalize("NFC", t)
+            for t in texts]
+
+
+def text_normalize(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Stateless normalization pass: (id_col, text_norm, changed)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks()
+        nfc = pa.array(normalize_strings(col.to_pylist()), pa.string())
+        zapped = pc.replace_substring_regex(nfc, pattern=ZAP_PATTERN,
+                                            replacement="")
+        collapsed = pc.replace_substring_regex(zapped, pattern=WS_PATTERN,
+                                               replacement=" ")
+        norm = pc.utf8_trim(collapsed, " ")
+        return pa.table({
+            id_col: t.column(id_col),
+            "text_norm": norm,
+            "changed": pc.not_equal(norm, col),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+UNICODE_FIXTURE_VERSION = 1
+
+
+def dirty_text(doc_id: int, text: str) -> str:
+    """Deterministic per-doc dirtying — one unicode hazard class each."""
+    v = doc_id % 5
+    if v == 0:  # DECOMPOSED accent (e + U+0301): NFC must recompose
+        return "Cafe\u0301 " + text
+    if v == 1:  # zero-width space mid-text + joiner/non-joiner at the end
+        return text[:10] + "\u200b" + text[10:] + "\u200c\u200d"
+    if v == 2:  # run-on whitespace + tabs
+        return "  " + text.replace(" ", "  ", 3) + " \t"
+    if v == 3:  # BOM + C0 control + trailing spaces
+        return "\ufeff" + text[:5] + "\x01" + text[5:] + "   "
+    return text
+
+
+def ensure_unicode_docs(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Dirtied documents table (pure function of the source, cached with
+    the content-fingerprint key like the other fixtures)."""
+    from ..generator import sf_from_dir
+
+    from .planted import source_tag
+
+    tag = source_tag(f"{sf_dir}/documents.parquet")
+    out = os.path.join(
+        root,
+        f"unidocs_g{UNICODE_FIXTURE_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    dirty = [dirty_text(i, x) for i, x in zip(ids, texts)]
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(dirty, pa.string())}),
+        os.path.join(tmp, "part-0000.parquet"))
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -1479,3 +1479,120 @@ def lsh_params(threshold: float, num_perm: int = 64, *,
         if err < best_err:
             best, best_err = (b, r), err
     return best
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the compact-broadcast scale path)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_LOG2 = 20
+BLOOM_HASHES = 3
+
+
+def _gram_strings(text: pa.Array, k: int) -> tuple[pa.Array, np.ndarray]:
+    """k-token gram STRINGS + the doc index of each gram (same windows and
+    <k-token raw-token fallback as ``_batch_shingle_stream``, but literal
+    strings instead of rolling-poly hashes — needed when the downstream
+    arithmetic must be mirrored in SQL via md5 of the gram text). The
+    k-way join is the vectorized Arrow kernel, no per-row Python."""
+    flat, doc_of, counts = split_tokens(text)
+    n = len(flat)
+    if n >= k:
+        flat_c = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        joined = flat_c.slice(0, n - k + 1)
+        for j in range(1, k):
+            joined = pc.binary_join_element_wise(
+                joined, flat_c.slice(j, n - k + 1), " ")
+        valid = doc_of[: n - k + 1] == doc_of[k - 1:]
+    else:
+        joined = pa.array([], pa.string())
+        valid = np.zeros(0, bool)
+    short = counts < k
+    short_tok = short[doc_of] if n else np.zeros(0, bool)
+    grams = pa.concat_arrays([
+        joined.filter(pa.array(valid)) if len(valid) else joined,
+        (flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+         ).filter(pa.array(short_tok)) if n else pa.array([], pa.string()),
+    ])
+    gdoc = np.r_[doc_of[: max(n - k + 1, 0)][valid], doc_of[short_tok]] \
+        if n else np.zeros(0, np.int64)
+    return grams, gdoc.astype(np.int64)
+
+
+def _bloom_hashes(grams: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) 48-bit md5 halves per gram — double hashing (Kirsch &
+    Mitzenmacher 2006): position_j = (h1 + j*h2) mod m. md5 of the literal
+    gram text keeps every bit position SQL-mirrorable (HUGEINT parse of
+    hex substrings)."""
+    import hashlib
+
+    h1 = np.empty(len(grams), np.int64)
+    h2 = np.empty(len(grams), np.int64)
+    for i, g in enumerate(grams):
+        d = hashlib.md5(g.encode()).digest()
+        h1[i] = int.from_bytes(d[:6], "big")
+        h2[i] = int.from_bytes(d[6:12], "big")
+    return h1, h2
+
+
+def decontaminate_bloom(train_ds, eval_ds, *, k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_bits_log2: int = BLOOM_BITS_LOG2,
+                        num_hashes: int = BLOOM_HASHES):
+    """Bloom-filter benchmark decontamination — the 100 TB shape of
+    :func:`decontaminate`: instead of broadcasting the eval side's full
+    gram-hash array (grows with the benchmark suite), the eval grams are
+    folded into a fixed ``2^num_bits_log2``-bit Bloom filter (128 KiB at
+    the default) built from per-batch DISTINCT-position partials, so the
+    broadcast is CONSTANT-SIZE regardless of eval-corpus size. Train-side
+    probe is one stateless vectorized pass; hits are a deterministic
+    superset of the exact overlap (Bloom false positives only — callers
+    route flagged docs to the exact check or drop them conservatively).
+
+    Output: (id_col, n_bloom_hits) per training doc with >= 1 hit, where
+    n_bloom_hits counts the doc's DISTINCT k-grams whose ``num_hashes``
+    bit positions are all set. Bit positions use md5 double hashing of the
+    literal gram text, so the DuckDB oracle reproduces the filter (and its
+    false positives) bit-for-bit."""
+    m = 1 << num_bits_log2
+
+    def eval_positions(t: pa.Table) -> pa.Table:
+        grams, _ = _gram_strings(t.column(text_col).combine_chunks(), k)
+        uniq = pc.unique(grams).to_pylist()
+        h1, h2 = _bloom_hashes(uniq)
+        pos = np.unique(np.concatenate(
+            [(h1 + j * h2) % m for j in range(num_hashes)])) \
+            if len(uniq) else np.empty(0, np.int64)
+        return pa.table({"p": pa.array(pos, pa.int64())})
+
+    parts = eval_ds.map_batches(eval_positions, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+    bits = np.zeros(m, bool)
+    if parts:
+        bits[np.array([r["p"] for r in parts], dtype=np.int64)] = True
+    ref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits_l = ray.get(ref)
+        grams, gdoc = _gram_strings(t.column(text_col).combine_chunks(), k)
+        n_docs = t.num_rows
+        if len(grams):
+            d = pc.dictionary_encode(grams)
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = len(d.dictionary)
+            h1, h2 = _bloom_hashes(d.dictionary.to_pylist())
+            hit_dict = np.ones(v, bool)
+            for j in range(num_hashes):
+                hit_dict &= bits_l[(h1 + j * h2) % m]
+            per_doc = np.unique(gdoc * v + codes)  # distinct (doc, gram)
+            hits = np.bincount((per_doc // v)[hit_dict[per_doc % v]],
+                               minlength=n_docs)
+        else:
+            hits = np.zeros(n_docs, np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        mm = hits > 0
+        return pa.table({id_col: pa.array(ids[mm]),
+                         "n_bloom_hits": pa.array(hits[mm].astype(np.int64))})
+
+    return train_ds.map_batches(probe, batch_format="pyarrow",
+                                zero_copy_batch=True)

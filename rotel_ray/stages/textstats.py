@@ -1205,3 +1205,80 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return grouped_apply(pairs, ["token"], per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth (Heaps-law curve)
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 num_buckets: int = 16):
+    """Vocabulary-growth curve (Heaps' law): distinct-token count of every
+    power-of-two document prefix (prefix = docs with ``doc_id < P``), the
+    corpus statistic behind vocabulary-size and tokenizer-budget planning.
+
+    Exact and fully distributed: per-batch (token, min doc_id) partials
+    (dictionary-encode + one minimum.reduceat over the sorted stream) feed
+    a two-phase MIN aggregate; a stateless map buckets each token by
+    ``bit_length(first_doc)`` (token first appears in prefix 2^j iff
+    first_doc < 2^j); the final reduce is a <= 64-row histogram whose
+    cumulative sum IS the curve. Nothing vocab-sized reaches the driver.
+
+    Output: (prefix_docs, vocab_size) for P in {1, 2, 4, ..., n_docs}
+    (deduplicated when n_docs is itself a power of two). Assumes the
+    corpus tables' contiguous 0-based ``doc_id`` (prefix membership is
+    ``doc_id < P``)."""
+    from .aggregate import two_phase_aggregate
+
+    n_docs = ds.count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = split_tokens(t.column(text_col))
+        if not len(flat):
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "fd": pa.array([], pa.int64())})
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pc.dictionary_encode(flat)
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = ids[doc_of]
+        order = np.argsort(idx, kind="stable")
+        si, sd = idx[order], docs[order]
+        starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+        mins = np.minimum.reduceat(sd, starts)
+        return pa.table({"tok": pc.take(d.dictionary, pa.array(si[starts])),
+                         "fd": pa.array(mins)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    firsts = two_phase_aggregate(parts, ["tok"], [("fd", "min", "fd")],
+                                 num_buckets=num_buckets)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        fd = t.column("fd").to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectorized bit_length: index of the first power of two > fd
+        k = np.searchsorted(np.left_shift(np.int64(1), np.arange(63)), fd,
+                            side="right").astype(np.int64)
+        kk, cnt = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(kk), "c": pa.array(cnt.astype(np.int64))})
+
+    hist_rows = two_phase_aggregate(
+        firsts.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], [("c", "sum", "c")], num_buckets=4).take_all()
+    hist = {r["k"]: r["c"] for r in hist_rows}
+    n_j = max(int(np.ceil(np.log2(max(n_docs, 1)))), 0)
+    out_p, out_v = [], []
+    for j in range(n_j + 1):
+        p = min(1 << j, n_docs)
+        if out_p and p == out_p[-1]:
+            continue
+        out_p.append(p)
+        out_v.append(sum(c for k, c in hist.items() if k <= j))
+    if not out_p or out_p[-1] != n_docs:
+        out_p.append(n_docs)
+        out_v.append(sum(hist.values()))
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "prefix_docs": pa.array(out_p, pa.int64()),
+        "vocab_size": pa.array(out_v, pa.int64()),
+    }))

@@ -512,3 +512,52 @@ def test_lsh_params_optimal():
     b_lo, r_lo = lsh_params(0.3, 64)
     b_hi, r_hi = lsh_params(0.9, 64)
     assert r_hi > r_lo  # tighter tau -> longer bands (better selectivity)
+
+
+def test_decontaminate_bloom_superset_of_exact():
+    """Bloom hits are a deterministic superset of the exact overlap (false
+    positives only, never negatives), and per-doc hit counts are >= the
+    exact distinct-gram overlap counts."""
+    from rotel_ray.stages.dedup import decontaminate, decontaminate_bloom
+
+    t = _docs_with_dups()
+    ds = rd.from_arrow(t).repartition(3)
+
+    def _is_ev(tb):
+        d = tb.column("doc_id")
+        return pa.compute.equal(pa.compute.bit_wise_and(d, 7), 0)
+
+    ev = ds.map_batches(lambda tb: tb.filter(_is_ev(tb)),
+                        batch_format="pyarrow")
+    tr = ds.map_batches(lambda tb: tb.filter(pa.compute.invert(_is_ev(tb))),
+                        batch_format="pyarrow")
+    exact = {r["doc_id"]: r["n_overlap"]
+             for r in decontaminate(tr, ev, k=5).take_all()}
+    bloom = {r["doc_id"]: r["n_bloom_hits"]
+             for r in decontaminate_bloom(tr, ev, k=5).take_all()}
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n, d
+    # determinism: same input -> identical result
+    bloom2 = {r["doc_id"]: r["n_bloom_hits"]
+              for r in decontaminate_bloom(tr, ev, k=5).take_all()}
+    assert bloom == bloom2
+
+
+def test_decontaminate_bloom_short_doc_fallback():
+    """Docs with < k tokens probe their raw tokens (the shingle-stream
+    fallback), so an exact short-doc duplicate across splits is caught."""
+    from rotel_ray.stages.dedup import decontaminate_bloom
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["unique eval snippet", "unique eval other",
+                          "completely different words here"]),
+    })
+    ds = rd.from_arrow(t)
+    ev = ds.filter(expr="doc_id == 0")
+    tr = ds.filter(expr="doc_id != 0")
+    hits = {r["doc_id"]: r["n_bloom_hits"]
+            for r in decontaminate_bloom(tr, ev, k=8).take_all()}
+    assert hits.get(1, 0) >= 2  # shares 'unique' + 'eval' tokens
+    assert 2 not in hits or hits[2] == 0

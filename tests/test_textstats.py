@@ -369,3 +369,40 @@ def test_inverted_index_truncation_and_exact_df(ray_session):
     full = inverted_index(ds).to_pandas().set_index("token")
     assert full.loc["hot", "postings"] == "0,1,2,3"
     assert not full["truncated"].any()
+
+
+def test_vocab_growth_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import vocab_growth
+
+    texts = ["a b c", "a d", "e", "f g a", "h", "i j", "k"]
+    t = pa.table({"doc_id": pa.array(range(7), pa.int64()),
+                  "text": pa.array(texts)})
+    out = {r["prefix_docs"]: r["vocab_size"]
+           for r in vocab_growth(rd.from_arrow(t).repartition(3)).take_all()}
+    # brute force: distinct tokens among docs with doc_id < P
+    for p in (1, 2, 4, 7):
+        vocab = set()
+        for i in range(p):
+            vocab |= set(texts[i].split())
+        assert out[p] == len(vocab), p
+    assert set(out) == {1, 2, 4, 7}
+
+
+def test_vocab_growth_monotone_and_total():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import vocab_growth
+
+    # 8 docs: n_docs a power of two -> last prefix deduplicates
+    t = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": pa.array([f"w{i} shared" for i in range(8)])})
+    rows = sorted((r["prefix_docs"], r["vocab_size"])
+                  for r in vocab_growth(rd.from_arrow(t)).take_all())
+    assert [p for p, _ in rows] == [1, 2, 4, 8]
+    sizes = [v for _, v in rows]
+    assert sizes == sorted(sizes) and sizes[-1] == 9  # 8 uniques + 'shared'
