@@ -107,6 +107,8 @@ SECONDARY = [
     "decontaminate_bloom",
     "vocab_growth",
     "text_normalize",
+    "conv_examples",
+    "length_buckets",
 ]
 
 

@@ -2444,6 +2444,31 @@ def q_text_normalize(sf_dir: str):
     return text_normalize(ds)
 
 
+CONV_EXAMPLE_BUDGET = 128
+
+
+def q_conv_examples(sf_dir: str):
+    """Turn-aligned SFT example packing over conversations: example_id =
+    tokens-before-this-turn // budget within each conv — boundaries never
+    split a turn; token counts computed before the shuffle so the exchange
+    never moves text."""
+    from .stages.pack import conv_examples
+
+    ds = read_parquet(ensure_transcripts(sf_dir),
+                      columns=["conv_id", "turn_idx", "text"])
+    return conv_examples(ds, budget=CONV_EXAMPLE_BUDGET)
+
+
+@_hinted("documents")
+def q_length_buckets(sf_dir: str):
+    """Pad-to-max batching planner: power-of-two token-length bins with
+    per-bin doc count / token sum / max length / padding waste."""
+    from .stages.textstats import length_buckets
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return length_buckets(ds)
+
+
 def q_unigram_logprob(sf_dir: str):
     """Unigram-LM quality scoring over the documents corpus (CCNet-style
     perplexity proxy): global token counts (two-phase, vocab-bounded) ->
@@ -2971,6 +2996,8 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "vocab_growth": q_vocab_growth,
     "text_normalize": q_text_normalize,
+    "conv_examples": q_conv_examples,
+    "length_buckets": q_length_buckets,
     "unigram_logprob": q_unigram_logprob,
     "seq_pack": q_seq_pack,
     "tfidf_topk": q_tfidf_topk,
@@ -4038,6 +4065,37 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT ps.p AS prefix_docs, CAST(count(*) AS BIGINT) AS vocab_size
         FROM ps JOIN firsts ON firsts.fd < ps.p
         GROUP BY ps.p"""
+    # turn-aligned example packing: exact-integer window cumsum (HUGEINT
+    # window sums CAST back to BIGINT — the pandas-float trap)
+    sql["conv_examples"] = rf"""
+        WITH t AS (
+          SELECT conv_id, turn_idx,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens
+          FROM {T}),
+        c AS (
+          SELECT conv_id, turn_idx, n_tokens,
+                 CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prev
+          FROM t)
+        SELECT conv_id, turn_idx, n_tokens,
+               prev // {CONV_EXAMPLE_BUDGET} AS example_id
+        FROM c"""
+    # pad-to-max batching bins: bit_length via length(bin(n)) (exact
+    # integer, no float log2)
+    sql["length_buckets"] = r"""
+        WITH t AS (
+          SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+          FROM documents),
+        b AS (SELECT n, CAST(CASE WHEN n = 0 THEN 0
+                             ELSE length(bin(n)) END AS BIGINT) AS k FROM t)
+        SELECT k AS len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS token_sum,
+               CAST(max(n) AS BIGINT) AS max_len,
+               CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_waste
+        FROM b GROUP BY k"""
     # unicode normalization over the dirtied fixture: identical RE2
     # patterns on both engines; DuckDB nfc_normalize mirrors stdlib
     # unicodedata.normalize("NFC", ...)

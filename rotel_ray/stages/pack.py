@@ -275,3 +275,52 @@ def chunk_batch(t: pa.Table, *, chunk_size: int, stride: int,
                      "chunk_idx": pa.array(chunk_idx),
                      "n_tokens": pa.array(clen),
                      "tok_sum": pa.array(pref[gs + clen] - pref[gs])})
+
+
+def conv_examples(ds, *, budget: int = 256, key: str = "conv_id",
+                  order_col: str = "turn_idx", text_col: str = "text",
+                  num_buckets: int = 64):
+    """Turn-aligned SFT example packing: within each conversation (ordered
+    by ``order_col``) turns chunk into training examples at cumulative
+    whitespace-token budget boundaries — ``example_id = tokens_before_turn
+    // budget`` — so an example boundary never splits a turn and each
+    example overflows its budget only by the final turn that crosses it
+    (the standard conversation-aware chunker for SFT data prep).
+
+    Scale shape: token counts are computed by the vectorized Arrow split
+    kernel BEFORE the shuffle, so the exchange moves (key, order, count)
+    ints — never the text. Conversations then co-partition by key hash
+    bucket (grouped_apply); within a bucket the per-conv prefix sums are
+    one global cumsum corrected by per-group bases (vectorized across all
+    conversations in the bucket — no per-row Python). Output:
+    (key, order_col, n_tokens, example_id)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        _, _, counts = split_tokens(t.column(text_col))
+        return pa.table({
+            key: t.column(key),
+            order_col: t.column(order_col),
+            "n_tokens": pa.array(counts.astype(np.int64)),
+        })
+
+    counted = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort")
+        tok = g["n_tokens"].to_numpy().astype(np.int64)
+        kv = g[key].to_numpy()
+        cum = np.cumsum(tok)
+        first = np.r_[True, kv[1:] != kv[:-1]] if len(g) else np.zeros(0, bool)
+        # tokens before the group start, broadcast to every row of the group
+        base = np.repeat(np.r_[0, cum[:-1]][first],
+                         np.diff(np.r_[np.flatnonzero(first), len(kv)]))
+        prev_within = cum - tok - base
+        return pd.DataFrame({
+            key: kv,
+            order_col: g[order_col].to_numpy(),
+            "n_tokens": tok,
+            "example_id": (prev_within // budget).astype(np.int64),
+        })
+
+    return grouped_apply(counted, [key], per_bucket,
+                         num_buckets=num_buckets)

@@ -1282,3 +1282,45 @@ def vocab_growth(ds, *, text_col: str = "text", id_col: str = "doc_id",
         "prefix_docs": pa.array(out_p, pa.int64()),
         "vocab_size": pa.array(out_v, pa.int64()),
     }))
+
+
+def length_buckets(ds, *, text_col: str = "text", num_buckets: int = 4):
+    """Length-bucketed batching statistics — the pad-to-max inference/
+    training batching planner: docs bucket by ``bit_length(n_tokens)``
+    (power-of-two length bins); per bucket the doc count, token sum, max
+    length and the padding waste ``n_docs * max_len - token_sum`` a
+    pad-to-max batcher would burn. One stateless tokenize-and-bin pass
+    into a <= 64-key two-phase reduce. Output: (len_bucket, n_docs,
+    token_sum, max_len, pad_waste)."""
+    from .aggregate import two_phase_aggregate
+
+    powers = np.left_shift(np.int64(1), np.arange(63))
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, counts = split_tokens(t.column(text_col))
+        n = counts.astype(np.int64)
+        k = np.searchsorted(powers, n, side="right").astype(np.int64)
+        kk, idx = np.unique(k, return_inverse=True)
+        return pa.table({
+            "len_bucket": pa.array(kk),
+            "n_docs": pa.array(np.bincount(idx).astype(np.int64)),
+            "token_sum": pa.array(np.bincount(idx, weights=n).astype(np.int64)),
+            "max_len": pa.array(
+                np.maximum.reduceat(n[np.argsort(idx, kind="stable")],
+                                    np.r_[0, np.cumsum(np.bincount(idx))[:-1]])
+                .astype(np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = two_phase_aggregate(
+        parts, ["len_bucket"],
+        [("n_docs", "sum", "n_docs"), ("token_sum", "sum", "token_sum"),
+         ("max_len", "max", "max_len")], num_buckets=num_buckets)
+
+    def waste(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pad_waste",
+            pc.subtract(pc.multiply(t.column("n_docs"), t.column("max_len")),
+                        t.column("token_sum")))
+
+    return agg.map_batches(waste, batch_format="pyarrow", zero_copy_batch=True)

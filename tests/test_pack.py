@@ -285,3 +285,29 @@ def test_auto_range_size_scaling():
         rs = auto_range_size(n)
         assert rs & (rs - 1) == 0
         assert auto_range_size(n * 100) >= rs
+
+
+def test_conv_examples_budget_semantics():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.pack import conv_examples
+
+    t = pa.table({
+        "conv_id": pa.array(["a"] * 4 + ["b"] * 3),
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 2], pa.int64()),
+        "text": pa.array(["one two three", "four five",
+                          "six seven eight nine", "ten",
+                          "a b c d e f g", "h i", "j"]),
+    })
+    out = conv_examples(rd.from_arrow(t).repartition(3), budget=5).to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # conv a prefix-before: 0,3,5,9 -> // 5 = 0,0,1,1
+    # conv b prefix-before: 0,7,9   -> // 5 = 0,1,1
+    assert list(out.example_id) == [0, 0, 1, 1, 0, 1, 1]
+    assert list(out.n_tokens) == [3, 2, 4, 1, 7, 2, 1]
+    # boundaries never split a turn; examples are contiguous per conv
+    for _, g in out.groupby("conv_id"):
+        eids = list(g.example_id)
+        assert eids == sorted(eids)
