@@ -109,6 +109,7 @@ SECONDARY = [
     "text_normalize",
     "conv_examples",
     "length_buckets",
+    "compaction_plan",
 ]
 
 

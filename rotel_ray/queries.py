@@ -2444,6 +2444,20 @@ def q_text_normalize(sf_dir: str):
     return text_normalize(ds)
 
 
+COMPACT_TARGET_BYTES = 400_000
+
+
+def q_compaction_plan(sf_dir: str):
+    """Small-file compaction planning over the transcript shard directory:
+    deterministic cumulative-compressed-bytes cut (group_id =
+    bytes_before_file // target). Footer reads fan out as a Ray map; only
+    one row per FILE reaches the driver."""
+    from .stages.compact import compaction_plan
+
+    return compaction_plan(ensure_transcripts(sf_dir),
+                           target_bytes=COMPACT_TARGET_BYTES)
+
+
 CONV_EXAMPLE_BUDGET = 128
 
 
@@ -2998,6 +3012,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "conv_examples": q_conv_examples,
     "length_buckets": q_length_buckets,
+    "compaction_plan": q_compaction_plan,
     "unigram_logprob": q_unigram_logprob,
     "seq_pack": q_seq_pack,
     "tfidf_topk": q_tfidf_topk,
@@ -4065,6 +4080,22 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT ps.p AS prefix_docs, CAST(count(*) AS BIGINT) AS vocab_size
         FROM ps JOIN firsts ON firsts.fd < ps.p
         GROUP BY ps.p"""
+    # compaction planning: DuckDB's parquet_metadata exposes the same
+    # per-column-chunk total_compressed_size the engine sums from footers
+    _tdir = ensure_transcripts(sf_dir)
+    sql["compaction_plan"] = f"""
+        WITH f AS (
+          SELECT file_name,
+                 CAST(sum(total_compressed_size) AS BIGINT) AS n_bytes
+          FROM parquet_metadata('{_tdir}/*.parquet') GROUP BY file_name),
+        c AS (
+          SELECT regexp_extract(file_name, '[^/]+$') AS file, n_bytes,
+                 CAST(COALESCE(sum(n_bytes) OVER (ORDER BY file_name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prev
+          FROM f)
+        SELECT file, n_bytes, prev // {COMPACT_TARGET_BYTES} AS group_id
+        FROM c"""
     # turn-aligned example packing: exact-integer window cumsum (HUGEINT
     # window sums CAST back to BIGINT — the pandas-float trap)
     sql["conv_examples"] = rf"""

@@ -1,0 +1,73 @@
+"""Compaction planner/executor tests: deterministic grouping + row
+preservation + parallel single-file-per-group merge."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from rotel_ray.stages.compact import (
+    _file_compressed_bytes,
+    compact_files,
+    compaction_plan,
+)
+
+
+def _write_shards(d, sizes):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(1)
+    for i, n in enumerate(sizes):
+        t = pa.table({"x": pa.array(rng.integers(0, 1 << 40, n), pa.int64()),
+                      "s": pa.array([f"row-{i}-{j}" for j in range(n)])})
+        pq.write_table(t, os.path.join(d, f"part-{i:04d}.parquet"))
+
+
+def test_plan_groups_by_cumulative_bytes(tmp_path):
+    d = str(tmp_path / "in")
+    _write_shards(d, [500, 500, 500, 500, 500])
+    files = sorted(os.listdir(d))
+    sizes = [_file_compressed_bytes(os.path.join(d, f)) for f in files]
+    target = sizes[0] + sizes[1] + 1  # two files per group-ish
+    plan = compaction_plan(d, target_bytes=target).take_all()
+    assert [r["file"] for r in plan] == files
+    prev = np.r_[0, np.cumsum(sizes)[:-1]]
+    assert [r["group_id"] for r in plan] == list(prev // target)
+    assert [r["n_bytes"] for r in plan] == sizes
+    # more than one group and nondecreasing ids
+    gids = [r["group_id"] for r in plan]
+    assert gids == sorted(gids) and gids[-1] >= 1
+
+
+def test_compact_preserves_rows_and_merges(tmp_path):
+    d = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _write_shards(d, [300, 300, 300, 300])
+    sizes = [_file_compressed_bytes(os.path.join(d, f))
+             for f in sorted(os.listdir(d))]
+    res = compact_files(d, out, target_bytes=sum(sizes[:2]) + 1)
+    outs = sorted(os.listdir(out))
+    assert res["rows"] == 1200
+    assert res["groups"] == len(outs) and len(outs) < 4
+    # content equality: same multiset of rows
+    a = rd.read_parquet(d).to_pandas().sort_values(["s"]).reset_index(drop=True)
+    b = rd.read_parquet(out).to_pandas().sort_values(["s"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_oversize_file_closes_its_group(tmp_path):
+    """A file bigger than the target joins the group its prefix opened
+    (bytes BEFORE the file decide its group) and forces the NEXT file
+    into a fresh group — the documented prefix-cut semantics."""
+    d = str(tmp_path / "in")
+    _write_shards(d, [50, 5000, 50])
+    sizes = [_file_compressed_bytes(os.path.join(d, f))
+             for f in sorted(os.listdir(d))]
+    target = sizes[0] + 10  # smaller than the big file
+    plan = compaction_plan(d, target_bytes=target).take_all()
+    gids = [r["group_id"] for r in plan]
+    assert gids[0] == gids[1]          # big file rides with its prefix
+    assert gids[2] > gids[1]           # tail starts a fresh group
+    assert len(set(gids)) == 2
