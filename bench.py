@@ -110,6 +110,8 @@ SECONDARY = [
     "conv_examples",
     "length_buckets",
     "compaction_plan",
+    "conv_split",
+    "char_entropy",
 ]
 
 

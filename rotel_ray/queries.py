@@ -2444,6 +2444,27 @@ def q_text_normalize(sf_dir: str):
     return text_normalize(ds)
 
 
+def q_conv_split(sf_dir: str):
+    """Leakage-safe train/val/test split by conversation: every turn of a
+    conv lands in the same split (membership = pure function of the group
+    key's md5, 90/5/5 bands)."""
+    from .stages.mix import conv_split
+
+    ds = read_parquet(ensure_transcripts(sf_dir),
+                      columns=["conv_id", "turn_idx"])
+    return conv_split(ds)
+
+
+@_hinted("documents")
+def q_char_entropy(sf_dir: str):
+    """Byte-entropy quality score per document (gibberish/binary filter),
+    exact integer micro-nats over the zero-copy Arrow byte stream."""
+    from .stages.textstats import char_entropy
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return char_entropy(ds)
+
+
 COMPACT_TARGET_BYTES = 400_000
 
 
@@ -3013,6 +3034,8 @@ QUERIES = {
     "conv_examples": q_conv_examples,
     "length_buckets": q_length_buckets,
     "compaction_plan": q_compaction_plan,
+    "conv_split": q_conv_split,
+    "char_entropy": q_char_entropy,
     "unigram_logprob": q_unigram_logprob,
     "seq_pack": q_seq_pack,
     "tfidf_topk": q_tfidf_topk,
@@ -4080,6 +4103,32 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT ps.p AS prefix_docs, CAST(count(*) AS BIGINT) AS vocab_size
         FROM ps JOIN firsts ON firsts.fd < ps.p
         GROUP BY ps.p"""
+    # group-keyed split: md5 last-2-hex-digit band, mirrored with the
+    # usual ascii hex parse (md5 is lowercase on both engines)
+    _sh1 = ("(ascii(substr(md5(conv_id), 31, 1)) - CASE WHEN "
+            "ascii(substr(md5(conv_id), 31, 1)) >= 97 THEN 87 ELSE 48 END)")
+    _sh2 = ("(ascii(substr(md5(conv_id), 32, 1)) - CASE WHEN "
+            "ascii(substr(md5(conv_id), 32, 1)) >= 97 THEN 87 ELSE 48 END)")
+    sql["conv_split"] = f"""
+        SELECT conv_id, turn_idx,
+               CASE WHEN (16 * {_sh1} + {_sh2}) % 100 < 90 THEN 'train'
+                    WHEN (16 * {_sh1} + {_sh2}) % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM {T}"""
+    # byte entropy: per-(doc, char) exact-int micro-nat terms (same
+    # floor(ln)*1e6 bit-agreement as the unigram scorer; byte == char on
+    # this ASCII corpus)
+    sql["char_entropy"] = r"""
+        WITH ch AS (
+          SELECT doc_id, length(text) AS n,
+                 unnest(string_split(text, '')) AS c
+          FROM documents WHERE length(text) > 0),
+        cc AS (SELECT doc_id, max(n) AS n, c, count(*) AS cb
+               FROM ch GROUP BY doc_id, c)
+        SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+               CAST(sum(cb * floor(ln(CAST(n AS DOUBLE) / cb) * 1e6))
+                 AS BIGINT) AS ent_unat
+        FROM cc GROUP BY doc_id"""
     # compaction planning: DuckDB's parquet_metadata exposes the same
     # per-column-chunk total_compressed_size the engine sums from footers
     _tdir = ensure_transcripts(sf_dir)

@@ -324,3 +324,31 @@ def corpus_diff(v1_ds, v2_ds, *, id_col: str = "doc_id",
                              "status": status})
 
     return grouped_apply(both, [id_col], per_bucket, num_buckets=num_buckets)
+
+
+SPLIT_BOUNDS = (90, 95)  # train < 90, val < 95, test otherwise (of 100)
+
+
+def conv_split(ds, *, key: str = "conv_id", bounds: tuple[int, int] = SPLIT_BOUNDS):
+    """Leakage-safe train/val/test assignment by GROUP, not by row: every
+    turn of a conversation lands in the same split because membership is a
+    pure function of the group key — ``int(md5(key)[-2:], 16) % 100`` into
+    train/val/test bands. No RNG state, no coordination, re-runnable on any
+    subset (the group-aware analogue of doc_sample's hash sampling).
+
+    Stateless one-pass map; the 2-hex-digit parse is vectorized over the
+    <= 256 DISTINCT suffixes via dictionary encoding."""
+    from .enrich import _hash_values
+
+    lo, hi = bounds
+
+    def f(t: pa.Table) -> pa.Table:
+        h = _hash_values(t.column(key), "md5")
+        suf = pc.dictionary_encode(pc.utf8_slice_codeunits(h, 30, 32))
+        lut = np.array([int(s, 16) % 100 for s in suf.dictionary.to_pylist()],
+                       dtype=np.int64)
+        b = lut[suf.indices.to_numpy(zero_copy_only=False)]
+        split = np.where(b < lo, "train", np.where(b < hi, "val", "test"))
+        return t.append_column("split", pa.array(split.astype(object), pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1324,3 +1324,41 @@ def length_buckets(ds, *, text_col: str = "text", num_buckets: int = 4):
                         t.column("token_sum")))
 
     return agg.map_batches(waste, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def char_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document byte-entropy quality score — the gibberish/binary-blob
+    filter (low entropy = repeated filler, high entropy = random bytes):
+
+        ent_unat = sum_b c_b * floor(ln(n / c_b) * 1e6)
+
+    over the doc's byte histogram — exact int64 micro-nats, order-free
+    (the same floor-absorbs-ulp argument as the unigram scorer; divide by
+    n for nats/byte downstream). The byte stream is read zero-copy from
+    the Arrow string buffers (offsets + data, no per-row Python); byte ==
+    character on the ASCII corpus, which is what the char-level DuckDB
+    oracle checks. Output: (id_col, n_chars, ent_unat)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(s.type):
+            s = pc.cast(s, pa.string())
+        n = len(s)
+        offs = np.frombuffer(s.buffers()[1], np.int32)[s.offset: s.offset + n + 1]
+        data = np.frombuffer(s.buffers()[2], np.uint8)
+        lens = np.diff(offs).astype(np.int64)
+        stream = data[offs[0]: offs[-1]]
+        doc_of = np.repeat(np.arange(n), lens)
+        keys, cnt = np.unique(doc_of * 256 + stream, return_counts=True)
+        d = keys // 256
+        terms = cnt * np.floor(
+            np.log(lens[d].astype(np.float64) / cnt) * 1e6).astype(np.int64)
+        ent = np.zeros(n, np.int64)
+        np.add.at(ent, d, terms)
+        m = lens > 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[m]),
+                         "n_chars": pa.array(lens[m]),
+                         "ent_unat": pa.array(ent[m])})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -311,3 +311,23 @@ def test_conv_examples_budget_semantics():
     for _, g in out.groupby("conv_id"):
         eids = list(g.example_id)
         assert eids == sorted(eids)
+
+
+def test_conv_split_group_consistent_and_banded():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.mix import conv_split
+
+    t = pa.table({
+        "conv_id": pa.array([f"conv-{i:03d}" for i in range(200)
+                             for _ in range(3)]),
+        "turn_idx": pa.array([j for _ in range(200) for j in range(3)],
+                             pa.int64()),
+    })
+    out = conv_split(rd.from_arrow(t).repartition(4)).to_pandas()
+    # every turn of a conv gets the same split
+    assert (out.groupby("conv_id")["split"].nunique() == 1).all()
+    frac = out.drop_duplicates("conv_id")["split"].value_counts(normalize=True)
+    assert frac.get("train", 0) > 0.8  # ~90/5/5 bands
+    assert set(out.split) <= {"train", "val", "test"}

@@ -406,3 +406,27 @@ def test_vocab_growth_monotone_and_total():
     assert [p for p, _ in rows] == [1, 2, 4, 8]
     sizes = [v for _, v in rows]
     assert sizes == sorted(sizes) and sizes[-1] == 9  # 8 uniques + 'shared'
+
+
+def test_char_entropy_bruteforce():
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import char_entropy
+
+    texts = ["aab", "zzzz", "", "abcd", None]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = {r["doc_id"]: (r["n_chars"], r["ent_unat"])
+           for r in char_entropy(rd.from_arrow(t)).take_all()}
+    assert set(out) == {0, 1, 3}  # empty + null docs drop
+    def brute(s):
+        from collections import Counter
+        n = len(s)
+        return sum(c * math.floor(math.log(n / c) * 1e6)
+                   for c in Counter(s).values())
+    assert out[0] == (3, brute("aab"))
+    assert out[1] == (4, 0)          # uniform single char -> zero entropy
+    assert out[3] == (4, brute("abcd"))
