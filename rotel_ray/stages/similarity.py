@@ -627,3 +627,50 @@ def embedding_covariance(ds, *, scale: float = 1000.0,
                                [("n", "sum", "n"), ("sum_i", "sum", "sum_i"),
                                 ("sum_j", "sum", "sum_j"), ("s_ij", "sum", "s_ij")],
                                num_buckets=8)
+
+
+def embedding_pca_project(ds, k: int = 8, *, scale: float = 1000.0,
+                          id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Distributed PCA: exact-integer covariance accumulation
+    (:func:`embedding_covariance` — the only corpus-sized pass) -> a (d, d)
+    eigendecomposition on the driver (dimension-bounded, microseconds) ->
+    one stateless projection pass onto the top-``k`` components.
+
+    Sign convention: each component's largest-|coefficient| entry is made
+    positive, so the output is deterministic across eigh implementations
+    up to that convention. Returns (projected Dataset with ``proj``
+    fixed-size-list column, components (k, d), explained_var (k,)).
+
+    Not SQL-expressible (no eigensolver in DuckDB) — verified in pytest
+    against direct numpy PCA on the collected matrix; every distributed
+    piece it composes (covariance, the projection map) is itself
+    oracle-checked elsewhere."""
+    rows = embedding_covariance(ds, scale=scale, emb_col=emb_col).take_all()
+    d = max(r["j"] for r in rows) + 1
+    n = rows[0]["n"]
+    cov = np.zeros((d, d), np.float64)
+    for r in rows:
+        c = (r["s_ij"] - r["sum_i"] * r["sum_j"] / n) / n
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T            # (k, d)
+    expl = evals[order] / (scale * scale)  # back to input units
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    # per-dim means from the diagonal rows (sorted by dim for determinism)
+    diag = sorted((r["i"], r["sum_i"]) for r in rows if r["i"] == r["j"])
+    mean = np.array([s for _, s in diag], np.float64) / n / scale
+
+    def project(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        p = (m - mean) @ comps.T
+        return pa.table({
+            id_col: t.column(id_col),
+            "proj": pa.FixedSizeListArray.from_arrays(
+                pa.array(p.reshape(-1), pa.float32()), k),
+        })
+
+    out = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return out, comps, expl

@@ -342,3 +342,45 @@ def test_planted_topk_approx_equals_exact(ray_session):
     from rotel_ray.stages.planted import PLANT_BASE
 
     assert exact[0] == 0 and all(v >= PLANT_BASE for v in exact[1:])
+
+
+def test_embedding_pca_project_matches_numpy():
+    """Distributed exact-int covariance -> driver eigh -> projection equals
+    direct numpy PCA on the same int-quantized matrix (same sign
+    convention), and explained variances come out sorted."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.similarity import embedding_pca_project
+
+    rng = np.random.default_rng(9)
+    d, n, k, scale = 12, 400, 4, 1000.0
+    # anisotropic cloud so the top components are well separated
+    basis = rng.standard_normal((d, d))
+    m = (rng.standard_normal((n, d)) * np.linspace(5, 0.1, d)) @ basis
+    m = m.astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+    })
+    out, comps, expl = embedding_pca_project(
+        rd.from_arrow(t).repartition(4), k=k, scale=scale)
+    # reference: same quantization, numpy cov + eigh
+    x = np.floor(m.astype(np.float64) * scale)
+    mean = x.mean(axis=0)
+    cov = ((x - mean).T @ (x - mean)) / n  # biased, matches s/n - μμ'
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    ref = evecs[:, order].T
+    flip = np.sign(ref[np.arange(k), np.abs(ref).argmax(axis=1)])
+    ref = ref * flip[:, None]
+    assert np.allclose(comps, ref, atol=1e-9)
+    assert np.all(np.diff(expl) <= 1e-12)  # descending variance
+    # projection parity on a few rows
+    proj = out.take_all()
+    got0 = np.array(proj[0]["proj"])
+    want0 = (m[0].astype(np.float64) - mean / scale) @ ref.T
+    assert np.allclose(got0, want0, rtol=1e-5)
+    # components orthonormal
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-9)
