@@ -2486,12 +2486,20 @@ def q_conv_examples(sf_dir: str):
     """Turn-aligned SFT example packing over conversations: example_id =
     tokens-before-this-turn // budget within each conv — boundaries never
     split a turn; token counts computed before the shuffle so the exchange
-    never moves text."""
+    never moves text. Hinted by the TRANSCRIPTS row count (the exchange
+    moves one row per turn — the events-table proxy would understate it
+    6x and break the upper-bound contract)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
     from .stages.pack import conv_examples
 
-    ds = read_parquet(ensure_transcripts(sf_dir),
-                      columns=["conv_id", "turn_idx", "text"])
-    return conv_examples(ds, budget=CONV_EXAMPLE_BUDGET)
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
+    with input_rows_hint(n_turns):
+        return conv_examples(ds, budget=CONV_EXAMPLE_BUDGET)
 
 
 @_hinted("documents")
