@@ -112,6 +112,8 @@ SECONDARY = [
     "compaction_plan",
     "conv_split",
     "char_entropy",
+    "ngram_diversity",
+    "conv_quality",
 ]
 
 

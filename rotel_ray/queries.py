@@ -2444,6 +2444,35 @@ def q_text_normalize(sf_dir: str):
     return text_normalize(ds)
 
 
+@_hinted("documents", fanout=64)
+def q_ngram_diversity(sf_dir: str):
+    """Corpus distinct-n diversity for n in {1,2,3} (memorization screen):
+    gram-hash partials -> two-phase -> 3-row count+sum reduce. fanout=64:
+    the gram exchange carries one row per (n, gram) partial."""
+    from .stages.textstats import ngram_diversity
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_diversity(ds)
+
+
+def q_conv_quality(sf_dir: str):
+    """Conversation-level SFT curation rollup: turns, exact char sum, and
+    role-alternation violations per conversation — char counts computed
+    before the shuffle so text never moves. Hinted by the transcripts row
+    count (one exchange row per turn)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.window import conv_quality
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["conv_id", "turn_idx", "role", "text"])
+    with input_rows_hint(n_turns):
+        return conv_quality(ds)
+
+
 def q_conv_split(sf_dir: str):
     """Leakage-safe train/val/test split by conversation: every turn of a
     conv lands in the same split (membership = pure function of the group
@@ -3044,6 +3073,8 @@ QUERIES = {
     "compaction_plan": q_compaction_plan,
     "conv_split": q_conv_split,
     "char_entropy": q_char_entropy,
+    "ngram_diversity": q_ngram_diversity,
+    "conv_quality": q_conv_quality,
     "unigram_logprob": q_unigram_logprob,
     "seq_pack": q_seq_pack,
     "tfidf_topk": q_tfidf_topk,
@@ -4111,6 +4142,40 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT ps.p AS prefix_docs, CAST(count(*) AS BIGINT) AS vocab_size
         FROM ps JOIN firsts ON firsts.fd < ps.p
         GROUP BY ps.p"""
+    # distinct-n diversity: literal gram strings stand in for the engine's
+    # rolling-poly hashes (same deterministic-collision caveat as
+    # dup_ngrams); docs shorter than n contribute nothing
+    sql["ngram_diversity"] = r"""
+        WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x != '') AS tk
+          FROM documents),
+        g AS (
+          SELECT 1 AS n, unnest(tk) AS gram FROM toks
+          UNION ALL
+          SELECT 2, array_to_string(tk[u.i:u.i+1], ' ')
+          FROM toks, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2
+          UNION ALL
+          SELECT 3, array_to_string(tk[u.i:u.i+2], ' ')
+          FROM toks, unnest(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+               CAST(count(*) AS BIGINT) AS total_grams,
+               CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS diversity
+        FROM g GROUP BY n"""
+    sql["conv_quality"] = f"""
+        WITH t AS (
+          SELECT conv_id, turn_idx, role, length(text) AS ch FROM {T}),
+        l AS (
+          SELECT conv_id, role, ch,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_role
+          FROM t)
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(ch) AS BIGINT) AS sum_chars,
+               CAST(COALESCE(sum(CASE WHEN role = prev_role THEN 1 END), 0)
+                 AS BIGINT) AS n_same_role_adjacent
+        FROM l GROUP BY conv_id"""
     # group-keyed split: md5 last-2-hex-digit band, mirrored with the
     # usual ascii hex parse (md5 is lowercase on both engines)
     _sh1 = ("(ascii(substr(md5(conv_id), 31, 1)) - CASE WHEN "

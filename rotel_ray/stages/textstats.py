@@ -1362,3 +1362,69 @@ def char_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
                          "ent_unat": pa.array(ent[m])})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_diversity(ds, *, text_col: str = "text", ns: tuple[int, ...] = (1, 2, 3),
+                    num_buckets: int = 16):
+    """Corpus n-gram diversity (the distinct-n generation-diversity /
+    memorization-screen statistic): for each n, the number of DISTINCT
+    token n-grams, the total n-gram count, and their ratio. Pure n-grams —
+    docs shorter than n contribute nothing (unlike the minhash shingle
+    fallback).
+
+    Scale shape: per-batch (n, gram_hash, count) partials (rolling-poly
+    over the batch token-hash stream, within-doc windows only) reduce
+    two-phase over the gram keyspace; the final reduce is a |ns|-row
+    count+sum. 64-bit gram hashing carries the dup_ngrams deterministic-
+    collision caveat (~(grams^2)/2^65 — negligible and identical across
+    runs). Output: (n, distinct_grams, total_grams, diversity)."""
+    from .aggregate import two_phase_aggregate
+    from .dedup import _batch_token_hashes
+
+    P = np.uint64(1_000_003)
+
+    def partial(t: pa.Table) -> pa.Table:
+        th, counts = _batch_token_hashes(t.column(text_col).combine_chunks())
+        ln = len(th)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        out_n, out_g, out_c = [], [], []
+        for n in ns:
+            if ln < n:
+                continue
+            acc = th[: ln - n + 1].copy()
+            for j in range(1, n):
+                acc = acc * P + th[j: ln - n + 1 + j]
+            valid = doc_of[: ln - n + 1] == doc_of[n - 1:]
+            g, c = np.unique(acc[valid], return_counts=True)
+            out_n.append(np.full(len(g), n, np.int64))
+            out_g.append(g)
+            out_c.append(c.astype(np.int64))
+        if not out_n:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.uint64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"n": pa.array(np.concatenate(out_n)),
+                         "g": pa.array(np.concatenate(out_g)),
+                         "c": pa.array(np.concatenate(out_c))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = two_phase_aggregate(parts, ["n", "g"], [("c", "sum", "c")],
+                                 num_buckets=num_buckets)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({"n": t.column("n"),
+                         "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+                         "c": t.column("c")})
+
+    agg = two_phase_aggregate(
+        counts.map_batches(one, batch_format="pyarrow", zero_copy_batch=True),
+        ["n"], [("one", "sum", "distinct_grams"), ("c", "sum", "total_grams")],
+        num_buckets=2)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "diversity",
+            pc.divide(pc.cast(t.column("distinct_grams"), pa.float64()),
+                      pc.cast(t.column("total_grams"), pa.float64())))
+
+    return agg.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)

@@ -595,3 +595,56 @@ def latest_with_tombstones(ds, *, key: str = "user_id",
 
     return latest.map_batches(drop_tombstones, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def conv_quality(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
+                 role_col: str = "role", text_col: str = "text",
+                 num_buckets: int = 64):
+    """Conversation-level SFT curation rollup: per conversation the turn
+    count, exact char sum, and the number of role-alternation violations
+    (adjacent turns by the same speaker — the broken-dialogue signal SFT
+    filters drop on). Char counts come from the vectorized Arrow length
+    kernel BEFORE the shuffle, so the exchange moves (key, order, role,
+    int) — never text; inside the reduce everything is vectorized across
+    all conversations in the bucket (sorted scan + reduceat). Output:
+    (key, n_turns, sum_chars, n_same_role_adjacent)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .aggregate import grouped_apply
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t.column(key),
+            order_col: t.column(order_col),
+            role_col: t.column(role_col),
+            "n_chars": pc.cast(pc.fill_null(
+                pc.utf8_length(t.column(text_col).combine_chunks()), 0),
+                pa.int64()),
+        })
+
+    counted = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort")
+        kv = g[key].to_numpy()
+        rv = g[role_col].to_numpy()
+        ch = g["n_chars"].to_numpy().astype(np.int64)
+        same = (kv[:-1] == kv[1:]) & (rv[:-1] == rv[1:]) if len(g) \
+            else np.zeros(0, bool)
+        first = np.r_[True, kv[1:] != kv[:-1]] if len(g) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        n_turns = np.diff(np.r_[starts, len(kv)])
+        sum_chars = np.add.reduceat(ch, starts) if len(kv) else np.empty(0, np.int64)
+        viol_flags = np.r_[False, same]  # violation charged to the LATER turn
+        viol = np.add.reduceat(viol_flags.astype(np.int64), starts) \
+            if len(kv) else np.empty(0, np.int64)
+        return pd.DataFrame({
+            key: kv[starts],
+            "n_turns": n_turns.astype(np.int64),
+            "sum_chars": sum_chars.astype(np.int64),
+            "n_same_role_adjacent": viol,
+        })
+
+    return grouped_apply(counted, [key], per_bucket,
+                         num_buckets=num_buckets)
