@@ -114,6 +114,7 @@ SECONDARY = [
     "char_entropy",
     "ngram_diversity",
     "conv_quality",
+    "per_source_cap",
 ]
 
 

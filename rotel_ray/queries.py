@@ -2473,6 +2473,20 @@ def q_conv_quality(sf_dir: str):
         return conv_quality(ds)
 
 
+PER_SOURCE_CAP = 10
+
+
+@_hinted("documents")
+def q_per_source_cap(sf_dir: str):
+    """Crawl-curation per-domain cap: keep at most N docs per source in
+    the deterministic (md5(text), doc_id) order; text never shuffles."""
+    from .stages.mix import per_source_cap
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "source", "text"])
+    return per_source_cap(ds, cap=PER_SOURCE_CAP)
+
+
 def q_conv_split(sf_dir: str):
     """Leakage-safe train/val/test split by conversation: every turn of a
     conv lands in the same split (membership = pure function of the group
@@ -3075,6 +3089,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "ngram_diversity": q_ngram_diversity,
     "conv_quality": q_conv_quality,
+    "per_source_cap": q_per_source_cap,
     "unigram_logprob": q_unigram_logprob,
     "seq_pack": q_seq_pack,
     "tfidf_topk": q_tfidf_topk,
@@ -4142,6 +4157,12 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT ps.p AS prefix_docs, CAST(count(*) AS BIGINT) AS vocab_size
         FROM ps JOIN firsts ON firsts.fd < ps.p
         GROUP BY ps.p"""
+    sql["per_source_cap"] = f"""
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY md5(text), doc_id) - 1 AS BIGINT) AS rank
+        FROM documents
+        QUALIFY rank < {PER_SOURCE_CAP}"""
     # distinct-n diversity: literal gram strings stand in for the engine's
     # rolling-poly hashes (same deterministic-collision caveat as
     # dup_ngrams); docs shorter than n contribute nothing

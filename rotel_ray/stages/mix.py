@@ -352,3 +352,47 @@ def conv_split(ds, *, key: str = "conv_id", bounds: tuple[int, int] = SPLIT_BOUN
         return t.append_column("split", pa.array(split.astype(object), pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def per_source_cap(ds, cap: int, *, source_col: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_buckets: int = 64):
+    """Per-source document cap — the "at most N pages per domain" crawl
+    rule: within each source keep the first ``cap`` docs in the
+    deterministic uniform order (md5(text), doc_id) (same reproducible
+    pseudo-random order as shard_assign, so re-runs keep identical docs).
+
+    Scale shape: one stateless pass reduces each row to
+    (id, source, md5) — text never shuffles — then sources co-partition
+    by hash bucket and each bucket head-selects per source with one
+    vectorized sorted scan. Output: (id_col, source_col, rank)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            source_col: t.column(source_col),
+            "__h": _hash_values(t.column(text_col), "md5"),
+        })
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def head(t: pa.Table) -> pa.Table:
+        src = t.column(source_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = t.column("__h").to_numpy(zero_copy_only=False).astype("S32")
+        order = np.lexsort((ids, h, src))
+        s_s, i_s = src[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]]) \
+            if len(s_s) else np.empty(0, np.int64)
+        seg = np.repeat(starts, np.diff(np.r_[starts, len(s_s)])) \
+            if len(s_s) else np.empty(0, np.int64)
+        rank = np.arange(len(s_s)) - seg
+        keep = rank < cap
+        return pa.table({
+            id_col: pa.array(i_s[keep]),
+            source_col: pa.array(s_s[keep]),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+        })
+
+    return grouped_apply(narrow, [source_col], head, batch_format="pyarrow",
+                         num_buckets=num_buckets)
