@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip waves already committed in the manifest")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus when this process owns the session")
+    p.add_argument("--compact-target-bytes", type=int, default=None,
+                   metavar="N",
+                   help="instead of running a job, compact --input's small "
+                        "parquet files into --out (one file per ~N compressed "
+                        "bytes; parallel Ray tasks)")
     p.add_argument("--ddl", default=None, choices=["traces", "logs", "metrics"],
                    help="print the ClickHouse CREATE TABLE statements for a "
                         "signal and exit (the clickhouse-ddl create analogue)")
@@ -128,6 +133,16 @@ def main(argv: list[str] | None = None) -> int:
         if owns_session:
             ray.shutdown()
         return rc
+
+    if args.compact_target_bytes is not None:
+        from .stages.compact import compact_files
+
+        res = compact_files(args.input, args.out,
+                            target_bytes=args.compact_target_bytes)
+        print(json.dumps({"compacted": args.input, "out": args.out, **res}))
+        if owns_session:
+            ray.shutdown()
+        return 0
 
     from .pipelines.flagship import run_flagship
 

@@ -63,3 +63,27 @@ def test_cli_query_errors(capsys):
     rc = main(["--list-queries"])
     assert rc == 0
     assert "severity_hist" in capsys.readouterr().out
+
+
+def test_cli_compact(tmp_path):
+    """--compact-target-bytes merges a shard directory into fewer files
+    via the compaction planner, preserving rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rotel_ray.cli import main
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(6):
+        pq.write_table(pa.table({"x": pa.array(rng.integers(0, 99, 400))}),
+                       d / f"part-{i}.parquet")
+    out = tmp_path / "out"
+    rc = main(["--input", str(d), "--out", str(out),
+               "--compact-target-bytes", "4000"])
+    assert rc == 0
+    files = sorted(out.glob("*.parquet"))
+    assert 0 < len(files) < 6
+    assert sum(pq.read_metadata(f).num_rows for f in files) == 2400
