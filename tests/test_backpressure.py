@@ -45,3 +45,36 @@ def test_flagship_under_tiny_object_store(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["traces"] + res["logs"] == 600_000
+
+
+DRIVER_OPS = r"""
+import json, sys
+import ray
+
+ray.init(address="local", num_cpus=8, include_dashboard=False,
+         logging_level="ERROR", object_store_memory=200 * 1024 * 1024)
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+from rotel_ray.queries import QUERIES
+
+sf = "/root/testdata/sf0.1"
+packed = QUERIES["conv_examples"](sf).to_pandas()      # 600k-row shuffle op
+curated = QUERIES["corpus_pack"](sf).to_pandas()       # composed gate->dedup->pack
+print(json.dumps({"conv_examples": len(packed),
+                  "corpus_pack": len(curated)}))
+ray.shutdown()
+"""
+
+
+def test_round4_ops_under_tiny_object_store(tmp_path):
+    """The round-4 shuffle-bearing ops stream under the same 200 MB object
+    store the flagship test uses — backpressure, not materialization."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run([sys.executable, "-c", DRIVER_OPS],
+                         capture_output=True, text=True, cwd=REPO, env=env,
+                         timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["conv_examples"] == 600_000
+    assert res["corpus_pack"] > 0
