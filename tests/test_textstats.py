@@ -430,3 +430,17 @@ def test_char_entropy_bruteforce():
     assert out[0] == (3, brute("aab"))
     assert out[1] == (4, 0)          # uniform single char -> zero entropy
     assert out[3] == (4, brute("abcd"))
+
+
+def test_nfc_ascii_fast_path():
+    """Pure-ASCII columns return unchanged (identity — zero per-row
+    Python); mixed columns normalize only the non-ASCII rows."""
+    import pyarrow as pa
+
+    from rotel_ray.stages.clean import _nfc_column
+
+    ascii_col = pa.array(["abc", "def", None])
+    assert _nfc_column(ascii_col) is ascii_col
+    mixed = pa.array(["plain", "Café", None, "ok"])
+    out = _nfc_column(mixed).to_pylist()
+    assert out == ["plain", "Café", None, "ok"]
