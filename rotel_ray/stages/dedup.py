@@ -1553,7 +1553,13 @@ def decontaminate_bloom(train_ds, eval_ds, *, k: int = 8,
     n_bloom_hits counts the doc's DISTINCT k-grams whose ``num_hashes``
     bit positions are all set. Bit positions use md5 double hashing of the
     literal gram text, so the DuckDB oracle reproduces the filter (and its
-    false positives) bit-for-bit."""
+    false positives) bit-for-bit.
+
+    SIZING: keep the load factor (num_hashes * eval_grams / 2^num_bits_log2)
+    under ~0.1 — per-gram FP = load^num_hashes. The default 2^20 bits suits
+    a benchmark-suite eval side (~30k grams); a 200k-gram eval needs 2^24
+    (2 MiB — still constant vs corpus size). Measured at 500k docs in
+    scripts/scale_probe.py."""
     m = 1 << num_bits_log2
 
     def eval_positions(t: pa.Table) -> pa.Table:

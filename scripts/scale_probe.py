@@ -239,6 +239,28 @@ def main() -> None:
     t5 = time.time()
     n_packed, n_scored = packed.count(), scored.count()
 
+    # round-4 ops above the coalesce threshold: the Heaps-curve min-reduce
+    # (vocab-bounded) and the bloom probe (constant 128 KiB broadcast)
+    from rotel_ray.stages.dedup import decontaminate_bloom
+    from rotel_ray.stages.textstats import vocab_growth
+
+    vg = vocab_growth(read_parquet(path, columns=["doc_id", "text"])).take_all()
+    t6 = time.time()
+    docs = read_parquet(path, columns=["doc_id", "text"])
+    def _split(keep_eval):
+        def f(t):
+            m = t.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if keep_eval else ~m))
+        return f
+
+    ev = docs.map_batches(_split(True), batch_format="pyarrow")
+    tr = docs.map_batches(_split(False), batch_format="pyarrow")
+    # size the filter to the eval side: ~208k distinct grams here needs
+    # 2^24 bits (2 MiB, load ~0.04) — the default 2^20 is benchmark-suite
+    # sized and would saturate (load 0.62 -> ~every doc false-positives)
+    n_contam = decontaminate_bloom(tr, ev, k=8, num_bits_log2=24).count()
+    t7 = time.time()
+
     # planted recall: every clone id's pair must be present
     got = set()
     for r in pairs.select_columns(["doc_a", "doc_b"]).take_all():
@@ -268,6 +290,11 @@ def main() -> None:
         "seq_pack_rows": n_packed,
         "unigram_topv_sec": round(t5 - t4, 1),
         "unigram_rows": n_scored,
+        "vocab_growth_sec": round(t6 - t5, 1),
+        "vocab_growth_rows": len(vg),
+        "vocab_growth_final": max(r["vocab_size"] for r in vg),
+        "bloom_decontam_sec": round(t7 - t6, 1),
+        "bloom_contaminated_docs": n_contam,
     }))
     ray.shutdown()
 
