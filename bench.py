@@ -115,6 +115,7 @@ SECONDARY = [
     "ngram_diversity",
     "conv_quality",
     "per_source_cap",
+    "mm_jpeg_decode",
 ]
 
 

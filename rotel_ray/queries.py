@@ -743,6 +743,23 @@ def q_mm_decode(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_mm_jpeg_decode(sf_dir: str):
+    """REAL baseline JPEG decode (ITU T.81: marker walk, Huffman entropy
+    decode, DC prediction, zigzag, dequant, shared IDCT kernel) over a
+    deterministic JPEG corpus — exact-integer byte stats of the decoded
+    pixels. The oracle replays the generator's ground-truth body_hex, so
+    any divergence in the lossless entropy layer or the documented IDCT
+    arithmetic breaks equality (same protocol as the PNG/WAV oracles)."""
+    from .generator import sf_from_dir
+    from .stages.jpeg import ensure_jpeg_media, jpeg_decode_stage
+
+    jdir = ensure_jpeg_media(sf_from_dir(sf_dir))
+    ds = read_parquet(jdir, columns=["media_id", "payload"])
+    ds = jpeg_decode_stage(ds)
+    return ds.map_batches(lambda t: t.drop_columns(["body"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_mm_frames(sf_dir: str):
     """Video frame sampling fan-out (every 4th frame)."""
     from .generator import sf_from_dir
@@ -3039,6 +3056,7 @@ QUERIES = {
     "mm_frames": q_mm_frames,
     "mm_meta": q_mm_meta,
     "mm_decode": q_mm_decode,
+    "mm_jpeg_decode": q_mm_jpeg_decode,
     "doc_sample": q_doc_sample,
     # --- SQL-verified additions ---
     "token_jaccard": q_token_jaccard,
@@ -3509,6 +3527,24 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(max(CASE WHEN oi = 31 AND oj = 31 AND oc = ch - 1 THEN b
                  END) AS BIGINT) AS last_px
         FROM b GROUP BY 1"""
+    from .stages.jpeg import ensure_jpeg_media as _ejm
+
+    _jdir = _ejm(_sfd(sf_dir))
+    _jb = _hd.format(p="2 * u.k + 1")
+    sql["mm_jpeg_decode"] = f"""
+        WITH m AS (
+          SELECT media_id, width, height, body_hex AS hx,
+                 CAST(width AS BIGINT) * height AS n
+          FROM read_parquet('{_jdir}/*.parquet')),
+        b AS (
+          SELECT media_id, width, height, n, u.k AS k, {_jb} AS b
+          FROM m, unnest(range(0, n)) AS u(k))
+        SELECT media_id, max(width) AS width, max(height) AS height,
+               CAST(max(n) AS BIGINT) AS n_bytes,
+               CAST(sum(b) AS BIGINT) AS byte_sum,
+               CAST(max(CASE WHEN k = 0 THEN b END) AS BIGINT) AS first_byte,
+               CAST(max(CASE WHEN k = n - 1 THEN b END) AS BIGINT) AS last_byte
+        FROM b GROUP BY media_id"""
     _bk = _hd.format(p="2 * u.k + 1")
     sql["mm_decode"] = f"""
         WITH m AS (

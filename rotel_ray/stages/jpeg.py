@@ -1,0 +1,439 @@
+"""Baseline JPEG codec (ITU-T T.81), stdlib+numpy only — grayscale,
+sequential DCT, Huffman entropy coding with the Annex K tables.
+
+Widens the real-codec boundary beyond PNG/WAV: JPEG is the day-one image
+format of any web corpus. The ENTROPY + DEQUANT layer of JPEG is
+lossless — a decoder must recover the quantized coefficient blocks
+bit-exactly from the Huffman stream (marker walk, byte-stuffing removal,
+DC prediction, AC run-length, zigzag) — so that whole layer is
+oracle-checkable. The only lossy/float step is the IDCT; encoder and
+decoder here share ONE documented float64 kernel (separable DCT-III,
+fixed op order), so generated-at-encode pixel bytes reproduce bit-exactly
+through a full parse of the actual bitstream (the same ln()/floor
+bit-agreement argument the text oracles use).
+
+Fixture protocol mirrors the PNG/WAV one (stages/multimodal.py): the
+generator stores ``body_hex`` = the decoded pixel bytes it derived from
+the coefficients it encoded; the engine must reproduce those bytes by
+REALLY decoding the JPEG payload. A production deployment swaps
+``decode_jpeg`` for PIL/libjpeg at the same seam.
+
+Scope (documented limitation): single-component (grayscale) baseline
+sequential, 8-bit, no restart markers, dimensions padded to 8x8 blocks.
+Color (YCbCr + subsampling) stays behind the PIL seam.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# zigzag scan order (T.81 Figure 5): ZIGZAG[i] = (row, col) of the i-th
+# coefficient in scan order
+_Z = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+# Annex K.1 luminance quantization table. T.81 presents it as the 8x8
+# matrix in natural (row-major) order; the DQT segment serializes it in
+# zigzag order (handled at encode/decode).
+_Q_NATURAL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], np.int64)
+
+# Annex K.3.1 luminance DC Huffman table: BITS (codes per length 1..16)
+# and HUFFVAL (symbols in code order)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+# Annex K.3.2 luminance AC Huffman table
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical Huffman (T.81 Annex C)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
+
+
+_DC_ENC = _build_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _build_codes(_AC_BITS, _AC_VALS)
+
+# the shared float64 IDCT basis (separable DCT-III), fixed op order: both
+# encoder (to derive the stored ground-truth pixels) and decoder use
+# exactly pixels = clip(round(B.T @ block @ B) + 128, 0, 255)
+_BASIS = np.empty((8, 8), np.float64)
+for _k in range(8):
+    for _n in range(8):
+        c = np.sqrt(0.125) if _k == 0 else 0.5
+        _BASIS[_k, _n] = c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def idct_block(coef: np.ndarray) -> np.ndarray:
+    """The documented shared IDCT kernel: (8,8) dequantized int coefficients
+    -> (8,8) uint8 pixels. One matmul per axis, round-half-to-even, +128,
+    clip — identical arithmetic wherever it runs."""
+    f = _BASIS.T @ coef.astype(np.float64) @ _BASIS
+    return np.clip(np.round(f) + 128.0, 0.0, 255.0).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing (F.1.2.3)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits (F.1.2.3)
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC value (F.1.2.1.1): negatives
+    encode as value-1 in `size` low bits."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(coeffs: np.ndarray, w: int, h: int) -> bytes:
+    """Encode quantized coefficient blocks into a baseline grayscale JPEG.
+
+    ``coeffs``: (n_blocks, 8, 8) QUANTIZED integer coefficients (natural
+    order), blocks raster-ordered over a w x h image (w, h multiples of 8).
+    The entropy layer is lossless, so a decoder must recover ``coeffs``
+    exactly."""
+    assert w % 8 == 0 and h % 8 == 0 and coeffs.shape[0] == (w // 8) * (h // 8)
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in coeffs:
+        zz = blk.reshape(-1)[_Z]
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        s, raw = _magnitude(diff)
+        c, ln = _DC_ENC[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(raw, s)
+        run = 0
+        last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = _AC_ENC[0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            s, raw = _magnitude(v)
+            c, ln = _AC_ENC[(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(raw, s)
+            run = 0
+        if last_nz < 63:
+            c, ln = _AC_ENC[0x00]  # EOB
+            bw.put(c, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(_Q_NATURAL[_Z[i]]) for i in range(64)))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = (seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9")
+
+
+def coeffs_to_pixels(coeffs: np.ndarray, w: int, h: int,
+                     qtable: np.ndarray | None = None) -> np.ndarray:
+    """Ground-truth pixels for a coefficient tensor via the shared IDCT
+    kernel (what the generator stores as body_hex)."""
+    q = _Q_NATURAL if qtable is None else qtable
+    img = np.empty((h, w), np.uint8)
+    bw = w // 8
+    for i, blk in enumerate(coeffs):
+        by, bx = divmod(i, bw)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+            idct_block(blk * q.reshape(8, 8))
+    return img
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos]
+                if nxt != 0x00:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+                self.pos += 1  # drop the stuffed zero
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(raw: int, s: int) -> int:
+    """F.2.2.1 EXTEND: raw `s`-bit magnitude -> signed value."""
+    if s == 0:
+        return 0
+    return raw if raw >= (1 << (s - 1)) else raw - (1 << s) + 1
+
+
+def _read_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Full baseline grayscale JPEG decode: marker walk, DQT/DHT/SOF0/SOS
+    parse, Huffman + DC-prediction + run-length entropy decode (lossless —
+    recovers the encoder's quantized coefficients exactly), dequantize,
+    shared IDCT kernel. Returns (h, w) uint8."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtable = None
+    dc_tab = _build_decode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _build_decode_table(_AC_BITS, _AC_VALS)
+    w = h = None
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = struct.unpack_from(">H", data, pos)[0]
+        if marker == 0xFFD9:
+            break
+        ln = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4:pos + 2 + ln]
+        if len(body) < ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xFFDB:
+            if body[0] & 0xF0:
+                raise ValueError("16-bit quant tables not supported")
+            zz = np.frombuffer(body[1:65], np.uint8).astype(np.int64)
+            qtable = np.empty(64, np.int64)
+            qtable[_Z] = zz
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline supported")
+            if body[7] != 0x11:  # per-component sampling factor (SOF0 layout)
+                raise ValueError("subsampling not supported for grayscale")
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFC4:
+            tc_th = body[0]
+            bits = list(body[1:17])
+            nvals = sum(bits)
+            vals = list(body[17:17 + nvals])
+            tab = _build_decode_table(bits, vals)
+            if tc_th == 0x00:
+                dc_tab = tab
+            elif tc_th == 0x10:
+                ac_tab = tab
+            else:
+                raise ValueError(f"unsupported Huffman table id {tc_th:#x}")
+        elif marker == 0xFFDA:
+            scan_start = pos + 2 + ln
+            break
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals not supported")
+        pos += 2 + ln
+    if w is None or qtable is None or scan_start is None:
+        raise ValueError("truncated JPEG: missing SOF/DQT/SOS")
+    if w % 8 or h % 8:
+        raise ValueError("dimensions must be 8x8-block aligned")
+    eoi = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[scan_start:eoi if eoi > 0 else len(data)])
+    n_blocks = (w // 8) * (h // 8)
+    coeffs = np.zeros((n_blocks, 64), np.int64)
+    prev_dc = 0
+    for b in range(n_blocks):
+        s = _read_huffman(br, dc_tab)
+        prev_dc += _extend(br.bits(s), s)
+        zz = coeffs[b]
+        zz_z = np.zeros(64, np.int64)
+        zz_z[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _read_huffman(br, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            zz_z[k] = _extend(br.bits(size), size)
+            k += 1
+        zz[_Z] = zz_z  # de-zigzag into natural order
+    img = np.empty((h, w), np.uint8)
+    bw_blocks = w // 8
+    for i in range(n_blocks):
+        by, bx = divmod(i, bw_blocks)
+        blk = coeffs[i].reshape(8, 8) * qtable.reshape(8, 8)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = idct_block(blk)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# fixture: deterministic JPEG corpus with decoded-pixel ground truth
+# ---------------------------------------------------------------------------
+
+JPEG_SEED = 20_260_818
+
+
+def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
+    rng = np.random.default_rng(JPEG_SEED + shard)
+    ids, payloads, ws, hs, hexes, means = [], [], [], [], [], []
+    for i in range(n):
+        bw_, bh_ = int(rng.integers(2, 7)), int(rng.integers(2, 7))
+        w, h = bw_ * 8, bh_ * 8
+        # sparse integer coefficient blocks: DC in a photographic-ish range,
+        # a handful of low-frequency ACs (zigzag-early), occasional ZRL-
+        # forcing lone high-frequency coefficient
+        coeffs = np.zeros((bw_ * bh_, 64), np.int64)
+        coeffs[:, 0] = rng.integers(-40, 41, bw_ * bh_)
+        for b in range(bw_ * bh_):
+            for k in rng.integers(1, 10, int(rng.integers(0, 6))):
+                coeffs[b, _Z[k]] = int(rng.integers(-20, 21))
+            if rng.random() < 0.3:  # exercise ZRL (16+ zero runs)
+                coeffs[b, _Z[int(rng.integers(40, 64))]] = int(rng.integers(1, 4))
+        coeffs = coeffs.reshape(-1, 8, 8)
+        payload = encode_jpeg(coeffs, w, h)
+        px = coeffs_to_pixels(coeffs, w, h)
+        ids.append(shard * 10_000_000 + i)
+        payloads.append(payload)
+        ws.append(w)
+        hs.append(h)
+        hexes.append(px.tobytes().hex().upper())
+        means.append(float(px.mean()))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "mean_byte": pa.array(means, pa.float64()),
+        "body_hex": pa.array(hexes, pa.string()),
+    })
+
+
+def ensure_jpeg_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
+    out = os.path.join(root, f"jpeg_v1_sf{sf:g}")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    n = max(200, int(sf * 20_000))
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    per = 1000
+    for s in range((n + per - 1) // per):
+        tbl = generate_jpeg_media(min(per, n - s * per), shard=s)
+        pq.write_table(tbl, os.path.join(tmp, f"part-{s:04d}.parquet"))
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def jpeg_decode_stage(ds, *, batch_size: int = 256):
+    """Stateless decode map: payload -> (width, height, byte stats, body).
+    Task mode — fuses with the read (the PNG/WAV decode convention)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        outs = [decode_jpeg(p) for p in t.column("payload").to_pylist()]
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "width": pa.array([o.shape[1] for o in outs], pa.int32()),
+            "height": pa.array([o.shape[0] for o in outs], pa.int32()),
+            "n_bytes": pa.array([o.size for o in outs], pa.int64()),
+            "byte_sum": pa.array([int(o.sum(dtype=np.int64)) for o in outs],
+                                 pa.int64()),
+            "first_byte": pa.array([int(o.reshape(-1)[0]) for o in outs],
+                                   pa.int64()),
+            "last_byte": pa.array([int(o.reshape(-1)[-1]) for o in outs],
+                                  pa.int64()),
+            "body": pa.array([o.tobytes() for o in outs], pa.binary()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)

@@ -1,0 +1,92 @@
+"""Baseline JPEG codec tests: bit-exact entropy-layer roundtrip, edge
+symbols (ZRL/EOB), corruption rejection, PIL interop (skip-gated)."""
+
+import numpy as np
+import pytest
+
+from rotel_ray.stages.jpeg import (
+    _Z,
+    coeffs_to_pixels,
+    decode_jpeg,
+    encode_jpeg,
+    generate_jpeg_media,
+)
+
+
+def _rand_coeffs(rng, bw, bh, dense=False):
+    coeffs = np.zeros((bw * bh, 64), np.int64)
+    coeffs[:, 0] = rng.integers(-100, 101, bw * bh)
+    for b in range(bw * bh):
+        for k in rng.integers(1, 64, int(rng.integers(0, 40 if dense else 12))):
+            coeffs[b, _Z[k]] = int(rng.integers(-60, 61))
+    return coeffs.reshape(-1, 8, 8)
+
+
+def test_roundtrip_bit_exact_various_shapes():
+    rng = np.random.default_rng(1)
+    for bw, bh in [(1, 1), (3, 2), (6, 6), (1, 5)]:
+        coeffs = _rand_coeffs(rng, bw, bh)
+        data = encode_jpeg(coeffs, bw * 8, bh * 8)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        img = decode_jpeg(data)
+        assert (img == coeffs_to_pixels(coeffs, bw * 8, bh * 8)).all(), (bw, bh)
+
+
+def test_entropy_edge_symbols():
+    """ZRL (16-zero runs), EOB-less full blocks, max-magnitude DC diffs,
+    and the 0xFF byte-stuffing path all roundtrip."""
+    rng = np.random.default_rng(2)
+    # dense blocks: many end without EOB; big DC swings stress diff coding
+    coeffs = _rand_coeffs(rng, 4, 4, dense=True)
+    coeffs[0, :, :] = 0
+    coeffs[0, 0, 0] = 1000   # large DC
+    z = np.zeros(64, np.int64)
+    z[0], z[40], z[63] = -512, 1, -1   # two ZRLs needed mid-block
+    coeffs[1] = z[np.argsort(np.arange(64))].reshape(8, 8)
+    data = encode_jpeg(coeffs, 32, 32)
+    assert (decode_jpeg(data) == coeffs_to_pixels(coeffs, 32, 32)).all()
+
+
+def test_decoder_rejects_malformed():
+    rng = np.random.default_rng(3)
+    coeffs = _rand_coeffs(rng, 2, 2)
+    data = encode_jpeg(coeffs, 16, 16)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG" + data)
+    # progressive SOF2 must be rejected, not mis-decoded
+    bad = bytearray(data)
+    sof = data.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(bad))
+    # truncated scan: missing SOS/EOI
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: sof + 4])
+
+
+def test_fixture_generator_ground_truth():
+    t = generate_jpeg_media(30)
+    for i in range(30):
+        img = decode_jpeg(t.column("payload")[i].as_py())
+        assert img.tobytes().hex().upper() == t.column("body_hex")[i].as_py()
+        assert img.shape == (t.column("height")[i].as_py(),
+                             t.column("width")[i].as_py())
+    # determinism
+    assert generate_jpeg_media(30).equals(t)
+
+
+def test_jpeg_against_pil_if_present():
+    """Interop: a real libjpeg implementation must parse our bitstream and
+    agree within the T.81 IDCT accuracy envelope (libjpeg's integer IDCT
+    differs from the shared float kernel by at most ±1/pixel)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(4)
+    coeffs = _rand_coeffs(rng, 3, 3)
+    data = encode_jpeg(coeffs, 24, 24)
+    img = PIL.open(io.BytesIO(data))
+    got = np.asarray(img.convert("L"))
+    ref = coeffs_to_pixels(coeffs, 24, 24)
+    assert got.shape == ref.shape
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
