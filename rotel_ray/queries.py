@@ -3533,13 +3533,14 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     _jb = _hd.format(p="2 * u.k + 1")
     sql["mm_jpeg_decode"] = f"""
         WITH m AS (
-          SELECT media_id, width, height, body_hex AS hx,
-                 CAST(width AS BIGINT) * height AS n
+          SELECT media_id, width, height, channels, body_hex AS hx,
+                 CAST(width AS BIGINT) * height * channels AS n
           FROM read_parquet('{_jdir}/*.parquet')),
         b AS (
-          SELECT media_id, width, height, n, u.k AS k, {_jb} AS b
+          SELECT media_id, width, height, channels, n, u.k AS k, {_jb} AS b
           FROM m, unnest(range(0, n)) AS u(k))
         SELECT media_id, max(width) AS width, max(height) AS height,
+               max(channels) AS channels,
                CAST(max(n) AS BIGINT) AS n_bytes,
                CAST(sum(b) AS BIGINT) AS byte_sum,
                CAST(max(CASE WHEN k = 0 THEN b END) AS BIGINT) AS first_byte,

@@ -18,9 +18,11 @@ the coefficients it encoded; the engine must reproduce those bytes by
 REALLY decoding the JPEG payload. A production deployment swaps
 ``decode_jpeg`` for PIL/libjpeg at the same seam.
 
-Scope (documented limitation): single-component (grayscale) baseline
-sequential, 8-bit, no restart markers, dimensions padded to 8x8 blocks.
-Color (YCbCr + subsampling) stays behind the PIL seam.
+Scope (documented limitation): baseline sequential, 8-bit, grayscale or
+YCbCr 4:4:4 color (one block per component per MCU; the shared JFIF
+color kernel converts to RGB), no restart markers, dimensions padded to
+8x8 blocks. Chroma SUBSAMPLING (4:2:0/4:2:2) and progressive stay behind
+the PIL/libjpeg seam, rejected with clear errors.
 """
 
 from __future__ import annotations
@@ -147,6 +149,55 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
+def _encode_block(bw: _BitWriter, blk: np.ndarray, prev_dc: int) -> int:
+    """Entropy-encode one quantized 8x8 block (F.1.2); returns its DC for
+    the component's predictor chain."""
+    zz = blk.reshape(-1)[_Z]
+    diff = int(zz[0]) - prev_dc
+    s, raw = _magnitude(diff)
+    c, ln = _DC_ENC[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(raw, s)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_ENC[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        s, raw = _magnitude(v)
+        c, ln = _AC_ENC[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(raw, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = _AC_ENC[0x00]  # EOB
+        bw.put(c, ln)
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _headers(w: int, h: int, ncomp: int) -> bytes:
+    """DQT + SOF0 + DHT for 1 (grayscale) or 3 (YCbCr 4:4:4) components.
+    All components share quant table 0 and the DC0/AC0 Huffman tables — a
+    declared, standard-compliant choice (tables travel in the bitstream;
+    per-component table ids in SOF/SOS say so)."""
+    dqt = _seg(0xFFDB, bytes([0]) + bytes(int(_Q_NATURAL[_Z[i]]) for i in range(64)))
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    dht = (_seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    return dqt + sof + dht
+
+
 def encode_jpeg(coeffs: np.ndarray, w: int, h: int) -> bytes:
     """Encode quantized coefficient blocks into a baseline grayscale JPEG.
 
@@ -158,44 +209,39 @@ def encode_jpeg(coeffs: np.ndarray, w: int, h: int) -> bytes:
     bw = _BitWriter()
     prev_dc = 0
     for blk in coeffs:
-        zz = blk.reshape(-1)[_Z]
-        diff = int(zz[0]) - prev_dc
-        prev_dc = int(zz[0])
-        s, raw = _magnitude(diff)
-        c, ln = _DC_ENC[s]
-        bw.put(c, ln)
-        if s:
-            bw.put(raw, s)
-        run = 0
-        last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
-        for k in range(1, last_nz + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = _AC_ENC[0xF0]  # ZRL
-                bw.put(c, ln)
-                run -= 16
-            s, raw = _magnitude(v)
-            c, ln = _AC_ENC[(run << 4) | s]
-            bw.put(c, ln)
-            bw.put(raw, s)
-            run = 0
-        if last_nz < 63:
-            c, ln = _AC_ENC[0x00]  # EOB
-            bw.put(c, ln)
+        prev_dc = _encode_block(bw, blk, prev_dc)
     scan = bw.flush()
+    sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + _headers(w, h, 1) + sos + scan + b"\xff\xd9"
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    dqt = seg(0xFFDB, bytes([0]) + bytes(int(_Q_NATURAL[_Z[i]]) for i in range(64)))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = (seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-           + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9")
+def encode_jpeg_color(coeffs3: np.ndarray, w: int, h: int) -> bytes:
+    """Baseline COLOR JPEG (YCbCr, 4:4:4 — no subsampling, so every MCU is
+    one block per component). ``coeffs3``: (3, n_blocks, 8, 8) quantized
+    coefficients for Y, Cb, Cr; each component keeps its own DC predictor
+    (F.1.1.5.1); blocks interleave Y,Cb,Cr per MCU (A.2.3)."""
+    assert coeffs3.shape[0] == 3 and w % 8 == 0 and h % 8 == 0
+    assert coeffs3.shape[1] == (w // 8) * (h // 8)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for b in range(coeffs3.shape[1]):
+        for c in range(3):
+            prev[c] = _encode_block(bw, coeffs3[c, b], prev[c])
+    scan = bw.flush()
+    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + _headers(w, h, 3) + sos + scan + b"\xff\xd9"
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """The shared JFIF color kernel (fixed float64 op order, round, clip) —
+    runs identically in the generator (ground truth) and the decoder."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = np.clip(np.round(yf + 1.402 * crf), 0.0, 255.0)
+    g = np.clip(np.round(yf - 0.344136 * cbf - 0.714136 * crf), 0.0, 255.0)
+    b = np.clip(np.round(yf + 1.772 * cbf), 0.0, 255.0)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
 def coeffs_to_pixels(coeffs: np.ndarray, w: int, h: int,
@@ -210,6 +256,14 @@ def coeffs_to_pixels(coeffs: np.ndarray, w: int, h: int,
         img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
             idct_block(blk * q.reshape(8, 8))
     return img
+
+
+def coeffs_to_rgb(coeffs3: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Ground-truth RGB pixels for a (3, n_blocks, 8, 8) YCbCr coefficient
+    tensor: per-plane shared IDCT, then the shared color kernel — exactly
+    the decoder's arithmetic."""
+    planes = [coeffs_to_pixels(coeffs3[c], w, h) for c in range(3)]
+    return ycbcr_to_rgb(*planes)
 
 
 class _BitReader:
@@ -258,18 +312,53 @@ def _read_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in scan")
 
 
+def _decode_block(br: _BitReader, dc_tab, ac_tab, prev_dc: int
+                  ) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block: (natural-order int coefficients, new DC)."""
+    s = _read_huffman(br, dc_tab)
+    dc = prev_dc + _extend(br.bits(s), s)
+    zz_z = np.zeros(64, np.int64)
+    zz_z[0] = dc
+    k = 1
+    while k < 64:
+        sym = _read_huffman(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("invalid AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz_z[k] = _extend(br.bits(size), size)
+        k += 1
+    nat = np.zeros(64, np.int64)
+    nat[_Z] = zz_z  # de-zigzag into natural order
+    return nat, dc
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Full baseline grayscale JPEG decode: marker walk, DQT/DHT/SOF0/SOS
-    parse, Huffman + DC-prediction + run-length entropy decode (lossless —
+    """Full baseline JPEG decode: marker walk, DQT/DHT/SOF0/SOS parse,
+    Huffman + DC-prediction + run-length entropy decode (lossless —
     recovers the encoder's quantized coefficients exactly), dequantize,
-    shared IDCT kernel. Returns (h, w) uint8."""
+    shared IDCT kernel, and for 3-component scans the shared YCbCr->RGB
+    kernel. Supports grayscale and YCbCr 4:4:4 (one block per component
+    per MCU); subsampled/progressive/restart inputs are rejected with
+    clear errors. Returns (h, w) uint8 or (h, w, 3) uint8."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
-    qtable = None
-    dc_tab = _build_decode_table(_DC_BITS, _DC_VALS)
-    ac_tab = _build_decode_table(_AC_BITS, _AC_VALS)
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[int, dict] = {
+        0x00: _build_decode_table(_DC_BITS, _DC_VALS),
+        0x10: _build_decode_table(_AC_BITS, _AC_VALS),
+    }
     w = h = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_tabs: list[tuple[int, int]] = []  # (dc table id, ac table id)
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -282,76 +371,83 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if len(body) < ln - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xFFDB:
-            if body[0] & 0xF0:
-                raise ValueError("16-bit quant tables not supported")
-            zz = np.frombuffer(body[1:65], np.uint8).astype(np.int64)
-            qtable = np.empty(64, np.int64)
-            qtable[_Z] = zz
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq & 0xF0:
+                    raise ValueError("16-bit quant tables not supported")
+                zz = np.frombuffer(body[off + 1:off + 65], np.uint8) \
+                    .astype(np.int64)
+                q = np.empty(64, np.int64)
+                q[_Z] = zz
+                qtables[pq_tq & 0x0F] = q
+                off += 65
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit grayscale baseline supported")
-            if body[7] != 0x11:  # per-component sampling factor (SOF0 layout)
-                raise ValueError("subsampling not supported for grayscale")
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline "
+                                 "supported")
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG not supported "
+                                     "(4:4:4 only)")
+                comps.append((cid, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFC4:
-            tc_th = body[0]
-            bits = list(body[1:17])
-            nvals = sum(bits)
-            vals = list(body[17:17 + nvals])
-            tab = _build_decode_table(bits, vals)
-            if tc_th == 0x00:
-                dc_tab = tab
-            elif tc_th == 0x10:
-                ac_tab = tab
-            else:
-                raise ValueError(f"unsupported Huffman table id {tc_th:#x}")
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1:off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17:off + 17 + nvals])
+                huff[tc_th] = _build_decode_table(bits, vals)
+                off += 17 + nvals
         elif marker == 0xFFDA:
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("partial scans not supported")
+            for si in range(ns):
+                ts = body[2 + 2 * si]
+                scan_tabs.append((ts >> 4, ts & 0x0F))
             scan_start = pos + 2 + ln
             break
         elif marker == 0xFFDD:
             raise ValueError("restart intervals not supported")
         pos += 2 + ln
-    if w is None or qtable is None or scan_start is None:
+    if w is None or not qtables or scan_start is None:
         raise ValueError("truncated JPEG: missing SOF/DQT/SOS")
     if w % 8 or h % 8:
         raise ValueError("dimensions must be 8x8-block aligned")
     eoi = data.rfind(b"\xff\xd9")
     br = _BitReader(data[scan_start:eoi if eoi > 0 else len(data)])
     n_blocks = (w // 8) * (h // 8)
-    coeffs = np.zeros((n_blocks, 64), np.int64)
-    prev_dc = 0
-    for b in range(n_blocks):
-        s = _read_huffman(br, dc_tab)
-        prev_dc += _extend(br.bits(s), s)
-        zz = coeffs[b]
-        zz_z = np.zeros(64, np.int64)
-        zz_z[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _read_huffman(br, ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            run, size = sym >> 4, sym & 0x0F
-            if size == 0:
-                if run != 15:
-                    raise ValueError("invalid AC symbol")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            zz_z[k] = _extend(br.bits(size), size)
-            k += 1
-        zz[_Z] = zz_z  # de-zigzag into natural order
-    img = np.empty((h, w), np.uint8)
+    ncomp = len(comps)
+    coeffs = np.zeros((ncomp, n_blocks, 64), np.int64)
+    prev = [0] * ncomp
+    for b in range(n_blocks):  # 4:4:4 MCU = one block per component
+        for c in range(ncomp):
+            dc_tab = huff.get(0x00 | scan_tabs[c][0])
+            ac_tab = huff.get(0x10 | scan_tabs[c][1])
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("scan references undeclared Huffman table")
+            coeffs[c, b], prev[c] = _decode_block(br, dc_tab, ac_tab, prev[c])
+    planes = []
     bw_blocks = w // 8
-    for i in range(n_blocks):
-        by, bx = divmod(i, bw_blocks)
-        blk = coeffs[i].reshape(8, 8) * qtable.reshape(8, 8)
-        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = idct_block(blk)
-    return img
+    for c in range(ncomp):
+        q = qtables.get(comps[c][1])
+        if q is None:
+            raise ValueError("component references undeclared quant table")
+        plane = np.empty((h, w), np.uint8)
+        for i in range(n_blocks):
+            by, bx = divmod(i, bw_blocks)
+            plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                idct_block(coeffs[c, i].reshape(8, 8) * q.reshape(8, 8))
+        planes.append(plane)
+    if ncomp == 1:
+        return planes[0]
+    return ycbcr_to_rgb(*planes)
 
 
 # ---------------------------------------------------------------------------
@@ -361,29 +457,45 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 JPEG_SEED = 20_260_818
 
 
+def _rand_block_coeffs(rng, n_blocks: int) -> np.ndarray:
+    """Sparse integer coefficient blocks: DC in a photographic-ish range,
+    a handful of low-frequency ACs (zigzag-early), occasional ZRL-forcing
+    lone high-frequency coefficient."""
+    coeffs = np.zeros((n_blocks, 64), np.int64)
+    coeffs[:, 0] = rng.integers(-40, 41, n_blocks)
+    for b in range(n_blocks):
+        for k in rng.integers(1, 10, int(rng.integers(0, 6))):
+            coeffs[b, _Z[k]] = int(rng.integers(-20, 21))
+        if rng.random() < 0.3:  # exercise ZRL (16+ zero runs)
+            coeffs[b, _Z[int(rng.integers(40, 64))]] = int(rng.integers(1, 4))
+    return coeffs.reshape(-1, 8, 8)
+
+
 def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
+    """Alternating grayscale / YCbCr-4:4:4-color JPEGs; ``channels`` =
+    decoded bytes per pixel (1 or 3), ``body_hex`` = the ground-truth
+    decoded byte stream."""
     rng = np.random.default_rng(JPEG_SEED + shard)
-    ids, payloads, ws, hs, hexes, means = [], [], [], [], [], []
+    ids, payloads, ws, hs, chs, hexes, means = [], [], [], [], [], [], []
     for i in range(n):
         bw_, bh_ = int(rng.integers(2, 7)), int(rng.integers(2, 7))
         w, h = bw_ * 8, bh_ * 8
-        # sparse integer coefficient blocks: DC in a photographic-ish range,
-        # a handful of low-frequency ACs (zigzag-early), occasional ZRL-
-        # forcing lone high-frequency coefficient
-        coeffs = np.zeros((bw_ * bh_, 64), np.int64)
-        coeffs[:, 0] = rng.integers(-40, 41, bw_ * bh_)
-        for b in range(bw_ * bh_):
-            for k in rng.integers(1, 10, int(rng.integers(0, 6))):
-                coeffs[b, _Z[k]] = int(rng.integers(-20, 21))
-            if rng.random() < 0.3:  # exercise ZRL (16+ zero runs)
-                coeffs[b, _Z[int(rng.integers(40, 64))]] = int(rng.integers(1, 4))
-        coeffs = coeffs.reshape(-1, 8, 8)
-        payload = encode_jpeg(coeffs, w, h)
-        px = coeffs_to_pixels(coeffs, w, h)
+        if i % 2 == 0:
+            coeffs = _rand_block_coeffs(rng, bw_ * bh_)
+            payload = encode_jpeg(coeffs, w, h)
+            px = coeffs_to_pixels(coeffs, w, h)
+            ch = 1
+        else:
+            coeffs3 = np.stack([_rand_block_coeffs(rng, bw_ * bh_)
+                                for _ in range(3)])
+            payload = encode_jpeg_color(coeffs3, w, h)
+            px = coeffs_to_rgb(coeffs3, w, h)
+            ch = 3
         ids.append(shard * 10_000_000 + i)
         payloads.append(payload)
         ws.append(w)
         hs.append(h)
+        chs.append(ch)
         hexes.append(px.tobytes().hex().upper())
         means.append(float(px.mean()))
     return pa.table({
@@ -391,13 +503,14 @@ def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
         "payload": pa.array(payloads, pa.binary()),
         "width": pa.array(ws, pa.int32()),
         "height": pa.array(hs, pa.int32()),
+        "channels": pa.array(chs, pa.int32()),
         "mean_byte": pa.array(means, pa.float64()),
         "body_hex": pa.array(hexes, pa.string()),
     })
 
 
 def ensure_jpeg_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
-    out = os.path.join(root, f"jpeg_v1_sf{sf:g}")
+    out = os.path.join(root, f"jpeg_v2_sf{sf:g}")  # v2: + color 4:4:4 rows
     if os.path.isdir(out) and os.listdir(out):
         return out
     n = max(200, int(sf * 20_000))
@@ -425,6 +538,8 @@ def jpeg_decode_stage(ds, *, batch_size: int = 256):
             "media_id": t.column("media_id"),
             "width": pa.array([o.shape[1] for o in outs], pa.int32()),
             "height": pa.array([o.shape[0] for o in outs], pa.int32()),
+            "channels": pa.array([o.shape[2] if o.ndim == 3 else 1
+                                  for o in outs], pa.int32()),
             "n_bytes": pa.array([o.size for o in outs], pa.int64()),
             "byte_sum": pa.array([int(o.sum(dtype=np.int64)) for o in outs],
                                  pa.int64()),

@@ -66,13 +66,26 @@ def test_decoder_rejects_malformed():
 
 def test_fixture_generator_ground_truth():
     t = generate_jpeg_media(30)
+    assert sorted(set(t.column("channels").to_pylist())) == [1, 3]
     for i in range(30):
         img = decode_jpeg(t.column("payload")[i].as_py())
         assert img.tobytes().hex().upper() == t.column("body_hex")[i].as_py()
-        assert img.shape == (t.column("height")[i].as_py(),
-                             t.column("width")[i].as_py())
+        ch = t.column("channels")[i].as_py()
+        want = (t.column("height")[i].as_py(), t.column("width")[i].as_py())
+        assert img.shape == (want if ch == 1 else (*want, 3))
     # determinism
     assert generate_jpeg_media(30).equals(t)
+
+
+def test_color_roundtrip_bit_exact():
+    from rotel_ray.stages.jpeg import coeffs_to_rgb, encode_jpeg_color
+
+    rng = np.random.default_rng(6)
+    c3 = np.stack([_rand_coeffs(rng, 2, 3) for _ in range(3)])
+    data = encode_jpeg_color(c3, 16, 24)
+    img = decode_jpeg(data)
+    assert img.shape == (24, 16, 3)
+    assert (img == coeffs_to_rgb(c3, 16, 24)).all()
 
 
 def test_jpeg_against_pil_if_present():
