@@ -232,6 +232,58 @@ def encode_jpeg_color(coeffs3: np.ndarray, w: int, h: int) -> bytes:
     return b"\xff\xd8" + _headers(w, h, 3) + sos + scan + b"\xff\xd9"
 
 
+def encode_jpeg_420(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
+                    coeffs_cr: np.ndarray, w: int, h: int) -> bytes:
+    """Baseline COLOR JPEG with 4:2:0 chroma subsampling — the dominant
+    wild-format: Y at full resolution (sampling 2x2), Cb/Cr at half
+    resolution each (1x1). MCU = 4 Y blocks (2x2 raster) + 1 Cb + 1 Cr
+    (A.2.3 interleave order); w, h multiples of 16.
+
+    ``coeffs_y``: (w/8 * h/8, 8, 8) raster-ordered over the FULL image;
+    ``coeffs_cb``/``coeffs_cr``: (w/16 * h/16, 8, 8) over the half-res
+    chroma planes."""
+    assert w % 16 == 0 and h % 16 == 0
+    ybw, cbw = w // 8, w // 16
+    assert coeffs_y.shape[0] == ybw * (h // 8)
+    assert coeffs_cb.shape[0] == coeffs_cr.shape[0] == cbw * (h // 16)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):  # 4 luma blocks, 2x2 raster
+                for bx in range(2):
+                    yi = (my * 2 + by) * ybw + (mx * 2 + bx)
+                    prev[0] = _encode_block(bw, coeffs_y[yi], prev[0])
+            ci = my * cbw + mx
+            prev[1] = _encode_block(bw, coeffs_cb[ci], prev[1])
+            prev[2] = _encode_block(bw, coeffs_cr[ci], prev[2])
+    scan = bw.flush()
+    dqt = _seg(0xFFDB, bytes([0]) + bytes(int(_Q_NATURAL[_Z[i]]) for i in range(64)))
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = (_seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def upsample_2x(plane: np.ndarray) -> np.ndarray:
+    """The shared 4:2:0 chroma upsample kernel: nearest-neighbor 2x2
+    replication (each half-res sample covers its 2x2 full-res cell)."""
+    return np.repeat(np.repeat(plane, 2, axis=0), 2, axis=1)
+
+
+def coeffs_to_rgb_420(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
+                      coeffs_cr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Ground-truth RGB for 4:2:0 coefficients: full-res Y IDCT, half-res
+    chroma IDCT, shared upsample, shared color kernel — the decoder's
+    exact arithmetic."""
+    y = coeffs_to_pixels(coeffs_y, w, h)
+    cb = upsample_2x(coeffs_to_pixels(coeffs_cb, w // 2, h // 2))
+    cr = upsample_2x(coeffs_to_pixels(coeffs_cr, w // 2, h // 2))
+    return ycbcr_to_rgb(y, cb, cr)
+
+
 def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     """The shared JFIF color kernel (fixed float64 op order, round, clip) —
     runs identically in the generator (ground truth) and the decoder."""
@@ -389,10 +441,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                  "supported")
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("subsampled JPEG not supported "
-                                     "(4:4:4 only)")
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
+            samps = [(c[2], c[3]) for c in comps]
+            if not (all(s == (1, 1) for s in samps)
+                    or (ncomp == 3 and samps[0] == (2, 2)
+                        and samps[1] == samps[2] == (1, 1))):
+                raise ValueError(
+                    "unsupported sampling (grayscale, 4:4:4 or 4:2:0 only)")
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFC4:
@@ -418,32 +473,50 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2 + ln
     if w is None or not qtables or scan_start is None:
         raise ValueError("truncated JPEG: missing SOF/DQT/SOS")
-    if w % 8 or h % 8:
-        raise ValueError("dimensions must be 8x8-block aligned")
+    ncomp = len(comps)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if w % (8 * hmax) or h % (8 * vmax):
+        raise ValueError("dimensions must be MCU-aligned")
     eoi = data.rfind(b"\xff\xd9")
     br = _BitReader(data[scan_start:eoi if eoi > 0 else len(data)])
-    n_blocks = (w // 8) * (h // 8)
-    ncomp = len(comps)
-    coeffs = np.zeros((ncomp, n_blocks, 64), np.int64)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+    # per-component plane geometry and coefficient stores
+    pdims = [(w * c[2] // hmax, h * c[3] // vmax) for c in comps]
+    coeffs = [np.zeros(((pw // 8) * (ph // 8), 64), np.int64)
+              for pw, ph in pdims]
     prev = [0] * ncomp
-    for b in range(n_blocks):  # 4:4:4 MCU = one block per component
-        for c in range(ncomp):
-            dc_tab = huff.get(0x00 | scan_tabs[c][0])
-            ac_tab = huff.get(0x10 | scan_tabs[c][1])
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("scan references undeclared Huffman table")
-            coeffs[c, b], prev[c] = _decode_block(br, dc_tab, ac_tab, prev[c])
+    tabs = []
+    for c in range(ncomp):
+        dc_tab = huff.get(0x00 | scan_tabs[c][0])
+        ac_tab = huff.get(0x10 | scan_tabs[c][1])
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("scan references undeclared Huffman table")
+        tabs.append((dc_tab, ac_tab))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(ncomp):
+                hi, vi = comps[c][2], comps[c][3]
+                pbw = pdims[c][0] // 8
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * pbw + (mx * hi + bx)
+                        coeffs[c][bi], prev[c] = _decode_block(
+                            br, tabs[c][0], tabs[c][1], prev[c])
     planes = []
-    bw_blocks = w // 8
     for c in range(ncomp):
         q = qtables.get(comps[c][1])
         if q is None:
             raise ValueError("component references undeclared quant table")
-        plane = np.empty((h, w), np.uint8)
-        for i in range(n_blocks):
-            by, bx = divmod(i, bw_blocks)
+        pw, ph = pdims[c]
+        plane = np.empty((ph, pw), np.uint8)
+        pbw = pw // 8
+        for i in range(coeffs[c].shape[0]):
+            by, bx = divmod(i, pbw)
             plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
-                idct_block(coeffs[c, i].reshape(8, 8) * q.reshape(8, 8))
+                idct_block(coeffs[c][i].reshape(8, 8) * q.reshape(8, 8))
+        if plane.shape != (h, w):  # half-res chroma: shared upsample kernel
+            plane = upsample_2x(plane)
         planes.append(plane)
     if ncomp == 1:
         return planes[0]
@@ -472,24 +545,36 @@ def _rand_block_coeffs(rng, n_blocks: int) -> np.ndarray:
 
 
 def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
-    """Alternating grayscale / YCbCr-4:4:4-color JPEGs; ``channels`` =
+    """Cycling grayscale / YCbCr-4:4:4 / YCbCr-4:2:0 JPEGs; ``channels`` =
     decoded bytes per pixel (1 or 3), ``body_hex`` = the ground-truth
     decoded byte stream."""
     rng = np.random.default_rng(JPEG_SEED + shard)
     ids, payloads, ws, hs, chs, hexes, means = [], [], [], [], [], [], []
     for i in range(n):
-        bw_, bh_ = int(rng.integers(2, 7)), int(rng.integers(2, 7))
-        w, h = bw_ * 8, bh_ * 8
-        if i % 2 == 0:
-            coeffs = _rand_block_coeffs(rng, bw_ * bh_)
+        variant = i % 3
+        if variant == 2:  # 4:2:0 needs 16-aligned dims
+            mw, mh = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+            w, h = mw * 16, mh * 16
+        else:
+            bw_, bh_ = int(rng.integers(2, 7)), int(rng.integers(2, 7))
+            w, h = bw_ * 8, bh_ * 8
+        if variant == 0:
+            coeffs = _rand_block_coeffs(rng, (w // 8) * (h // 8))
             payload = encode_jpeg(coeffs, w, h)
             px = coeffs_to_pixels(coeffs, w, h)
             ch = 1
-        else:
-            coeffs3 = np.stack([_rand_block_coeffs(rng, bw_ * bh_)
+        elif variant == 1:
+            coeffs3 = np.stack([_rand_block_coeffs(rng, (w // 8) * (h // 8))
                                 for _ in range(3)])
             payload = encode_jpeg_color(coeffs3, w, h)
             px = coeffs_to_rgb(coeffs3, w, h)
+            ch = 3
+        else:
+            cy = _rand_block_coeffs(rng, (w // 8) * (h // 8))
+            cb = _rand_block_coeffs(rng, (w // 16) * (h // 16))
+            cr = _rand_block_coeffs(rng, (w // 16) * (h // 16))
+            payload = encode_jpeg_420(cy, cb, cr, w, h)
+            px = coeffs_to_rgb_420(cy, cb, cr, w, h)
             ch = 3
         ids.append(shard * 10_000_000 + i)
         payloads.append(payload)
@@ -510,7 +595,7 @@ def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
 
 
 def ensure_jpeg_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
-    out = os.path.join(root, f"jpeg_v2_sf{sf:g}")  # v2: + color 4:4:4 rows
+    out = os.path.join(root, f"jpeg_v3_sf{sf:g}")  # v3: + 4:2:0 rows
     if os.path.isdir(out) and os.listdir(out):
         return out
     n = max(200, int(sf * 20_000))

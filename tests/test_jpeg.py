@@ -103,3 +103,36 @@ def test_jpeg_against_pil_if_present():
     ref = coeffs_to_pixels(coeffs, 24, 24)
     assert got.shape == ref.shape
     assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_420_roundtrip_bit_exact():
+    from rotel_ray.stages.jpeg import coeffs_to_rgb_420, encode_jpeg_420
+
+    rng = np.random.default_rng(8)
+    w, h = 32, 48
+    cy = _rand_coeffs(rng, w // 8, h // 8)
+    cb = _rand_coeffs(rng, w // 16, h // 16)
+    cr = _rand_coeffs(rng, w // 16, h // 16)
+    img = decode_jpeg(encode_jpeg_420(cy, cb, cr, w, h))
+    assert img.shape == (h, w, 3)
+    assert (img == coeffs_to_rgb_420(cy, cb, cr, w, h)).all()
+
+
+def test_420_against_pil_if_present():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from rotel_ray.stages.jpeg import coeffs_to_rgb_420, encode_jpeg_420
+
+    rng = np.random.default_rng(9)
+    w, h = 32, 32
+    cy = _rand_coeffs(rng, 4, 4)
+    cb = _rand_coeffs(rng, 2, 2)
+    cr = _rand_coeffs(rng, 2, 2)
+    img = PIL.open(io.BytesIO(encode_jpeg_420(cy, cb, cr, w, h)))
+    got = np.asarray(img.convert("RGB")).astype(int)
+    ref = coeffs_to_rgb_420(cy, cb, cr, w, h).astype(int)
+    # libjpeg uses fancy chroma upsampling + integer IDCT: allow a small
+    # envelope; structural parse correctness is the real assertion
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).mean() < 8
