@@ -90,9 +90,20 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return out
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    return {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
+def _build_decode_table(bits: list[int], vals: list[int]
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-lookahead Huffman LUT (the classic libjpeg-style fast path):
+    LUT[peek16] -> (symbol, code length). One table-lookup per SYMBOL
+    instead of a Python loop per BIT — ~6x on the decode hot path. Max
+    JPEG code length is 16, so a 64 Ki table always resolves."""
+    lut_sym = np.zeros(1 << 16, np.int16)
+    lut_len = np.zeros(1 << 16, np.uint8)
+    for s, (c, ln) in _build_codes(bits, vals).items():
+        lo = c << (16 - ln)
+        hi = lo + (1 << (16 - ln))
+        lut_sym[lo:hi] = s
+        lut_len[lo:hi] = ln
+    return lut_sym, lut_len
 
 
 _DC_ENC = _build_codes(_DC_BITS, _DC_VALS)
@@ -319,30 +330,56 @@ def coeffs_to_rgb(coeffs3: np.ndarray, w: int, h: int) -> np.ndarray:
 
 
 class _BitReader:
+    """Buffered MSB-first bit reader over an entropy-coded segment with
+    0xFF00 byte-stuffing removal; keeps up to 56 bits in one int so both
+    the 16-bit Huffman peek and the magnitude-bits read are O(1)."""
+
     def __init__(self, data: bytes):
         self.d = data
         self.pos = 0
-        self.acc = 0
+        self.buf = 0
         self.n = 0
 
-    def bit(self) -> int:
-        if self.n == 0:
+    def _fill(self) -> None:
+        while self.n <= 48 and self.pos < len(self.d):
             b = self.d[self.pos]
             self.pos += 1
             if b == 0xFF:
-                nxt = self.d[self.pos]
-                if nxt != 0x00:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-                self.pos += 1  # drop the stuffed zero
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+                if self.pos < len(self.d) and self.d[self.pos] == 0x00:
+                    self.pos += 1  # drop the stuffed zero
+                else:
+                    nxt = self.d[self.pos] if self.pos < len(self.d) else -1
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in scan")
+            self.buf = (self.buf << 8) | b
+            self.n += 8
+
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._fill()
+        if self.n >= 16:
+            return (self.buf >> (self.n - 16)) & 0xFFFF
+        # stream tail: pad the LOOKAHEAD with 1-bits (the encoder's pad
+        # convention) — only ever consumed as padding past the final code
+        pad = 16 - self.n
+        return ((self.buf << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def drop(self, k: int) -> None:
+        if self.n < k:
+            raise ValueError("truncated entropy-coded segment")
+        self.n -= k
+        self.buf &= (1 << self.n) - 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        if self.n < k:
+            raise ValueError("truncated entropy-coded segment")
+        v = (self.buf >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.buf &= (1 << self.n) - 1
         return v
 
 
@@ -353,15 +390,24 @@ def _extend(raw: int, s: int) -> int:
     return raw if raw >= (1 << (s - 1)) else raw - (1 << s) + 1
 
 
-def _read_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, ln = 0, 0
-    while ln <= 16:
-        code = (code << 1) | br.bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_decode_table(bits: tuple, vals: tuple
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """LUT build is ~130 us of numpy slicing — cache per distinct table so
+    a corpus decode builds each declared table once per worker."""
+    return _build_decode_table(list(bits), list(vals))
+
+
+def _read_huffman(br: _BitReader, table: tuple[np.ndarray, np.ndarray]) -> int:
+    v = br.peek16()
+    ln = int(table[1][v])
+    if ln == 0:
+        raise ValueError("invalid Huffman code in scan")
+    br.drop(ln)
+    return int(table[0][v])
 
 
 def _decode_block(br: _BitReader, dc_tab, ac_tab, prev_dc: int
@@ -404,9 +450,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    huff: dict[int, dict] = {
-        0x00: _build_decode_table(_DC_BITS, _DC_VALS),
-        0x10: _build_decode_table(_AC_BITS, _AC_VALS),
+    huff: dict[int, tuple[np.ndarray, np.ndarray]] = {
+        0x00: _cached_decode_table(tuple(_DC_BITS), tuple(_DC_VALS)),
+        0x10: _cached_decode_table(tuple(_AC_BITS), tuple(_AC_VALS)),
     }
     w = h = None
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
@@ -454,10 +500,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 tc_th = body[off]
-                bits = list(body[off + 1:off + 17])
+                bits = tuple(body[off + 1:off + 17])
                 nvals = sum(bits)
-                vals = list(body[off + 17:off + 17 + nvals])
-                huff[tc_th] = _build_decode_table(bits, vals)
+                vals = tuple(body[off + 17:off + 17 + nvals])
+                huff[tc_th] = _cached_decode_table(bits, vals)
                 off += 17 + nvals
         elif marker == 0xFFDA:
             ns = body[0]
