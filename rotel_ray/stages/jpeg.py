@@ -162,9 +162,15 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 def _encode_block(bw: _BitWriter, blk: np.ndarray, prev_dc: int) -> int:
     """Entropy-encode one quantized 8x8 block (F.1.2); returns its DC for
-    the component's predictor chain."""
+    the component's predictor chain. Baseline bounds (T.81 F.1.2.1.2/2.2.1):
+    DC diff magnitude <= 11 bits, AC magnitude <= 10 bits — the Annex K
+    tables define no larger size symbols."""
     zz = blk.reshape(-1)[_Z]
+    if np.abs(zz[1:]).max(initial=0) > 1023:
+        raise ValueError("baseline JPEG AC coefficient out of range (>10 bits)")
     diff = int(zz[0]) - prev_dc
+    if not -2047 <= diff <= 2047:
+        raise ValueError("baseline JPEG DC difference out of range (>11 bits)")
     s, raw = _magnitude(diff)
     c, ln = _DC_ENC[s]
     bw.put(c, ln)

@@ -136,3 +136,39 @@ def test_420_against_pil_if_present():
     # envelope; structural parse correctness is the real assertion
     assert got.shape == ref.shape
     assert np.abs(got - ref).mean() < 8
+
+
+def test_entropy_layer_property_roundtrip():
+    """Property: ANY in-range coefficient tensor roundtrips bit-exactly
+    through encode->decode (the lossless layer), for all three variants."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rotel_ray.stages.jpeg import coeffs_to_rgb_420, encode_jpeg_420
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**31 - 1))
+    def run(seed):
+        rng = np.random.default_rng(seed)
+        # in-range baseline values: DC |v|<=1023 keeps diffs within 11 bits
+        cy = rng.integers(-1023, 1024, (4, 64))
+        cy[:, 1:] = np.where(rng.random((4, 63)) < 0.8, 0, cy[:, 1:])
+        cy = cy.reshape(-1, 8, 8)
+        c1 = rng.integers(-1023, 1024, (1, 64))
+        c1[:, 1:] = np.where(rng.random((1, 63)) < 0.8, 0, c1[:, 1:])
+        c1 = c1.reshape(-1, 8, 8)
+        img = decode_jpeg(encode_jpeg_420(cy, c1, c1.copy(), 16, 16))
+        assert (img == coeffs_to_rgb_420(cy, c1, c1.copy(), 16, 16)).all()
+
+    run()
+
+
+def test_out_of_range_coefficients_rejected():
+    z = np.zeros((1, 8, 8), np.int64)
+    z[0, 0, 1] = 1024  # AC needs 11 bits
+    with pytest.raises(ValueError, match="AC coefficient"):
+        encode_jpeg(z, 8, 8)
+    z = np.zeros((1, 8, 8), np.int64)
+    z[0, 0, 0] = 2048  # DC diff needs 12 bits
+    with pytest.raises(ValueError, match="DC difference"):
+        encode_jpeg(z, 8, 8)
