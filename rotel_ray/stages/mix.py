@@ -363,36 +363,51 @@ def per_source_cap(ds, cap: int, *, source_col: str = "source",
     pseudo-random order as shard_assign, so re-runs keep identical docs).
 
     Scale shape: one stateless pass reduces each row to
-    (id, source, md5) — text never shuffles — then sources co-partition
-    by hash bucket and each bucket head-selects per source with one
+    (id, source, md5) — text never shuffles — AND pre-truncates to the
+    ``cap`` smallest (md5, id) rows per source per batch (the global
+    first-cap set is a subset of the union of per-batch first-cap sets,
+    the same phase-1 combiner as window.topk_per_group). The shuffle is
+    therefore bounded at batches x cap rows per source even when one
+    mega-domain dominates the crawl; each bucket then finishes with one
     vectorized sorted scan. Output: (id_col, source_col, rank)."""
 
     def prep(t: pa.Table) -> pa.Table:
-        return pa.table({
+        return _cap_select(pa.table({
             id_col: t.column(id_col),
             source_col: t.column(source_col),
             "__h": _hash_values(t.column(text_col), "md5"),
-        })
+        }), cap, id_col=id_col, source_col=source_col, final=False)
 
     narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
-    def head(t: pa.Table) -> pa.Table:
-        src = t.column(source_col).to_numpy(zero_copy_only=False)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        h = t.column("__h").to_numpy(zero_copy_only=False).astype("S32")
-        order = np.lexsort((ids, h, src))
-        s_s, i_s = src[order], ids[order]
-        starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]]) \
-            if len(s_s) else np.empty(0, np.int64)
-        seg = np.repeat(starts, np.diff(np.r_[starts, len(s_s)])) \
-            if len(s_s) else np.empty(0, np.int64)
-        rank = np.arange(len(s_s)) - seg
-        keep = rank < cap
-        return pa.table({
-            id_col: pa.array(i_s[keep]),
-            source_col: pa.array(s_s[keep]),
-            "rank": pa.array(rank[keep].astype(np.int64)),
-        })
+    return grouped_apply(
+        narrow, [source_col],
+        lambda t: _cap_select(t, cap, id_col=id_col, source_col=source_col,
+                              final=True),
+        batch_format="pyarrow", num_buckets=num_buckets)
 
-    return grouped_apply(narrow, [source_col], head, batch_format="pyarrow",
-                         num_buckets=num_buckets)
+
+def _cap_select(t: pa.Table, cap: int, *, id_col: str, source_col: str,
+                final: bool) -> pa.Table:
+    """Keep the ``cap`` smallest (md5, id) rows per source of ``t`` — one
+    lexsort + segment-rank scan, vectorized across all sources at once.
+    Used twice by per_source_cap: per batch as the bounding combiner
+    (final=False: ranks are batch-local, so only the key survives) and per
+    bucket as the finisher (final=True: ranks are now global, emit them)."""
+    src = t.column(source_col).to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    h = t.column("__h").to_numpy(zero_copy_only=False).astype("S32")
+    order = np.lexsort((ids, h, src))
+    s_s, i_s, h_s = src[order], ids[order], h[order]
+    starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]]) \
+        if len(s_s) else np.empty(0, np.int64)
+    seg = np.repeat(starts, np.diff(np.r_[starts, len(s_s)])) \
+        if len(s_s) else np.empty(0, np.int64)
+    rank = np.arange(len(s_s)) - seg
+    keep = rank < cap
+    cols = {id_col: pa.array(i_s[keep]), source_col: pa.array(s_s[keep])}
+    if final:
+        cols["rank"] = pa.array(rank[keep].astype(np.int64))
+    else:
+        cols["__h"] = pa.array(np.char.decode(h_s[keep], "ascii"))
+    return pa.table(cols)

@@ -130,6 +130,51 @@ def test_two_phase_salted_equals_unsalted():
     assert base.equals(salted)
 
 
+def test_per_source_cap_mega_domain_bounded_shuffle():
+    """One mega-domain holding 90% of the crawl: (a) results still match the
+    brute-force (md5, id) head selection, and (b) the per-batch partial
+    (_cap_select final=False) never lets more than cap rows per source out of
+    a batch — the shuffle is bounded at batches x cap even for the hot
+    domain, instead of its full row count."""
+    import hashlib
+
+    from rotel_ray.stages.mix import _cap_select, per_source_cap
+
+    rng = np.random.default_rng(23)
+    n, cap = 40_000, 10
+    src = np.where(rng.random(n) < 0.9, "mega.example",
+                   rng.choice([f"s{i}.org" for i in range(50)], n))
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": src,
+        "text": [f"doc body {i} {rng.integers(1 << 30)}" for i in range(n)],
+    })
+    t = pa.Table.from_pandas(df, preserve_index=False)
+
+    # (b) the bounding combiner: feed one 36k-row hot batch through the
+    # partial and check it emits at most cap rows per source
+    part = _cap_select(pa.table({
+        "doc_id": t.column("doc_id"),
+        "source": t.column("source"),
+        "__h": pa.array([hashlib.md5(s.encode()).hexdigest()
+                         for s in df.text]),
+    }), cap, id_col="doc_id", source_col="source", final=False)
+    per_src = pd.Series(part.column("source").to_pylist()).value_counts()
+    assert per_src.max() <= cap
+    assert part.num_rows <= cap * (per_src.size)
+
+    # (a) end-to-end over many blocks (so the partial really runs per batch)
+    out = per_source_cap(rd.from_arrow(t).repartition(16), cap=cap) \
+        .to_pandas().sort_values(["source", "rank"]).reset_index(drop=True)
+    ref = (df.assign(h=[hashlib.md5(s.encode()).hexdigest() for s in df.text])
+           .sort_values(["source", "h", "doc_id"]))
+    ref["rank"] = ref.groupby("source").cumcount()
+    ref = (ref[ref["rank"] < cap][["doc_id", "source", "rank"]]
+           .sort_values(["source", "rank"]).reset_index(drop=True))
+    assert out.equals(ref)
+    assert (out.source == "mega.example").sum() == cap
+
+
 def test_flagship_hot_conversation_end_to_end(ray_session, tmp_path):
     """North-rule skew clause at the FLAGSHIP surface: one conversation
     holding 10% of the corpus must flow through parse -> enrich -> route ->
