@@ -746,7 +746,8 @@ def q_mm_decode(sf_dir: str):
 def q_mm_jpeg_decode(sf_dir: str):
     """REAL baseline JPEG decode (ITU T.81: marker walk, Huffman entropy
     decode, DC prediction, zigzag, dequant, shared IDCT kernel) over a
-    deterministic JPEG corpus — exact-integer byte stats of the decoded
+    deterministic JPEG corpus cycling gray / 4:4:4 / 4:2:0 / 4:2:2 /
+    restart-interval variants — exact-integer byte stats of the decoded
     pixels. The oracle replays the generator's ground-truth body_hex, so
     any divergence in the lossless entropy layer or the documented IDCT
     arithmetic breaks equality (same protocol as the PNG/WAV oracles)."""

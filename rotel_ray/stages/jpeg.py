@@ -18,11 +18,13 @@ the coefficients it encoded; the engine must reproduce those bytes by
 REALLY decoding the JPEG payload. A production deployment swaps
 ``decode_jpeg`` for PIL/libjpeg at the same seam.
 
-Scope (documented limitation): baseline sequential, 8-bit, grayscale or
-YCbCr 4:4:4 color (one block per component per MCU; the shared JFIF
-color kernel converts to RGB), no restart markers, dimensions padded to
-8x8 blocks. Chroma SUBSAMPLING (4:2:0/4:2:2) and progressive stay behind
-the PIL/libjpeg seam, rejected with clear errors.
+Scope: baseline sequential (SOF0), 8-bit, grayscale or YCbCr color with
+4:4:4, 4:2:0 (2x2 luma sampling, 2x2 nearest upsample) or 4:2:2
+(horizontal-only subsample/upsample) chroma geometry, restart intervals
+(DRI + RST0-7: byte-aligned predictor resets, F.2.1.3.1), dimensions
+MCU-aligned. Progressive (SOF2), 12-bit, arithmetic coding and exotic
+samplings (e.g. 4:4:0) stay behind the PIL/libjpeg seam, rejected with
+clear errors.
 """
 
 from __future__ import annotations
@@ -144,6 +146,14 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
+    def restart(self, m: int) -> None:
+        """Byte-align with 1-padding, then emit RSTm RAW (markers are never
+        byte-stuffed; B.2.1.2 / F.1.2.3)."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
     def flush(self) -> bytes:
         if self.n:
             pad = 8 - self.n
@@ -202,55 +212,84 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def _headers(w: int, h: int, ncomp: int) -> bytes:
-    """DQT + SOF0 + DHT for 1 (grayscale) or 3 (YCbCr 4:4:4) components.
-    All components share quant table 0 and the DC0/AC0 Huffman tables — a
-    declared, standard-compliant choice (tables travel in the bitstream;
-    per-component table ids in SOF/SOS say so)."""
+def _encode_scan(planes: list[np.ndarray], samps: list[tuple[int, int]],
+                 w: int, h: int, restart_interval: int) -> bytes:
+    """Entropy-encode the interleaved scan (A.2.3 MCU order) for any
+    component/sampling geometry; one DC predictor per component
+    (F.1.1.5.1). With a restart interval, every ``restart_interval`` MCUs
+    the stream byte-aligns, emits RST(m) (m cycling 0-7) and resets ALL
+    DC predictors (F.2.1.3.1) — the hook real encoders use for error
+    resilience and parallel entropy decode."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    bw = _BitWriter()
+    prev = [0] * len(planes)
+    m = count = 0
+    for my in range(h // (8 * vmax)):
+        for mx in range(w // (8 * hmax)):
+            if restart_interval and count and count % restart_interval == 0:
+                bw.restart(m)
+                m = (m + 1) & 7
+                prev = [0] * len(planes)
+            for c, (hi, vi) in enumerate(samps):
+                pbw = (w * hi // hmax) // 8
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * pbw + (mx * hi + bx)
+                        prev[c] = _encode_block(bw, planes[c][bi], prev[c])
+            count += 1
+    return bw.flush()
+
+
+def _assemble_jpeg(planes: list[np.ndarray], samps: list[tuple[int, int]],
+                   w: int, h: int, restart_interval: int = 0) -> bytes:
+    """DQT + SOF0 + DHT [+ DRI] + SOS + scan + EOI for any sampling
+    geometry. All components share quant table 0 and the DC0/AC0 Huffman
+    tables — a declared, standard-compliant choice (tables travel in the
+    bitstream; per-component table ids in SOF/SOS say so)."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    assert w % (8 * hmax) == 0 and h % (8 * vmax) == 0
+    for p, (hi, vi) in zip(planes, samps):
+        assert p.shape[0] == (w * hi // hmax // 8) * (h * vi // vmax // 8)
+    scan = _encode_scan(planes, samps, w, h, restart_interval)
     dqt = _seg(0xFFDB, bytes([0]) + bytes(int(_Q_NATURAL[_Z[i]]) for i in range(64)))
-    comps = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
-    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    comps = b"".join(bytes([ci + 1, (hi << 4) | vi, 0])
+                     for ci, (hi, vi) in enumerate(samps))
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, len(planes)) + comps)
     dht = (_seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
            + _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
-    return dqt + sof + dht
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    sos = _seg(0xFFDA, bytes([len(planes)])
+               + b"".join(bytes([ci + 1, 0x00]) for ci in range(len(planes)))
+               + bytes([0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
-def encode_jpeg(coeffs: np.ndarray, w: int, h: int) -> bytes:
+def encode_jpeg(coeffs: np.ndarray, w: int, h: int, *,
+                restart_interval: int = 0) -> bytes:
     """Encode quantized coefficient blocks into a baseline grayscale JPEG.
 
     ``coeffs``: (n_blocks, 8, 8) QUANTIZED integer coefficients (natural
     order), blocks raster-ordered over a w x h image (w, h multiples of 8).
     The entropy layer is lossless, so a decoder must recover ``coeffs``
     exactly."""
-    assert w % 8 == 0 and h % 8 == 0 and coeffs.shape[0] == (w // 8) * (h // 8)
-    bw = _BitWriter()
-    prev_dc = 0
-    for blk in coeffs:
-        prev_dc = _encode_block(bw, blk, prev_dc)
-    scan = bw.flush()
-    sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + _headers(w, h, 1) + sos + scan + b"\xff\xd9"
+    return _assemble_jpeg([coeffs], [(1, 1)], w, h, restart_interval)
 
 
-def encode_jpeg_color(coeffs3: np.ndarray, w: int, h: int) -> bytes:
+def encode_jpeg_color(coeffs3: np.ndarray, w: int, h: int, *,
+                      restart_interval: int = 0) -> bytes:
     """Baseline COLOR JPEG (YCbCr, 4:4:4 — no subsampling, so every MCU is
     one block per component). ``coeffs3``: (3, n_blocks, 8, 8) quantized
-    coefficients for Y, Cb, Cr; each component keeps its own DC predictor
-    (F.1.1.5.1); blocks interleave Y,Cb,Cr per MCU (A.2.3)."""
-    assert coeffs3.shape[0] == 3 and w % 8 == 0 and h % 8 == 0
-    assert coeffs3.shape[1] == (w // 8) * (h // 8)
-    bw = _BitWriter()
-    prev = [0, 0, 0]
-    for b in range(coeffs3.shape[1]):
-        for c in range(3):
-            prev[c] = _encode_block(bw, coeffs3[c, b], prev[c])
-    scan = bw.flush()
-    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + _headers(w, h, 3) + sos + scan + b"\xff\xd9"
+    coefficients for Y, Cb, Cr."""
+    assert coeffs3.shape[0] == 3
+    return _assemble_jpeg(list(coeffs3), [(1, 1)] * 3, w, h, restart_interval)
 
 
 def encode_jpeg_420(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
-                    coeffs_cr: np.ndarray, w: int, h: int) -> bytes:
+                    coeffs_cr: np.ndarray, w: int, h: int, *,
+                    restart_interval: int = 0) -> bytes:
     """Baseline COLOR JPEG with 4:2:0 chroma subsampling — the dominant
     wild-format: Y at full resolution (sampling 2x2), Cb/Cr at half
     resolution each (1x1). MCU = 4 Y blocks (2x2 raster) + 1 Cb + 1 Cr
@@ -259,35 +298,34 @@ def encode_jpeg_420(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
     ``coeffs_y``: (w/8 * h/8, 8, 8) raster-ordered over the FULL image;
     ``coeffs_cb``/``coeffs_cr``: (w/16 * h/16, 8, 8) over the half-res
     chroma planes."""
-    assert w % 16 == 0 and h % 16 == 0
-    ybw, cbw = w // 8, w // 16
-    assert coeffs_y.shape[0] == ybw * (h // 8)
-    assert coeffs_cb.shape[0] == coeffs_cr.shape[0] == cbw * (h // 16)
-    bw = _BitWriter()
-    prev = [0, 0, 0]
-    for my in range(h // 16):
-        for mx in range(w // 16):
-            for by in range(2):  # 4 luma blocks, 2x2 raster
-                for bx in range(2):
-                    yi = (my * 2 + by) * ybw + (mx * 2 + bx)
-                    prev[0] = _encode_block(bw, coeffs_y[yi], prev[0])
-            ci = my * cbw + mx
-            prev[1] = _encode_block(bw, coeffs_cb[ci], prev[1])
-            prev[2] = _encode_block(bw, coeffs_cr[ci], prev[2])
-    scan = bw.flush()
-    dqt = _seg(0xFFDB, bytes([0]) + bytes(int(_Q_NATURAL[_Z[i]]) for i in range(64)))
-    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
-               + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
-    dht = (_seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-           + _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
-    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return _assemble_jpeg([coeffs_y, coeffs_cb, coeffs_cr],
+                          [(2, 2), (1, 1), (1, 1)], w, h, restart_interval)
+
+
+def encode_jpeg_422(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
+                    coeffs_cr: np.ndarray, w: int, h: int, *,
+                    restart_interval: int = 0) -> bytes:
+    """Baseline COLOR JPEG with 4:2:2 chroma subsampling (the second-most
+    common wild sampling): Y at full resolution (sampling 2x1), Cb/Cr
+    halved HORIZONTALLY only. MCU = 2 Y blocks side by side + 1 Cb + 1 Cr;
+    w multiple of 16, h multiple of 8.
+
+    ``coeffs_cb``/``coeffs_cr``: (w/16 * h/8, 8, 8) over the
+    half-width chroma planes."""
+    return _assemble_jpeg([coeffs_y, coeffs_cb, coeffs_cr],
+                          [(2, 1), (1, 1), (1, 1)], w, h, restart_interval)
+
+
+def upsample(plane: np.ndarray, ry: int, rx: int) -> np.ndarray:
+    """The shared chroma upsample kernel: nearest-neighbor replication —
+    each low-res sample covers its ry x rx full-res cell (2x2 for 4:2:0,
+    1x2 for 4:2:2)."""
+    return np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
 
 
 def upsample_2x(plane: np.ndarray) -> np.ndarray:
-    """The shared 4:2:0 chroma upsample kernel: nearest-neighbor 2x2
-    replication (each half-res sample covers its 2x2 full-res cell)."""
-    return np.repeat(np.repeat(plane, 2, axis=0), 2, axis=1)
+    """4:2:0 case of the shared upsample kernel."""
+    return upsample(plane, 2, 2)
 
 
 def coeffs_to_rgb_420(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
@@ -298,6 +336,16 @@ def coeffs_to_rgb_420(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
     y = coeffs_to_pixels(coeffs_y, w, h)
     cb = upsample_2x(coeffs_to_pixels(coeffs_cb, w // 2, h // 2))
     cr = upsample_2x(coeffs_to_pixels(coeffs_cr, w // 2, h // 2))
+    return ycbcr_to_rgb(y, cb, cr)
+
+
+def coeffs_to_rgb_422(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
+                      coeffs_cr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Ground-truth RGB for 4:2:2 coefficients: half-WIDTH chroma planes,
+    horizontal-only shared upsample, shared color kernel."""
+    y = coeffs_to_pixels(coeffs_y, w, h)
+    cb = upsample(coeffs_to_pixels(coeffs_cb, w // 2, h), 1, 2)
+    cr = upsample(coeffs_to_pixels(coeffs_cr, w // 2, h), 1, 2)
     return ycbcr_to_rgb(y, cb, cr)
 
 
@@ -345,20 +393,39 @@ class _BitReader:
         self.pos = 0
         self.buf = 0
         self.n = 0
+        self.marker = None  # marker byte the fill is parked at, if any
 
     def _fill(self) -> None:
         while self.n <= 48 and self.pos < len(self.d):
             b = self.d[self.pos]
-            self.pos += 1
             if b == 0xFF:
-                if self.pos < len(self.d) and self.d[self.pos] == 0x00:
-                    self.pos += 1  # drop the stuffed zero
-                else:
-                    nxt = self.d[self.pos] if self.pos < len(self.d) else -1
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} in scan")
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else -1
+                if nxt != 0x00:
+                    # a real marker (RSTn at a restart boundary, or a stray
+                    # one): park here — expect_rst() consumes it; a data
+                    # read that runs into it errors in bits()/drop()
+                    self.marker = nxt
+                    return
+                self.pos += 2  # data 0xFF + stuffed zero (F.1.2.3)
+            else:
+                self.pos += 1
             self.buf = (self.buf << 8) | b
             self.n += 8
+
+    def expect_rst(self, m: int) -> None:
+        """Consume the byte-align padding + the RST(m) marker at a restart
+        boundary (F.2.1.3.1). At most 7 pad bits may remain buffered —
+        more means the entropy stream and the MCU count disagree."""
+        if self.n >= 8:
+            raise ValueError("restart marker expected mid-segment")
+        self.n = 0
+        self.buf = 0
+        if (self.pos + 2 > len(self.d) or self.d[self.pos] != 0xFF
+                or self.d[self.pos + 1] != 0xD0 + (m & 7)):
+            got = self.d[self.pos:self.pos + 2].hex() or "EOF"
+            raise ValueError(f"expected RST{m & 7} marker, got {got}")
+        self.pos += 2
+        self.marker = None
 
     def peek16(self) -> int:
         if self.n < 16:
@@ -382,6 +449,9 @@ class _BitReader:
         if self.n < k:
             self._fill()
         if self.n < k:
+            if self.marker is not None and self.marker >= 0:
+                raise ValueError(
+                    f"unexpected marker 0xFF{self.marker:02X} in scan")
             raise ValueError("truncated entropy-coded segment")
         v = (self.buf >> (self.n - k)) & ((1 << k) - 1)
         self.n -= k
@@ -432,7 +502,9 @@ def _decode_block(br: _BitReader, dc_tab, ac_tab, prev_dc: int
         if size == 0:
             if run != 15:
                 raise ValueError("invalid AC symbol")
-            k += 16  # ZRL
+            k += 16  # ZRL — must leave room for the coefficient it precedes
+            if k > 63:
+                raise ValueError("AC run overflows block")
             continue
         k += run
         if k > 63:
@@ -449,9 +521,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     Huffman + DC-prediction + run-length entropy decode (lossless —
     recovers the encoder's quantized coefficients exactly), dequantize,
     shared IDCT kernel, and for 3-component scans the shared YCbCr->RGB
-    kernel. Supports grayscale and YCbCr 4:4:4 (one block per component
-    per MCU); subsampled/progressive/restart inputs are rejected with
-    clear errors. Returns (h, w) uint8 or (h, w, 3) uint8."""
+    kernel. Supports grayscale, YCbCr 4:4:4, 4:2:0 and 4:2:2 sampling,
+    and restart intervals (DRI + RST0-7 with DC-predictor resets);
+    progressive/12-bit/other samplings are rejected with clear errors.
+    Returns (h, w) uint8 or (h, w, 3) uint8."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -464,6 +537,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     scan_tabs: list[tuple[int, int]] = []  # (dc table id, ac table id)
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -471,6 +545,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xFFD9:
             break
         ln = struct.unpack_from(">H", data, pos + 2)[0]
+        if ln < 2:
+            raise ValueError(f"invalid segment length {ln} for marker "
+                             f"0x{marker:04X}")
         body = data[pos + 4:pos + 2 + ln]
         if len(body) < ln - 2:
             raise ValueError("truncated JPEG segment")
@@ -496,10 +573,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, tq, samp >> 4, samp & 0x0F))
             samps = [(c[2], c[3]) for c in comps]
             if not (all(s == (1, 1) for s in samps)
-                    or (ncomp == 3 and samps[0] == (2, 2)
+                    or (ncomp == 3 and samps[0] in ((2, 2), (2, 1))
                         and samps[1] == samps[2] == (1, 1))):
-                raise ValueError(
-                    "unsupported sampling (grayscale, 4:4:4 or 4:2:0 only)")
+                raise ValueError("unsupported sampling (grayscale, 4:4:4, "
+                                 "4:2:0 or 4:2:2 only)")
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFC4:
@@ -521,7 +598,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_start = pos + 2 + ln
             break
         elif marker == 0xFFDD:
-            raise ValueError("restart intervals not supported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         pos += 2 + ln
     if w is None or not qtables or scan_start is None:
         raise ValueError("truncated JPEG: missing SOF/DQT/SOS")
@@ -545,8 +622,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if dc_tab is None or ac_tab is None:
             raise ValueError("scan references undeclared Huffman table")
         tabs.append((dc_tab, ac_tab))
+    rst_m = count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and count and count % restart_interval == 0:
+                br.expect_rst(rst_m)  # byte-align + RSTn + predictor reset
+                rst_m = (rst_m + 1) & 7
+                prev = [0] * ncomp
             for c in range(ncomp):
                 hi, vi = comps[c][2], comps[c][3]
                 pbw = pdims[c][0] // 8
@@ -555,6 +637,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         bi = (my * vi + by) * pbw + (mx * hi + bx)
                         coeffs[c][bi], prev[c] = _decode_block(
                             br, tabs[c][0], tabs[c][1], prev[c])
+            count += 1
     planes = []
     for c in range(ncomp):
         q = qtables.get(comps[c][1])
@@ -567,8 +650,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             by, bx = divmod(i, pbw)
             plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
                 idct_block(coeffs[c][i].reshape(8, 8) * q.reshape(8, 8))
-        if plane.shape != (h, w):  # half-res chroma: shared upsample kernel
-            plane = upsample_2x(plane)
+        if plane.shape != (h, w):  # subsampled chroma: shared upsample
+            plane = upsample(plane, h // plane.shape[0], w // plane.shape[1])
         planes.append(plane)
     if ncomp == 1:
         return planes[0]
@@ -597,16 +680,18 @@ def _rand_block_coeffs(rng, n_blocks: int) -> np.ndarray:
 
 
 def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
-    """Cycling grayscale / YCbCr-4:4:4 / YCbCr-4:2:0 JPEGs; ``channels`` =
-    decoded bytes per pixel (1 or 3), ``body_hex`` = the ground-truth
-    decoded byte stream."""
+    """Cycling grayscale / YCbCr-4:4:4 / 4:2:0 / 4:2:2 / 4:2:0-with-restart
+    JPEGs; ``channels`` = decoded bytes per pixel (1 or 3), ``body_hex`` =
+    the ground-truth decoded byte stream."""
     rng = np.random.default_rng(JPEG_SEED + shard)
     ids, payloads, ws, hs, chs, hexes, means = [], [], [], [], [], [], []
     for i in range(n):
-        variant = i % 3
-        if variant == 2:  # 4:2:0 needs 16-aligned dims
+        variant = i % 5
+        if variant in (2, 4):  # 4:2:0 needs 16-aligned dims
             mw, mh = int(rng.integers(1, 4)), int(rng.integers(1, 4))
             w, h = mw * 16, mh * 16
+        elif variant == 3:  # 4:2:2: w 16-aligned, h 8-aligned
+            w, h = int(rng.integers(1, 4)) * 16, int(rng.integers(2, 7)) * 8
         else:
             bw_, bh_ = int(rng.integers(2, 7)), int(rng.integers(2, 7))
             w, h = bw_ * 8, bh_ * 8
@@ -621,11 +706,19 @@ def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
             payload = encode_jpeg_color(coeffs3, w, h)
             px = coeffs_to_rgb(coeffs3, w, h)
             ch = 3
+        elif variant == 3:
+            cy = _rand_block_coeffs(rng, (w // 8) * (h // 8))
+            cb = _rand_block_coeffs(rng, (w // 16) * (h // 8))
+            cr = _rand_block_coeffs(rng, (w // 16) * (h // 8))
+            payload = encode_jpeg_422(cy, cb, cr, w, h)
+            px = coeffs_to_rgb_422(cy, cb, cr, w, h)
+            ch = 3
         else:
             cy = _rand_block_coeffs(rng, (w // 8) * (h // 8))
             cb = _rand_block_coeffs(rng, (w // 16) * (h // 16))
             cr = _rand_block_coeffs(rng, (w // 16) * (h // 16))
-            payload = encode_jpeg_420(cy, cb, cr, w, h)
+            ri = int(rng.integers(1, 5)) if variant == 4 else 0
+            payload = encode_jpeg_420(cy, cb, cr, w, h, restart_interval=ri)
             px = coeffs_to_rgb_420(cy, cb, cr, w, h)
             ch = 3
         ids.append(shard * 10_000_000 + i)
@@ -647,7 +740,7 @@ def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
 
 
 def ensure_jpeg_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
-    out = os.path.join(root, f"jpeg_v3_sf{sf:g}")  # v3: + 4:2:0 rows
+    out = os.path.join(root, f"jpeg_v4_sf{sf:g}")  # v4: + 4:2:2 + restart rows
     if os.path.isdir(out) and os.listdir(out):
         return out
     n = max(200, int(sf * 20_000))

@@ -163,6 +163,125 @@ def test_entropy_layer_property_roundtrip():
     run()
 
 
+def test_422_roundtrip_bit_exact():
+    from rotel_ray.stages.jpeg import coeffs_to_rgb_422, encode_jpeg_422
+
+    rng = np.random.default_rng(10)
+    w, h = 48, 40  # w 16-aligned, h 8-aligned (not 16): the 4:2:2-only shape
+    cy = _rand_coeffs(rng, w // 8, h // 8)
+    cb = _rand_coeffs(rng, w // 16, h // 8)
+    cr = _rand_coeffs(rng, w // 16, h // 8)
+    img = decode_jpeg(encode_jpeg_422(cy, cb, cr, w, h))
+    assert img.shape == (h, w, 3)
+    assert (img == coeffs_to_rgb_422(cy, cb, cr, w, h)).all()
+
+
+def test_422_against_pil_if_present():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from rotel_ray.stages.jpeg import coeffs_to_rgb_422, encode_jpeg_422
+
+    rng = np.random.default_rng(11)
+    w, h = 32, 24
+    cy = _rand_coeffs(rng, 4, 3)
+    cb = _rand_coeffs(rng, 2, 3)
+    cr = _rand_coeffs(rng, 2, 3)
+    img = PIL.open(io.BytesIO(encode_jpeg_422(cy, cb, cr, w, h)))
+    got = np.asarray(img.convert("RGB")).astype(int)
+    ref = coeffs_to_rgb_422(cy, cb, cr, w, h).astype(int)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).mean() < 8
+
+
+def test_restart_interval_roundtrip_all_variants():
+    """DRI + RSTn: byte-aligned restarts with DC-predictor resets must
+    roundtrip bit-exactly for gray / 4:4:4 / 4:2:0 / 4:2:2, across
+    intervals that do and do not divide the MCU count, including the
+    RST-index wraparound past RST7."""
+    from rotel_ray.stages.jpeg import (
+        coeffs_to_rgb,
+        coeffs_to_rgb_420,
+        coeffs_to_rgb_422,
+        encode_jpeg_420,
+        encode_jpeg_422,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(12)
+    # grayscale 6x6 = 36 MCUs: ri=2 -> 17 RST markers (wraps past RST7)
+    for ri in (1, 2, 5, 36, 50):
+        coeffs = _rand_coeffs(rng, 6, 6)
+        data = encode_jpeg(coeffs, 48, 48, restart_interval=ri)
+        assert (b"\xff\xdd" in data) and \
+            (decode_jpeg(data) == coeffs_to_pixels(coeffs, 48, 48)).all(), ri
+    c3 = np.stack([_rand_coeffs(rng, 4, 3) for _ in range(3)])
+    d = encode_jpeg_color(c3, 32, 24, restart_interval=3)
+    assert (decode_jpeg(d) == coeffs_to_rgb(c3, 32, 24)).all()
+    cy, cb, cr = (_rand_coeffs(rng, 4, 4), _rand_coeffs(rng, 2, 2),
+                  _rand_coeffs(rng, 2, 2))
+    d = encode_jpeg_420(cy, cb, cr, 32, 32, restart_interval=1)
+    assert (decode_jpeg(d) == coeffs_to_rgb_420(cy, cb, cr, 32, 32)).all()
+    cy, cb, cr = (_rand_coeffs(rng, 4, 2), _rand_coeffs(rng, 2, 2),
+                  _rand_coeffs(rng, 2, 2))
+    d = encode_jpeg_422(cy, cb, cr, 32, 16, restart_interval=2)
+    assert (decode_jpeg(d) == coeffs_to_rgb_422(cy, cb, cr, 32, 16)).all()
+
+
+def test_restart_against_pil_if_present():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(13)
+    coeffs = _rand_coeffs(rng, 4, 4)
+    data = encode_jpeg(coeffs, 32, 32, restart_interval=3)
+    got = np.asarray(PIL.open(io.BytesIO(data)).convert("L"))
+    ref = coeffs_to_pixels(coeffs, 32, 32)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_restart_corruption_rejected():
+    """A wrong / missing RSTn index and a desynced stream must raise, not
+    mis-decode."""
+    rng = np.random.default_rng(14)
+    coeffs = _rand_coeffs(rng, 4, 4)
+    data = encode_jpeg(coeffs, 32, 32, restart_interval=2)
+    sos = data.find(b"\xff\xda")
+    rst0 = data.find(b"\xff\xd0", sos)
+    assert rst0 > 0
+    bad = bytearray(data)
+    bad[rst0 + 1] = 0xD3  # out-of-sequence restart index
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bytes(bad))
+    # dropping the marker desyncs the predictor chain/byte alignment
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:rst0] + data[rst0 + 2:])
+
+
+def test_malformed_zrl_and_segment_length_rejected():
+    """Trailing ZRLs that overflow the block and marker segments with
+    length < 2 must error instead of silently misparsing."""
+    from rotel_ray.stages.jpeg import _AC_ENC, _BitWriter, _DC_ENC
+
+    # hand-build a scan: DC size 0, then 4 ZRLs = k past 63
+    bw = _BitWriter()
+    bw.put(*_DC_ENC[0])
+    for _ in range(4):
+        bw.put(*_AC_ENC[0xF0])
+    scan = bw.flush()
+    good = encode_jpeg(np.zeros((1, 8, 8), np.int64), 8, 8)
+    sos_end = good.find(b"\xff\xda") + 2 + 6 + 2  # marker+len+payload(6)
+    bad = good[:sos_end] + scan + b"\xff\xd9"
+    with pytest.raises(ValueError, match="AC run overflows"):
+        decode_jpeg(bad)
+    # corrupt a segment length to 1 (< 2 is impossible per B.1.1.4)
+    dqt = good.find(b"\xff\xdb")
+    broken = bytearray(good)
+    broken[dqt + 2:dqt + 4] = (1).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="segment length"):
+        decode_jpeg(bytes(broken))
+
+
 def test_out_of_range_coefficients_rejected():
     z = np.zeros((1, 8, 8), np.int64)
     z[0, 0, 1] = 1024  # AC needs 11 bits
