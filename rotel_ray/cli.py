@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="instead of running a job, compact --input's small "
                         "parquet files into --out (one file per ~N compressed "
                         "bytes; parallel Ray tasks)")
+    p.add_argument("--overwrite-out", action="store_true",
+                   help="allow --compact-target-bytes to replace an existing "
+                        "non-empty --out directory")
     p.add_argument("--ddl", default=None, choices=["traces", "logs", "metrics"],
                    help="print the ClickHouse CREATE TABLE statements for a "
                         "signal and exit (the clickhouse-ddl create analogue)")
@@ -138,7 +141,8 @@ def main(argv: list[str] | None = None) -> int:
         from .stages.compact import compact_files
 
         res = compact_files(args.input, args.out,
-                            target_bytes=args.compact_target_bytes)
+                            target_bytes=args.compact_target_bytes,
+                            overwrite=args.overwrite_out)
         print(json.dumps({"compacted": args.input, "out": args.out, **res}))
         if owns_session:
             ray.shutdown()

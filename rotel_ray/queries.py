@@ -4192,8 +4192,9 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         ps AS (SELECT DISTINCT least(CAST(pow(2, j.j) AS BIGINT), c) AS p
                FROM n, unnest(range(0, 1 + CAST(ceil(log2(c)) AS BIGINT)))
                  AS j(j))
-        SELECT ps.p AS prefix_docs, CAST(count(*) AS BIGINT) AS vocab_size
-        FROM ps JOIN firsts ON firsts.fd < ps.p
+        SELECT ps.p AS prefix_docs, CAST(count(firsts.tok) AS BIGINT)
+          AS vocab_size
+        FROM ps LEFT JOIN firsts ON firsts.fd < ps.p
         GROUP BY ps.p"""
     sql["per_source_cap"] = f"""
         SELECT doc_id, source,

@@ -90,16 +90,27 @@ def _merge_group(paths: list[str], out_path: str) -> int:
 
 
 def compact_files(input_dir: str, out_dir: str, *, target_bytes: int,
-                  pattern: str = "*.parquet") -> dict:
+                  pattern: str = "*.parquet", overwrite: bool = False) -> dict:
     """Execute a compaction plan: each group's files stream into ONE
     output parquet. Groups merge in PARALLEL as raw Ray tasks (the
     single-file-per-group writer is the one shape ``Dataset.write_parquet``
     cannot express); no data ever moves through the driver, and the output
-    directory lands by atomic rename. Returns {"groups": n, "rows": total}."""
+    directory lands by atomic rename. Returns {"groups": n, "rows": total}.
+
+    ``out_dir`` must not be the input directory, and an EXISTING non-empty
+    ``out_dir`` is refused unless ``overwrite=True`` — the final rename
+    replaces it wholesale, so a mistyped path must not silently destroy
+    unrelated data."""
     import shutil
 
     import ray
 
+    if os.path.realpath(out_dir) == os.path.realpath(input_dir):
+        raise ValueError("compact_files: out_dir must differ from input_dir")
+    if not overwrite and os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise FileExistsError(
+            f"compact_files: {out_dir} exists and is non-empty; "
+            "pass overwrite=True to replace it")
     plan = compaction_plan(input_dir, target_bytes=target_bytes,
                            pattern=pattern).take_all()
     groups: dict[int, list[str]] = {}

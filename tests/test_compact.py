@@ -57,6 +57,25 @@ def test_compact_preserves_rows_and_merges(tmp_path):
     assert a.equals(b)
 
 
+def test_compact_refuses_unsafe_out_dir(tmp_path):
+    """out_dir == input_dir and existing non-empty out_dir are refused
+    (the final rename replaces out_dir wholesale); overwrite=True opts in."""
+    import pytest
+
+    d = str(tmp_path / "in")
+    _write_shards(d, [100, 100])
+    with pytest.raises(ValueError, match="differ from input_dir"):
+        compact_files(d, d, target_bytes=10_000)
+    out = tmp_path / "precious"
+    out.mkdir()
+    (out / "keep.txt").write_text("unrelated data")
+    with pytest.raises(FileExistsError, match="non-empty"):
+        compact_files(d, str(out), target_bytes=10_000)
+    assert (out / "keep.txt").exists()  # refused BEFORE touching anything
+    res = compact_files(d, str(out), target_bytes=10_000, overwrite=True)
+    assert res["rows"] == 200 and not (out / "keep.txt").exists()
+
+
 def test_oversize_file_closes_its_group(tmp_path):
     """A file bigger than the target joins the group its prefix opened
     (bytes BEFORE the file decide its group) and forces the NEXT file

@@ -392,6 +392,30 @@ def test_vocab_growth_matches_bruteforce():
     assert set(out) == {1, 2, 4, 7}
 
 
+def test_vocab_growth_empty_first_docs_match_oracle():
+    """Zero-vocabulary prefixes (earliest docs empty) must agree between the
+    engine (always emits every prefix row) and the oracle SQL (LEFT JOIN +
+    null-safe count — a plain JOIN drops the zero rows)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.queries import oracle_sql
+    from rotel_ray.stages.textstats import vocab_growth
+
+    texts = ["", "  ", "a b", "c", "", "d e f", "g"]
+    t = pa.table({"doc_id": pa.array(range(7), pa.int64()),
+                  "text": pa.array(texts)})
+    got = sorted((r["prefix_docs"], r["vocab_size"])
+                 for r in vocab_growth(rd.from_arrow(t).repartition(2)).take_all())
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = oracle_sql("/root/testdata/sf0.001")["vocab_growth"]
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+    assert got[0] == (1, 0) and got[1] == (2, 0)  # the zero rows exist
+
+
 def test_vocab_growth_monotone_and_total():
     import pyarrow as pa
     import ray.data as rd
