@@ -11,12 +11,14 @@ Codec boundary (round 3, widened round 4): images and audio use REAL
 container formats decoded with stdlib-only codecs implemented here —
 
 - **PNG** (color types 0 grayscale / 2 RGB / 3 palette / 6 RGBA at bit
-  depth 8, plus 16-bit for types 0/2/6; non-interlaced): full chunk parse
-  incl. PLTE, zlib inflate, and all five scanline filters
-  (None/Sub/Up/Average/Paeth) un-applied at the color type's bytes-per-
-  pixel offset; the sibling encoder cycles filter types per row AND the
-  fixture cycles color types per image, so decode genuinely exercises the
-  whole filter × color-type matrix (spec: RFC 2083 §4.1.1, §6).
+  depth 8, plus 16-bit for types 0/2/6; sequential AND Adam7 interlaced):
+  full chunk parse incl. PLTE, zlib inflate, and all five scanline
+  filters (None/Sub/Up/Average/Paeth) un-applied at the color type's
+  bytes-per-pixel offset — for Adam7 each of the 7 pass sub-images
+  unfilters independently and scatters onto the pixel grid; the sibling
+  encoder cycles filter types per row AND the fixture cycles color types
+  (+ two interlaced rows) per image, so decode genuinely exercises the
+  whole filter × color-type × interlace matrix (RFC 2083 §2.6, §4.1.1, §6).
 - **WAV** (RIFF PCM mono u8): chunk walk honouring the RIFF even-byte pad.
 - **video** stays the declared synthetic ``FVID`` container (no video codec
   is expressible in the stdlib; the decode boundary for video is a header
@@ -61,6 +63,12 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
 # 1-byte indices on the wire but expand to RGB on decode
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Adam7 interlace pass grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass.
+# Each pass is an independent sub-image — its own scanlines, its own
+# filter chain; empty passes (zero rows OR zero cols) emit nothing.
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
 
 def _filter_scanlines(rows: np.ndarray, bpp: int) -> bytes:
     """Apply the five PNG scanline filters (cycling 0..4 by row) to a
@@ -101,12 +109,14 @@ def _filter_scanlines(rows: np.ndarray, bpp: int) -> bytes:
 
 
 def encode_png(arr: np.ndarray, *, ctype: int = 0, depth: int = 8,
-               palette: np.ndarray | None = None) -> bytes:
+               palette: np.ndarray | None = None,
+               interlace: int = 0) -> bytes:
     """Minimal REAL PNG encoder, stdlib zlib only. Supports color types
     0 (grayscale), 2 (RGB), 3 (palette, with PLTE chunk), 6 (RGBA) at
-    depth 8, plus depth 16 for types 0/2/6 (big-endian samples per spec).
-    Scanline filters cycle 0..4 by row so a decoder must implement the
-    full filter set.
+    depth 8, plus depth 16 for types 0/2/6 (big-endian samples per spec),
+    progressive Adam7 interlacing (``interlace=1``: the 7 pass sub-images
+    serialize in order, each filtered independently). Scanline filters
+    cycle 0..4 by row so a decoder must implement the full filter set.
 
     ``arr`` shapes: (h, w) for gray/palette-indices, (h, w, c) for RGB(A);
     dtype uint8 for depth 8, uint16 for depth 16. ``palette`` is an
@@ -131,11 +141,21 @@ def encode_png(arr: np.ndarray, *, ctype: int = 0, depth: int = 8,
         else:
             raise ValueError(f"unsupported bit depth {depth}")
         bpp = nch * depth // 8
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
     if ctype == 3:
         out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
-    return (out + _png_chunk(b"IDAT", zlib.compress(_filter_scanlines(rows, bpp)))
+    if interlace:
+        r3 = rows.reshape(h, w, bpp)
+        raw = b"".join(
+            _filter_scanlines(
+                np.ascontiguousarray(r3[y0::dy, x0::dx]).reshape(
+                    -1, (w - x0 + dx - 1) // dx * bpp), bpp)
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0)
+    else:
+        raw = _filter_scanlines(rows, bpp)
+    return (out + _png_chunk(b"IDAT", zlib.compress(raw))
             + _png_chunk(b"IEND", b""))
 
 
@@ -185,11 +205,31 @@ def _unfilter_scanlines(raw: bytes, h: int, rb: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _deinterlace_adam7(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Reassemble the 7 Adam7 passes into the full (h, w*bpp) byte matrix:
+    each pass unfilters as its own sub-image (its own filter chain), then
+    scatters onto the w x h pixel grid at (x0 + i*dx, y0 + j*dy)."""
+    out = np.zeros((h, w, bpp), np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        n = ph * (pw * bpp + 1)
+        sub = _unfilter_scanlines(raw[off:off + n], ph, pw * bpp, bpp)
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        off += n
+    if off != len(raw):
+        raise ValueError("PNG interlaced scanline data size mismatch")
+    return out.reshape(h, w * bpp)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Pure-stdlib PNG decode, non-interlaced: chunk walk, zlib inflate,
-    un-filter, color-type expansion. Supported: color types 0/2/6 at depth
-    8 or 16 and palette (type 3, depth 8) — the shapes a real image corpus
-    hits day one. Returns
+    """Pure-stdlib PNG decode: chunk walk, zlib inflate, un-filter
+    (including Adam7 interlaced pass reassembly), color-type expansion.
+    Supported: color types 0/2/6 at depth 8 or 16 and palette (type 3,
+    depth 8) — the shapes a real image corpus hits day one. Returns
 
     - ``(h, w)`` uint8 for 8-bit grayscale,
     - ``(h, w)`` big-endian uint16 (dtype ``>u2``) for 16-bit grayscale,
@@ -201,15 +241,15 @@ def decode_png(data: bytes) -> np.ndarray:
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     pos, idat, w, h, plte = 8, [], None, None, None
-    depth = ctype = 0
+    depth = ctype = interlace = 0
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         typ = data[pos + 4:pos + 8]
         chunk = data[pos + 8:pos + 8 + ln]
         if typ == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", chunk)
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
             if ctype == 3:
                 if depth != 8:
                     raise ValueError("palette PNG: only 8-bit indices supported")
@@ -229,11 +269,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        idx = _unfilter_scanlines(raw, h, w, 1)
+        idx = (_deinterlace_adam7(raw, w, h, 1) if interlace
+               else _unfilter_scanlines(raw, h, w, 1))
         return plte[idx]  # (h, w, 3) expanded RGB
     nch = _PNG_CHANNELS[ctype]
     bpp = nch * depth // 8
-    m = _unfilter_scanlines(raw, h, w * bpp, bpp)
+    m = (_deinterlace_adam7(raw, w, h, bpp) if interlace
+         else _unfilter_scanlines(raw, h, w * bpp, bpp))
     if depth == 16:
         m = m.reshape(h, w * nch, 2).copy().view(">u2").reshape(h, w, nch)
     else:
@@ -296,10 +338,12 @@ MEDIA_SCHEMA = pa.schema(
 
 CODEC_OF = {"image": "png", "audio": "wav", "video": "fvid"}
 
-# image variant cycle: (color type, bit depth, decoded bytes/pixel) — real
-# corpora are RGB/RGBA day one, so the fixture cycles color types the same
-# way the encoder cycles scanline filters
-_IMG_VARIANTS = [(0, 8, 1), (2, 8, 3), (6, 8, 4), (3, 8, 3), (0, 16, 2)]
+# image variant cycle: (color type, bit depth, decoded bytes/pixel,
+# interlace) — real corpora are RGB/RGBA day one, so the fixture cycles
+# color types the same way the encoder cycles scanline filters; the two
+# Adam7 rows exercise the interlaced reassembly path
+_IMG_VARIANTS = [(0, 8, 1, 0), (2, 8, 3, 0), (6, 8, 4, 0), (3, 8, 3, 0),
+                 (0, 16, 2, 0), (2, 8, 3, 1), (3, 8, 3, 1)]
 
 
 def make_payload(media_id: int, kind: str, rng: np.random.Generator
@@ -310,20 +354,21 @@ def make_payload(media_id: int, kind: str, rng: np.random.Generator
     store big-endian sample bytes)."""
     if kind == "image":
         w, h, f = int(rng.integers(16, 65)), int(rng.integers(16, 65)), 1
-        ctype, depth, ch = _IMG_VARIANTS[(media_id // 3) % len(_IMG_VARIANTS)]
+        ctype, depth, ch, il = \
+            _IMG_VARIANTS[(media_id // 3) % len(_IMG_VARIANTS)]
         if ctype == 3:
             pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
             idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
-            payload = encode_png(idx, ctype=3, palette=pal)
+            payload = encode_png(idx, ctype=3, palette=pal, interlace=il)
             body = pal[idx].tobytes()
         elif depth == 16:
             px = rng.integers(0, 65_536, (h, w), dtype=np.uint16)
-            payload = encode_png(px, ctype=0, depth=16)
+            payload = encode_png(px, ctype=0, depth=16, interlace=il)
             body = px.astype(">u2").tobytes()
         else:
             shape = (h, w) if ch == 1 else (h, w, ch)
             px = rng.integers(0, 256, shape, dtype=np.uint8)
-            payload = encode_png(px, ctype=ctype)
+            payload = encode_png(px, ctype=ctype, interlace=il)
             body = px.tobytes()
         return payload, body, w, h, f, ch
     if kind == "audio":
@@ -359,8 +404,8 @@ def generate_media(n: int, shard: int = 0) -> pa.Table:
 
 def ensure_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
     """Deterministic media parquet (one shard per 1k items, atomic rename)."""
-    # v4: images cycle PNG color types 0/2/6/3 + 16-bit (channels column)
-    out = os.path.join(root, f"media_v4_sf{sf:g}")
+    # v5: + Adam7-interlaced RGB and palette variants in the PNG cycle
+    out = os.path.join(root, f"media_v5_sf{sf:g}")
     if os.path.isdir(out) and os.listdir(out):
         return out
     n = max(300, int(sf * 30_000))

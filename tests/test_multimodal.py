@@ -126,10 +126,10 @@ def test_png_decoder_rejects_unsupported():
     bad = magic + _png_chunk(b"IHDR", ihdr)
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(bad)
-    # interlaced
-    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1)
+    # unknown interlace method (0=none and 1=Adam7 are the only ones)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 2)
     bad = magic + _png_chunk(b"IHDR", ihdr)
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlace method"):
         decode_png(bad)
     # wrong scanline byte count
     ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
@@ -139,6 +139,52 @@ def test_png_decoder_rejects_unsupported():
         decode_png(bad)
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JFIF0000")
+
+
+def test_png_adam7_roundtrip_all_types():
+    """Adam7 interlaced roundtrips byte-exactly across every supported
+    color type/depth, including dims where several passes are empty (1x1:
+    only pass 1; 3x2, 5x5: partial pass grid) and dims not multiples of 8."""
+    import numpy as np
+
+    from rotel_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    for h, w in [(1, 1), (2, 3), (5, 5), (8, 8), (13, 37), (64, 64), (7, 200)]:
+        a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert (decode_png(encode_png(a, interlace=1)) == a).all(), (h, w)
+    for ct, c in [(2, 3), (6, 4)]:
+        for h, w in [(1, 1), (6, 5), (23, 17)]:
+            a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            assert (decode_png(encode_png(a, ctype=ct, interlace=1)) == a).all()
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 11), dtype=np.uint8)
+    got = decode_png(encode_png(idx, ctype=3, palette=pal, interlace=1))
+    assert (got == pal[idx]).all()
+    for ct, c in [(0, 1), (2, 3), (6, 4)]:
+        shape = (7, 6) if c == 1 else (7, 6, c)
+        a = rng.integers(0, 65_536, shape, dtype=np.uint16)
+        d = decode_png(encode_png(a, ctype=ct, depth=16, interlace=1))
+        assert d.dtype == np.dtype(">u2") and (d == a).all(), ct
+    # interlaced and sequential encodings of the same pixels decode equal
+    a = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(a, ctype=2, interlace=1))
+            == decode_png(encode_png(a, ctype=2))).all()
+
+
+def test_png_adam7_against_pil_if_present():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from rotel_ray.stages.multimodal import encode_png
+
+    rng = np.random.default_rng(22)
+    for ct, shape in [(0, (13, 11)), (2, (13, 11, 3)), (6, (13, 11, 4))]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        img = PIL.open(io.BytesIO(encode_png(a, ctype=ct, interlace=1)))
+        assert (np.asarray(img).reshape(shape) == a).all(), ct
 
 
 def test_png_against_pil_if_present():
