@@ -112,7 +112,12 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def _trans_sql_rel(sf_dir: str = ORACLE_SF_DIR) -> str:
-    path = ensure_transcripts(sf_dir)
+    # pure cache path — no build side effect; every query callable
+    # ensure_transcripts() itself before the oracle SQL ever runs
+    from .generator import sf_from_dir, transcripts_path
+
+    path = transcripts_path(sf_from_dir(sf_dir) if isinstance(sf_dir, str)
+                            else sf_dir)
     return f"read_parquet('{path}/*.parquet')"
 
 
@@ -3354,16 +3359,15 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # dominate every organic cosine, so the brute-force order over the
     # fixture EQUALS the approximate engine result (stages/planted.py)
     from .stages.planted import (PLANTED_NEARDUP_TAU as _PTAU,
-                                 ensure_planted_neardup, ensure_planted_topk)
+                                 planted_neardup_path, planted_topk_path)
 
-    # deliberate side effect: building the SQL dict guarantees the fixture
-    # parquet exists, so the oracle SQL is runnable regardless of whether
-    # the harness executes it before or after the matching query (the
-    # queries also ensure_* themselves). Cost: a no-op isdir check when the
-    # (content-fingerprint-keyed) cache is warm; the quadratic margin scan
-    # runs only on a cold cache at oracle scale (sf <= 0.1).
-    _ptopk = ensure_planted_topk(sf_dir)
-    _pnd = ensure_planted_neardup(sf_dir)
+    # pure paths — building the SQL dict has NO fixture side effects (round-5
+    # advice): the *_path helpers only read the source parquet footer for the
+    # content-fingerprint cache key. The fixtures are built by the matching
+    # query callables (sim_topk_lsh / sim_topk_ivf / embedding_neardup_lsh
+    # all ensure_* on invocation), which every harness runs before the SQL.
+    _ptopk = planted_topk_path(sf_dir)
+    _pnd = planted_neardup_path(sf_dir)
     for _q in ("sim_topk_lsh", "sim_topk_ivf"):
         sql[_q] = f"""
         SELECT vec_id FROM read_parquet('{_ptopk}/*.parquet')
@@ -3485,9 +3489,9 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id
         FROM {T} WHERE {SQL_IS_TOOL}"""
     from .generator import sf_from_dir as _sfd
-    from .stages.multimodal import ensure_media as _em
+    from .stages.multimodal import media_path as _mp
 
-    media_dir = _em(_sfd(sf_dir))
+    media_dir = _mp(_sfd(sf_dir))
     sql["mm_meta"] = f"""
         SELECT media_id, kind, width, height, nframes, channels,
                CAST(width AS BIGINT) * height * nframes * channels AS n_bytes
@@ -3528,9 +3532,9 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(max(CASE WHEN oi = 31 AND oj = 31 AND oc = ch - 1 THEN b
                  END) AS BIGINT) AS last_px
         FROM b GROUP BY 1"""
-    from .stages.jpeg import ensure_jpeg_media as _ejm
+    from .stages.jpeg import jpeg_media_path as _jmp
 
-    _jdir = _ejm(_sfd(sf_dir))
+    _jdir = _jmp(_sfd(sf_dir))
     _jb = _hd.format(p="2 * u.k + 1")
     sql["mm_jpeg_decode"] = f"""
         WITH m AS (
@@ -4264,7 +4268,9 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM cc GROUP BY doc_id"""
     # compaction planning: DuckDB's parquet_metadata exposes the same
     # per-column-chunk total_compressed_size the engine sums from footers
-    _tdir = ensure_transcripts(sf_dir)
+    from .generator import transcripts_path as _tp
+
+    _tdir = _tp(_sfd(sf_dir))
     sql["compaction_plan"] = f"""
         WITH f AS (
           SELECT file_name,
@@ -4313,9 +4319,9 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # patterns on both engines; DuckDB nfc_normalize mirrors stdlib
     # unicodedata.normalize("NFC", ...)
     from .stages.clean import ZAP_PATTERN as _ZAP
-    from .stages.clean import ensure_unicode_docs as _eud
+    from .stages.clean import unicode_docs_path as _udp
 
-    _unidir = _eud(sf_dir)
+    _unidir = _udp(sf_dir)
     sql["text_normalize"] = f"""
         SELECT doc_id, text_norm, text_norm <> text AS changed
         FROM (
@@ -4685,9 +4691,9 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                       AS BIGINT) AS es_key_unat
           FROM documents)
         ORDER BY es_key_unat DESC, doc_id LIMIT 50"""
-    from .stages.mix import ensure_docs_v2 as _edv2
+    from .stages.mix import docs_v2_path as _dv2p
 
-    _v2dir = _edv2(sf_dir)
+    _v2dir = _dv2p(sf_dir)
     sql["corpus_diff"] = f"""
         WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
         v2 AS (SELECT doc_id, md5(text) AS h

@@ -101,17 +101,22 @@ def dirty_text(doc_id: int, text: str) -> str:
     return text
 
 
-def ensure_unicode_docs(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
-    """Dirtied documents table (pure function of the source, cached with
-    the content-fingerprint key like the other fixtures)."""
+def unicode_docs_path(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path (reads only the source footer; never builds)."""
     from ..generator import sf_from_dir
 
     from .planted import source_tag
 
     tag = source_tag(f"{sf_dir}/documents.parquet")
-    out = os.path.join(
+    return os.path.join(
         root,
         f"unidocs_g{UNICODE_FIXTURE_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
+
+
+def ensure_unicode_docs(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Dirtied documents table (pure function of the source, cached with
+    the content-fingerprint key like the other fixtures)."""
+    out = unicode_docs_path(sf_dir, root)
     if os.path.isdir(out) and os.listdir(out):
         return out
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

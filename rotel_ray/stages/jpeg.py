@@ -739,8 +739,13 @@ def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
     })
 
 
+def jpeg_media_path(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path (no build side effect; see multimodal.media_path)."""
+    return os.path.join(root, f"jpeg_v4_sf{sf:g}")  # v4: + 4:2:2 + restart rows
+
+
 def ensure_jpeg_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
-    out = os.path.join(root, f"jpeg_v4_sf{sf:g}")  # v4: + 4:2:2 + restart rows
+    out = jpeg_media_path(sf, root)
     if os.path.isdir(out) and os.listdir(out):
         return out
     n = max(200, int(sf * 20_000))

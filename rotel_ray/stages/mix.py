@@ -236,6 +236,18 @@ def weighted_sample(ds, k: int, *, id_col: str = "doc_id",
             .sort(["es_key_unat", id_col], descending=[True, False]).limit(k))
 
 
+def docs_v2_path(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path (reads only the source footer; never builds)."""
+    import os
+
+    from ..generator import sf_from_dir
+
+    from .planted import source_tag
+
+    tag = source_tag(f"{sf_dir}/documents.parquet")
+    return os.path.join(root, f"docs_v2_g2_sf{sf_from_dir(sf_dir):g}_{tag}")
+
+
 def ensure_docs_v2(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
     """Deterministic 'next snapshot' of the documents table — the corpus-
     versioning fixture: drops every doc with doc_id % 7 == 3, rewrites the
@@ -247,12 +259,7 @@ def ensure_docs_v2(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
 
     import pyarrow.parquet as pq
 
-    from ..generator import sf_from_dir
-
-    from .planted import source_tag
-
-    tag = source_tag(f"{sf_dir}/documents.parquet")
-    out = os.path.join(root, f"docs_v2_g2_sf{sf_from_dir(sf_dir):g}_{tag}")
+    out = docs_v2_path(sf_dir, root)
     if os.path.isdir(out) and os.listdir(out):
         return out
     t = pq.read_table(f"{sf_dir}/documents.parquet")

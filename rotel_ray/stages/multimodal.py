@@ -402,10 +402,16 @@ def generate_media(n: int, shard: int = 0) -> pa.Table:
     )
 
 
+def media_path(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path of the media fixture (no build side effect) —
+    oracle_sql() embeds this; the mm_* query callables ensure_media()."""
+    # v5: + Adam7-interlaced RGB and palette variants in the PNG cycle
+    return os.path.join(root, f"media_v5_sf{sf:g}")
+
+
 def ensure_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
     """Deterministic media parquet (one shard per 1k items, atomic rename)."""
-    # v5: + Adam7-interlaced RGB and palette variants in the PNG cycle
-    out = os.path.join(root, f"media_v5_sf{sf:g}")
+    out = media_path(sf, root)
     if os.path.isdir(out) and os.listdir(out):
         return out
     n = max(300, int(sf * 30_000))

@@ -159,6 +159,19 @@ def plant_topk_vectors(ids: np.ndarray, m: np.ndarray, *,
     return PLANT_BASE + np.arange(n_plant), vs
 
 
+def planted_topk_path(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Deterministic cache path of the planted top-k fixture — pure (reads
+    only the source parquet footer for the content fingerprint, never
+    builds). ``oracle_sql()`` uses this so constructing the SQL dict has no
+    fixture side effects; the query callables ensure_* themselves."""
+    from ..generator import sf_from_dir
+
+    tag = source_tag(f"{sf_dir}/embeddings.parquet")
+    return os.path.join(
+        root,
+        f"planted_topk_g{PLANTED_GEN_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
+
+
 def ensure_planted_topk(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
                         n_plant: int = N_PLANT_TOPK, num_bits: int = 8,
                         probe_hamming: int = 2, n_centroids: int = 16,
@@ -168,12 +181,7 @@ def ensure_planted_topk(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
     The LSH/IVF parameters must match the query's (lsh_topk / ivf_topk
     defaults); membership is verified on the exact float32 values written.
     """
-    from ..generator import sf_from_dir
-
-    tag = source_tag(f"{sf_dir}/embeddings.parquet")
-    out = os.path.join(
-        root,
-        f"planted_topk_g{PLANTED_GEN_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
+    out = planted_topk_path(sf_dir, root)
     if os.path.isdir(out) and os.listdir(out):
         return out
     ids, m = _read_embeddings(sf_dir)
@@ -185,16 +193,22 @@ def ensure_planted_topk(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
     return _write_fixture(out, all_ids, np.concatenate([m, vs]))
 
 
+def planted_neardup_path(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path of the planted near-dup fixture (see
+    planted_topk_path)."""
+    from ..generator import sf_from_dir
+
+    tag = source_tag(f"{sf_dir}/embeddings.parquet")
+    return os.path.join(
+        root,
+        f"planted_neardup_g{PLANTED_GEN_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
+
+
 def ensure_planted_neardup(sf_dir: str, root: str = "/tmp/rotel_ray_data", *,
                            n_clones: int = 17, tau: float = PLANTED_NEARDUP_TAU
                            ) -> str:
     """Original embeddings + exact-scaled (2x) clones of seeded rows."""
-    from ..generator import sf_from_dir
-
-    tag = source_tag(f"{sf_dir}/embeddings.parquet")
-    out = os.path.join(
-        root,
-        f"planted_neardup_g{PLANTED_GEN_VERSION}_sf{sf_from_dir(sf_dir):g}_{tag}")
+    out = planted_neardup_path(sf_dir, root)
     if os.path.isdir(out) and os.listdir(out):
         return out
     ids, m = _read_embeddings(sf_dir)

@@ -61,3 +61,29 @@ def test_registry_contract():
     # round 3: the approximate ANN paths run over planted fixtures and
     # carry full DuckDB oracles — every query is oracled
     assert rows_only == set()
+
+
+def test_oracle_sql_has_no_fixture_side_effects(monkeypatch):
+    """Round-5 advice: constructing the SQL dict must touch no fixture
+    builder — on a cold /tmp the paths are computed purely (source parquet
+    footers only) and the query callables own the builds."""
+    import rotel_ray.generator as gen
+    import rotel_ray.stages.clean as clean
+    import rotel_ray.stages.jpeg as jpeg
+    import rotel_ray.stages.mix as mix
+    import rotel_ray.stages.multimodal as mm
+    import rotel_ray.stages.planted as planted
+
+    def _boom(*a, **k):
+        raise AssertionError("oracle_sql() invoked a fixture builder")
+
+    for mod, name in [(gen, "ensure_transcripts"),
+                      (planted, "ensure_planted_topk"),
+                      (planted, "ensure_planted_neardup"),
+                      (mm, "ensure_media"),
+                      (jpeg, "ensure_jpeg_media"),
+                      (clean, "ensure_unicode_docs"),
+                      (mix, "ensure_docs_v2")]:
+        monkeypatch.setattr(mod, name, _boom)
+    sqls = oracle_sql(SF)
+    assert len(sqls) >= 153
