@@ -23,6 +23,8 @@ training-data operators the engine needs at 100 TB.
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -170,12 +172,18 @@ def make_planes(dim: int, num_bits: int, seed: int = LSH_SEED) -> np.ndarray:
 
 
 def _probe_buckets(sig: int, num_bits: int, probe_hamming: int) -> np.ndarray:
-    """All bucket ids within Hamming distance <= probe_hamming of sig."""
+    """All bucket ids within Hamming distance <= probe_hamming of sig.
+
+    Any probe_hamming in [0, num_bits] works — this is the multiprobe
+    recall/cost knob (wider probe = larger candidate fraction = higher
+    organic recall; see tests/test_similarity.py organic-recall curve)."""
     out = [sig]
-    if probe_hamming >= 1:
-        out += [sig ^ (1 << i) for i in range(num_bits)]
-    if probe_hamming >= 2:
-        out += [sig ^ (1 << i) ^ (1 << j) for i in range(num_bits) for j in range(i + 1, num_bits)]
+    for h in range(1, min(probe_hamming, num_bits) + 1):
+        for bits in combinations(range(num_bits), h):
+            x = sig
+            for b in bits:
+                x ^= 1 << b
+            out.append(x)
     return np.asarray(out, dtype=np.int64)
 
 

@@ -1,6 +1,11 @@
 """Local mirror of the driver's correctness gate: run each Ray query and its
-DuckDB oracle side-by-side at sf0.01 and diff (row count, column names/types,
-order-insensitive values). Usage: python scripts/check_oracle.py [names...]
+DuckDB oracle side-by-side and diff (row count, column names/types,
+order-insensitive values).
+
+Usage: python scripts/check_oracle.py [--sf-dir DIR] [names...]
+Default scale is sf0.01 (the driver's); --sf-dir /root/testdata/sf0.1 runs
+the same sweep at 10x — the round-5 guard against scale-dependent oracle
+divergence (result recorded in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -17,6 +22,10 @@ import pandas as pd
 import ray
 
 SF_DIR = "/root/testdata/sf0.01"
+if "--sf-dir" in sys.argv:
+    i = sys.argv.index("--sf-dir")
+    SF_DIR = sys.argv[i + 1]
+    del sys.argv[i:i + 2]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -77,7 +86,7 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
-    sqls = oracle_sql()
+    sqls = oracle_sql(SF_DIR)
     names = sys.argv[1:] or list(QUERIES)
     failed = []
     for name in names:

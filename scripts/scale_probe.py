@@ -171,6 +171,35 @@ def ann_probe(n_vecs: int) -> dict:
     # ground truth: vec 0 and its exact clone (sim 1.0 both, retrievable by
     # construction) + the k-2 highest planted rows
     expect = {0, CLONE_BASE + 0} | set(plant_ids[:k - 2])
+
+    # organic recall@10 (round-5): NO planting — organic query vectors
+    # against brute-force engine ground truth, at the default probe width
+    # and one wide setting (i.i.d. gaussian = ANN worst case, so this is
+    # the honest floor; the multiprobe knob buys recall with scan fraction)
+    from rotel_ray.stages.similarity import brute_force_topk
+
+    org_q = [np.array(t0.column("embedding")[i].as_py(), dtype=np.float64)
+             for i in (1, 333, 777)]
+    t4 = time.time()
+    org = {"lsh2": [], "lsh4": [], "ivf4": [], "ivf12": []}
+    for qv in org_q:
+        truth = {r["vec_id"] for r in brute_force_topk(
+            read_parquet(path, columns=["vec_id", "embedding"]), qv, k=k
+        ).take_all()}
+        for tag, out in (
+            ("lsh2", lsh_topk(read_parquet(path, columns=["vec_id", "embedding"]),
+                              qv, k=k, probe_hamming=2)),
+            ("lsh4", lsh_topk(read_parquet(path, columns=["vec_id", "embedding"]),
+                              qv, k=k, probe_hamming=4)),
+            ("ivf4", ivf_topk(read_parquet(path, columns=["vec_id", "embedding"]),
+                              qv, k=k, n_probe=4)),
+            ("ivf12", ivf_topk(read_parquet(path, columns=["vec_id", "embedding"]),
+                               qv, k=k, n_probe=12)),
+        ):
+            got = {r["vec_id"] for r in out.take_all()}
+            org[tag].append(len(got & truth) / k)
+    t5 = time.time()
+
     return {
         "ann_n_vecs": n_vecs,
         "ann_n_clones": n_clones,
@@ -184,6 +213,11 @@ def ann_probe(n_vecs: int) -> dict:
         "lsh_topk_recall": round(len(set(lsh_ids) & expect) / k, 4),
         "ivf_topk_sec": round(t3 - t2, 1),
         "ivf_topk_recall": round(len(set(ivf_ids) & expect) / k, 4),
+        "organic_recall_sec": round(t5 - t4, 1),
+        "organic_lsh_recall_ph2": round(float(np.mean(org["lsh2"])), 4),
+        "organic_lsh_recall_ph4": round(float(np.mean(org["lsh4"])), 4),
+        "organic_ivf_recall_np4": round(float(np.mean(org["ivf4"])), 4),
+        "organic_ivf_recall_np12": round(float(np.mean(org["ivf12"])), 4),
     }
 
 
