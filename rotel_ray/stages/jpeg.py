@@ -18,13 +18,15 @@ the coefficients it encoded; the engine must reproduce those bytes by
 REALLY decoding the JPEG payload. A production deployment swaps
 ``decode_jpeg`` for PIL/libjpeg at the same seam.
 
-Scope: baseline sequential (SOF0), 8-bit, grayscale or YCbCr color with
-4:4:4, 4:2:0 (2x2 luma sampling, 2x2 nearest upsample) or 4:2:2
-(horizontal-only subsample/upsample) chroma geometry, restart intervals
-(DRI + RST0-7: byte-aligned predictor resets, F.2.1.3.1), dimensions
-MCU-aligned. Progressive (SOF2), 12-bit, arithmetic coding and exotic
-samplings (e.g. 4:4:0) stay behind the PIL/libjpeg seam, rejected with
-clear errors.
+Scope: baseline sequential (SOF0) AND progressive (SOF2, Annex G:
+spectral selection, successive approximation with DC/AC refinement
+passes, EOB runs — the libjpeg default scan script on the encode side),
+8-bit, grayscale or YCbCr color with 4:4:4, 4:2:0 (2x2 luma sampling,
+2x2 nearest upsample) or 4:2:2 (horizontal-only subsample/upsample)
+chroma geometry, restart intervals (DRI + RST0-7: byte-aligned predictor
+resets, F.2.1.3.1), dimensions MCU-aligned. 12-bit, arithmetic coding,
+hierarchical (SOF3+) and exotic samplings (e.g. 4:4:0) stay behind the
+PIL/libjpeg seam, rejected with clear errors.
 """
 
 from __future__ import annotations
@@ -80,6 +82,19 @@ _AC_VALS = [
 ]
 
 
+# Progressive AC scans need EOBn symbols (run nibble r, size nibble 0 —
+# "end-of-band run of 2^r..2^r+extra-1 blocks", G.1.2.2) which the Annex K
+# baseline AC table does not define. This repo's progressive encoder uses a
+# flat 8-bit canonical table carrying every symbol a progressive AC scan can
+# emit: EOB0..EOB14, ZRL, and (run,size) for size 1..10. 176 symbols < 255,
+# so the code is a valid incomplete canonical Huffman code (the all-ones
+# 8-bit code stays unused, B.2.4.2). Tables travel in DHT, so any decoder
+# reads them back; compression optimality is a non-goal for the fixture.
+_PROG_AC_VALS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_PROG_AC_BITS = [0] * 7 + [len(_PROG_AC_VALS)] + [0] * 8
+
+
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length), canonical Huffman (T.81 Annex C)."""
     out, code, k = {}, 0, 0
@@ -110,6 +125,7 @@ def _build_decode_table(bits: list[int], vals: list[int]
 
 _DC_ENC = _build_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _build_codes(_AC_BITS, _AC_VALS)
+_PROG_AC_ENC = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
 
 # the shared float64 IDCT basis (separable DCT-III), fixed op order: both
 # encoder (to derive the stored ground-truth pixels) and decoder use
@@ -316,6 +332,272 @@ def encode_jpeg_422(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
                           [(2, 1), (1, 1), (1, 1)], w, h, restart_interval)
 
 
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encoder — T.81 Annex G.1, libjpeg's default scan script
+# ---------------------------------------------------------------------------
+
+
+class _ProgAcState:
+    """Per-scan encoder state shared across blocks: the accumulated
+    end-of-band run and (refinement only) the correction bits buffered
+    until the next emitted symbol (G.1.2.2 / G.1.2.3)."""
+
+    def __init__(self, bw: _BitWriter):
+        self.bw = bw
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            c, ln = _PROG_AC_ENC[nbits << 4]
+            self.bw.put(c, ln)
+            if nbits:
+                self.bw.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        self.flush_bits()
+
+    def flush_bits(self) -> None:
+        for b in self.be_bits:
+            self.bw.put(b, 1)
+        self.be_bits = []
+
+    def bump_eobrun(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:
+            self.emit_eobrun()
+
+
+def _enc_dc_scan(zz: list[np.ndarray], samps, scomps: list[int],
+                 w: int, h: int, Ah: int, Al: int, ri: int) -> bytes:
+    """Progressive DC scan (interleaved MCU order when ns>1). First pass
+    (Ah=0) diff-codes dc >> Al (arithmetic shift, G.1.2.1); refinement
+    (Ah>0) emits one raw bit per block: (dc >> Al) & 1."""
+    hmax = max(samps[c][0] for c in scomps)
+    vmax = max(samps[c][1] for c in scomps)
+    bw = _BitWriter()
+    prev = {c: 0 for c in scomps}
+    m = count = 0
+    if len(scomps) > 1:
+        mcus = []
+        for my in range(h // (8 * vmax)):
+            for mx in range(w // (8 * hmax)):
+                blocks = []
+                for c in scomps:
+                    hi, vi = samps[c]
+                    pbw = (w * hi // hmax) // 8
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blocks.append((c, (my * vi + by) * pbw
+                                           + (mx * hi + bx)))
+                mcus.append(blocks)
+    else:  # non-interleaved: one block per MCU, raster order
+        c = scomps[0]
+        hi, vi = samps[c]
+        nb = (w * hi // hmax // 8) * (h * vi // vmax // 8)
+        mcus = [[(c, i)] for i in range(nb)]
+    for blocks in mcus:
+        if ri and count and count % ri == 0:
+            bw.restart(m)
+            m = (m + 1) & 7
+            prev = {c: 0 for c in scomps}
+        for c, bi in blocks:
+            dc = int(zz[c][bi, 0])
+            if Ah == 0:
+                t = dc >> Al
+                diff = t - prev[c]
+                prev[c] = t
+                s, raw = _magnitude(diff)
+                code, ln = _DC_ENC[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(raw, s)
+            else:
+                bw.put((dc >> Al) & 1, 1)
+        count += 1
+    return bw.flush()
+
+
+def _pt_ac(v: int, Al: int) -> int:
+    """AC point transform: divide by 2^Al truncating TOWARD ZERO
+    (G.1.2.2 — NOT an arithmetic shift for negatives)."""
+    return -((-v) >> Al) if v < 0 else v >> Al
+
+
+def _enc_ac_first(zz: np.ndarray, Ss: int, Se: int, Al: int, ri: int) -> bytes:
+    """Progressive AC first scan (Ah=0) for ONE component: run-length over
+    the Ss..Se band of point-transformed values, EOBn run accumulation
+    across blocks (G.1.2.2)."""
+    bw = _BitWriter()
+    st = _ProgAcState(bw)
+    m = 0
+    for bi in range(zz.shape[0]):
+        if ri and bi and bi % ri == 0:
+            st.emit_eobrun()
+            bw.restart(m)
+            m = (m + 1) & 7
+        band = zz[bi]
+        r = 0
+        for k in range(Ss, Se + 1):
+            t = _pt_ac(int(band[k]), Al)
+            if t == 0:
+                r += 1
+                continue
+            st.emit_eobrun()
+            while r > 15:
+                c, ln = _PROG_AC_ENC[0xF0]
+                bw.put(c, ln)
+                r -= 16
+            s, raw = _magnitude(t)
+            c, ln = _PROG_AC_ENC[(r << 4) | s]
+            bw.put(c, ln)
+            bw.put(raw, s)
+            r = 0
+        if r > 0:  # trailing zeros (or an all-zero band) fold into the EOB run
+            st.bump_eobrun()
+    st.emit_eobrun()
+    return bw.flush()
+
+
+def _enc_ac_refine(zz: np.ndarray, Ss: int, Se: int, Al: int, ri: int) -> bytes:
+    """Progressive AC refinement scan (Ah = Al+1) for ONE component
+    (G.1.2.3, the libjpeg encode_mcu_AC_refine structure): newly-nonzero
+    coefficients emit (run,1)+sign; history-nonzero coefficients emit one
+    buffered correction bit; trailing zeros fold into the EOB run."""
+    bw = _BitWriter()
+    st = _ProgAcState(bw)
+    m = 0
+    for bi in range(zz.shape[0]):
+        if ri and bi and bi % ri == 0:
+            st.emit_eobrun()
+            bw.restart(m)
+            m = (m + 1) & 7
+        band = zz[bi]
+        absv = np.abs(band[Ss:Se + 1].astype(np.int64)) >> Al
+        eob_rel = int(np.nonzero(absv == 1)[0][-1]) if np.any(absv == 1) else -1
+        eob = Ss + eob_rel  # index of last NEWLY-significant coef (or Ss-1)
+        r = 0
+        br_bits: list[int] = []
+        for k in range(Ss, Se + 1):
+            t = int(absv[k - Ss])
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                st.emit_eobrun()
+                c, ln = _PROG_AC_ENC[0xF0]
+                bw.put(c, ln)
+                r -= 16
+                for b in br_bits:
+                    bw.put(b, 1)
+                br_bits = []
+            if t > 1:  # history-nonzero: correction bit only
+                br_bits.append(t & 1)
+                continue
+            st.emit_eobrun()
+            c, ln = _PROG_AC_ENC[(r << 4) | 1]
+            bw.put(c, ln)
+            bw.put(0 if int(band[k]) < 0 else 1, 1)
+            for b in br_bits:
+                bw.put(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            st.eobrun += 1
+            st.be_bits += br_bits
+            if st.eobrun == 0x7FFF or len(st.be_bits) > 930:
+                st.emit_eobrun()  # libjpeg's buffered-bits safety valve
+    st.emit_eobrun()
+    return bw.flush()
+
+
+def _sos_seg(scomps: list[int], Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+    return _seg(0xFFDA, bytes([len(scomps)])
+                + b"".join(bytes([c + 1, 0x00]) for c in scomps)
+                + bytes([Ss, Se, (Ah << 4) | Al]))
+
+
+def _assemble_jpeg_progressive(planes: list[np.ndarray],
+                               samps: list[tuple[int, int]],
+                               w: int, h: int,
+                               restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) JPEG with libjpeg's default scan script:
+    interleaved DC first pass at Al=1, spectral-selected AC first passes
+    (Y split 1-5 / 6-63 at Al=2, chroma 1-63 at Al=1), then DC refinement
+    and AC refinements down to Al=0. The script fully refines every
+    coefficient, so the entropy layer stays lossless end-to-end — the
+    decoder must recover the exact quantized coefficients, same as
+    baseline."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    assert w % (8 * hmax) == 0 and h % (8 * vmax) == 0
+    zz = [p.reshape(p.shape[0], 64)[:, _Z].astype(np.int64) for p in planes]
+    nc = len(planes)
+    allc = list(range(nc))
+    if nc == 1:
+        script = [("dc", allc, 0, 0, 0, 1), ("acf", 0, 1, 63, 0, 1),
+                  ("dc", allc, 0, 0, 1, 0), ("acr", 0, 1, 63, 1, 0)]
+    else:
+        script = [
+            ("dc", allc, 0, 0, 0, 1),
+            ("acf", 0, 1, 5, 0, 2), ("acf", 1, 1, 63, 0, 1),
+            ("acf", 2, 1, 63, 0, 1), ("acf", 0, 6, 63, 0, 2),
+            ("dc", allc, 0, 0, 1, 0),
+            ("acr", 0, 1, 63, 2, 1), ("acr", 1, 1, 63, 1, 0),
+            ("acr", 2, 1, 63, 1, 0), ("acr", 0, 1, 63, 1, 0),
+        ]
+    body = bytearray()
+    for kind, who, Ss, Se, Ah, Al in script:
+        if kind == "dc":
+            body += _sos_seg(who, Ss, Se, Ah, Al)
+            body += _enc_dc_scan(zz, samps, who, w, h, Ah, Al,
+                                 restart_interval)
+        elif kind == "acf":
+            body += _sos_seg([who], Ss, Se, Ah, Al)
+            body += _enc_ac_first(zz[who], Ss, Se, Al, restart_interval)
+        else:
+            body += _sos_seg([who], Ss, Se, Ah, Al)
+            body += _enc_ac_refine(zz[who], Ss, Se, Al, restart_interval)
+    dqt = _seg(0xFFDB, bytes([0]) + bytes(int(_Q_NATURAL[_Z[i]])
+                                          for i in range(64)))
+    comps = b"".join(bytes([ci + 1, (hi << 4) | vi, 0])
+                     for ci, (hi, vi) in enumerate(samps))
+    sof = _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, nc) + comps)
+    dht = (_seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + _seg(0xFFC4, bytes([0x10]) + bytes(_PROG_AC_BITS)
+                  + bytes(_PROG_AC_VALS)))
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    return b"\xff\xd8" + dqt + sof + dht + dri + bytes(body) + b"\xff\xd9"
+
+
+def encode_jpeg_progressive(coeffs: np.ndarray, w: int, h: int, *,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive grayscale JPEG from quantized coefficient blocks (same
+    contract as encode_jpeg; the scan script refines to Al=0, so decode
+    recovers ``coeffs`` exactly)."""
+    return _assemble_jpeg_progressive([coeffs], [(1, 1)], w, h,
+                                      restart_interval)
+
+
+def encode_jpeg_progressive_color(coeffs3: np.ndarray, w: int, h: int, *,
+                                  restart_interval: int = 0) -> bytes:
+    """Progressive YCbCr 4:4:4 JPEG ((3, n_blocks, 8, 8) coefficients)."""
+    assert coeffs3.shape[0] == 3
+    return _assemble_jpeg_progressive(list(coeffs3), [(1, 1)] * 3, w, h,
+                                      restart_interval)
+
+
+def encode_jpeg_progressive_420(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
+                                coeffs_cr: np.ndarray, w: int, h: int, *,
+                                restart_interval: int = 0) -> bytes:
+    """Progressive YCbCr 4:2:0 JPEG (same plane contract as
+    encode_jpeg_420)."""
+    return _assemble_jpeg_progressive([coeffs_y, coeffs_cb, coeffs_cr],
+                                      [(2, 2), (1, 1), (1, 1)], w, h,
+                                      restart_interval)
+
+
 def upsample(plane: np.ndarray, ry: int, rx: int) -> np.ndarray:
     """The shared chroma upsample kernel: nearest-neighbor replication —
     each low-res sample covers its ry x rx full-res cell (2x2 for 4:2:0,
@@ -516,14 +798,250 @@ def _decode_block(br: _BitReader, dc_tab, ac_tab, prev_dc: int
     return nat, dc
 
 
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoder — T.81 Annex G.2
+# ---------------------------------------------------------------------------
+
+
+def _scan_end(data: bytes, start: int) -> int:
+    """End of an entropy-coded segment: the next 0xFF followed by anything
+    but a stuffed zero, an RSTn, or a 0xFF fill byte (B.1.1.2)."""
+    i = start
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(data):
+            return len(data)
+        nxt = data[j + 1]
+        if nxt == 0xFF:
+            i = j + 1
+        elif nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2
+        else:
+            return j
+
+
+def _refine_ac(br: _BitReader, band: np.ndarray, k: int,
+               p1: int, m1: int) -> None:
+    """One correction bit for a history-nonzero coefficient (G.2)."""
+    if br.bits(1) and (int(band[k]) & p1) == 0:
+        band[k] += p1 if band[k] >= 0 else m1
+
+
+def _dec_ac_scan(seg: bytes, zz: np.ndarray, Ss: int, Se: int,
+                 Ah: int, Al: int, ac_tab, ri: int) -> None:
+    """Entropy-decode one single-component progressive AC scan into the
+    zigzag coefficient array (first pass G.2.2, refinement mirroring
+    libjpeg's decode_mcu_AC_refine)."""
+    br = _BitReader(seg)
+    eobrun = 0
+    m = 0
+    p1, m1 = 1 << Al, -(1 << Al)
+    for bi in range(zz.shape[0]):
+        if ri and bi and bi % ri == 0:
+            br.expect_rst(m)
+            m = (m + 1) & 7
+            eobrun = 0
+        band = zz[bi]
+        if Ah == 0:  # first pass for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                sym = _read_huffman(br, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1  # current block ends here
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > Se:
+                        raise ValueError("AC run overflows spectral band")
+                    band[k] = _extend(br.bits(s), s) * p1
+                    k += 1
+        else:  # refinement pass
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    sym = _read_huffman(br, ac_tab)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid AC refinement symbol (size > 1)")
+                        newval = p1 if br.bits(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r  # includes the current block's tail
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # advance over r zero-history coefficients, emitting a
+                    # correction bit for every nonzero-history one passed
+                    while k <= Se:
+                        if band[k]:
+                            _refine_ac(br, band, k, p1, m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if newval:
+                        if k > Se:
+                            raise ValueError(
+                                "AC refinement run overflows spectral band")
+                        band[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:  # rest of the current block: corrections only
+                    if band[k]:
+                        _refine_ac(br, band, k, p1, m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _decode_progressive_scans(data: bytes, pos: int, qtables: dict,
+                              huff: dict, comps: list, w: int, h: int,
+                              restart_interval: int) -> list[np.ndarray]:
+    """Walk every segment from the first SOS to EOI (DHT/DQT/DRI may appear
+    between scans), entropy-decode each scan, and return per-component
+    NATURAL-order (n_blocks, 64) coefficient arrays — the same layout the
+    sequential path produces, feeding the shared dequant/IDCT tail."""
+    ncomp = len(comps)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    pdims = [(w * c[2] // hmax, h * c[3] // vmax) for c in comps]
+    zz = [np.zeros(((pw // 8) * (ph // 8), 64), np.int64) for pw, ph in pdims]
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    seen_sos = False
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = struct.unpack_from(">H", data, pos)[0]
+        if marker == 0xFFD9:
+            break
+        ln = struct.unpack_from(">H", data, pos + 2)[0]
+        if ln < 2:
+            raise ValueError(f"invalid segment length {ln} for marker "
+                             f"0x{marker:04X}")
+        body = data[pos + 4:pos + 2 + ln]
+        if len(body) < ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = tuple(body[off + 1:off + 17])
+                nvals = sum(bits)
+                vals = tuple(body[off + 17:off + 17 + nvals])
+                huff[tc_th] = _cached_decode_table(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xFFDA:
+            seen_sos = True
+            ns = body[0]
+            scomps = []
+            for si in range(ns):
+                cs, ts = body[1 + 2 * si], body[2 + 2 * si]
+                if cs not in by_id:
+                    raise ValueError("scan references unknown component")
+                scomps.append((by_id[cs], ts >> 4, ts & 0x0F))
+            Ss, Se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            Ah, Al = a >> 4, a & 0x0F
+            start = pos + 2 + ln
+            end = _scan_end(data, start)
+            seg = data[start:end]
+            if Ss == 0:  # DC scan (first or refinement)
+                if Se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _dec_dc_scan(seg, zz, comps, scomps, w, h, hmax, vmax,
+                             Ah, Al, huff, restart_interval)
+            else:  # AC scan: always single-component (G.1.1.1.1)
+                if ns != 1:
+                    raise ValueError(
+                        "progressive AC scan must be single-component")
+                ci, _, ta = scomps[0]
+                ac_tab = huff.get(0x10 | ta)
+                if ac_tab is None:
+                    raise ValueError("scan references undeclared Huffman table")
+                _dec_ac_scan(seg, zz[ci], Ss, Se, Ah, Al, ac_tab,
+                             restart_interval)
+            pos = end
+            continue
+        pos += 2 + ln
+    if not seen_sos:
+        raise ValueError("truncated JPEG: missing SOS")
+    out = []
+    for arr in zz:
+        nat = np.zeros_like(arr)
+        nat[:, _Z] = arr
+        out.append(nat)
+    return out
+
+
+def _dec_dc_scan(seg: bytes, zz: list[np.ndarray], comps: list,
+                 scomps: list, w: int, h: int, hmax: int, vmax: int,
+                 Ah: int, Al: int, huff: dict, ri: int) -> None:
+    """Progressive DC scan: interleaved MCU order when ns>1 (A.2.3), one
+    raster block per MCU otherwise. First pass (Ah=0) diff-decodes into
+    coef = dc << Al; refinement ORs in bit << Al (G.2.1)."""
+    br = _BitReader(seg)
+    tabs = []
+    if Ah == 0:
+        for _, td, _ta in scomps:
+            t = huff.get(0x00 | td)
+            if t is None:
+                raise ValueError("scan references undeclared Huffman table")
+            tabs.append(t)
+    if len(scomps) > 1:
+        mcus = []
+        for my in range(h // (8 * vmax)):
+            for mx in range(w // (8 * hmax)):
+                blocks = []
+                for si, (ci, _, _) in enumerate(scomps):
+                    hi, vi = comps[ci][2], comps[ci][3]
+                    pbw = (w * hi // hmax) // 8
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blocks.append((si, ci, (my * vi + by) * pbw
+                                           + (mx * hi + bx)))
+                mcus.append(blocks)
+    else:
+        ci = scomps[0][0]
+        mcus = [[(0, ci, i)] for i in range(zz[ci].shape[0])]
+    prev = [0] * len(scomps)
+    m = 0
+    for count, blocks in enumerate(mcus):
+        if ri and count and count % ri == 0:
+            br.expect_rst(m)
+            m = (m + 1) & 7
+            prev = [0] * len(scomps)
+        for si, ci, bi in blocks:
+            if Ah == 0:
+                s = _read_huffman(br, tabs[si])
+                prev[si] += _extend(br.bits(s), s)
+                zz[ci][bi, 0] = prev[si] << Al
+            else:
+                if br.bits(1):
+                    zz[ci][bi, 0] |= 1 << Al
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Full baseline JPEG decode: marker walk, DQT/DHT/SOF0/SOS parse,
     Huffman + DC-prediction + run-length entropy decode (lossless —
     recovers the encoder's quantized coefficients exactly), dequantize,
     shared IDCT kernel, and for 3-component scans the shared YCbCr->RGB
     kernel. Supports grayscale, YCbCr 4:4:4, 4:2:0 and 4:2:2 sampling,
-    and restart intervals (DRI + RST0-7 with DC-predictor resets);
-    progressive/12-bit/other samplings are rejected with clear errors.
+    restart intervals (DRI + RST0-7 with DC-predictor resets), and
+    PROGRESSIVE (SOF2) streams — multi-scan spectral selection and
+    successive approximation per T.81 Annex G.2, including DC/AC
+    refinement passes and EOB runs. 12-bit, arithmetic coding,
+    hierarchical and other samplings are rejected with clear errors.
     Returns (h, w) uint8 or (h, w, 3) uint8."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -538,6 +1056,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_tabs: list[tuple[int, int]] = []  # (dc table id, ac table id)
     scan_start = None
     restart_interval = 0
+    progressive = False
+    sos_pos = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -563,10 +1083,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 q[_Z] = zz
                 qtables[pq_tq & 0x0F] = q
                 off += 65
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or ncomp not in (1, 3):
-                raise ValueError("only 8-bit 1- or 3-component baseline "
+                raise ValueError("only 8-bit 1- or 3-component frames "
                                  "supported")
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -577,8 +1098,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         and samps[1] == samps[2] == (1, 1))):
                 raise ValueError("unsupported sampling (grayscale, 4:4:4, "
                                  "4:2:0 or 4:2:2 only)")
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker in (0xFFC1, 0xFFC3):
+            raise ValueError("only baseline (SOF0) or progressive (SOF2) "
+                             "supported")
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
@@ -589,9 +1111,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 huff[tc_th] = _cached_decode_table(bits, vals)
                 off += 17 + nvals
         elif marker == 0xFFDA:
+            if progressive:
+                sos_pos = pos  # the progressive walker owns it from here
+                break
             ns = body[0]
             if ns != len(comps):
-                raise ValueError("partial scans not supported")
+                raise ValueError("partial scans require SOF2 (progressive)")
             for si in range(ns):
                 ts = body[2 + 2 * si]
                 scan_tabs.append((ts >> 4, ts & 0x0F))
@@ -600,44 +1125,49 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         pos += 2 + ln
-    if w is None or not qtables or scan_start is None:
+    if w is None or not qtables or (scan_start is None and sos_pos is None):
         raise ValueError("truncated JPEG: missing SOF/DQT/SOS")
     ncomp = len(comps)
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     if w % (8 * hmax) or h % (8 * vmax):
         raise ValueError("dimensions must be MCU-aligned")
-    eoi = data.rfind(b"\xff\xd9")
-    br = _BitReader(data[scan_start:eoi if eoi > 0 else len(data)])
-    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
     # per-component plane geometry and coefficient stores
     pdims = [(w * c[2] // hmax, h * c[3] // vmax) for c in comps]
-    coeffs = [np.zeros(((pw // 8) * (ph // 8), 64), np.int64)
-              for pw, ph in pdims]
-    prev = [0] * ncomp
-    tabs = []
-    for c in range(ncomp):
-        dc_tab = huff.get(0x00 | scan_tabs[c][0])
-        ac_tab = huff.get(0x10 | scan_tabs[c][1])
-        if dc_tab is None or ac_tab is None:
-            raise ValueError("scan references undeclared Huffman table")
-        tabs.append((dc_tab, ac_tab))
-    rst_m = count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and count and count % restart_interval == 0:
-                br.expect_rst(rst_m)  # byte-align + RSTn + predictor reset
-                rst_m = (rst_m + 1) & 7
-                prev = [0] * ncomp
-            for c in range(ncomp):
-                hi, vi = comps[c][2], comps[c][3]
-                pbw = pdims[c][0] // 8
-                for by in range(vi):
-                    for bx in range(hi):
-                        bi = (my * vi + by) * pbw + (mx * hi + bx)
-                        coeffs[c][bi], prev[c] = _decode_block(
-                            br, tabs[c][0], tabs[c][1], prev[c])
-            count += 1
+    if progressive:
+        coeffs = _decode_progressive_scans(data, sos_pos, qtables, huff,
+                                           comps, w, h, restart_interval)
+    else:
+        eoi = data.rfind(b"\xff\xd9")
+        br = _BitReader(data[scan_start:eoi if eoi > 0 else len(data)])
+        mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+        coeffs = [np.zeros(((pw // 8) * (ph // 8), 64), np.int64)
+                  for pw, ph in pdims]
+        prev = [0] * ncomp
+        tabs = []
+        for c in range(ncomp):
+            dc_tab = huff.get(0x00 | scan_tabs[c][0])
+            ac_tab = huff.get(0x10 | scan_tabs[c][1])
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("scan references undeclared Huffman table")
+            tabs.append((dc_tab, ac_tab))
+        rst_m = count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and count \
+                        and count % restart_interval == 0:
+                    br.expect_rst(rst_m)  # byte-align + RSTn + pred reset
+                    rst_m = (rst_m + 1) & 7
+                    prev = [0] * ncomp
+                for c in range(ncomp):
+                    hi, vi = comps[c][2], comps[c][3]
+                    pbw = pdims[c][0] // 8
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bi = (my * vi + by) * pbw + (mx * hi + bx)
+                            coeffs[c][bi], prev[c] = _decode_block(
+                                br, tabs[c][0], tabs[c][1], prev[c])
+                count += 1
     planes = []
     for c in range(ncomp):
         q = qtables.get(comps[c][1])
@@ -681,13 +1211,14 @@ def _rand_block_coeffs(rng, n_blocks: int) -> np.ndarray:
 
 def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
     """Cycling grayscale / YCbCr-4:4:4 / 4:2:0 / 4:2:2 / 4:2:0-with-restart
-    JPEGs; ``channels`` = decoded bytes per pixel (1 or 3), ``body_hex`` =
-    the ground-truth decoded byte stream."""
+    / PROGRESSIVE-4:2:0 / progressive-gray-with-restart JPEGs; ``channels``
+    = decoded bytes per pixel (1 or 3), ``body_hex`` = the ground-truth
+    decoded byte stream."""
     rng = np.random.default_rng(JPEG_SEED + shard)
     ids, payloads, ws, hs, chs, hexes, means = [], [], [], [], [], [], []
     for i in range(n):
-        variant = i % 5
-        if variant in (2, 4):  # 4:2:0 needs 16-aligned dims
+        variant = i % 7
+        if variant in (2, 4, 5):  # 4:2:0 needs 16-aligned dims
             mw, mh = int(rng.integers(1, 4)), int(rng.integers(1, 4))
             w, h = mw * 16, mh * 16
         elif variant == 3:  # 4:2:2: w 16-aligned, h 8-aligned
@@ -713,12 +1244,23 @@ def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
             payload = encode_jpeg_422(cy, cb, cr, w, h)
             px = coeffs_to_rgb_422(cy, cb, cr, w, h)
             ch = 3
+        elif variant == 6:  # progressive grayscale with a restart interval
+            coeffs = _rand_block_coeffs(rng, (w // 8) * (h // 8))
+            ri = int(rng.integers(1, 5))
+            payload = encode_jpeg_progressive(coeffs, w, h,
+                                              restart_interval=ri)
+            px = coeffs_to_pixels(coeffs, w, h)
+            ch = 1
         else:
             cy = _rand_block_coeffs(rng, (w // 8) * (h // 8))
             cb = _rand_block_coeffs(rng, (w // 16) * (h // 16))
             cr = _rand_block_coeffs(rng, (w // 16) * (h // 16))
             ri = int(rng.integers(1, 5)) if variant == 4 else 0
-            payload = encode_jpeg_420(cy, cb, cr, w, h, restart_interval=ri)
+            if variant == 5:  # progressive 4:2:0 (libjpeg default script)
+                payload = encode_jpeg_progressive_420(cy, cb, cr, w, h)
+            else:
+                payload = encode_jpeg_420(cy, cb, cr, w, h,
+                                          restart_interval=ri)
             px = coeffs_to_rgb_420(cy, cb, cr, w, h)
             ch = 3
         ids.append(shard * 10_000_000 + i)
@@ -741,7 +1283,7 @@ def generate_jpeg_media(n: int, shard: int = 0) -> pa.Table:
 
 def jpeg_media_path(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
     """Pure cache path (no build side effect; see multimodal.media_path)."""
-    return os.path.join(root, f"jpeg_v4_sf{sf:g}")  # v4: + 4:2:2 + restart rows
+    return os.path.join(root, f"jpeg_v5_sf{sf:g}")  # v5: + progressive rows
 
 
 def ensure_jpeg_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:

@@ -15,6 +15,12 @@ MUST run standalone (it calls `ray stop --force`, which kills any other
 local Ray session — same caveat as tests/test_multinode.py):
 
     python scripts/multinode_bench.py [sf] [cpus_per_node]
+    python scripts/multinode_bench.py --scaling [sf] [cpus_per_node] [repeats]
+
+--scaling (round 5) measures the N->2N NODE-count datapoint the north
+rule's cross-cluster criterion wants: 1 node x cpus vs 2 nodes x cpus,
+fresh clusters per run, repeats alternated across topologies, best-of-R
+per level, efficiency = (2-node throughput / 1-node throughput) / 2.
 """
 
 from __future__ import annotations
@@ -38,7 +44,7 @@ from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 
 alive = [n for n in ray.nodes() if n["Alive"]]
-assert len(alive) == 2, f"expected 2 nodes, got {len(alive)}"
+assert len(alive) == int(sys.argv[4]), f"expected {sys.argv[4]} nodes, got {len(alive)}"
 
 def node_of(batch):
     import pyarrow as pa
@@ -67,37 +73,66 @@ def _ray(args):
                           cwd=REPO, env=env, timeout=300)
 
 
-def main() -> None:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-
-    from rotel_ray.generator import ensure_transcripts
-
-    tdir = ensure_transcripts(sf)
-    out_dir = f"/tmp/rotel_mn_bench_sf{sf:g}"
+def run_once(n_nodes: int, cpus: int, tdir: str, out_dir: str) -> dict:
+    """Fresh cluster (head + n_nodes-1 workers), one flagship run, teardown."""
     subprocess.run(["rm", "-rf", out_dir], check=True)
-
     assert _ray(["stop", "--force"]).returncode == 0
     head = _ray(["start", "--head", f"--port={PORT}", f"--num-cpus={cpus}",
                  "--include-dashboard=false", "--disable-usage-stats"])
     if head.returncode != 0:
         sys.exit(f"cannot start head node: {head.stderr[-400:]}")
     try:
-        worker = _ray(["start", f"--address=127.0.0.1:{PORT}",
-                       f"--num-cpus={cpus}", "--disable-usage-stats"])
-        assert worker.returncode == 0, worker.stderr[-400:]
+        for _ in range(n_nodes - 1):
+            worker = _ray(["start", f"--address=127.0.0.1:{PORT}",
+                           f"--num-cpus={cpus}", "--disable-usage-stats"])
+            assert worker.returncode == 0, worker.stderr[-400:]
         env = dict(os.environ, PYTHONPATH=REPO)
         env.pop("RAY_ADDRESS", None)
-        t0 = time.time()
         res = subprocess.run(
-            [sys.executable, "-c", DRIVER, f"127.0.0.1:{PORT}", tdir, out_dir],
+            [sys.executable, "-c", DRIVER, f"127.0.0.1:{PORT}", tdir, out_dir,
+             str(n_nodes)],
             capture_output=True, text=True, cwd=REPO, env=env, timeout=1800)
         assert res.returncode == 0, res.stderr[-2000:]
-        rec = json.loads(res.stdout.strip().splitlines()[-1])
-        print(json.dumps({"sf": sf, "cpus_per_node": cpus, "n_nodes": 2,
-                          **rec, "total_wall_sec": round(time.time() - t0, 1)}))
+        return json.loads(res.stdout.strip().splitlines()[-1])
     finally:
         _ray(["stop", "--force"])
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--scaling"]
+    scaling = "--scaling" in sys.argv[1:]
+    sf = float(args[0]) if len(args) > 0 else 2.0
+    cpus = int(args[1]) if len(args) > 1 else 12
+    repeats = int(args[2]) if len(args) > 2 else 2
+
+    from rotel_ray.generator import ensure_transcripts
+
+    tdir = ensure_transcripts(sf)
+    out_dir = f"/tmp/rotel_mn_bench_sf{sf:g}"
+
+    if not scaling:
+        t0 = time.time()
+        rec = run_once(2, cpus, tdir, out_dir)
+        print(json.dumps({"sf": sf, "cpus_per_node": cpus, "n_nodes": 2,
+                          **rec, "total_wall_sec": round(time.time() - t0, 1)}))
+        return
+
+    # N -> 2N node scaling: 1 node x cpus vs 2 nodes x cpus, fresh clusters,
+    # repeats ALTERNATED across topologies so host weather hits both levels
+    # evenly; best-of-R per level (the round-2 variance rule). Efficiency =
+    # (throughput_2n / throughput_1n) / 2.
+    runs = {1: [], 2: []}
+    for _ in range(repeats):
+        for n in (1, 2):
+            rec = run_once(n, cpus, tdir, out_dir)
+            runs[n].append(rec["turns_per_sec"])
+    t1, t2 = max(runs[1]), max(runs[2])
+    print(json.dumps({
+        "sf": sf, "cpus_per_node": cpus, "repeats": repeats,
+        "one_node_turns_per_sec": t1, "two_node_turns_per_sec": t2,
+        "one_node_all": runs[1], "two_node_all": runs[2],
+        "node_scaling_efficiency": round(t2 / t1 / 2, 4),
+    }))
 
 
 if __name__ == "__main__":

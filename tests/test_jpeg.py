@@ -53,11 +53,13 @@ def test_decoder_rejects_malformed():
     data = encode_jpeg(coeffs, 16, 16)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG" + data)
-    # progressive SOF2 must be rejected, not mis-decoded
+    # a SEQUENTIAL scan header (Ss=0, Se=63) inside a frame that claims
+    # SOF2 is malformed — rejected, not mis-decoded (progressive proper is
+    # supported as of round 5; see the test_progressive_* suite)
     bad = bytearray(data)
     sof = data.find(b"\xff\xc0")
     bad[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         decode_jpeg(bytes(bad))
     # truncated scan: missing SOS/EOI
     with pytest.raises(ValueError):
@@ -291,3 +293,111 @@ def test_out_of_range_coefficients_rejected():
     z[0, 0, 0] = 2048  # DC diff needs 12 bits
     with pytest.raises(ValueError, match="DC difference"):
         encode_jpeg(z, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — round 5
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_roundtrip_all_variants():
+    """Progressive encode/decode is bit-exact through the entropy layer for
+    gray / 4:4:4 / 4:2:0, with and without restart intervals — identical
+    pixels to the sequential codec on the same coefficients."""
+    from rotel_ray.stages.jpeg import (coeffs_to_rgb, coeffs_to_rgb_420,
+                                       encode_jpeg_progressive,
+                                       encode_jpeg_progressive_420,
+                                       encode_jpeg_progressive_color)
+
+    rng = np.random.default_rng(20)
+    w, h = 32, 24
+    c = _rand_coeffs(rng, w // 8, h // 8)
+    want = coeffs_to_pixels(c, w, h)
+    for ri in (0, 3):
+        got = decode_jpeg(encode_jpeg_progressive(c, w, h,
+                                                  restart_interval=ri))
+        assert (got == want).all()
+    # sequential and progressive agree exactly (same quantized coeffs)
+    assert (decode_jpeg(encode_jpeg(c, w, h)) == want).all()
+
+    c3 = np.stack([_rand_coeffs(rng, w // 8, h // 8) for _ in range(3)])
+    got = decode_jpeg(encode_jpeg_progressive_color(c3, w, h))
+    assert (got == coeffs_to_rgb(c3, w, h)).all()
+
+    w, h = 48, 32
+    cy = _rand_coeffs(rng, w // 8, h // 8)
+    cb = _rand_coeffs(rng, w // 16, h // 16)
+    cr = _rand_coeffs(rng, w // 16, h // 16)
+    for ri in (0, 2):
+        got = decode_jpeg(encode_jpeg_progressive_420(
+            cy, cb, cr, w, h, restart_interval=ri))
+        assert (got == coeffs_to_rgb_420(cy, cb, cr, w, h)).all()
+
+
+def test_progressive_adversarial_coefficient_shapes():
+    """Dense, all-zero, high-frequency-only and magnitude-1-heavy blocks
+    hammer EOB runs, ZRL-in-refinement and buffered correction bits."""
+    from rotel_ray.stages.jpeg import _Z, encode_jpeg_progressive
+
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        bw_, bh_ = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        w, h, n = bw_ * 8, bh_ * 8, bw_ * bh_
+        style = seed % 4
+        c = np.zeros((n, 64), np.int64)
+        if style == 0:
+            c = rng.integers(-30, 31, (n, 64))
+        elif style == 2:
+            for b in range(n):
+                for k in rng.integers(40, 64, 3):
+                    c[b, _Z[k]] = int(rng.integers(-5, 6))
+        elif style == 3:
+            c = rng.integers(-1, 2, (n, 64))
+        c[:, 0] = rng.integers(-100, 101, n)
+        c = c.reshape(n, 8, 8)
+        ri = int(rng.integers(0, 4))
+        got = decode_jpeg(encode_jpeg_progressive(c, w, h,
+                                                  restart_interval=ri))
+        assert (got == coeffs_to_pixels(c, w, h)).all(), (seed, style, ri)
+
+
+def test_progressive_against_pil_if_present():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from rotel_ray.stages.jpeg import (coeffs_to_rgb_420,
+                                       encode_jpeg_progressive,
+                                       encode_jpeg_progressive_420)
+
+    rng = np.random.default_rng(21)
+    c = _rand_coeffs(rng, 3, 3)
+    img = PIL.open(io.BytesIO(encode_jpeg_progressive(c, 24, 24)))
+    got = np.asarray(img.convert("L")).astype(int)
+    ref = coeffs_to_pixels(c, 24, 24).astype(int)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() <= 1
+
+    cy, cb, cr = (_rand_coeffs(rng, 4, 4), _rand_coeffs(rng, 2, 2),
+                  _rand_coeffs(rng, 2, 2))
+    img = PIL.open(io.BytesIO(encode_jpeg_progressive_420(cy, cb, cr, 32, 32)))
+    got = np.asarray(img.convert("RGB")).astype(int)
+    ref = coeffs_to_rgb_420(cy, cb, cr, 32, 32).astype(int)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).mean() < 8
+
+
+def test_progressive_malformed_rejected():
+    from rotel_ray.stages.jpeg import encode_jpeg_progressive
+
+    c = np.zeros((1, 8, 8), np.int64)
+    c[0, 0, 1] = 5
+    good = encode_jpeg_progressive(c, 8, 8)
+    # truncating mid-scan raises, not garbage
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:len(good) - 6] + b"\xff\xd9")
+    # SOF3 (lossless) stays rejected with a clear message
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc2")
+    bad[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF0.*SOF2|progressive"):
+        decode_jpeg(bytes(bad))
