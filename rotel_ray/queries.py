@@ -1252,6 +1252,19 @@ def q_span_dedup(sf_dir: str):
         return span_dedup(ds, width=10, num_buckets=_doc_buckets(sf_dir))
 
 
+def q_span_boilerplate(sf_dir: str):
+    """Cross-doc boilerplate removal (CCNet/RefinedWeb frequency rule over
+    10-token spans): spans present in >= 2 distinct docs drop EVERYWHERE
+    (span_dedup keeps the first; this keeps none). Same two bucketed
+    shuffles; the per-bucket kernel is a lexsort + distinct-doc bincount."""
+    from .stages.dedup import span_boilerplate
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    with _docs_hint(sf_dir):
+        return span_boilerplate(ds, width=10, min_docs=2,
+                                num_buckets=_doc_buckets(sf_dir))
+
+
 @_hinted("documents")
 def q_mix_balance(sf_dir: str):
     """Source re-mixing to an equal token share (Gopher/DoReMi-style static
@@ -3046,6 +3059,7 @@ QUERIES = {
     "top_users": q_top_users,
     "dedup_exact": q_dedup_exact,
     "span_dedup": q_span_dedup,
+    "span_boilerplate": q_span_boilerplate,
     "mix_balance": q_mix_balance,
     "shard_assign": q_shard_assign,
     "distinct_kmv": q_distinct_kmv,
@@ -3336,6 +3350,18 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text_dedup,
                count(*) AS n_kept
         FROM keep WHERE rn = 1 GROUP BY doc_id"""
+    sql["span_boilerplate"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        spans AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+                 array_to_string(ts[(i*10+1):(i*10+10)], ' ') AS span
+          FROM toks, unnest(range((len(ts)+9)//10)) AS t(i)),
+        freq AS (
+          SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span)
+        SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text_dedup,
+               count(*) AS n_kept
+        FROM spans JOIN freq USING (span) WHERE nd < 2 GROUP BY doc_id"""
     sql["dedup_exact"] = """
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
         FROM documents GROUP BY 1"""

@@ -1270,25 +1270,7 @@ def span_dedup(ds, *, width: int = 10, id_col: str = "doc_id",
     """
 
     def explode(t: pa.Table) -> pa.Table:
-        flat, _, counts = split_tokens(t.column(text_col))
-        doc_ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        tok_starts = np.r_[0, np.cumsum(counts)]
-        n_spans = (counts + width - 1) // width
-        total = int(n_spans.sum())
-        if total == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "span_idx": pa.array([], pa.int64()),
-                             "span": pa.array([], pa.string())})
-        span_doc = np.repeat(np.arange(len(counts)), n_spans)
-        span_idx = np.arange(total) - np.repeat(np.r_[0, np.cumsum(n_spans)[:-1]], n_spans)
-        # spans tile the flat token stream contiguously (within and across
-        # docs), so start offsets alone define the list boundaries
-        starts = (tok_starts[span_doc] + span_idx * width).astype(np.int32)
-        offsets = pa.array(np.r_[starts, np.int32(len(flat))], pa.int32())
-        spans = pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
-        return pa.table({id_col: pa.array(doc_ids[span_doc]),
-                         "span_idx": pa.array(span_idx.astype(np.int64)),
-                         "span": spans})
+        return _explode_spans(t, width, id_col, text_col)
 
     def winners(t: pa.Table) -> pa.Table:
         # bucket key is the span text, so each distinct span's occurrences
@@ -1304,25 +1286,99 @@ def span_dedup(ds, *, width: int = 10, id_col: str = "doc_id",
                          "span_idx": pa.array(si[keep]),
                          "span": t.column("span").combine_chunks().take(pa.array(keep))})
 
-    def reassemble(t: pa.Table) -> pa.Table:
-        d = t.column(id_col).to_numpy(zero_copy_only=False)
-        si = t.column("span_idx").to_numpy(zero_copy_only=False)
-        order = np.lexsort((si, d))
-        d = d[order]
-        spans = t.column("span").combine_chunks().take(pa.array(order))
-        firsts = np.r_[True, d[1:] != d[:-1]]
-        offsets = pa.array(np.r_[np.flatnonzero(firsts), np.int32(len(d))].astype(np.int32))
-        return pa.table({
-            id_col: pa.array(d[firsts]),
-            "text_dedup": pc.binary_join(pa.ListArray.from_arrays(offsets, spans), " "),
-            "n_kept": pa.array(np.diff(offsets.to_numpy().astype(np.int64))),
-        })
-
     rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     surv = grouped_apply(rows, ["span"], winners, batch_format="pyarrow",
                          num_buckets=num_buckets)
-    return grouped_apply(surv, [id_col], reassemble, batch_format="pyarrow",
+    return grouped_apply(surv, [id_col],
+                         lambda t: _reassemble_spans(t, id_col),
+                         batch_format="pyarrow", num_buckets=num_buckets)
+
+
+def _explode_spans(t: pa.Table, width: int, id_col: str,
+                   text_col: str) -> pa.Table:
+    """Cut each document into fixed-width token spans — the shared explode
+    kernel of span_dedup and span_boilerplate (vectorized: one offsets
+    array over the flat token stream, no per-row Python)."""
+    flat, _, counts = split_tokens(t.column(text_col))
+    doc_ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_starts = np.r_[0, np.cumsum(counts)]
+    n_spans = (counts + width - 1) // width
+    total = int(n_spans.sum())
+    if total == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "span_idx": pa.array([], pa.int64()),
+                         "span": pa.array([], pa.string())})
+    span_doc = np.repeat(np.arange(len(counts)), n_spans)
+    span_idx = np.arange(total) - np.repeat(np.r_[0, np.cumsum(n_spans)[:-1]], n_spans)
+    # spans tile the flat token stream contiguously (within and across
+    # docs), so start offsets alone define the list boundaries
+    starts = (tok_starts[span_doc] + span_idx * width).astype(np.int32)
+    offsets = pa.array(np.r_[starts, np.int32(len(flat))], pa.int32())
+    spans = pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
+    return pa.table({id_col: pa.array(doc_ids[span_doc]),
+                     "span_idx": pa.array(span_idx.astype(np.int64)),
+                     "span": spans})
+
+
+def _reassemble_spans(t: pa.Table, id_col: str) -> pa.Table:
+    """Rebuild documents from surviving (doc, span_idx, span) rows in
+    original span order — the shared phase-2 kernel."""
+    d = t.column(id_col).to_numpy(zero_copy_only=False)
+    si = t.column("span_idx").to_numpy(zero_copy_only=False)
+    order = np.lexsort((si, d))
+    d = d[order]
+    spans = t.column("span").combine_chunks().take(pa.array(order))
+    firsts = np.r_[True, d[1:] != d[:-1]]
+    offsets = pa.array(np.r_[np.flatnonzero(firsts), np.int32(len(d))].astype(np.int32))
+    return pa.table({
+        id_col: pa.array(d[firsts]),
+        "text_dedup": pc.binary_join(pa.ListArray.from_arrays(offsets, spans), " "),
+        "n_kept": pa.array(np.diff(offsets.to_numpy().astype(np.int64))),
+    })
+
+
+def span_boilerplate(ds, *, width: int = 10, min_docs: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     num_buckets: int = 64):
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb frequency
+    rule, restated over fixed-width token spans since this corpus has no
+    line structure): a span occurring in >= ``min_docs`` DISTINCT documents
+    is boilerplate and EVERY occurrence drops — unlike :func:`span_dedup`,
+    which keeps the first. Documents reassemble from surviving spans;
+    documents that were pure boilerplate vanish.
+
+    Scale shape: identical to span_dedup — two bucketed shuffles, both
+    O(corpus tokens). Phase 1 buckets by span text, so each bucket holds
+    ALL occurrences of its spans and computes the distinct-doc count with
+    one lexsort + bincount (no global state); phase 2 buckets by doc for
+    reassembly. A mega-boilerplate span (the skew case: a site footer on
+    10^9 pages) costs one sorted segment in one bucket, not a broadcast."""
+
+    def survivors(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t.column("span").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        d = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, codes))
+        c_s, d_s = codes[order], d[order]
+        new_span = np.r_[True, c_s[1:] != c_s[:-1]]
+        grp = np.cumsum(new_span) - 1
+        new_doc = new_span | np.r_[True, d_s[1:] != d_s[:-1]]
+        ndocs = np.bincount(grp[new_doc])  # distinct docs per span code
+        keep = np.flatnonzero((ndocs < min_docs)[codes])
+        return pa.table({
+            id_col: pa.array(d[keep]),
+            "span_idx": pa.array(
+                t.column("span_idx").to_numpy(zero_copy_only=False)[keep]),
+            "span": t.column("span").combine_chunks().take(pa.array(keep)),
+        })
+
+    rows = ds.map_batches(lambda t: _explode_spans(t, width, id_col, text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    surv = grouped_apply(rows, ["span"], survivors, batch_format="pyarrow",
                          num_buckets=num_buckets)
+    return grouped_apply(surv, [id_col],
+                         lambda t: _reassemble_spans(t, id_col),
+                         batch_format="pyarrow", num_buckets=num_buckets)
 
 
 def minhash_dedup_keep_best(ds, *, threshold: float = 0.7, num_perm: int = 64,

@@ -369,6 +369,50 @@ def test_span_dedup_matches_bruteforce():
     assert 2 not in keep and 3 not in keep and 4 not in keep
 
 
+def test_span_boilerplate_drops_all_occurrences():
+    """The frequency rule differs from span_dedup: a span in >= min_docs
+    DISTINCT docs drops EVERYWHERE (no first-occurrence survivor); a span
+    repeated within ONE doc is not boilerplate."""
+    from rotel_ray.stages.dedup import span_boilerplate
+
+    texts = [
+        "a b c d e f",       # "a b c" in docs 0,1,2 -> boilerplate
+        "a b c x y z",
+        "d e f a b c",       # "d e f" only in docs 0,2 -> boilerplate too
+        "p q r p q r",       # repeated WITHIN one doc: nd=1 -> kept whole
+        "u v w",             # unique -> kept
+    ]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}))
+    got = (span_boilerplate(ds, width=3, min_docs=2, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out = {r["doc_id"]: (r["text_dedup"], r["n_kept"])
+           for _, r in got.iterrows()}
+    # docs 0 and 2 were pure boilerplate -> vanish; doc 1 keeps its tail
+    assert set(out) == {1, 3, 4}
+    assert out[1] == ("x y z", 1)
+    assert out[3] == ("p q r p q r", 2)
+    assert out[4] == ("u v w", 1)
+
+
+def test_span_boilerplate_mega_span_stays_bucketed():
+    """Skew probe: one span shared by EVERY doc lands in one bucket group
+    and is dropped from all of them in a single sorted segment."""
+    from rotel_ray.stages.dedup import span_boilerplate
+
+    n = 200
+    texts = [f"FOOTER COPYRIGHT BOILER unique{i} tail{i} tok{i}"
+             for i in range(n)]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                                 "text": pa.array(texts)}))
+    got = (span_boilerplate(ds, width=3, min_docs=2, num_buckets=8)
+           .to_pandas())
+    assert len(got) == n
+    assert (got["n_kept"] == 1).all()
+    assert got["text_dedup"].str.startswith("unique").all()
+
+
 def test_mix_balance_equal_share():
     import hashlib
 
