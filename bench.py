@@ -116,6 +116,9 @@ SECONDARY = [
     "conv_quality",
     "per_source_cap",
     "mm_jpeg_decode",
+    # round 5
+    "span_boilerplate",
+    "mix_temperature",
 ]
 
 

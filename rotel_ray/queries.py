@@ -1277,6 +1277,18 @@ def q_mix_balance(sf_dir: str):
     return mix_balance(ds, num_buckets=_doc_buckets(sf_dir))
 
 
+def q_mix_temperature(sf_dir: str):
+    """Temperature-based source re-weighting (q ∝ p^tau, tau=0.7 — the
+    XLM-style flattening exponent): one two-phase token aggregate ->
+    per-source weight table (natural share, p^tau weight, target share,
+    boost). Integer-exact downstream of ONE floor-quantized exp/ln."""
+    from .stages.mix import mix_temperature
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    return mix_temperature(ds, tau=0.7, num_buckets=_doc_buckets(sf_dir))
+
+
 @_hinted("documents")
 def q_shard_assign(sf_dir: str):
     """Deterministic global shuffle + shard for training export: shard =
@@ -3061,6 +3073,7 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "span_boilerplate": q_span_boilerplate,
     "mix_balance": q_mix_balance,
+    "mix_temperature": q_mix_temperature,
     "shard_assign": q_shard_assign,
     "distinct_kmv": q_distinct_kmv,
     "doc_tokens": q_doc_tokens,
@@ -3324,6 +3337,30 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                 list_transform(string_split(substr(md5(d.text), 1, 4), ''),
                   c -> CAST(ascii(c) - CASE WHEN c >= 'a' THEN 87 ELSE 48 END AS BIGINT))),
               (h, x) -> h * 16 + x) < thr.thr"""
+    # temperature re-weighting: ONE floor-quantized exp/ln per source (the
+    # ln/exp/floor bit-agreement pattern), all downstream columns integer
+    sql["mix_temperature"] = r"""
+        WITH tot AS (
+          SELECT source,
+                 CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS t
+          FROM documents GROUP BY source),
+        c AS (SELECT CAST(SUM(t) AS BIGINT) AS corpus FROM tot),
+        w AS (
+          SELECT source, t,
+                 CAST(CAST(t AS HUGEINT) * 1000000000
+                      // (SELECT corpus FROM c) AS BIGINT) AS share_unat,
+                 CAST(floor(exp(ln(CAST(t AS DOUBLE)
+                                  / (SELECT corpus FROM c)) * 0.7) * 1e9)
+                      AS BIGINT) AS temp_w_unat
+          FROM tot),
+        s AS (SELECT CAST(SUM(temp_w_unat) AS HUGEINT) AS sw FROM w)
+        SELECT source, t AS n_tokens, share_unat, temp_w_unat,
+               CAST(CAST(temp_w_unat AS HUGEINT) * 1000000000
+                    // (SELECT sw FROM s) AS BIGINT) AS target_unat,
+               CAST(CAST(temp_w_unat AS HUGEINT)
+                    * (SELECT corpus FROM c) * 1000000
+                    // ((SELECT sw FROM s) * t) AS BIGINT) AS boost_ppm
+        FROM w"""
     sql["shard_assign"] = r"""
         WITH h AS (
           SELECT doc_id, md5(text) AS hh,

@@ -361,6 +361,57 @@ def conv_split(ds, *, key: str = "conv_id", bounds: tuple[int, int] = SPLIT_BOUN
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mix_temperature(ds, *, tau: float = 0.7, source_col: str = "source",
+                    text_col: str = "text", num_buckets: int = 64):
+    """Temperature-based source re-weighting — the multilingual/Gopher
+    sampling recipe (XLM/mT5 convention): target share q_i ∝ p_i^tau
+    where p_i is the source's natural token share (tau=1 keeps the natural
+    mix, tau→0 approaches uniform; mT5 uses tau=0.3, XLM 0.5-0.7). Emits the per-source weight table a training
+    loader consumes: natural share, temperature weight, target share, and
+    the over/under-sampling boost factor.
+
+    Exactness: p_i^tau is computed as exp(ln(t/corpus)*tau) and
+    floor-quantized to integer nano-units ONCE; every downstream column is
+    pure integer arithmetic on those ints, so the DuckDB oracle is
+    bit-exact (the ln/exp/floor bit-agreement pattern the LM-score oracles
+    use). Scale shape: one two-phase aggregate (n_sources partial rows per
+    batch); the corpus never shuffles and the driver sees n_sources rows."""
+    import math
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        return pa.table({
+            source_col: t.column(source_col),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t.column(text_col).combine_chunks(),
+                                         r"\S+"), pa.int64()),
+        })
+
+    totals = two_phase_aggregate(
+        ds.map_batches(count_tokens, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [source_col], [("n_tokens", "sum", "t")], num_buckets=num_buckets,
+    ).take_all()  # n_sources rows — never the corpus
+    corpus = sum(r["t"] for r in totals)
+    rows = []
+    for r in sorted(totals, key=lambda r: r[source_col]):
+        t = r["t"]
+        w = int(math.floor(math.exp(math.log(t / corpus) * tau) * 1e9)) \
+            if t else 0
+        rows.append((r[source_col], t, t * 10**9 // corpus, w))
+    sum_w = sum(w for *_, w in rows)
+    return pa.table({
+        source_col: pa.array([s for s, *_ in rows]),
+        "n_tokens": pa.array([t for _, t, *_ in rows], pa.int64()),
+        "share_unat": pa.array([sh for _, _, sh, _ in rows], pa.int64()),
+        "temp_w_unat": pa.array([w for *_, w in rows], pa.int64()),
+        "target_unat": pa.array([w * 10**9 // sum_w for *_, w in rows],
+                                pa.int64()),
+        "boost_ppm": pa.array(
+            [w * corpus * 10**6 // (sum_w * t) if t else 0
+             for _, t, _, w in rows], pa.int64()),
+    })
+
+
 def per_source_cap(ds, cap: int, *, source_col: str = "source",
                    id_col: str = "doc_id", text_col: str = "text",
                    num_buckets: int = 64):

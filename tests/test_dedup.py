@@ -440,6 +440,34 @@ def test_mix_balance_equal_share():
     assert thr["big"] < thr["small"]
 
 
+def test_mix_temperature_flattens_toward_uniform():
+    """tau=1 reproduces the natural mix (target == share to quantization);
+    tau<1 moves the target shares toward uniform — the dominant source's
+    boost < 1, the tail source's boost > 1; boosts are monotone in share."""
+    from rotel_ray.stages.mix import mix_temperature
+
+    rng = np.random.default_rng(11)
+    texts, srcs = [], []
+    for s, n_docs, tok in [("big", 60, 40), ("mid", 30, 20), ("tiny", 10, 5)]:
+        for _ in range(n_docs):
+            texts.append(" ".join(rng.choice(list("abcdefgh"), size=tok)))
+            srcs.append(s)
+    ds = rd.from_arrow(pa.table({"source": pa.array(srcs),
+                                 "text": pa.array(texts)}))
+    t1 = mix_temperature(ds, tau=1.0, num_buckets=4).to_pandas() \
+        .set_index("source")
+    # tau=1: temperature weight IS the share -> target == share (both are
+    # the same ratio floor-quantized at 1e9)
+    assert (abs(t1["target_unat"] - t1["share_unat"]) <= 1).all()
+    t = mix_temperature(ds, tau=0.5, num_buckets=4).to_pandas() \
+        .set_index("source")
+    assert t.loc["big", "boost_ppm"] < 1_000_000 < t.loc["tiny", "boost_ppm"]
+    assert (t.loc["tiny", "target_unat"] > t.loc["tiny", "share_unat"]
+            and t.loc["big", "target_unat"] < t.loc["big", "share_unat"])
+    # shares still sum to ~1 after re-weighting
+    assert abs(int(t["target_unat"].sum()) - 10**9) < 10
+
+
 def test_shard_assign_deterministic_ranks():
     import hashlib
 
