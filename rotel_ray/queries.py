@@ -2492,6 +2492,29 @@ def q_text_normalize(sf_dir: str):
     return text_normalize(ds)
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher §A1.1 quality rule set (word-count / mean-word-length bounds,
+    bullet- and ellipsis-line fraction caps, alphabetic-word floor,
+    stop-word presence) + conjunctive keep flag, over the reflowed
+    multi-line fixture. One stateless vectorized pass — no shuffle at any
+    scale; every count is an RE2 kernel the oracle mirrors bit-for-bit."""
+    from .stages.filterrules import ensure_lines_docs, gopher_rules
+
+    ds = read_parquet(ensure_lines_docs(sf_dir), columns=["doc_id", "text"])
+    return gopher_rules(ds)
+
+
+def q_c4_line_filter(sf_dir: str):
+    """C4 §2.2 line-level cleaning (terminal-punctuation lines only, >= 3
+    words, no curly brace / "javascript"), documents reassembled from
+    surviving lines. Lines explode and reassemble INSIDE each batch via
+    ListArray offsets — a doc's lines never leave its row, no shuffle."""
+    from .stages.filterrules import c4_line_filter, ensure_lines_docs
+
+    ds = read_parquet(ensure_lines_docs(sf_dir), columns=["doc_id", "text"])
+    return c4_line_filter(ds)
+
+
 @_hinted("documents", fanout=64)
 def q_ngram_diversity(sf_dir: str):
     """Corpus distinct-n diversity for n in {1,2,3} (memorization screen):
@@ -3133,6 +3156,8 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "vocab_growth": q_vocab_growth,
     "text_normalize": q_text_normalize,
+    "gopher_rules": q_gopher_rules,
+    "c4_line_filter": q_c4_line_filter,
     "conv_examples": q_conv_examples,
     "length_buckets": q_length_buckets,
     "compaction_plan": q_compaction_plan,
@@ -4393,6 +4418,15 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                       '{_ZAP}', '', 'g'), '[ \t]+', ' ', 'g'), ' ')
                    AS text_norm
           FROM read_parquet('{_unidir}/*.parquet'))"""
+    from .stages.filterrules import (
+        c4_line_filter_oracle_sql,
+        gopher_rules_oracle_sql,
+        lines_docs_path as _ldp,
+    )
+
+    _linedir = _ldp(sf_dir)
+    sql["gopher_rules"] = gopher_rules_oracle_sql(_linedir)
+    sql["c4_line_filter"] = c4_line_filter_oracle_sql(_linedir)
     # Datadog minimal DDSpan conversion: hex md5 ids folded to BE u64 in
     # HUGEINT arithmetic (fits: 16 hex digits < 2^64), truncation mirrors
     # convert_trace_id/convert_span_id (transformer.rs:455-469)
