@@ -2481,6 +2481,40 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(ds)
 
 
+@_hinted("documents")
+def q_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity tertiles per source (rank-based,
+    tie-stable): broadcast unigram LM scoring + ONE int-only bucketed
+    shuffle for the per-source ranks."""
+    from .stages.textstats import ppl_buckets
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    return ppl_buckets(ds)
+
+
+@_hinted("documents", fanout=64)
+def q_contamination_overlap(sf_dir: str):
+    """Per-eval-doc exact 8-gram contamination fraction vs the train split
+    (GPT-3 appendix-C dirtiness reporting; eval = doc_id % 19 == 0, the
+    decontaminate split). Eval grams broadcast once; the train side emits
+    only hit gram values (bounded by the eval gram count); one bucketed
+    (gram, doc) exchange + a two-phase integer aggregate finish it."""
+    from .stages.dedup import contamination_overlap
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def is_eval(t):
+        d = t.column("doc_id")
+        return pc.equal(pc.subtract(d, pc.multiply(pc.divide(d, 19), 19)), 0)
+    ev = docs.map_batches(
+        lambda t: t.filter(is_eval(t)), batch_format="pyarrow", zero_copy_batch=True)
+    tr = docs.map_batches(
+        lambda t: t.filter(pc.invert(is_eval(t))), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return contamination_overlap(tr, ev, k=8)
+
+
 def q_text_normalize(sf_dir: str):
     """Unicode ingest normalization (NFC + control/zero-width strip +
     whitespace collapse + trim) over the dirtied unicode fixture — every
@@ -3153,6 +3187,8 @@ QUERIES = {
     "ch_metrics_summary": q_ch_metrics_summary,
     "dd_span": q_dd_span,
     "decontaminate": q_decontaminate,
+    "contamination_overlap": q_contamination_overlap,
+    "ppl_buckets": q_ppl_buckets,
     "decontaminate_bloom": q_decontaminate_bloom,
     "vocab_growth": q_vocab_growth,
     "text_normalize": q_text_normalize,
@@ -4240,6 +4276,31 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT tr.doc_id, count(*) AS n_overlap
         FROM tr JOIN ev ON tr.g = ev.g
         GROUP BY tr.doc_id"""
+    # contamination fraction per EVAL doc: same gram CTEs, reversed join
+    # direction; ppm = integer floor division (nonnegative on both sides)
+    sql["contamination_overlap"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 8 THEN
+                   list_distinct(list_transform(range(1, len(tk) - 6),
+                                 i -> array_to_string(tk[i:i+7], ' ')))
+                 ELSE list_distinct(tk) END AS gs
+          FROM toks),
+        evp AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 19 = 0),
+        trg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 19 <> 0),
+        agg AS (
+          SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hit
+          FROM evp e LEFT JOIN trg t ON e.g = t.g
+          GROUP BY e.doc_id)
+        SELECT doc_id, n_grams, n_hit,
+               CAST(n_hit * 1000000 // n_grams AS BIGINT) AS overlap_ppm
+        FROM agg"""
     # Bloom-filter decontamination: bit positions = md5 double hashing of
     # the literal gram text ((h1 + j*h2) mod 2^20 with h1/h2 the first two
     # 48-bit md5 halves — stages/dedup.decontaminate_bloom), so the filter
@@ -5261,6 +5322,26 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # per-source LM quality: reuse the per-doc unigram scoring (cap mirror
     # included), group by source; mean = exact FLOOR division via the
     # mathematical-mod identity (DuckDB // truncates toward zero)
+    # CCNet perplexity tertiles: chained unigram scoring -> mathematical
+    # floor per-token score (floor-mod identity; n_tokens >= 1 by
+    # construction) -> per-source rank window -> rank * 3 // n
+    sql["ppl_buckets"] = f"""
+        WITH per_doc AS ({sql["unigram_logprob"]}),
+        s AS (
+          SELECT p.doc_id, d.source,
+                 CAST((p.lp_sum_unat
+                       - ((p.lp_sum_unat % p.n_tokens) + p.n_tokens)
+                         % p.n_tokens) / p.n_tokens AS BIGINT) AS per_tok_unat
+          FROM per_doc p JOIN documents d USING (doc_id)),
+        r AS (
+          SELECT doc_id, source, per_tok_unat,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY per_tok_unat DESC, doc_id) - 1 AS rk,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM s)
+        SELECT doc_id, source, per_tok_unat,
+               CAST(rk * 3 // n AS BIGINT) AS ppl_bucket
+        FROM r"""
     sql["source_lm_score"] = f"""
         WITH per_doc AS ({sql["unigram_logprob"]}),
         j AS (SELECT d.source, p.n_tokens, p.lp_sum_unat

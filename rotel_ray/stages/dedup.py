@@ -1157,6 +1157,106 @@ def decontaminate(train_ds, eval_ds, *, k: int = 8, text_col: str = "text",
                                 zero_copy_batch=True)
 
 
+def contamination_overlap(train_ds, eval_ds, *, k: int = 8,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_buckets: int = 64):
+    """Per-EVAL-doc exact n-gram contamination fraction — the reporting
+    inverse of :func:`decontaminate`: for every eval document, how many of
+    its distinct ``k``-grams occur anywhere in the TRAIN corpus, and what
+    fraction (ppm) of the doc that is. The GPT-3 appendix-C "dirtiness"
+    measurement (public paper; the reference engine has no corpus
+    machinery). Same ``< k``-token raw-token fallback / shared shingle
+    kernel as the minhash path.
+
+    Output: (id_col, n_grams, n_hit, overlap_ppm) for every eval doc.
+
+    Scale shape: the eval side is small by definition (a benchmark suite),
+    so its unique gram-hash array broadcasts once via ``ray.put`` exactly
+    like :func:`decontaminate`; the TRAIN side (the 100 TB side) is one
+    stateless probe pass that emits only the eval-gram values it HIT —
+    each partial is bounded by the eval gram count, never by train size.
+    Hit grams then meet the eval (doc, gram) pairs in ONE hash-bucketed
+    shuffle whose rows are (uint64, int64) pairs bounded by
+    |eval grams| x (1 + hit partials); per-doc totals finish in a
+    two-phase integer aggregate. No unbounded state anywhere."""
+    import ray
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def eval_pairs(t: pa.Table) -> pa.Table:
+        vals, cnts = _batch_shingle_stream(t.column(text_col).combine_chunks(), k)
+        seg = np.repeat(np.arange(len(cnts)), cnts)
+        order = np.lexsort((vals, seg))
+        sv, ss = vals[order], seg[order]
+        first = (np.r_[True, (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])]
+                 if len(sv) else np.zeros(0, bool))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[ss[first]] if len(sv) else ids[:0]),
+            # two's-complement int64 reinterpretation: uint64 gram hashes
+            # above 2^63 overflow Arrow int coercion in the bucket exchange;
+            # equality (all this operator needs) is bijection-preserved
+            "g": pa.array((sv[first] if len(sv) else sv).view(np.int64)),
+            "hit": pa.array(np.zeros(int(first.sum()), np.int64)),
+        })
+
+    pairs = eval_ds.map_batches(eval_pairs, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        vals, _ = _batch_shingle_stream(t.column(text_col).combine_chunks(), k)
+        return pa.table({"g": pa.array(np.unique(vals), pa.uint64())})
+
+    parts = eval_ds.map_batches(eval_grams, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+    ev = np.unique(np.array([r["g"] for r in parts], dtype=np.uint64))
+    ref = ray.put(ev)
+
+    def probe(t: pa.Table) -> pa.Table:
+        ev_local = ray.get(ref)
+        vals, _ = _batch_shingle_stream(t.column(text_col).combine_chunks(), k)
+        u = np.unique(vals)
+        hit = u[np.isin(u, ev_local)]
+        return pa.table({
+            id_col: pa.array(np.full(len(hit), -1, np.int64)),
+            "g": pa.array(hit.view(np.int64)),
+            "hit": pa.array(np.ones(len(hit), np.int64)),
+        })
+
+    tagged = pairs.union(train_ds.map_batches(probe, batch_format="pyarrow",
+                                              zero_copy_batch=True))
+
+    def mark(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        side = t.column("hit").to_numpy(zero_copy_only=False)
+        doc = t.column(id_col).to_numpy(zero_copy_only=False)
+        hitset = np.unique(g[side == 1])
+        m = side == 0
+        return pa.table({
+            id_col: pa.array(doc[m]),
+            "hit": pa.array(np.isin(g[m], hitset).astype(np.int64)),
+        })
+
+    marked = grouped_apply(tagged, ["g"], mark, batch_format="pyarrow",
+                           num_buckets=num_buckets)
+    agg = two_phase_aggregate(
+        marked, [id_col],
+        [("hit", "sum", "n_hit"), ("hit", "count", "n_grams")],
+        num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_grams": pc.cast(t.column("n_grams"), pa.int64()),
+            "n_hit": pc.cast(t.column("n_hit"), pa.int64()),
+            "overlap_ppm": pc.cast(pc.divide(
+                pc.multiply(pc.cast(t.column("n_hit"), pa.int64()), 1_000_000),
+                pc.cast(t.column("n_grams"), pa.int64())), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # intra-corpus duplicate k-gram statistics (exact-substring dedup signal)
 # ---------------------------------------------------------------------------

@@ -1326,6 +1326,88 @@ def length_buckets(ds, *, text_col: str = "text", num_buckets: int = 4):
     return agg.map_batches(waste, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def ppl_buckets(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                source_col: str = "source", n_buckets: int = 3,
+                top_v: int | None = DEFAULT_TOP_V, num_buckets: int = 16):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): every
+    document gets a per-source quality tertile — head / middle / tail — by
+    ranking its per-token unigram LM score within its source. CCNet cuts on
+    fixed perplexity thresholds derived from per-source quantiles; the
+    rank-based tertile is the tie-stable, exactly-mirrorable form (rank
+    ``r`` of ``n`` docs -> bucket ``r * n_buckets // n``, ordered by
+    (score DESC, doc_id); 0 = head = best).
+
+    Per-token score = mathematical FLOOR of lp_sum_unat / n_tokens
+    (``np.floor_divide`` floors toward -inf on the negative micro-nat sums;
+    the SQL mirror uses the floor-mod identity, as source_lm_score does).
+
+    Scale shape: the unigram vocab broadcast of :func:`unigram_logprob`
+    (top-V bounded), one stateless scoring pass, then ONE hash-bucketed
+    shuffle carrying (doc_id, source, per_tok) ints only — ranks are
+    computed vectorized across all sources in a bucket."""
+    import ray
+
+    counts = unigram_counts(ds, text_col=text_col).materialize()
+    total = int(counts.sum("c"))
+    if top_v is not None and counts.count() > top_v:
+        counts = top_v_counts(counts, key_col="tok", count_col="c", top_v=top_v)
+    vocab_rows = counts.take_all()
+    toks = np.array([r["tok"] for r in vocab_rows], dtype=object)
+    cnts = np.array([r["c"] for r in vocab_rows], dtype=np.int64)
+    lp = np.floor(np.log(cnts.astype(np.float64) / total) * 1e6).astype(np.int64)
+    oov = np.int64(np.floor(np.log(1.0 / total) * 1e6))
+    ref = ray.put((pa.array(toks.astype(str)), lp, oov))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, lp_l, oov_l = ray.get(ref)
+        flat, doc_of, n_tok = split_tokens(t.column(text_col))
+        idx = pc.index_in(flat, vocab)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        idx_np = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.where(valid, lp_l[idx_np], oov_l)
+        sums = np.zeros(len(n_tok), np.int64)
+        np.add.at(sums, doc_of, vals)
+        m = n_tok > 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        per_tok = np.floor_divide(sums[m], n_tok[m])
+        return pa.table({
+            id_col: pa.array(ids[m]),
+            source_col: t.column(source_col).combine_chunks().filter(pa.array(m)),
+            "per_tok_unat": pa.array(per_tok),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    from .aggregate import grouped_apply
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        src = t.column(source_col).combine_chunks()
+        codes = src.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        per = t.column("per_tok_unat").to_numpy(zero_copy_only=False)
+        doc = t.column(id_col).to_numpy(zero_copy_only=False)
+        # head (bucket 0) = BEST per-token logprob -> rank descending on
+        # the score, doc_id ascending for tie stability
+        order = np.lexsort((doc, -per, codes))
+        c = codes[order]
+        first = np.r_[True, c[1:] != c[:-1]] if len(c) else np.zeros(0, bool)
+        gstart = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        rank = np.arange(len(c), dtype=np.int64) - gstart[gid]
+        gsize = np.diff(np.r_[gstart, len(c)])
+        bucket = rank * n_buckets // gsize[gid]
+        oa = pa.array(order)
+        return pa.table({
+            id_col: pa.array(doc[order]),
+            source_col: src.take(oa),
+            "per_tok_unat": pa.array(per[order]),
+            "ppl_bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    return grouped_apply(scored, [source_col], rank_bucket,
+                         batch_format="pyarrow", num_buckets=num_buckets)
+
+
 def char_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document byte-entropy quality score — the gibberish/binary-blob
     filter (low entropy = repeated filler, high entropy = random bytes):

@@ -633,3 +633,38 @@ def test_decontaminate_bloom_short_doc_fallback():
             for r in decontaminate_bloom(tr, ev, k=8).take_all()}
     assert hits.get(1, 0) >= 2  # shares 'unique' + 'eval' tokens
     assert 2 not in hits or hits[2] == 0
+
+
+def test_contamination_overlap_exact_fractions():
+    from rotel_ray.stages.dedup import contamination_overlap
+
+    def mk(ids, texts):
+        return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                       "text": pa.array(texts, pa.string())}))
+
+    train = mk([10, 11], ["a b c d", "x y z w"])
+    ev = mk([0, 1], ["a b c q", "p q r s"])
+    out = (contamination_overlap(train, ev, k=2, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # eval doc 0: grams {a b, b c, c q}; train has {a b, b c} -> 2/3
+    assert out.loc[0, ["n_grams", "n_hit"]].tolist() == [3, 2]
+    assert out.loc[0, "overlap_ppm"] == 2 * 1_000_000 // 3
+    # eval doc 1: grams {p q, q r, r s}; no hits
+    assert out.loc[1, ["n_grams", "n_hit", "overlap_ppm"]].tolist() == [3, 0, 0]
+
+
+def test_contamination_overlap_short_doc_fallback():
+    from rotel_ray.stages.dedup import contamination_overlap
+
+    def mk(ids, texts):
+        return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                       "text": pa.array(texts, pa.string())}))
+
+    # single-token eval doc falls back to its raw token; a single-token
+    # train doc (also fallback) provides the hit, the long train doc can't
+    train = mk([10, 11], ["a", "a b c"])
+    ev = mk([0, 1], ["a", "b"])
+    out = (contamination_overlap(train, ev, k=2, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, ["n_grams", "n_hit"]].tolist() == [1, 1]
+    assert out.loc[1, ["n_grams", "n_hit"]].tolist() == [1, 0]

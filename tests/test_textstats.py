@@ -468,3 +468,28 @@ def test_nfc_ascii_fast_path():
     mixed = pa.array(["plain", "Café", None, "ok"])
     out = _nfc_column(mixed).to_pylist()
     assert out == ["plain", "Café", None, "ok"]
+
+
+def test_ppl_buckets_rank_semantics():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import ppl_buckets
+
+    # source A: 5 docs of clearly different unigram quality (common vs rare
+    # tokens); source B: 2 docs. Rank tertiles: 5 -> [0,0,1,1,2], 2 -> [0,1].
+    texts = ["c c c c", "c c c r1", "c c r2 r3", "c r4 r5 r6", "r7 r8 r9 r10",
+             "c c c c", "r11 r12 r13 r14"]
+    src = ["A"] * 5 + ["B"] * 2
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(src, pa.string())}))
+    out = ppl_buckets(ds, num_buckets=4).to_pandas()
+    a = out[out.source == "A"].sort_values("per_tok_unat", ascending=False)
+    assert a.ppl_bucket.tolist() == [0, 0, 1, 1, 2]
+    # best-scoring doc in A is the all-common one
+    assert a.doc_id.tolist()[0] == 0
+    b = out[out.source == "B"].sort_values("per_tok_unat", ascending=False)
+    assert b.ppl_bucket.tolist() == [0, 1]
+    assert b.doc_id.tolist() == [5, 6]
