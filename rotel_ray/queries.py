@@ -1265,6 +1265,17 @@ def q_span_boilerplate(sf_dir: str):
                                 num_buckets=_doc_buckets(sf_dir))
 
 
+def q_span_dedup_indoc(sf_dir: str):
+    """Dolma-style IN-DOCUMENT repetition removal over 2-token spans: a
+    span repeating within one document keeps only its first occurrence
+    (other documents' copies untouched). Map-only — the uniqueness unit is
+    a single doc, so there is NO shuffle at any corpus size."""
+    from .stages.dedup import span_dedup_indoc
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return span_dedup_indoc(ds, width=2)
+
+
 @_hinted("documents")
 def q_mix_balance(sf_dir: str):
     """Source re-mixing to an equal token share (Gopher/DoReMi-style static
@@ -3129,6 +3140,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "span_dedup": q_span_dedup,
     "span_boilerplate": q_span_boilerplate,
+    "span_dedup_indoc": q_span_dedup_indoc,
     "mix_balance": q_mix_balance,
     "mix_temperature": q_mix_temperature,
     "shard_assign": q_shard_assign,
@@ -3460,6 +3472,20 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text_dedup,
                count(*) AS n_kept
         FROM spans JOIN freq USING (span) WHERE nd < 2 GROUP BY doc_id"""
+    sql["span_dedup_indoc"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        spans AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+                 array_to_string(ts[(i*2+1):(i*2+2)], ' ') AS span
+          FROM toks, unnest(range((len(ts)+1)//2)) AS t(i)),
+        keep AS (
+          SELECT doc_id, span_idx, span,
+                 row_number() OVER (PARTITION BY doc_id, span ORDER BY span_idx) AS rn
+          FROM spans)
+        SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text_dedup,
+               count(*) AS n_kept
+        FROM keep WHERE rn = 1 GROUP BY doc_id"""
     sql["dedup_exact"] = """
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
         FROM documents GROUP BY 1"""

@@ -1481,6 +1481,43 @@ def span_boilerplate(ds, *, width: int = 10, min_docs: int = 2,
                          batch_format="pyarrow", num_buckets=num_buckets)
 
 
+def span_dedup_indoc(ds, *, width: int = 2, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """IN-DOCUMENT repetition removal (the Dolma/RefinedWeb within-page
+    dedup rule, restated over fixed-width token spans like its corpus-wide
+    siblings): a span that repeats WITHIN a document survives only at its
+    first ``span_idx``; occurrences in other documents are untouched.
+    Documents reassemble from surviving spans in original order; docs with
+    no tokens vanish (same convention as :func:`span_dedup`).
+
+    Scale shape: the unit of uniqueness is a single document, so this is a
+    single stateless ``map_batches`` — NO shuffle at any corpus size
+    (contrast span_dedup / span_boilerplate, which must exchange spans
+    corpus-wide). Per batch: one explode, one lexsort over (doc, span
+    code, span_idx), one reassemble."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        rows = _explode_spans(t, width, id_col, text_col)
+        if rows.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "text_dedup": pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64())})
+        spans = rows.column("span").combine_chunks()
+        codes = pc.dictionary_encode(spans).indices.to_numpy(zero_copy_only=False)
+        d = rows.column(id_col).to_numpy(zero_copy_only=False)
+        si = rows.column("span_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, codes, d))
+        d_s, c_s = d[order], codes[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        keep = order[first]
+        sub = pa.table({id_col: pa.array(d[keep]),
+                        "span_idx": pa.array(si[keep]),
+                        "span": spans.take(pa.array(keep))})
+        return _reassemble_spans(sub, id_col)
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def minhash_dedup_keep_best(ds, *, threshold: float = 0.7, num_perm: int = 64,
                             bands: int = 16, k_shingle: int = 3,
                             text_col: str = "text", id_col: str = "doc_id",

@@ -668,3 +668,24 @@ def test_contamination_overlap_short_doc_fallback():
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out.loc[0, ["n_grams", "n_hit"]].tolist() == [1, 1]
     assert out.loc[1, ["n_grams", "n_hit"]].tolist() == [1, 0]
+
+
+def test_span_dedup_indoc_keeps_cross_doc_copies():
+    from rotel_ray.stages.dedup import span_dedup_indoc
+
+    texts = [
+        "a b a b c d",      # w=2 spans: "a b","a b","c d" -> "a b c d"
+        "a b x y a b",      # first "a b" kept, trailing "a b" dropped
+        "c d",              # single span, untouched (doc 0's copy is NOT
+                            # deduped against it — in-doc only)
+        "",                 # zero tokens -> absent from output
+        "p q r",            # odd length: "p q","r" both unique -> intact
+    ]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}))
+    got = (span_dedup_indoc(ds, width=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 2, 4]
+    assert got["text_dedup"].tolist() == ["a b c d", "a b x y", "c d", "p q r"]
+    assert got["n_kept"].tolist() == [2, 2, 1, 2]
