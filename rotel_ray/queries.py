@@ -1857,6 +1857,21 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, BM25_QUERY_TERMS, k=10)
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-50
+    lexical ranking with the integer-exact dense dot-product top-50 over
+    the doc-aligned embedding table; top-20 fused docs in nano-unit RRF
+    scores. Both sources are streaming partial-top-k operators; the fusion
+    itself touches 2x50 rows."""
+    from .stages.similarity import hybrid_rrf
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    return hybrid_rrf(docs, emb, _query_vec(sf_dir), BM25_QUERY_TERMS,
+                      k_each=50, k_out=20, rrf_k=60)
+
+
 def q_collocations(sf_dir: str):
     """Phrase mining: top-50 adjacent-token collocations by PMI (integer
     micro-nats, min pair count 5) over the documents corpus — broadcast
@@ -3274,6 +3289,7 @@ QUERIES = {
     "collocations": q_collocations,
     "doc_chunks": q_doc_chunks,
     "bm25_topk": q_bm25_topk,
+    "rrf_fusion": q_rrf_fusion,
     "latest_event_per_user": q_latest_event_per_user,
     "embedding_covariance": q_embedding_covariance,
     "customer_order_counts": q_customer_order_counts,
@@ -5197,6 +5213,48 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(floor(({_bm_sum}) * 1e6) AS BIGINT) AS score_unat
         FROM tk, st
         ORDER BY score_unat DESC, doc_id LIMIT 10"""
+    # rrf_fusion: the lexical CTEs mirror bm25_topk verbatim (LIMIT 50); the
+    # dense side is the integer-exact dot-product ranking (floor(x*1e6) per
+    # element on query and corpus, every product/partial sum an exact
+    # float64 integer, so sum() is order-independent); the fusion is two
+    # divisions + one add in IEEE doubles, floor(x*1e9) nano-units
+    sql["rrf_fusion"] = f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+          FROM documents),
+        st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(sum(len(tk)), 0) AS BIGINT) AS n_toks,
+               {_bm_df}
+          FROM tk),
+        lexs AS (
+          SELECT doc_id, CAST(floor(({_bm_sum}) * 1e6) AS BIGINT) AS score_unat
+          FROM tk, st),
+        lex AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score_unat DESC, doc_id) AS r_lex
+          FROM lexs ORDER BY score_unat DESC, doc_id LIMIT 50),
+        qi AS (
+          SELECT list_transform(embedding,
+                                x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS q
+          FROM embeddings WHERE vec_id = 0),
+        ip AS (
+          SELECT e.vec_id AS doc_id,
+                 CAST(sum(floor(CAST(e.embedding[u.i] AS DOUBLE) * 1000000.0)
+                          * qi.q[u.i]) AS BIGINT) AS ip
+          FROM embeddings e, qi, unnest(range(1, len(e.embedding) + 1)) AS u(i)
+          GROUP BY e.vec_id),
+        dense AS (
+          SELECT doc_id, row_number() OVER (ORDER BY ip DESC, doc_id) AS r_dense
+          FROM ip ORDER BY ip DESC, doc_id LIMIT 50),
+        fused AS (
+          SELECT COALESCE(dense.doc_id, lex.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60 + r_dense), 0.0)
+                   + COALESCE(1.0 / (60 + r_lex), 0.0) AS s
+          FROM dense FULL OUTER JOIN lex ON dense.doc_id = lex.doc_id)
+        SELECT doc_id, CAST(floor(s * 1e9) AS BIGINT) AS rrf_nano
+        FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 20"""
     # collocations: identical float expression on both sides — one division
     # per ln, fixed subtraction order, floor(x*1e6) micro-nats
     sql["collocations"] = """

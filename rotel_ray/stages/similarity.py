@@ -682,3 +682,74 @@ def embedding_pca_project(ds, k: int = 8, *, scale: float = 1000.0,
 
     out = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     return out, comps, expl
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of dense + lexical rankings
+# ---------------------------------------------------------------------------
+
+
+def int_dot_topk(ds, query_vec: np.ndarray, k: int = 50, *,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 scale: float = 1_000_000.0):
+    """Integer-exact dense top-k: both the query and every corpus vector
+    quantize to floor(x * 1e6) before the dot product, so every product and
+    partial sum is an exactly-representable float64 integer (|x| <~ 5 ->
+    terms < 2^53 / d) and the ranking is fully deterministic — no float-ulp
+    ties between engine and oracle, unlike raw cosine. Per-batch partial
+    top-k (lexsort keeps the tie-mates with the lowest ids, matching the
+    global (ip DESC, id ASC) order), tiny final sort."""
+    qi = np.floor(np.asarray(query_vec, np.float64) * scale)
+
+    def score(t: pa.Table) -> pa.Table:
+        X = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        ip = (np.floor(X * scale) @ qi).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ip) > k:
+            keep = np.lexsort((ids, -ip))[:k]
+            ip, ids = ip[keep], ids[keep]
+        return pa.table({id_col: pa.array(ids), "ip": pa.array(ip)})
+
+    return (ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+            .sort(["ip", id_col], descending=[True, False]).limit(k))
+
+
+def hybrid_rrf(docs_ds, emb_ds, query_vec: np.ndarray,
+               query_terms: list[str], *, k_each: int = 50, k_out: int = 20,
+               rrf_k: int = 60, doc_id_col: str = "doc_id",
+               vec_id_col: str = "vec_id"):
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the dense integer-dot-product ranking (:func:`int_dot_topk` over
+    the doc-aligned embedding table) with the lexical BM25 ranking
+    (``bm25_topk``) via rrf(d) = sum over lists of 1 / (rrf_k + rank_d).
+    Docs absent from a list contribute 0 from it. Scores quantize to
+    floor(x * 1e9) int64 nano-units (the two divisions and one add are the
+    same IEEE ops on both engine and DuckDB sides).
+
+    Scale shape: both source rankings are streaming top-k operators whose
+    reduce input is bounded by batches x k; the fusion itself touches only
+    2 x k_each rows, so the driver-side merge is O(k), never O(corpus)."""
+    import pandas as pd
+
+    from .textstats import bm25_topk
+
+    dense = int_dot_topk(emb_ds, query_vec, k_each,
+                         id_col=vec_id_col).to_pandas()
+    dense = dense.rename(columns={vec_id_col: doc_id_col})
+    dense["r_dense"] = np.arange(1, len(dense) + 1, dtype=np.int64)
+    lex = bm25_topk(docs_ds, query_terms, k=k_each).to_pandas()
+    lex["r_lex"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    fused = dense[[doc_id_col, "r_dense"]].merge(
+        lex[[doc_id_col, "r_lex"]], on=doc_id_col, how="outer")
+    rd = fused["r_dense"].to_numpy(dtype=np.float64, na_value=np.nan)
+    rl = fused["r_lex"].to_numpy(dtype=np.float64, na_value=np.nan)
+    score = (np.where(np.isnan(rd), 0.0, 1.0 / (rrf_k + rd))
+             + np.where(np.isnan(rl), 0.0, 1.0 / (rrf_k + rl)))
+    out = pd.DataFrame({
+        doc_id_col: fused[doc_id_col].to_numpy(dtype=np.int64),
+        "rrf_nano": np.floor(score * 1e9).astype(np.int64),
+    })
+    return (out.sort_values(["rrf_nano", doc_id_col],
+                            ascending=[False, True], kind="mergesort")
+            .head(k_out).reset_index(drop=True))

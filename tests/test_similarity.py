@@ -486,3 +486,53 @@ def test_organic_engine_equals_mirror(ray_session):
         got = ivf_topk(read_parquet(path), q, k=10, n_centroids=16,
                        n_probe=8).to_pandas()
         assert got.vec_id.tolist() == ivf_ids(qi, 8)
+
+
+def test_int_dot_topk_ties_break_to_lowest_id():
+    from rotel_ray.stages.similarity import int_dot_topk
+
+    # vecs 1 and 3 have IDENTICAL quantized dot products with q=[1,0]; the
+    # tie must break to the lower vec_id both inside the per-batch partial
+    # top-k and in the final sort
+    vecs = [[1.0, 0.0], [0.5, 0.5], [0.0, 1.0], [0.5, 0.5], [0.9, 0.0]]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }))
+    got = int_dot_topk(ds, np.array([1.0, 0.0]), k=3).to_pandas()
+    # ip: v0=1e12, v4=899999e6 (0.9f32 = 0.89999997..., floor 899999),
+    # v1=v3=5e11 (tie -> keep 1), v2=0
+    assert got.vec_id.tolist() == [0, 4, 1]
+    assert got.ip.tolist() == [10**12, 899999 * 10**6, 5 * 10**11]
+
+
+def test_hybrid_rrf_fuses_both_rankings():
+    import math
+
+    from rotel_ray.stages.similarity import hybrid_rrf, int_dot_topk
+    from rotel_ray.stages.textstats import bm25_topk
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["data of the", "the the the", "x y z", "of data"]),
+    }))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.8, 0.0], [0.0, 1.0], [0.9, 0.0]],
+                              pa.list_(pa.float32())),
+    }))
+    q = np.array([1.0, 0.0])
+    terms = ["the", "of", "data"]
+    got = hybrid_rrf(docs, emb, q, terms, k_each=3, k_out=4, rrf_k=60)
+
+    # expected fusion from the two (independently oracled) source rankings
+    dr = {d: r + 1 for r, d in
+          enumerate(int_dot_topk(emb, q, 3).to_pandas().vec_id)}
+    lr = {d: r + 1 for r, d in
+          enumerate(bm25_topk(docs, terms, k=3).to_pandas().doc_id)}
+    exp = {d: math.floor((
+        (1.0 / (60 + dr[d]) if d in dr else 0.0)
+        + (1.0 / (60 + lr[d]) if d in lr else 0.0)) * 1e9)
+        for d in set(dr) | set(lr)}
+    assert dict(zip(got.doc_id, got.rrf_nano)) == exp
+    assert got.rrf_nano.is_monotonic_decreasing
