@@ -1857,6 +1857,17 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, BM25_QUERY_TERMS, k=10)
 
 
+@_hinted("documents")
+def q_zipf_slope(sf_dir: str):
+    """Corpus profiling: least-squares Zipf slope of ln(freq) vs ln(rank)
+    over the top-256 unigrams — milli-nat int quantization makes the
+    regression sums exact int64, one final float64 division."""
+    from .stages.textstats import zipf_slope
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return zipf_slope(ds, top_n=256)
+
+
 def q_rrf_fusion(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-50
     lexical ranking with the integer-exact dense dot-product top-50 over
@@ -3290,6 +3301,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
+    "zipf_slope": q_zipf_slope,
     "latest_event_per_user": q_latest_event_per_user,
     "embedding_covariance": q_embedding_covariance,
     "customer_order_counts": q_customer_order_counts,
@@ -5213,6 +5225,30 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(floor(({_bm_sum}) * 1e6) AS BIGINT) AS score_unat
         FROM tk, st
         ORDER BY score_unat DESC, doc_id LIMIT 10"""
+    # zipf_slope: milli-nat int quantization on both axes -> exact integer
+    # regression sums (HUGEINT in SQL, int64 in numpy; all < 2^53 so the
+    # final double division sees identical operands)
+    sql["zipf_slope"] = r"""
+        WITH tk AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    t -> t != '')) AS tok
+          FROM documents),
+        uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+        top AS (
+          SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+          FROM uni ORDER BY c DESC, tok LIMIT 256),
+        q AS (
+          SELECT CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0) AS BIGINT) AS y,
+                 CAST(floor(ln(CAST(r AS DOUBLE)) * 1000.0) AS BIGINT) AS x
+          FROM top),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x*y) AS sxy, sum(x*x) AS sxx
+          FROM q)
+        SELECT n AS n_tokens,
+               CAST(floor(1e6 * CAST(n*sxy - sx*sy AS DOUBLE)
+                          / CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT) AS slope_micro
+        FROM s"""
     # rrf_fusion: the lexical CTEs mirror bm25_topk verbatim (LIMIT 50); the
     # dense side is the integer-exact dot-product ranking (floor(x*1e6) per
     # element on query and corpus, every product/partial sum an exact

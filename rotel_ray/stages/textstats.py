@@ -1510,3 +1510,37 @@ def ngram_diversity(ds, *, text_col: str = "text", ns: tuple[int, ...] = (1, 2, 
                       pc.cast(t.column("total_grams"), pa.float64())))
 
     return agg.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zipf_slope(ds, *, text_col: str = "text", top_n: int = 256,
+               num_buckets: int = 16):
+    """Zipf rank-frequency fit over the corpus unigram distribution: the
+    least-squares slope of ln(freq) vs ln(rank) across the top-``top_n``
+    tokens (Zipf's law predicts ~ -1; corpus-quality profiling uses the
+    deviation). Both axes quantize to floor(ln * 1e3) milli-nats so the four
+    regression sums are EXACT int64 arithmetic; the slope is one float64
+    division of exactly-representable integers (every sum < 2^53) and a
+    floor(x * 1e6) — bit-stable against the SQL mirror, no float-summation
+    order anywhere.
+
+    Scale shape: counts are vocab-bounded two-phase partials
+    (:func:`unigram_counts`), the top-N selection is the distributed
+    :func:`top_v_counts` (per-block truncation before the sort), and only
+    ``top_n`` (tok, c) rows ever reach the driver."""
+    import pandas as pd
+
+    counts = unigram_counts(ds, text_col=text_col, num_buckets=num_buckets)
+    top = top_v_counts(counts, key_col="tok", count_col="c",
+                       top_v=top_n).to_pandas()
+    c = top["c"].to_numpy(dtype=np.int64)          # already (c desc, tok asc)
+    n = len(c)
+    r = np.arange(1, n + 1, dtype=np.float64)
+    y = np.floor(np.log(c.astype(np.float64)) * 1e3).astype(np.int64)
+    x = np.floor(np.log(r) * 1e3).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope_micro = int(np.floor(1e6 * float(num) / float(den)))
+    return pd.DataFrame({"n_tokens": np.array([n], np.int64),
+                         "slope_micro": np.array([slope_micro], np.int64)})

@@ -493,3 +493,26 @@ def test_ppl_buckets_rank_semantics():
     b = out[out.source == "B"].sort_values("per_tok_unat", ascending=False)
     assert b.ppl_bucket.tolist() == [0, 1]
     assert b.doc_id.tolist() == [5, 6]
+
+
+def test_zipf_slope_matches_reference():
+    import math
+
+    import ray.data as rd
+    from rotel_ray.stages.textstats import zipf_slope
+
+    # counts: a=6, b=3, c=2, d=1 -> pure-python reference regression over
+    # milli-nat quantized (ln rank, ln freq)
+    docs = ["a a a b b c", "a a a b c d"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+    got = zipf_slope(ds, top_n=256)
+    cs = [6, 3, 2, 1]
+    y = [math.floor(math.log(c) * 1e3) for c in cs]
+    x = [math.floor(math.log(r) * 1e3) for r in range(1, 5)]
+    n = 4
+    sx, sy = sum(x), sum(y)
+    sxy, sxx = sum(a * b for a, b in zip(x, y)), sum(a * a for a in x)
+    exp = math.floor(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    assert got.n_tokens.tolist() == [4]
+    assert got.slope_micro.tolist() == [exp]
+    assert -1_400_000 < exp < -800_000  # Zipf-ish: slope near -1
