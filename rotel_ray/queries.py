@@ -2615,6 +2615,24 @@ def q_conv_quality(sf_dir: str):
         return conv_quality(ds)
 
 
+def q_conv_dedup(sf_dir: str):
+    """Exact duplicate-conversation detection over transcripts with planted
+    duplicates (~19% of convs copied under a '-dup' id): per-turn md5
+    before any exchange (text never shuffles), per-conv hash folded per
+    bucket, exact groups keep the lexicographic-min conv_id."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.dedup import conv_dedup, ensure_dup_convs
+
+    path = ensure_dup_convs(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{path}/*.parquet"))
+    ds = read_parquet(path, columns=["conv_id", "turn_idx", "role", "text"])
+    with input_rows_hint(n_turns):
+        return conv_dedup(ds)
+
+
 PER_SOURCE_CAP = 10
 
 
@@ -3167,6 +3185,7 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "span_boilerplate": q_span_boilerplate,
     "span_dedup_indoc": q_span_dedup_indoc,
+    "conv_dedup": q_conv_dedup,
     "mix_balance": q_mix_balance,
     "mix_temperature": q_mix_temperature,
     "shard_assign": q_shard_assign,
@@ -4521,6 +4540,22 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # unicode normalization over the dirtied fixture: identical RE2
     # patterns on both engines; DuckDB nfc_normalize mirrors stdlib
     # unicodedata.normalize("NFC", ...)
+    # conv_dedup: the fixture path is pure (never builds); q_conv_dedup
+    # ensures the build before any harness runs the SQL. md5 + chr(31)
+    # joins mirror the engine's per-turn then per-conv hashing exactly.
+    from .stages.dedup import dup_convs_path as _dcp
+
+    _dupdir = _dcp(sf_dir)
+    sql["conv_dedup"] = f"""
+        WITH th AS (
+          SELECT conv_id, turn_idx, md5(role || chr(31) || text) AS h
+          FROM read_parquet('{_dupdir}/*.parquet')),
+        ch AS (
+          SELECT conv_id, md5(string_agg(h, '' ORDER BY turn_idx)) AS conv_hash
+          FROM th GROUP BY conv_id)
+        SELECT conv_hash, min(conv_id) AS conv_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM ch GROUP BY conv_hash"""
     from .stages.clean import ZAP_PATTERN as _ZAP
     from .stages.clean import unicode_docs_path as _udp
 

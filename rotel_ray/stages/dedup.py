@@ -1795,3 +1795,118 @@ def decontaminate_bloom(train_ds, eval_ds, *, k: int = 8,
 
     return train_ds.map_batches(probe, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-conversation detection (exact, over the transcripts table)
+# ---------------------------------------------------------------------------
+
+DUPCONVS_VERSION = 1
+
+
+def dup_convs_path(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path (never builds) — the oracle SQL embeds it without
+    side effects; the query callable ensures the build first."""
+    import os
+
+    from ..generator import sf_from_dir
+
+    return os.path.join(
+        root, f"dupconvs_g{DUPCONVS_VERSION}_sf{sf_from_dir(sf_dir):g}")
+
+
+def ensure_dup_convs(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Transcripts with PLANTED duplicate conversations: every conversation
+    whose md5(conv_id) hex starts with '0'/'1'/'2' (~19%, deterministic,
+    id-format-agnostic) is appended verbatim under ``conv_id || '-dup'``.
+    Pure function of the transcripts fixture (itself a pure function of
+    sf), cached like the other derived fixtures."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..generator import ensure_transcripts
+
+    out = dup_convs_path(sf_dir, root)
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    tdir = ensure_transcripts(sf_dir)
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    t = pa.concat_tables([pq.read_table(f, columns=cols)
+                          for f in sorted(glob.glob(f"{tdir}/*.parquet"))])
+    uniq = pc.unique(t.column("conv_id").combine_chunks()).to_pylist()
+    dup_ids = sorted(c for c in uniq
+                     if hashlib.md5(c.encode()).hexdigest()[0] in "012")
+    dup = t.filter(pc.is_in(t.column("conv_id"),
+                            value_set=pa.array(dup_ids, pa.string())))
+    dup = dup.set_column(
+        0, "conv_id",
+        pc.binary_join_element_wise(dup.column("conv_id").combine_chunks(),
+                                    pa.scalar("-dup"), ""))
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.concat_tables([t, dup]),
+                   os.path.join(tmp, "part-0000.parquet"),
+                   row_group_size=16384)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def conv_dedup(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
+               role_col: str = "role", text_col: str = "text",
+               num_buckets: int = 64):
+    """Exact duplicate-CONVERSATION detection: two conversations are
+    duplicates iff their full turn sequences match on (turn order, role,
+    text). Returns (conv_hash, conv_id = lexicographic min, n_dups) — the
+    conversation-level analogue of :func:`exact_dedup`.
+
+    Scale shape: each turn hashes to md5(role || US || text) BEFORE any
+    exchange, so text never moves; the bucketed shuffle carries (conv_id,
+    turn_idx, 32-hex) rows; each bucket folds its conversations' turn
+    hashes into one conversation hash with a single sorted scan; the final
+    exchange groups 1-row-per-conv (hash, id) pairs. A 10^6-turn
+    conversation costs one sorted segment in one bucket — never a broadcast
+    or a driver collect."""
+    import hashlib
+
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            t.column(role_col).combine_chunks(),
+            t.column(text_col).combine_chunks(), "\x1f")
+        return pa.table({key: t.column(key),
+                         order_col: t.column(order_col),
+                         "turn_h": _hash_values(joined, "md5")})
+
+    hashed_turns = ds.map_batches(prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({key: pd.Series([], dtype=str),
+                                 "conv_hash": pd.Series([], dtype=str)})
+        g = g.sort_values([key, order_col], kind="mergesort")
+        kv = g[key].to_numpy()
+        hv = g["turn_h"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(kv)]
+        return pd.DataFrame({
+            key: kv[starts],
+            "conv_hash": [hashlib.md5("".join(hv[s:e]).encode()).hexdigest()
+                          for s, e in zip(starts, ends)],
+        })
+
+    per_conv = grouped_apply(hashed_turns, [key], per_bucket,
+                             num_buckets=num_buckets)
+    return two_phase_aggregate(
+        per_conv, ["conv_hash"],
+        [(key, "min", key), (key, "count", "n_dups")],
+        num_buckets=num_buckets)

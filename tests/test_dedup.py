@@ -689,3 +689,34 @@ def test_span_dedup_indoc_keeps_cross_doc_copies():
     assert got["doc_id"].tolist() == [0, 1, 2, 4]
     assert got["text_dedup"].tolist() == ["a b c d", "a b x y", "c d", "p q r"]
     assert got["n_kept"].tolist() == [2, 2, 1, 2]
+
+
+def test_conv_dedup_matches_turn_sequences():
+    import hashlib
+
+    from rotel_ray.stages.dedup import conv_dedup
+
+    rows = [
+        # conv a == conv c (same role/text sequence); conv b differs by role;
+        # conv d differs only in turn ORDER (swapped) -> distinct
+        ("a", 0, "user", "hi"), ("a", 1, "assistant", "yo"),
+        ("b", 0, "tool", "hi"), ("b", 1, "assistant", "yo"),
+        ("c", 0, "user", "hi"), ("c", 1, "assistant", "yo"),
+        ("d", 0, "assistant", "yo"), ("d", 1, "user", "hi"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+    }))
+    got = (conv_dedup(ds, num_buckets=4).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert got.conv_id.tolist() == ["a", "b", "d"]
+    assert got.set_index("conv_id").n_dups.to_dict() == {"a": 2, "b": 1, "d": 1}
+
+    def h(role, text):
+        return hashlib.md5(f"{role}\x1f{text}".encode()).hexdigest()
+
+    exp_a = hashlib.md5((h("user", "hi") + h("assistant", "yo")).encode()).hexdigest()
+    assert got.set_index("conv_id").conv_hash["a"] == exp_a
