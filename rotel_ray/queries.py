@@ -2682,6 +2682,18 @@ def q_compaction_plan(sf_dir: str):
                            target_bytes=COMPACT_TARGET_BYTES)
 
 
+def q_scan_prune_plan(sf_dir: str):
+    """Zone-map scan pruning over the re-chunked (time-ordered, ~16 row
+    groups) events layout: which row groups the predicate
+    ``event_id >= n/2`` never reads, from footer min/max stats only.
+    Footer reads fan out as a Ray map; one output row per row group."""
+    from .stages.compact import ensure_zonemap_events, scan_prune_plan
+
+    path = ensure_zonemap_events(sf_dir)
+    half = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows // 2
+    return scan_prune_plan(path, column="event_id", threshold=half)
+
+
 CONV_EXAMPLE_BUDGET = 128
 
 
@@ -3186,6 +3198,7 @@ QUERIES = {
     "span_boilerplate": q_span_boilerplate,
     "span_dedup_indoc": q_span_dedup_indoc,
     "conv_dedup": q_conv_dedup,
+    "scan_prune_plan": q_scan_prune_plan,
     "mix_balance": q_mix_balance,
     "mix_temperature": q_mix_temperature,
     "shard_assign": q_shard_assign,
@@ -4540,6 +4553,21 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     # unicode normalization over the dirtied fixture: identical RE2
     # patterns on both engines; DuckDB nfc_normalize mirrors stdlib
     # unicodedata.normalize("NFC", ...)
+    # scan_prune_plan: pure fixture path + a source-footer row count (the
+    # documented oracle-side allowance); q_scan_prune_plan builds first
+    from .stages.compact import zonemap_events_path as _zep
+
+    _zdir = _zep(sf_dir)
+    _zhalf = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows // 2
+    sql["scan_prune_plan"] = f"""
+        SELECT regexp_extract(file_name, '[^/]+$') AS file,
+               CAST(row_group_id AS BIGINT) AS row_group_id,
+               CAST(row_group_num_rows AS BIGINT) AS n_rows,
+               CAST(stats_min_value AS BIGINT) AS rg_min,
+               CAST(stats_max_value AS BIGINT) AS rg_max,
+               CAST(stats_max_value AS BIGINT) < {_zhalf} AS skip
+        FROM parquet_metadata('{_zdir}/*.parquet')
+        WHERE path_in_schema = 'event_id'"""
     # conv_dedup: the fixture path is pure (never builds); q_conv_dedup
     # ensures the build before any harness runs the SQL. md5 + chr(31)
     # joins mirror the engine's per-turn then per-conv hashing exactly.

@@ -127,3 +127,84 @@ def compact_files(input_dir: str, out_dir: str, *, target_bytes: int,
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
     return {"groups": len(groups), "rows": total}
+
+
+# ---------------------------------------------------------------------------
+# zone-map scan pruning (row-group min/max statistics)
+# ---------------------------------------------------------------------------
+
+ZONEMAP_VERSION = 1
+
+
+def zonemap_events_path(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path (never builds) — safe to embed in oracle SQL."""
+    from .planted import source_tag
+
+    tag = source_tag(f"{sf_dir}/events.parquet")
+    return os.path.join(root, f"zonemap_g{ZONEMAP_VERSION}_{tag}")
+
+
+def ensure_zonemap_events(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """The events table rewritten in its existing (time) order with ~16
+    small row groups — the time-bucketed ingest layout whose zone maps a
+    100 TB scan actually prunes on. Pure re-chunk of the source (row order
+    unchanged), cached with the content-fingerprint key."""
+    import shutil
+
+    out = zonemap_events_path(sf_dir, root)
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    rg = max(1, t.num_rows // 16)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(t, os.path.join(tmp, "part-0000.parquet"),
+                   row_group_size=rg)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def scan_prune_plan(input_dir: str, *, column: str, threshold: int,
+                    pattern: str = "*.parquet"):
+    """Zone-map pruning plan for the predicate ``column >= threshold``: one
+    row per (file, row group) with its min/max statistics and ``skip`` =
+    (rg_max < threshold) — the row groups a pruned 100 TB scan never reads.
+
+    Scale shape: like :func:`compaction_plan`, footer metadata reads fan
+    out as a Ray map over the file list (never a data read); the output is
+    one row per ROW GROUP, not per data row."""
+    import ray  # noqa: F401  (Dataset machinery)
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(input_dir, pattern)))
+    if not files:
+        raise FileNotFoundError(f"no {pattern} under {input_dir}")
+
+    def meta(batch: dict) -> dict:
+        out = {"file": [], "row_group_id": [], "n_rows": [],
+               "rg_min": [], "rg_max": []}
+        for p in batch["item"]:
+            md = pq.ParquetFile(p).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            ci = names.index(column)
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ci).statistics
+                out["file"].append(os.path.basename(p))
+                out["row_group_id"].append(i)
+                out["n_rows"].append(md.row_group(i).num_rows)
+                out["rg_min"].append(int(st.min))
+                out["rg_max"].append(int(st.max))
+        return {
+            "file": np.array(out["file"], dtype=object),
+            "row_group_id": np.array(out["row_group_id"], np.int64),
+            "n_rows": np.array(out["n_rows"], np.int64),
+            "rg_min": np.array(out["rg_min"], np.int64),
+            "rg_max": np.array(out["rg_max"], np.int64),
+            "skip": np.array([m < threshold for m in out["rg_max"]], bool),
+        }
+
+    return rd.from_items(files).map_batches(meta)

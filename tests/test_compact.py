@@ -90,3 +90,20 @@ def test_oversize_file_closes_its_group(tmp_path):
     assert gids[0] == gids[1]          # big file rides with its prefix
     assert gids[2] > gids[1]           # tail starts a fresh group
     assert len(set(gids)) == 2
+
+
+def test_scan_prune_plan_skips_early_row_groups(tmp_path):
+    import pyarrow.parquet as pq
+
+    from rotel_ray.stages.compact import scan_prune_plan
+
+    pq.write_table(pa.table({"k": pa.array(range(100), pa.int64())}),
+                   str(tmp_path / "a.parquet"), row_group_size=25)
+    got = (scan_prune_plan(str(tmp_path), column="k", threshold=60)
+           .to_pandas().sort_values("row_group_id").reset_index(drop=True))
+    assert got.row_group_id.tolist() == [0, 1, 2, 3]
+    assert got.rg_min.tolist() == [0, 25, 50, 75]
+    assert got.rg_max.tolist() == [24, 49, 74, 99]
+    # k >= 60 can only live in groups whose max >= 60 -> first two skip
+    assert got.skip.tolist() == [True, True, False, False]
+    assert got.n_rows.sum() == 100
