@@ -119,6 +119,15 @@ SECONDARY = [
     # round 5
     "span_boilerplate",
     "mix_temperature",
+    "gopher_rules",
+    "c4_line_filter",
+    "contamination_overlap",
+    "ppl_buckets",
+    "span_dedup_indoc",
+    "rrf_fusion",
+    "zipf_slope",
+    "conv_dedup",
+    "scan_prune_plan",
 ]
 
 

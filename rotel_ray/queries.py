@@ -1768,6 +1768,20 @@ def q_corpus_diff(sf_dir: str):
     return corpus_diff(v1, v2)
 
 
+def q_dedup_rate_by_source(sf_dir: str):
+    """Per-source duplication rollup over the union of the two corpus
+    snapshots (unchanged docs appear twice — the real recrawl shape):
+    (source, n_docs, n_unique, n_dup_docs). Only (source, md5) rows
+    shuffle; the second exchange is one row per source."""
+    from .stages.dedup import dedup_rate_by_source
+    from .stages.mix import ensure_docs_v2
+
+    v1 = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    v2 = read_parquet(ensure_docs_v2(sf_dir), columns=["source", "text"])
+    return dedup_rate_by_source(v1.union(v2))
+
+
 @_hinted("documents")
 def q_vocab_kl(sf_dir: str):
     """Distribution drift: exact-integer KL divergence between the English
@@ -3294,6 +3308,7 @@ QUERIES = {
     "users_per_type_hll": q_users_per_type_hll,
     "weighted_sample": q_weighted_sample,
     "corpus_diff": q_corpus_diff,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
     "vocab_kl": q_vocab_kl,
     "corpus_report": q_corpus_report,
     "doc_quality_rank": q_doc_quality_rank,
@@ -4979,6 +4994,17 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     WHEN v1.h = v2.h THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id"""
+    sql["dedup_rate_by_source"] = f"""
+        WITH u AS (
+          SELECT source, md5(text) AS h FROM documents
+          UNION ALL
+          SELECT source, md5(text) AS h FROM read_parquet('{_v2dir}/*.parquet')),
+        g AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+              FROM u GROUP BY source, h)
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs
+        FROM g GROUP BY source"""
     # vocab KL: identical fixed float expression per union-vocab term
     # (p recomputed textually so both engines evaluate the same tree)
     sql["vocab_kl"] = r"""

@@ -1910,3 +1910,45 @@ def conv_dedup(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
         per_conv, ["conv_hash"],
         [(key, "min", key), (key, "count", "n_dups")],
         num_buckets=num_buckets)
+
+
+def dedup_rate_by_source(ds, *, source_col: str = "source",
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_buckets: int = 64):
+    """Per-source duplication rollup — the curation dashboard metric that
+    decides which crawl sources get exact-dedup'd first. Returns one row
+    per source: (source, n_docs, n_unique, n_dup_docs = n_docs - n_unique).
+
+    Scale shape: text hashes on the map side (only (source, 32-hex) rows
+    ever shuffle), one two-phase aggregate collapses duplicates per
+    (source, hash), a per-batch combiner then reduces the hash table to
+    per-source partials before the second (tiny, one-row-per-source)
+    exchange — the corpus shuffles once, by hash."""
+    hashed = ds.map_batches(
+        lambda t: pa.table({source_col: t.column(source_col),
+                            "text_hash": _hash_values(t.column(text_col),
+                                                      "md5")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    groups = two_phase_aggregate(
+        hashed, [source_col, "text_hash"],
+        [("text_hash", "count", "c")], num_buckets=num_buckets)
+
+    def to_partial(t: pa.Table) -> pa.Table:
+        return pa.table({source_col: t.column(source_col),
+                         "n_docs": t.column("c"),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_hash = groups.map_batches(to_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    rolled = two_phase_aggregate(
+        per_hash, [source_col],
+        [("n_docs", "sum", "n_docs"), ("one", "sum", "n_unique")],
+        num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+        nu = t.column("n_unique").to_numpy(zero_copy_only=False)
+        return t.append_column("n_dup_docs", pa.array(nd - nu))
+
+    return rolled.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -720,3 +720,18 @@ def test_conv_dedup_matches_turn_sequences():
 
     exp_a = hashlib.md5((h("user", "hi") + h("assistant", "yo")).encode()).hexdigest()
     assert got.set_index("conv_id").conv_hash["a"] == exp_a
+
+
+def test_dedup_rate_by_source():
+    from rotel_ray.stages.dedup import dedup_rate_by_source
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["a", "a", "a", "b", "b"]),
+        "text": pa.array(["x", "x", "y", "z", "w"]),
+    }))
+    got = (dedup_rate_by_source(ds, num_buckets=4).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert got.source.tolist() == ["a", "b"]
+    assert got.n_docs.tolist() == [3, 2]
+    assert got.n_unique.tolist() == [2, 2]
+    assert got.n_dup_docs.tolist() == [1, 0]
