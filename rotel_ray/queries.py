@@ -2629,6 +2629,23 @@ def q_conv_quality(sf_dir: str):
         return conv_quality(ds)
 
 
+def q_turn_latency(sf_dir: str):
+    """Inter-turn latency by (role_from -> role_to) speaker transition:
+    exact integer microsecond sums/means; timestamps collapse to int64 on
+    the map side, buckets pre-aggregate to per-pair partials."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.window import turn_latency
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["conv_id", "turn_idx", "role", "ts"])
+    with input_rows_hint(n_turns):
+        return turn_latency(ds)
+
+
 def q_conv_dedup(sf_dir: str):
     """Exact duplicate-conversation detection over transcripts with planted
     duplicates (~19% of convs copied under a '-dup' id): per-turn md5
@@ -3212,6 +3229,7 @@ QUERIES = {
     "span_boilerplate": q_span_boilerplate,
     "span_dedup_indoc": q_span_dedup_indoc,
     "conv_dedup": q_conv_dedup,
+    "turn_latency": q_turn_latency,
     "scan_prune_plan": q_scan_prune_plan,
     "mix_balance": q_mix_balance,
     "mix_temperature": q_mix_temperature,
@@ -4583,6 +4601,18 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(stats_max_value AS BIGINT) < {_zhalf} AS skip
         FROM parquet_metadata('{_zdir}/*.parquet')
         WHERE path_in_schema = 'event_id'"""
+    sql["turn_latency"] = f"""
+        WITH t AS (
+          SELECT conv_id, role, epoch_us(ts) AS us,
+                 lag(role) OVER w AS role_from,
+                 lag(epoch_us(ts)) OVER w AS prev_us
+          FROM {_trans_sql_rel(sf_dir)}
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        SELECT role_from, role AS role_to, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(us - prev_us) AS BIGINT) AS sum_us,
+               CAST(sum(us - prev_us) // count(*) AS BIGINT) AS mean_us
+        FROM t WHERE role_from IS NOT NULL
+        GROUP BY role_from, role"""
     # conv_dedup: the fixture path is pure (never builds); q_conv_dedup
     # ensures the build before any harness runs the SQL. md5 + chr(31)
     # joins mirror the engine's per-turn then per-conv hashing exactly.

@@ -648,3 +648,66 @@ def conv_quality(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
 
     return grouped_apply(counted, [key], per_bucket,
                          num_buckets=num_buckets)
+
+
+def turn_latency(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
+                 role_col: str = "role", ts_col: str = "ts",
+                 num_buckets: int = 64):
+    """Inter-turn latency rollup by (role_from -> role_to) speaker pair —
+    the conversational-analytics twin of the events sessionizer: for every
+    adjacent turn pair within a conversation, the microsecond gap is
+    charged to the (previous role, current role) transition; output one row
+    per pair with exact integer (n, sum_us, mean_us = sum_us // n).
+
+    Scale shape: timestamps collapse to int64 micros on the map side and
+    the bucketed shuffle carries (conv, order, role, int) — never text;
+    each bucket pre-aggregates its pairs to per-(role_from, role_to)
+    partials with one sorted scan, so the final exchange is a handful of
+    rows per bucket."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t.column(key),
+            order_col: t.column(order_col),
+            role_col: t.column(role_col),
+            "us": t.column(ts_col).combine_chunks().cast(pa.int64()),
+        })
+
+    narrowed = ds.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"role_from": pd.Series([], dtype=str),
+                                 "role_to": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "sum_us": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, order_col], kind="mergesort")
+        kv = g[key].to_numpy()
+        rv = g[role_col].to_numpy()
+        us = g["us"].to_numpy().astype(np.int64)
+        same = kv[1:] == kv[:-1]
+        pair = pd.DataFrame({"role_from": rv[:-1][same],
+                             "role_to": rv[1:][same],
+                             "d": us[1:][same] - us[:-1][same]})
+        out = (pair.groupby(["role_from", "role_to"], sort=False)
+               .agg(n=("d", "size"), sum_us=("d", "sum")).reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_us"] = out["sum_us"].astype(np.int64)
+        return out
+
+    partials = grouped_apply(narrowed, [key], per_bucket,
+                             num_buckets=num_buckets)
+    rolled = two_phase_aggregate(
+        partials, ["role_from", "role_to"],
+        [("n", "sum", "n"), ("sum_us", "sum", "sum_us")],
+        num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("sum_us").to_numpy(zero_copy_only=False)
+        return t.append_column("mean_us", pa.array(s // n))
+
+    return rolled.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

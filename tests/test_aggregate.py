@@ -184,3 +184,25 @@ def test_bounded_take_all_raises_loudly(ray_session):
     assert len(bounded_take_all(ds, 100)) == 100
     with pytest.raises(ValueError, match="broadcast bound"):
         bounded_take_all(ds, 99, "test table")
+
+
+def test_turn_latency_role_pairs():
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rotel_ray.stages.window import turn_latency
+
+    us = [0, 5, 12, 0, 7]  # conv a: gaps 5,7 ; conv b: gap 7
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b", "b"]),
+        "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int32()),
+        "role": pa.array(["user", "assistant", "user", "user", "assistant"]),
+        "ts": pa.array(us, pa.timestamp("us")),
+    }))
+    got = (turn_latency(ds, num_buckets=4).to_pandas()
+           .sort_values(["role_from", "role_to"]).reset_index(drop=True))
+    rows = {(r.role_from, r.role_to): (r.n, r.sum_us, r.mean_us)
+            for r in got.itertuples()}
+    assert rows == {("user", "assistant"): (2, 12, 6),
+                    ("assistant", "user"): (1, 7, 7)}
