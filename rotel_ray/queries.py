@@ -441,6 +441,19 @@ def q_sim_topk(sf_dir: str, k: int = 10):
 
 
 @_hinted("embeddings")
+def q_embedding_outliers(sf_dir: str):
+    """Per-class embedding outliers: top-20 vectors by division-free
+    exact-int squared distance to their own label's centroid (dist2 =
+    sum((n*xi - sum_i)^2) with xi = floor(x*1e3)). Two-phase label stats,
+    one broadcast, partial top-k per batch."""
+    from .stages.similarity import embedding_outliers
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    return embedding_outliers(ds, k=20)
+
+
+@_hinted("embeddings")
 def q_hard_negatives(sf_dir: str, k: int = 10):
     """Hard-negative mining: top-k most-cosine-similar vectors whose LABEL
     differs from the query vector's — the contrastive-training sampler.
@@ -3327,6 +3340,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "corpus_diff": q_corpus_diff,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "embedding_outliers": q_embedding_outliers,
     "vocab_kl": q_vocab_kl,
     "corpus_report": q_corpus_report,
     "doc_quality_rank": q_doc_quality_rank,
@@ -5460,6 +5474,27 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
         FROM events"""
+    # embedding_outliers: same division-free all-integer tree as the engine
+    # (BIGINT squares < 2^62; HUGEINT sum; no centroid division, whose
+    # floor-vs-truncate semantics differ between Python and DuckDB)
+    sql["embedding_outliers"] = """
+        WITH x AS (
+          SELECT vec_id, label, u.i AS i,
+                 CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000.0)
+                      AS BIGINT) AS xi
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+        s AS (
+          SELECT label, i, CAST(sum(xi) AS BIGINT) AS sum_i,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM x GROUP BY label, i),
+        d AS (
+          SELECT x.vec_id, x.label,
+                 CAST(sum((s.n * x.xi - s.sum_i) * (s.n * x.xi - s.sum_i))
+                      AS BIGINT) AS dist2
+          FROM x JOIN s ON s.label = x.label AND s.i = x.i
+          GROUP BY x.vec_id, x.label)
+        SELECT vec_id, label, dist2
+        FROM d ORDER BY dist2 DESC, vec_id LIMIT 20"""
     sql["embedding_covariance"] = """
         WITH pos AS (
           SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,

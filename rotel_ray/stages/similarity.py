@@ -753,3 +753,79 @@ def hybrid_rrf(docs_ds, emb_ds, query_vec: np.ndarray,
     return (out.sort_values(["rrf_nano", doc_id_col],
                             ascending=[False, True], kind="mergesort")
             .head(k_out).reset_index(drop=True))
+
+
+def embedding_outliers(ds, k: int = 20, *, scale: float = 1000.0,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       label_col: str = "label", num_buckets: int = 8):
+    """Per-class embedding outliers: the k vectors farthest from their own
+    label's centroid — the embedding-space anomaly filter (mislabeled /
+    off-distribution docs) of a curation pipeline.
+
+    DIVISION-FREE exact-integer distance: with xi = floor(x * scale) and
+    per-label (n, sum) from a two-phase pass, the squared distance to the
+    centroid scales by n^2 into dist2 = Σ_dims (n·xi − sum_i)² — pure int64
+    arithmetic on both engine and oracle (no centroid division, whose
+    floor-vs-truncate semantics differ between numpy and SQL). Ranking by
+    dist2 equals ranking by true distance WITHIN a label; the top-k here
+    spans labels and is the deterministic (dist2 DESC, id ASC) order of the
+    planted-scale fixture. int64 bound: |n·xi| < 2^31 keeps every square
+    < 2^62 — holds to ~10^6 vectors/label at scale 1e3; beyond that the
+    scale path divides once per label on the driver instead.
+
+    Scale shape: pass 1 reduces to (labels × d) int rows two-phase; the
+    (n, sum) table broadcasts once via ray.put; pass 2 is one stateless
+    map with per-batch partial top-k, so the final sort sees batches × k
+    rows."""
+    import ray
+
+    from .aggregate import two_phase_aggregate
+
+    def part(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        x = np.floor(m * scale).astype(np.int64)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(lab, kind="stable")
+        ls, xs = lab[order], x[order]
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        sums = np.add.reduceat(xs, starts, axis=0)
+        ns = np.diff(np.r_[starts, len(ls)])
+        g, d = sums.shape
+        return pa.table({
+            label_col: pa.array(np.repeat(ls[starts], d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int32), g)),
+            "sum_i": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(ns.astype(np.int64), d)),
+        })
+
+    stats = two_phase_aggregate(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        [label_col, "dim"], [("sum_i", "sum", "sum_i"), ("n", "sum", "n")],
+        num_buckets=num_buckets).take_all()  # labels x d rows — driver-safe
+    labels = sorted({r[label_col] for r in stats})
+    d = max(r["dim"] for r in stats) + 1
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    sum_m = np.zeros((len(labels), d), np.int64)
+    n_v = np.zeros(len(labels), np.int64)
+    for r in stats:
+        sum_m[lab_idx[r[label_col]], r["dim"]] = r["sum_i"]
+        n_v[lab_idx[r[label_col]]] = r["n"]
+    ref = ray.put((lab_idx, sum_m, n_v))
+
+    def dist(t: pa.Table) -> pa.Table:
+        lab_idx_l, sum_l, n_l = ray.get(ref)
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        x = np.floor(m * scale).astype(np.int64)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False)
+        li = np.array([lab_idx_l[v] for v in lab], np.int64)
+        diff = n_l[li, None] * x - sum_l[li]
+        d2 = (diff * diff).sum(axis=1)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(d2) > k:
+            keep = np.lexsort((ids, -d2))[:k]
+            ids, lab, d2 = ids[keep], lab[keep], d2[keep]
+        return pa.table({id_col: pa.array(ids), label_col: pa.array(lab),
+                         "dist2": pa.array(d2)})
+
+    return (ds.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True)
+            .sort(["dist2", id_col], descending=[True, False]).limit(k))

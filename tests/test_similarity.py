@@ -536,3 +536,26 @@ def test_hybrid_rrf_fuses_both_rankings():
         for d in set(dr) | set(lr)}
     assert dict(zip(got.doc_id, got.rrf_nano)) == exp
     assert got.rrf_nano.is_monotonic_decreasing
+
+
+def test_embedding_outliers_exact_int_distance():
+    from rotel_ray.stages.similarity import embedding_outliers
+
+    # label 0: three vectors near [1,0] and one far at [9,0] -> the far one
+    # must rank first; label 1 is tight around [0,1]
+    vecs = [[1.0, 0.0], [1.2, 0.0], [0.8, 0.0], [9.0, 0.0],
+            [0.0, 1.0], [0.0, 1.1]]
+    labels = [0, 0, 0, 0, 1, 1]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }))
+    got = embedding_outliers(ds, k=3).to_pandas()
+    assert got.vec_id.tolist()[0] == 3  # the planted outlier
+
+    # replicate the division-free arithmetic for the winner
+    x = np.floor(np.array(vecs, np.float64) * 1000.0).astype(np.int64)
+    s0, n0 = x[:4].sum(axis=0), 4
+    exp = int(((n0 * x[3] - s0) ** 2).sum())
+    assert got.dist2.tolist()[0] == exp
