@@ -1885,6 +1885,18 @@ def q_bm25_topk(sf_dir: str):
 
 
 @_hinted("documents")
+def q_oov_rate(sf_dir: str):
+    """Tokenizer-coverage audit: per-source token and OOV counts against
+    the corpus top-16 vocabulary (broadcast once); per-(batch, source)
+    combiners keep the final exchange at a few rows per source."""
+    from .stages.textstats import oov_rate
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    return oov_rate(ds, vocab_size=16)
+
+
+@_hinted("documents")
 def q_zipf_slope(sf_dir: str):
     """Corpus profiling: least-squares Zipf slope of ln(freq) vs ln(rank)
     over the top-256 unigrams — milli-nat int quantization makes the
@@ -3381,6 +3393,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "zipf_slope": q_zipf_slope,
+    "oov_rate": q_oov_rate,
     "latest_event_per_user": q_latest_event_per_user,
     "embedding_covariance": q_embedding_covariance,
     "customer_order_counts": q_customer_order_counts,
@@ -5358,6 +5371,20 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(floor(({_bm_sum}) * 1e6) AS BIGINT) AS score_unat
         FROM tk, st
         ORDER BY score_unat DESC, doc_id LIMIT 10"""
+    sql["oov_rate"] = r"""
+        WITH tk AS (
+          SELECT source, list_filter(regexp_split_to_array(text, '\s+'),
+                                     t -> t != '') AS tk
+          FROM documents),
+        uni AS (
+          SELECT t.w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(tk) AS w FROM tk) t GROUP BY 1),
+        vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 16),
+        flat AS (SELECT source, unnest(tk) AS w FROM tk)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab))
+                    AS BIGINT) AS n_oov
+        FROM flat GROUP BY source"""
     # zipf_slope: milli-nat int quantization on both axes -> exact integer
     # regression sums (HUGEINT in SQL, int64 in numpy; all < 2^53 so the
     # final double division sees identical operands)

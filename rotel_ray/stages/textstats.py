@@ -1544,3 +1544,56 @@ def zipf_slope(ds, *, text_col: str = "text", top_n: int = 256,
     slope_micro = int(np.floor(1e6 * float(num) / float(den)))
     return pd.DataFrame({"n_tokens": np.array([n], np.int64),
                          "slope_micro": np.array([slope_micro], np.int64)})
+
+
+def oov_rate(ds, *, vocab_size: int = 16, text_col: str = "text",
+             source_col: str = "source", num_buckets: int = 16):
+    """Tokenizer-coverage audit: per source, how many tokens fall outside
+    the corpus top-``vocab_size`` vocabulary — the signal that decides
+    whether a tokenizer retrains before a new source joins the mix.
+    Output: (source, n_tokens, n_oov) exact int64.
+
+    Scale shape: the vocabulary is the distributed :func:`top_v_counts`
+    selection over vocab-bounded count partials, broadcast once via
+    ``ray.put``; the scoring pass is one stateless map with an Arrow
+    ``index_in`` probe and per-(batch, source) combiners, so the final
+    exchange is a few rows per source."""
+    import ray
+
+    from .aggregate import two_phase_aggregate
+
+    top = top_v_counts(unigram_counts(ds, text_col=text_col,
+                                      num_buckets=num_buckets),
+                       key_col="tok", count_col="c", top_v=vocab_size)
+    vocab = pa.array([r["tok"] for r in top.take_all()], pa.string())
+    ref = ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_l = ray.get(ref)
+        flat, doc_of, n_tok = split_tokens(t.column(text_col))
+        oov_flags = pc.index_in(flat, vocab_l).is_null().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = t.column(source_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        ss = src[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        n_docs_per = np.diff(np.r_[starts, len(ss)])
+        # per-doc token counts -> per-source sums in the sorted order
+        nt = n_tok.astype(np.int64)[order]
+        per_doc_oov = (np.bincount(doc_of, weights=oov_flags,
+                                   minlength=len(src)).astype(np.int64)
+                       if len(flat) else np.zeros(len(src), np.int64))
+        po = per_doc_oov[order]
+        return pa.table({
+            source_col: pa.array(ss[starts]),
+            "n_tokens": pa.array(np.add.reduceat(nt, starts)
+                                 if len(ss) else np.empty(0, np.int64)),
+            "n_oov": pa.array(np.add.reduceat(po, starts)
+                              if len(ss) else np.empty(0, np.int64)),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_aggregate(parts, [source_col],
+                               [("n_tokens", "sum", "n_tokens"),
+                                ("n_oov", "sum", "n_oov")],
+                               num_buckets=num_buckets)

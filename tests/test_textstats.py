@@ -516,3 +516,18 @@ def test_zipf_slope_matches_reference():
     assert got.n_tokens.tolist() == [4]
     assert got.slope_micro.tolist() == [exp]
     assert -1_400_000 < exp < -800_000  # Zipf-ish: slope near -1
+
+
+def test_oov_rate_counts_out_of_vocab_tokens():
+    from rotel_ray.stages.textstats import oov_rate
+
+    # corpus counts: a=5, b=3, c=2, z=1 -> top-2 vocab = {a, b}
+    docs = ["a a a b b", "a a b c c z"]
+    srcs = ["s1", "s2"]
+    ds = rd.from_arrow(pa.table({"source": pa.array(srcs),
+                                 "text": pa.array(docs)}))
+    got = (oov_rate(ds, vocab_size=2, num_buckets=4).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert got.source.tolist() == ["s1", "s2"]
+    assert got.n_tokens.tolist() == [5, 6]
+    assert got.n_oov.tolist() == [0, 3]  # c c z
