@@ -956,6 +956,24 @@ def q_range_join(sf_dir: str):
                            before_minutes=60.0, after_minutes=60.0)
 
 
+def q_customers_no_urgent(sf_dir: str):
+    """Relational anti-join: customers with NO urgent-priority order —
+    bucketed NOT IN (the right side collapses to distinct keys per batch
+    before the shuffle; no broadcast, no full collect)."""
+    from .stages.join import bucket_anti_join
+
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"])
+    urgent = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_orderpriority"])
+    urgent = urgent.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                    "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return bucket_anti_join(cust, urgent, on="c_custkey",
+                            right_on="o_custkey", num_buckets=16)
+
+
 def q_order_revenue_join(sf_dir: str):
     """Big-big hash-shuffle join: lineitem ⋈ orders on orderkey, revenue per
     order priority (bucket co-partitioned join — 2x faster than
@@ -3285,6 +3303,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "asof_purchase_click": q_asof_purchase_click,
     "order_revenue_join": q_order_revenue_join,
+    "customers_no_urgent": q_customers_no_urgent,
     "attrs_actions": q_attrs_actions,
     "redaction": q_redaction,
     "parse_json": q_parse_json,
@@ -3705,6 +3724,10 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts"""
+    sql["customers_no_urgent"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"""
     sql["order_revenue_join"] = f"""
         SELECT o_orderpriority,
                CAST(sum({cents.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT)

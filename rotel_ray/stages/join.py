@@ -159,3 +159,50 @@ def bucket_hash_join(left, right, *, on: str, right_on: str | None = None,
         return merged.astype(int_casts) if int_casts else merged
 
     return grouped_apply(both, [on], per_bucket, num_buckets=num_buckets)
+
+
+def bucket_anti_join(left, right, *, on: str, right_on: str | None = None,
+                     num_buckets: int = 64):
+    """Big-big ANTI-join: keep every left row whose key has NO match on the
+    right — the relational NOT IN / NOT EXISTS shape (decontamination,
+    "never-purchased" audits, tombstone subtraction). Same explicit bucket
+    co-partitioning as :func:`bucket_hash_join`: the right side collapses
+    to its DISTINCT keys per batch before the shuffle (an anti-join never
+    needs right payloads), both sides union tagged, and each bucket drops
+    left rows via one vectorized ``isin``. No side is ever collected whole;
+    a hot right key costs one distinct row per batch, not a broadcast."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply
+
+    right_on = right_on or on
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    l_cols = [c for c in l_schema if c != on]
+    key_t = l_schema[on]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.select([on] + l_cols).append_column(
+            "__side", pa.nulls(t.num_rows, pa.int8()).fill_null(0))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = pc.unique(pc.cast(t.column(right_on).combine_chunks(), key_t))
+        out = pa.table({on: keys})
+        for c in l_cols:
+            out = out.append_column(c, pa.nulls(len(keys), l_schema[c]))
+        return out.select([on] + l_cols).append_column(
+            "__side", pa.nulls(len(keys), pa.int8()).fill_null(1))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    int_casts = {c: "int64" for c in l_cols
+                 if pa.types.is_integer(l_schema[c])}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0]
+        r_keys = g.loc[g["__side"] == 1, on]
+        out = l.loc[~l[on].isin(r_keys), [on] + l_cols]
+        return out.astype(int_casts) if int_casts else out
+
+    return grouped_apply(lt.union(rt), [on], per_bucket,
+                         num_buckets=num_buckets)

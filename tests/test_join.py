@@ -63,3 +63,21 @@ def test_bucket_left_join_requires_fill_for_int_cols(ray_session):
         bucket_hash_join(left, right, on="k", how="left")
     with _pt.raises(ValueError, match="not in"):
         bucket_hash_join(left, right, on="k", how="outer")
+
+
+def test_bucket_anti_join_drops_matched_keys():
+    from rotel_ray.stages.join import bucket_anti_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 4, 9], pa.int64()),
+    }))
+    got = (bucket_anti_join(left, right, on="k", right_on="rk",
+                            num_buckets=4).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert got.k.tolist() == [1, 3]
+    assert got.v.tolist() == ["a", "c"]
+    assert str(got.k.dtype) == "int64"
