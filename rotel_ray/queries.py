@@ -789,6 +789,22 @@ def q_mm_frames(sf_dir: str):
     return ds.select_columns(["media_id", "frame_idx"])
 
 
+def q_mm_loudness(sf_dir: str):
+    """Per-frame audio energy (VAD/silence primitive) over REAL decoded
+    payloads: 64-sample frames, exact-int sum((s-128)^2) — byte-level
+    hex-replay oracle on the decode."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import (MediaDecoder, audio_frame_energy,
+                                    ensure_media)
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    return ds.map_batches(audio_frame_energy, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
 def q_mm_resample(sf_dir: str):
     """Nearest-neighbor 512-sample audio resample over decoded payloads —
     the 1-D analogue of mm_resize, same byte-exact hex-replay oracle."""
@@ -3422,6 +3438,7 @@ QUERIES = {
     "mm_resize": q_mm_resize,
     "slo_burn": q_slo_burn,
     "mm_resample": q_mm_resample,
+    "mm_loudness": q_mm_loudness,
     "mm_motion": q_mm_motion,
 }
 
@@ -3882,6 +3899,17 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(max(pk.peak_pair) AS BIGINT) AS peak_pair
         FROM d JOIN pk ON pk.media_id = d.media_id AND pk.rn = 1
         GROUP BY 1"""
+    _se = _hd.format(p="2 * u.i + 1")
+    sql["mm_loudness"] = f"""
+        WITH aud AS (
+          SELECT media_id, body_hex AS hx, width AS w
+          FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'audio'),
+        b AS (
+          SELECT media_id, u.i AS i, {_se} AS b
+          FROM aud, unnest(range(0, (w // 64) * 64)) AS u(i))
+        SELECT media_id, CAST(i // 64 AS BIGINT) AS frame_idx,
+               CAST(sum((b - 128) * (b - 128)) AS BIGINT) AS energy
+        FROM b GROUP BY 1, 2"""
     _sa = _hd.format(p="2 * ((u.i * w) // 512) + 1")
     sql["mm_resample"] = f"""
         WITH aud AS (

@@ -682,3 +682,31 @@ def frame_sample_pipeline(media_dir: str, *, every: int = 4, concurrency=(1, 4),
         lambda t: frame_sample_batch(t, every), batch_format="pyarrow",
         batch_size=batch_size, zero_copy_batch=True,
     )
+
+
+def audio_frame_energy(t: pa.Table, frame: int = 64) -> pa.Table:
+    """Per-frame audio energy over decoded bodies — the silence-detection /
+    VAD primitive of a speech-corpus pipeline: each ``frame``-sample window
+    reduces to the exact-integer energy sum((s - 128)^2) (samples are
+    unsigned bytes; 128 is the zero line). The trailing partial frame
+    drops. Non-audio rows drop. Pure numpy reshape+sum per batch; one
+    output row per (media, frame)."""
+    ids, fidx, energy = [], [], []
+    for mid, kind, body, w in zip(
+            t.column("media_id").to_pylist(), t.column("kind").to_pylist(),
+            t.column("body").to_pylist(), t.column("width").to_pylist()):
+        if kind != "audio":
+            continue
+        n = (w // frame) * frame
+        if n == 0:
+            continue
+        arr = np.frombuffer(body, np.uint8)[:n].astype(np.int64) - 128
+        e = (arr * arr).reshape(-1, frame).sum(axis=1)
+        ids.extend([mid] * len(e))
+        fidx.extend(range(len(e)))
+        energy.extend(int(v) for v in e)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "frame_idx": pa.array(fidx, pa.int64()),
+        "energy": pa.array(energy, pa.int64()),
+    })

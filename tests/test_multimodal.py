@@ -422,3 +422,24 @@ def test_png_codec_large_image():
     # gradient image: zlib should compress the filtered stream well below raw
     g = (np.add.outer(np.arange(512), np.arange(512)) % 256).astype(np.uint8)
     assert len(encode_png(g)) < g.size // 4
+
+
+def test_audio_frame_energy_exact_and_tail_drop():
+    from rotel_ray.stages.multimodal import audio_frame_energy
+
+    body = bytes(range(100, 240))  # 140 samples -> 2 frames of 64, tail 12 drops
+    t = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["audio"]),
+        "body": pa.array([body], pa.binary()),
+        "width": pa.array([140], pa.int64()),
+    })
+    got = audio_frame_energy(t).to_pandas()
+    arr = np.frombuffer(body, np.uint8)[:128].astype(np.int64) - 128
+    exp = (arr * arr).reshape(2, 64).sum(axis=1)
+    assert got.frame_idx.tolist() == [0, 1]
+    assert got.energy.tolist() == exp.tolist()
+
+    # non-audio rows drop entirely
+    t2 = t.set_column(1, "kind", pa.array(["image"]))
+    assert audio_frame_energy(t2).num_rows == 0
