@@ -171,6 +171,52 @@ def q_parse_tool_calls(sf_dir: str):
     )
 
 
+def q_tool_stats(sf_dir: str):
+    """Agent-ops rollup: per tool, call count, failure count (exit != 0),
+    distinct conversations, and exact duration sums/max — the SRE view of
+    the parsed tool-call stream. Two bucketed two-phase aggregates: first
+    collapse to (tool, conv) partials, then one row per tool."""
+    from .stages.aggregate import two_phase_aggregate
+
+    ds = _parsed(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "tool_call"))
+        return pa.table({
+            "tool_name": t.column("tool_name"),
+            "conv_id": t.column("conv_id"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "failed": pc.cast(pc.not_equal(t.column("tool_exit"), 0),
+                              pa.int64()),
+            "duration_ms": t.column("duration_ms"),
+        })
+
+    per_conv = two_phase_aggregate(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        ["tool_name", "conv_id"],
+        [("one", "sum", "c"), ("failed", "sum", "f"),
+         ("duration_ms", "sum", "s"), ("duration_ms", "max", "mx")],
+        num_buckets=16)
+
+    def to_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tool_name": t.column("tool_name"),
+            "c": t.column("c"), "f": t.column("f"), "s": t.column("s"),
+            "mx": t.column("mx"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        })
+
+    rolled = two_phase_aggregate(
+        per_conv.map_batches(to_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["tool_name"],
+        [("c", "sum", "n_calls"), ("f", "sum", "n_failed"),
+         ("one", "sum", "n_convs"), ("s", "sum", "sum_duration_ms"),
+         ("mx", "max", "max_duration_ms")],
+        num_buckets=16)
+    return rolled
+
+
 def q_parse_errors(sf_dir: str):
     ds = _parsed(sf_dir)
     return ds.map_batches(
@@ -3269,6 +3315,7 @@ def q_file_source_gz(sf_dir: str):
 QUERIES = {
     "parse_tool_calls": q_parse_tool_calls,
     "parse_errors": q_parse_errors,
+    "tool_stats": q_tool_stats,
     "parse_nginx_access": q_parse_nginx_access,
     "parse_kmsg": q_parse_kmsg,
     "route_counts": q_route_counts,
@@ -3453,6 +3500,24 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(regexp_extract(text, 'exit=(\\d+)', 1) AS INTEGER) AS tool_exit,
                CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1) AS BIGINT) AS duration_ms
         FROM {T} WHERE {SQL_IS_TOOL}"""
+    sql["tool_stats"] = f"""
+        WITH tc AS (
+          SELECT conv_id,
+                 regexp_extract(text, '^TOOL_CALL tool=(\\w+) ', 1) AS tool_name,
+                 CAST(regexp_extract(text, 'exit=(\\d+)', 1) AS INTEGER) AS tool_exit,
+                 CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1) AS BIGINT) AS duration_ms
+          FROM {T} WHERE {SQL_IS_TOOL}),
+        g AS (
+          SELECT tool_name, conv_id, count(*) AS c,
+                 count(*) FILTER (WHERE tool_exit != 0) AS f,
+                 sum(duration_ms) AS s, max(duration_ms) AS mx
+          FROM tc GROUP BY 1, 2)
+        SELECT tool_name, CAST(sum(c) AS BIGINT) AS n_calls,
+               CAST(sum(f) AS BIGINT) AS n_failed,
+               CAST(count(*) AS BIGINT) AS n_convs,
+               CAST(sum(s) AS BIGINT) AS sum_duration_ms,
+               CAST(max(mx) AS BIGINT) AS max_duration_ms
+        FROM g GROUP BY tool_name"""
     sql["parse_errors"] = f"""
         SELECT conv_id, turn_idx,
                regexp_extract(text, 'code=(\\w+)', 1) AS error_code,
