@@ -171,6 +171,97 @@ def q_parse_tool_calls(sf_dir: str):
     )
 
 
+def q_conv_outcomes(sf_dir: str):
+    """Conversation funnel: how many conversations used a tool, hit an
+    error, both, or neither — per-conv boolean rollup (max of per-batch
+    flags, two-phase) then a 4-row groupby over the flag pairs."""
+    from .stages.aggregate import two_phase_aggregate
+
+    ds = _parsed(sf_dir)
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "has_tool": pc.cast(pc.equal(t.column("event_type"),
+                                         "tool_call"), pa.int64()),
+            "has_error": pc.cast(pc.equal(t.column("event_type"), "error"),
+                                 pa.int64()),
+        })
+
+    per_conv = two_phase_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_id"],
+        [("has_tool", "max", "has_tool"), ("has_error", "max", "has_error")],
+        num_buckets=16)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "has_tool": pc.cast(t.column("has_tool"), pa.bool_()),
+            "has_error": pc.cast(t.column("has_error"), pa.bool_()),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        })
+
+    return two_phase_aggregate(
+        per_conv.map_batches(one, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["has_tool", "has_error"], [("one", "sum", "n_convs")],
+        num_buckets=4)
+
+
+def q_error_recovery(sf_dir: str):
+    """Agent resilience funnel: of the conversations that hit an error, how
+    many RECOVERED (a successful tool call at a turn strictly after the
+    last error)? Narrow (conv, turn, 2 flags) rows shuffle; each bucket
+    resolves its conversations with two vectorized group reductions."""
+    import pandas as pd
+
+    from .stages.aggregate import grouped_apply, two_phase_aggregate
+
+    ds = _parsed(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        is_err = pc.equal(t.column("event_type"), "error")
+        ok_tool = pc.and_(pc.equal(t.column("event_type"), "tool_call"),
+                          pc.equal(pc.fill_null(t.column("tool_exit"), -1), 0))
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "is_err": pc.cast(is_err, pa.int64()),
+            "ok_tool": pc.cast(ok_tool, pa.int64()),
+        })
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        errs = g[g.is_err == 1]
+        if not len(errs):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                                 "recovered": pd.Series([], dtype=np.int64)})
+        last = errs.groupby("conv_id").turn_idx.max().rename("last_err")
+        ok = g.loc[g.ok_tool == 1, ["conv_id", "turn_idx"]].merge(
+            last, on="conv_id")
+        rec = set(ok.loc[ok.turn_idx > ok.last_err, "conv_id"])
+        return pd.DataFrame({
+            "conv_id": last.index.to_numpy(),
+            "recovered": np.array([int(c in rec) for c in last.index],
+                                  np.int64),
+        })
+
+    per_conv = grouped_apply(rows, ["conv_id"], per_bucket, num_buckets=16)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "recovered": pc.cast(t.column("recovered"), pa.bool_()),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        })
+
+    return two_phase_aggregate(
+        per_conv.map_batches(one, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["recovered"], [("one", "sum", "n_convs")], num_buckets=4)
+
+
 def q_tool_stats(sf_dir: str):
     """Agent-ops rollup: per tool, call count, failure count (exit != 0),
     distinct conversations, and exact duration sums/max — the SRE view of
@@ -3316,6 +3407,8 @@ QUERIES = {
     "parse_tool_calls": q_parse_tool_calls,
     "parse_errors": q_parse_errors,
     "tool_stats": q_tool_stats,
+    "conv_outcomes": q_conv_outcomes,
+    "error_recovery": q_error_recovery,
     "parse_nginx_access": q_parse_nginx_access,
     "parse_kmsg": q_parse_kmsg,
     "route_counts": q_route_counts,
@@ -3500,6 +3593,29 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(regexp_extract(text, 'exit=(\\d+)', 1) AS INTEGER) AS tool_exit,
                CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1) AS BIGINT) AS duration_ms
         FROM {T} WHERE {SQL_IS_TOOL}"""
+    sql["conv_outcomes"] = f"""
+        WITH pc AS (
+          SELECT conv_id,
+                 max(CASE WHEN {SQL_IS_TOOL} THEN 1 ELSE 0 END) AS ht,
+                 max(CASE WHEN {SQL_IS_ERROR} THEN 1 ELSE 0 END) AS he
+          FROM {T} GROUP BY conv_id)
+        SELECT ht = 1 AS has_tool, he = 1 AS has_error,
+               CAST(count(*) AS BIGINT) AS n_convs
+        FROM pc GROUP BY 1, 2"""
+    sql["error_recovery"] = f"""
+        WITH p AS (
+          SELECT conv_id, turn_idx, {SQL_IS_ERROR} AS is_err,
+                 ({SQL_IS_TOOL})
+                   AND regexp_extract(text, 'exit=(\\d+)', 1) = '0' AS ok_tool
+          FROM {T}),
+        e AS (SELECT conv_id, max(turn_idx) AS le
+              FROM p WHERE is_err GROUP BY conv_id),
+        r AS (SELECT e.conv_id,
+                     max(CASE WHEN p.ok_tool AND p.turn_idx > e.le
+                              THEN 1 ELSE 0 END) AS rec
+              FROM e JOIN p ON p.conv_id = e.conv_id GROUP BY e.conv_id)
+        SELECT rec = 1 AS recovered, CAST(count(*) AS BIGINT) AS n_convs
+        FROM r GROUP BY 1"""
     sql["tool_stats"] = f"""
         WITH tc AS (
           SELECT conv_id,
