@@ -2825,6 +2825,19 @@ def q_conv_quality(sf_dir: str):
         return conv_quality(ds)
 
 
+def q_late_events(sf_dir: str):
+    """Watermark late-data accounting (Flink bounded-out-of-orderness
+    model) over the deterministic out-of-order arrival fixture: events
+    whose ts falls below (running max of earlier-arrived ts) − 1 h are
+    LATE; exact counts per (event_type, late). Chunked prefix-max — no
+    global data sort, only int metadata on the driver."""
+    from .stages.window import ensure_ooo_events, late_events
+
+    path = ensure_ooo_events(sf_dir)
+    ds = read_parquet(path, columns=["arrival_seq", "ts", "event_type"])
+    return late_events(ds)
+
+
 def q_turn_latency(sf_dir: str):
     """Inter-turn latency by (role_from -> role_to) speaker transition:
     exact integer microsecond sums/means; timestamps collapse to int64 on
@@ -3429,6 +3442,7 @@ QUERIES = {
     "span_dedup_indoc": q_span_dedup_indoc,
     "conv_dedup": q_conv_dedup,
     "turn_latency": q_turn_latency,
+    "late_events": q_late_events,
     "scan_prune_plan": q_scan_prune_plan,
     "mix_balance": q_mix_balance,
     "mix_temperature": q_mix_temperature,
@@ -4860,6 +4874,23 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(stats_max_value AS BIGINT) < {_zhalf} AS skip
         FROM parquet_metadata('{_zdir}/*.parquet')
         WHERE path_in_schema = 'event_id'"""
+    from .stages.window import LATE_DELAY_US as _LDU
+    from .stages.window import ooo_events_path as _oep
+
+    _ooodir = _oep(sf_dir)
+    sql["late_events"] = f"""
+        WITH x AS (
+          SELECT event_type, arrival_seq, epoch_us(ts) AS us
+          FROM read_parquet('{_ooodir}/*.parquet')),
+        w AS (
+          SELECT event_type, us,
+                 max(us) OVER (ORDER BY arrival_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM x)
+        SELECT event_type,
+               (pm IS NOT NULL AND us < pm - {_LDU}) AS late,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM w GROUP BY 1, 2"""
     sql["turn_latency"] = f"""
         WITH t AS (
           SELECT conv_id, role, epoch_us(ts) AS us,

@@ -711,3 +711,144 @@ def turn_latency(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
 
     return rolled.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# watermark / late-data accounting (bounded out-of-orderness)
+# ---------------------------------------------------------------------------
+
+OOO_VERSION = 1
+OOO_WINDOW = 64            # max rank displacement (bounded disorder)
+LATE_DELAY_US = 3_600_000_000  # 1 h allowed lateness
+
+
+def ooo_events_path(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path (never builds) — safe to embed in oracle SQL."""
+    import os
+
+    from .planted import source_tag
+
+    tag = source_tag(f"{sf_dir}/events.parquet")
+    return os.path.join(root, f"oooevents_g{OOO_VERSION}_{tag}")
+
+
+def ensure_ooo_events(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Events with a deterministic BOUNDED-disorder arrival order (the
+    Flink out-of-orderness model): rows sort by ts, then each rank is
+    jittered forward by md5(event_id) % OOO_WINDOW and the stable argsort
+    of the jittered rank becomes ``arrival_seq``. Pure function of the
+    source, cached with the content-fingerprint key."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = ooo_events_path(sf_dir, root)
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "ts", "event_type"])
+    order = pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                          ("event_id", "ascending")])
+    t = t.take(order)
+    eids = t.column("event_id").to_numpy(zero_copy_only=False)
+    jit = np.array([int(hashlib.md5(str(int(e)).encode()).hexdigest()[:8], 16)
+                    % OOO_WINDOW for e in eids], np.int64)
+    keyed = np.arange(len(eids), dtype=np.int64) + jit
+    arrival = np.empty(len(eids), np.int64)
+    arrival[np.argsort(keyed, kind="stable")] = np.arange(len(eids))
+    t = t.append_column("arrival_seq", pa.array(arrival))
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(t, os.path.join(tmp, "part-0000.parquet"),
+                   row_group_size=16384)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def late_events(ds, *, delay_us: int = LATE_DELAY_US,
+                seq_col: str = "arrival_seq", ts_col: str = "ts",
+                type_col: str = "event_type", chunk: int = 4096,
+                num_buckets: int = 16):
+    """Watermark late-data accounting under bounded out-of-orderness: the
+    watermark at arrival i is max(ts of arrivals < i) − ``delay_us``; an
+    event is LATE iff its ts falls below that watermark (the row a
+    streaming engine would drop or side-output). Output: one row per
+    (event_type, late) with exact counts.
+
+    Scale shape: the running prefix-max decomposes by arrival chunks —
+    phase 1 reduces each ``chunk``-arrival range to one (chunk, max_ts)
+    row two-phase; the driver folds the per-chunk maxima into carry-ins
+    (one int per chunk — size n/chunk, the same driver-bounded shape as
+    compaction_plan's per-file rows; scale ``chunk`` with the corpus) and
+    broadcasts them; phase 2 buckets by chunk and finishes each chunk
+    with one vectorized cummax. No global sort of the data — only int
+    metadata crosses the driver."""
+    import ray
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "seq": t.column(seq_col),
+            "us": t.column(ts_col).combine_chunks().cast(pa.int64()),
+            type_col: t.column(type_col),
+        })
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def chunk_ids(t: pa.Table) -> pa.Table:
+        seq = t.column("seq").to_numpy(zero_copy_only=False)
+        return t.append_column("chunk", pa.array(seq // chunk))
+
+    chunked = rows.map_batches(chunk_ids, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    cmax = two_phase_aggregate(chunked, ["chunk"],
+                               [("us", "max", "mx")],
+                               num_buckets=num_buckets).take_all()
+    cmax.sort(key=lambda r: r["chunk"])
+    n_chunks = cmax[-1]["chunk"] + 1 if cmax else 0
+    carry = np.full(n_chunks, np.iinfo(np.int64).min // 4, np.int64)
+    run = np.iinfo(np.int64).min // 4
+    for r in cmax:
+        carry[r["chunk"]] = run
+        run = max(run, r["mx"])
+    ref = ray.put(carry)
+
+    def per_bucket(g):
+        import pandas as pd
+
+        if not len(g):
+            return pd.DataFrame({type_col: pd.Series([], dtype=str),
+                                 "late": pd.Series([], dtype=bool),
+                                 "n_events": pd.Series([], dtype=np.int64)})
+        carry_l = ray.get(ref)
+        g = g.sort_values("seq", kind="mergesort")
+        seq = g["seq"].to_numpy()
+        us = g["us"].to_numpy().astype(np.int64)
+        ch = g["chunk"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, ch[1:] != ch[:-1]])
+        wm_prev = np.empty(len(us), np.int64)
+        for s, e in zip(starts, np.r_[starts[1:], len(us)]):
+            cm = np.maximum.accumulate(us[s:e])
+            wm_prev[s:e] = np.r_[carry_l[ch[s]],
+                                 np.maximum(cm[:-1], carry_l[ch[s]])]
+        late = us < wm_prev - delay_us
+        out = (pd.DataFrame({type_col: g[type_col].to_numpy(),
+                             "late": late})
+               .groupby([type_col, "late"], sort=False)
+               .size().rename("n_events").reset_index())
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    partials = grouped_apply(chunked, ["chunk"], per_bucket,
+                             num_buckets=num_buckets)
+    return two_phase_aggregate(partials, [type_col, "late"],
+                               [("n_events", "sum", "n_events")],
+                               num_buckets=4)

@@ -206,3 +206,30 @@ def test_turn_latency_role_pairs():
             for r in got.itertuples()}
     assert rows == {("user", "assistant"): (2, 12, 6),
                     ("assistant", "user"): (1, 7, 7)}
+
+
+def test_late_events_watermark_semantics():
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rotel_ray.stages.window import late_events
+
+    # arrival order: ts 100, 500, 120(late if delay<380-?), 490, 50
+    # watermark before each arrival = max of earlier ts - delay(=100):
+    #   a0 ts=100 -> no prior -> on time
+    #   a1 ts=500 -> wm=100-100=0 -> on time
+    #   a2 ts=120 -> wm=500-100=400 -> LATE
+    #   a3 ts=490 -> wm=400 -> on time
+    #   a4 ts=50  -> wm=400 -> LATE
+    us = [100, 500, 120, 490, 50]
+    ds = rd.from_arrow(pa.table({
+        "arrival_seq": pa.array(range(5), pa.int64()),
+        "ts": pa.array(us, pa.timestamp("us")),
+        "event_type": pa.array(["c", "c", "c", "v", "v"]),
+    }))
+    got = (late_events(ds, delay_us=100, chunk=2, num_buckets=4).to_pandas()
+           .sort_values(["event_type", "late"]).reset_index(drop=True))
+    rows = {(r.event_type, bool(r.late)): r.n_events for r in got.itertuples()}
+    assert rows == {("c", False): 2, ("c", True): 1,
+                    ("v", False): 1, ("v", True): 1}
