@@ -295,6 +295,64 @@ def main() -> None:
     n_contam = decontaminate_bloom(tr, ev, k=8, num_bits_log2=24).count()
     t7 = time.time()
 
+    # round-5 ops: the map-only in-document span dedup (pure throughput —
+    # no shuffle to stress) and the watermark late-data accounting at 2 M
+    # events, checked against a FULL single-process numpy replay (the
+    # chunked prefix-max must agree with the sequential semantics exactly)
+    from rotel_ray.stages.dedup import span_dedup_indoc
+
+    indoc = span_dedup_indoc(
+        read_parquet(path, columns=["doc_id", "text"]), width=2).materialize()
+    n_indoc = indoc.count()
+    t8 = time.time()
+
+    from rotel_ray.stages.window import late_events
+
+    n_ev = 2_000_000
+    ev_path = os.path.join("/tmp/rotel_ray_data", f"bigooo_{n_ev}")
+    rng = np.random.default_rng(31337)
+    us = np.sort(rng.integers(0, 30 * 86_400_000_000, n_ev))
+    # at 2M events / 30 days the inter-arrival is ~1.3 s, so the
+    # disorder window must be ~16k ranks (~6 h) for a 1 h allowed
+    # lateness to actually bind — both late classes populate
+    jit = rng.integers(0, 16384, n_ev)
+    arrival = np.empty(n_ev, np.int64)
+    arrival[np.argsort(np.arange(n_ev) + jit, kind="stable")] = \
+        np.arange(n_ev)
+    etype = np.array(["a", "b", "c"], object)[rng.integers(0, 3, n_ev)]
+    if not (os.path.isdir(ev_path) and os.listdir(ev_path)):
+        os.makedirs(ev_path + ".tmp", exist_ok=True)
+        pq.write_table(pa.table({
+            "arrival_seq": pa.array(arrival),
+            "ts": pa.array(us, pa.timestamp("us")),
+            "event_type": pa.array(etype.astype(str)),
+        }), os.path.join(ev_path + ".tmp", "part-0000.parquet"),
+            row_group_size=65536)
+        try:
+            os.replace(ev_path + ".tmp", ev_path)
+        except OSError:
+            shutil.rmtree(ev_path + ".tmp", ignore_errors=True)
+    t9 = time.time()
+    delay = 3_600_000_000
+    got_late = late_events(
+        read_parquet(ev_path), delay_us=delay,
+        chunk=65_536, num_buckets=nb).take_all()
+    t10 = time.time()
+    # sequential numpy replay (the ground truth the distributed chunked
+    # prefix-max must reproduce row-for-row)
+    order = np.argsort(arrival, kind="stable")
+    us_a, ty_a = us[order], etype[order]
+    wm = np.r_[np.iinfo(np.int64).min // 4,
+               np.maximum.accumulate(us_a)[:-1]]
+    late_a = us_a < wm - delay
+    exp = {}
+    for t_, l_ in ((t_, l_) for t_ in ("a", "b", "c") for l_ in (False, True)):
+        exp[(t_, l_)] = int(((ty_a == t_) & (late_a == l_)).sum())
+    got_map = {(r["event_type"], bool(r["late"])): r["n_events"]
+               for r in got_late}
+    late_match = all(got_map.get(k1, 0) == v for k1, v in exp.items())
+    assert late_match, f"late_events mismatch: {got_map} vs {exp}"
+
     # planted recall: every clone id's pair must be present
     got = set()
     for r in pairs.select_columns(["doc_a", "doc_b"]).take_all():
@@ -329,6 +387,13 @@ def main() -> None:
         "vocab_growth_final": max(r["vocab_size"] for r in vg),
         "bloom_decontam_sec": round(t7 - t6, 1),
         "bloom_contaminated_docs": n_contam,
+        "span_indoc_sec": round(t8 - t7, 1),
+        "span_indoc_rows": n_indoc,
+        "late_events_n": n_ev,
+        "late_events_sec": round(t10 - t9, 1),
+        "late_events_match_numpy": late_match,
+        "late_frac": round(sum(v for (t_, l_), v in exp.items() if l_)
+                           / n_ev, 4),
     }))
     ray.shutdown()
 
