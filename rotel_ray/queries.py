@@ -2825,6 +2825,18 @@ def q_conv_quality(sf_dir: str):
         return conv_quality(ds)
 
 
+@_hinted("events")
+def q_quantile_sketch(sf_dir: str):
+    """Mergeable histogram quantile sketch over event values (cents):
+    p50/p90/p99 bucket + lower-bound estimate in 2 passes of pure int
+    arithmetic — the bounded-error scale path next to the exact bisection
+    of global_quantiles."""
+    from .stages.sketch import quantile_sketch
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantile_sketch(ds)
+
+
 def q_late_events(sf_dir: str):
     """Watermark late-data accounting (Flink bounded-out-of-orderness
     model) over the deterministic out-of-order arrival fixture: events
@@ -3443,6 +3455,7 @@ QUERIES = {
     "conv_dedup": q_conv_dedup,
     "turn_latency": q_turn_latency,
     "late_events": q_late_events,
+    "quantile_sketch": q_quantile_sketch,
     "scan_prune_plan": q_scan_prune_plan,
     "mix_balance": q_mix_balance,
     "mix_temperature": q_mix_temperature,
@@ -4878,6 +4891,23 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     from .stages.window import ooo_events_path as _oep
 
     _ooodir = _oep(sf_dir)
+    sql["quantile_sketch"] = """
+        WITH v AS (
+          SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        mm AS (SELECT min(c) AS lo, max(c) AS hi,
+                      CAST(count(*) AS BIGINT) AS n FROM v),
+        b AS (SELECT ((c - lo) * 4096) // (hi - lo + 1) AS bk FROM v, mm),
+        g AS (SELECT bk, count(*) AS cnt FROM b GROUP BY bk),
+        cum AS (SELECT bk, sum(cnt) OVER (ORDER BY bk) AS cs FROM g),
+        qs AS (SELECT unnest([500, 900, 990]) AS perm)
+        SELECT CAST(perm AS BIGINT) AS perm,
+               CAST(min(bk) AS BIGINT) AS bucket,
+               CAST(lo + min(bk) * (hi - lo + 1) // 4096 AS BIGINT)
+                 AS est_lo_cents,
+               CAST((perm * (n - 1)) // 1000 AS BIGINT) AS rank
+        FROM qs, cum, mm
+        WHERE cs >= (perm * (n - 1)) // 1000 + 1
+        GROUP BY perm, lo, hi, n"""
     sql["late_events"] = f"""
         WITH x AS (
           SELECT event_type, arrival_seq, epoch_us(ts) AS us

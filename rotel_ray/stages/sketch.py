@@ -403,3 +403,74 @@ def grouped_hll(ds, *, key: str = "event_type", id_col: str = "user_id",
                          "est_e3": pa.array(rows["est_e3"], pa.int64())})
 
     return grouped_apply(regs, [key], fold)
+
+
+def quantile_sketch(ds, *, value_col: str = "value",
+                    permille: tuple = (500, 900, 990), bins: int = 4096,
+                    num_buckets: int = 8):
+    """Mergeable histogram quantile sketch — the 2-pass bounded-error
+    alternative to the exact multi-pass bisection (window.global_quantiles)
+    for 100 TB streams: pass 1 reduces to global (min, max, n) in cents;
+    pass 2 bins every value into ``bins`` equal-width integer buckets
+    (``(c - lo) * bins // (hi - lo + 1)`` — pure int arithmetic) and
+    two-phase-sums the ≤``bins`` counts. The driver folds the cumulative
+    histogram and reports, for each requested permille q, the bucket
+    containing exact rank floor(q·(n−1)/1000) and its lower-bound estimate.
+    Error ≤ one bucket width; everything is exact int64 so the SQL mirror
+    agrees bit-for-bit.
+
+    Output: (perm, bucket, est_lo_cents, rank) one row per quantile."""
+    import pandas as pd
+
+    from .aggregate import two_phase_aggregate
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t.column(value_col), pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        return pa.table({"c": c})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mm_part(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        if len(c) == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "lo": pa.array([int(c.min())], pa.int64()),
+                         "hi": pa.array([int(c.max())], pa.int64()),
+                         "n": pa.array([len(c)], pa.int64())})
+
+    mm = two_phase_aggregate(
+        cds.map_batches(mm_part, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["k"], [("lo", "min", "lo"), ("hi", "max", "hi"),
+                ("n", "sum", "n")], num_buckets=2).take_all()[0]
+    lo, hi, n = mm["lo"], mm["hi"], mm["n"]
+    span = hi - lo + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        bk = (c - lo) * bins // span
+        cnt = np.bincount(bk, minlength=bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bk": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    h = two_phase_aggregate(
+        cds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        ["bk"], [("cnt", "sum", "cnt")], num_buckets=num_buckets).take_all()
+    h.sort(key=lambda r: r["bk"])
+    bks = np.array([r["bk"] for r in h], np.int64)
+    cs = np.cumsum([r["cnt"] for r in h])
+    out = []
+    for perm in permille:
+        rank = perm * (n - 1) // 1000
+        i = int(np.searchsorted(cs, rank + 1))
+        bk = int(bks[i])
+        out.append({"perm": perm, "bucket": bk,
+                    "est_lo_cents": lo + bk * span // bins, "rank": rank})
+    return pd.DataFrame(out).astype(np.int64)

@@ -212,3 +212,22 @@ def test_weighted_sample_deterministic_and_biased(ray_session):
     assert a == list(order)
     # weighting bites: heavy items (5% of rows, 500x weight) dominate
     assert sum(1 for d in a if d < 200) > 50
+
+
+def test_quantile_sketch_brackets_exact_quantile():
+    import ray.data as rd
+
+    from rotel_ray.stages.sketch import quantile_sketch
+
+    vals = [i / 100.0 for i in range(1, 1001)]  # cents 1..1000
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    got = quantile_sketch(ds, bins=64, num_buckets=4)
+    for r in got.itertuples():
+        # the bucket's value range must contain the exact rank-r value
+        exact = r.rank + 1  # cents are 1..1000, rank is 0-based
+        span = 1000  # hi - lo + 1
+        b_lo = 1 + r.bucket * span // 64
+        b_hi = 1 + (r.bucket + 1) * span // 64 - 1
+        assert b_lo <= exact <= b_hi
+        assert r.est_lo_cents == b_lo
+    assert got.perm.tolist() == [500, 900, 990]
