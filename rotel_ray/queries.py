@@ -2825,6 +2825,44 @@ def q_conv_quality(sf_dir: str):
         return conv_quality(ds)
 
 
+@_hinted("documents")
+def q_source_lang_rollup(sf_dir: str):
+    """Warehouse ROLLUP over (source, lang): finest cells plus per-source
+    margins plus the grand total ('*' sentinel rows — no NULL ambiguity,
+    sources/langs are never null in the corpus). The margins derive from
+    the finest cells (exact — sums of sums), so the corpus aggregates
+    ONCE; the rollup itself touches |sources| x |langs| rows."""
+    import pandas as pd
+
+    from .stages.aggregate import two_phase_aggregate
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "lang", "n_chars"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"), "lang": t.column("lang"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+        })
+
+    cells = two_phase_aggregate(
+        ds.map_batches(one, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "lang"],
+        [("one", "sum", "n_docs"), ("n_chars", "sum", "sum_chars")],
+        num_buckets=8).to_pandas()  # |sources| x |langs| rows — driver-safe
+    per_src = (cells.groupby("source", as_index=False)
+               [["n_docs", "sum_chars"]].sum())
+    per_src["lang"] = "*"
+    total = pd.DataFrame({"source": ["*"], "lang": ["*"],
+                          "n_docs": [cells.n_docs.sum()],
+                          "sum_chars": [cells.sum_chars.sum()]})
+    out = pd.concat([cells, per_src, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out[["source", "lang", "n_docs", "sum_chars"]]
+
+
 @_hinted("events")
 def q_quantile_sketch(sf_dir: str):
     """Mergeable histogram quantile sketch over event values (cents):
@@ -3456,6 +3494,7 @@ QUERIES = {
     "turn_latency": q_turn_latency,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
+    "source_lang_rollup": q_source_lang_rollup,
     "scan_prune_plan": q_scan_prune_plan,
     "mix_balance": q_mix_balance,
     "mix_temperature": q_mix_temperature,
@@ -4891,6 +4930,11 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     from .stages.window import ooo_events_path as _oep
 
     _ooodir = _oep(sf_dir)
+    sql["source_lang_rollup"] = """
+        SELECT COALESCE(source, '*') AS source, COALESCE(lang, '*') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP (source, lang)"""
     sql["quantile_sketch"] = """
         WITH v AS (
           SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
