@@ -84,6 +84,11 @@ def main():
     from rotel_ray.queries import QUERIES, oracle_sql
 
     con = duckdb.connect()
+    # cap DuckDB parallelism when several sweeps share the box (the heavy
+    # brute-force dedup oracles run as parallel single-query processes)
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"PRAGMA threads={int(thr)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     sqls = oracle_sql(SF_DIR)
