@@ -2825,6 +2825,18 @@ def q_conv_quality(sf_dir: str):
         return conv_quality(ds)
 
 
+@_hinted("events")
+def q_session_conversion(sf_dir: str):
+    """Click->purchase conversion inside 30-min gap sessions: one exact-int
+    row (n_sessions, n_with_click, n_converted). Same session-break rule
+    as sessionize; buckets emit 3-int partials."""
+    from .stages.window import session_conversion
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type", "event_id"])
+    return session_conversion(ds, num_buckets=16)
+
+
 @_hinted("documents")
 def q_source_lang_rollup(sf_dir: str):
     """Warehouse ROLLUP over (source, lang): finest cells plus per-source
@@ -3495,6 +3507,7 @@ QUERIES = {
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
+    "session_conversion": q_session_conversion,
     "scan_prune_plan": q_scan_prune_plan,
     "mix_balance": q_mix_balance,
     "mix_temperature": q_mix_temperature,
@@ -4930,6 +4943,28 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     from .stages.window import ooo_events_path as _oep
 
     _ooodir = _oep(sf_dir)
+    sql["session_conversion"] = """
+        WITH o AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts, event_type,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+        g AS (
+          SELECT user_id, sid,
+                 min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c1,
+                 max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p1
+          FROM s GROUP BY 1, 2)
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(c1) AS BIGINT) AS n_with_click,
+               CAST(count(*) FILTER (WHERE c1 IS NOT NULL AND p1 > c1)
+                    AS BIGINT) AS n_converted
+        FROM g"""
     sql["source_lang_rollup"] = """
         SELECT COALESCE(source, '*') AS source, COALESCE(lang, '*') AS lang,
                CAST(count(*) AS BIGINT) AS n_docs,

@@ -852,3 +852,60 @@ def late_events(ds, *, delay_us: int = LATE_DELAY_US,
     return two_phase_aggregate(partials, [type_col, "late"],
                                [("n_events", "sum", "n_events")],
                                num_buckets=4)
+
+
+def session_conversion(ds, *, key: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type", id_col: str = "event_id",
+                       gap_minutes: float = 30.0, click: str = "click",
+                       purchase: str = "purchase", num_buckets: int = 64):
+    """Session conversion funnel: inside each gap-based session (same
+    break rule as :func:`sessionize` — a >``gap_minutes`` silence starts a
+    new one), did a ``purchase`` land strictly after the first ``click``?
+    Output is ONE row: (n_sessions, n_with_click, n_converted) exact
+    int64 — the product-analytics funnel restated over the event stream.
+
+    Scale shape: one bucketed shuffle by user key; each bucket resolves
+    all its users' sessions with one sort + shift-based breaks (the
+    sessionize kernel) and two grouped min/max reductions, then emits a
+    3-int partial; the final exchange merges num_buckets rows."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"k": pd.Series([], dtype=np.int64),
+                "n_sessions": pd.Series([], dtype=np.int64),
+                "n_with_click": pd.Series([], dtype=np.int64),
+                "n_converted": pd.Series([], dtype=np.int64)}
+        if not len(g):
+            return pd.DataFrame(cols)
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        gap_break = ((g[ts_col] - g[ts_col].shift()) > gap).to_numpy()
+        sid = np.cumsum(key_change | gap_break)
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g[type_col].to_numpy()
+        big = np.iinfo(np.int64).max
+        f = pd.DataFrame({
+            "sid": sid,
+            "c_us": np.where(et == click, us, big),    # min -> first click
+            "p_us": np.where(et == purchase, us, -1),  # max -> last purchase
+        })
+        agg = f.groupby("sid").agg(c1=("c_us", "min"), p1=("p_us", "max"))
+        n_sessions = len(agg)
+        n_click = int((agg.c1 < big).sum())
+        n_conv = int(((agg.c1 < big) & (agg.p1 > agg.c1)).sum())
+        return pd.DataFrame({"k": np.array([0], np.int64),
+                             "n_sessions": np.array([n_sessions], np.int64),
+                             "n_with_click": np.array([n_click], np.int64),
+                             "n_converted": np.array([n_conv], np.int64)})
+
+    partials = grouped_apply(ds, [key], per_bucket,
+                             select=[key, ts_col, type_col, id_col],
+                             num_buckets=num_buckets)
+    out = two_phase_aggregate(
+        partials, ["k"],
+        [("n_sessions", "sum", "n_sessions"),
+         ("n_with_click", "sum", "n_with_click"),
+         ("n_converted", "sum", "n_converted")], num_buckets=2)
+    return out.drop_columns(["k"])

@@ -233,3 +233,30 @@ def test_late_events_watermark_semantics():
     rows = {(r.event_type, bool(r.late)): r.n_events for r in got.itertuples()}
     assert rows == {("c", False): 2, ("c", True): 1,
                     ("v", False): 1, ("v", True): 1}
+
+
+def test_session_conversion_funnel():
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rotel_ray.stages.window import session_conversion
+
+    m = 60_000_000  # one minute in us
+    rows = [
+        # user 1, session A: click @0, purchase @5m -> converted
+        (1, 0, "click"), (1, 5 * m, "purchase"),
+        # user 1, session B (after 40-min gap): purchase BEFORE click -> not
+        (1, 45 * m, "purchase"), (1, 50 * m, "click"),
+        # user 2, one session: view only -> no click
+        (2, 0, "view"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+    }))
+    got = session_conversion(ds, num_buckets=4).to_pandas()
+    assert got.to_dict("records") == [
+        {"n_sessions": 3, "n_with_click": 2, "n_converted": 1}]
