@@ -128,6 +128,19 @@ SECONDARY = [
     "zipf_slope",
     "conv_dedup",
     "scan_prune_plan",
+    "dedup_rate_by_source",
+    "turn_latency",
+    "embedding_outliers",
+    "oov_rate",
+    "customers_no_urgent",
+    "mm_loudness",
+    "tool_stats",
+    "conv_outcomes",
+    "error_recovery",
+    "late_events",
+    "quantile_sketch",
+    "source_lang_rollup",
+    "session_conversion",
 ]
 
 
