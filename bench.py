@@ -141,6 +141,7 @@ SECONDARY = [
     "quantile_sketch",
     "source_lang_rollup",
     "session_conversion",
+    "log_templates",
 ]
 
 

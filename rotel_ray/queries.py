@@ -308,6 +308,30 @@ def q_tool_stats(sf_dir: str):
     return rolled
 
 
+def q_log_templates(sf_dir: str):
+    """Log-template mining (Drain-lite) over the raw transcript stream:
+    mask quoted strings / hex ids / numbers, then per template report line
+    count, distinct conversations and the smallest raw example — the
+    log-clustering view an SRE uses to read an unfamiliar firehose. The
+    exchange moves one (template, conv) partial row per batch, never raw
+    lines; hinted by the transcripts row count (same upper-bound argument
+    as conv_examples)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.parse import mine_log_templates
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["conv_id", "text"])
+    with input_rows_hint(n_turns):
+        return mine_log_templates(ds, k=LOG_TEMPLATE_K)
+
+
+LOG_TEMPLATE_K = 50
+
+
 def q_parse_errors(sf_dir: str):
     ds = _parsed(sf_dir)
     return ds.map_batches(
@@ -3482,6 +3506,7 @@ QUERIES = {
     "parse_tool_calls": q_parse_tool_calls,
     "parse_errors": q_parse_errors,
     "tool_stats": q_tool_stats,
+    "log_templates": q_log_templates,
     "conv_outcomes": q_conv_outcomes,
     "error_recovery": q_error_recovery,
     "parse_nginx_access": q_parse_nginx_access,
@@ -3713,6 +3738,19 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(sum(s) AS BIGINT) AS sum_duration_ms,
                CAST(max(mx) AS BIGINT) AS max_duration_ms
         FROM g GROUP BY tool_name"""
+    sql["log_templates"] = f"""
+        WITH m AS (
+          SELECT regexp_replace(regexp_replace(regexp_replace(text,
+                   '"[^"]*"', '<STR>', 'g'),
+                   '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                   '\\d+(\\.\\d+)*', '<NUM>', 'g') AS template,
+                 conv_id, text
+          FROM {T})
+        SELECT template, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               min(text) AS example
+        FROM m GROUP BY template
+        ORDER BY n_lines DESC, template LIMIT {LOG_TEMPLATE_K}"""
     sql["parse_errors"] = f"""
         SELECT conv_id, turn_idx,
                regexp_extract(text, 'code=(\\w+)', 1) AS error_code,

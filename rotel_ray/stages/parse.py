@@ -233,3 +233,77 @@ def parse_stage(ds, batch_size: int = 16384):
     """read -> parse. Stateless tasks (no per-actor state needed: RE2
     patterns are module-level compiled on first use inside each worker)."""
     return ds.map_batches(parse_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Drain-lite log template mining
+# ---------------------------------------------------------------------------
+
+# Masks applied IN ORDER (quoted payloads first so their digits never split,
+# hex ids before plain numbers). RE2 on both engines: Arrow
+# `replace_substring_regex` and DuckDB `regexp_replace(..., 'g')` are the
+# same non-overlapping leftmost global replace, so the template strings are
+# byte-identical and the op is exactly SQL-oracleable.
+TEMPLATE_MASKS: list[tuple[str, str]] = [
+    (r'"[^"]*"', "<STR>"),
+    (r"0x[0-9a-fA-F]+", "<HEX>"),
+    (r"\d+(\.\d+)*", "<NUM>"),  # also collapses IPs / versions to one token
+]
+
+
+def mine_log_templates(ds, *, text_col: str = "text",
+                       group_col: str = "conv_id", k: int = 50,
+                       num_buckets: int = 16):
+    """Log-template mining (Drain-family, deterministic variant): mask the
+    variable parts of every line (quoted strings, hex ids, numbers), then
+    roll up per template: line count, distinct-conversation count and the
+    lexicographically smallest raw example line. Top-``k`` by line count.
+
+    The simplification vs Drain proper (He et al., ICWS 2017): templates come
+    from fixed masking rules instead of an online parse tree, which keeps the
+    operator stateless/vectorized and exactly verifiable — the realistic
+    trade for a batch pipeline where the masks are tuned offline.
+
+    Scale shape: the shuffle moves one (template, group, count, example) row
+    per distinct (template, group) pair per batch — never the raw lines.
+    Distinct-group counting is exact: phase 2 re-collapses (template, group)
+    inside each template-hash bucket before counting, so a group seen in many
+    batches counts once. Skew note: a planetary template funnels its
+    per-group rows into one bucket — that is inherent to exact distinct
+    counting (same shape as tool_stats' per-conv rollup); the count column
+    stays bounded by the true distinct-group cardinality.
+    """
+    from .aggregate import grouped_apply
+
+    def mask(t: pa.Table) -> pa.Table:
+        tpl = t.column(text_col)
+        for pat, repl in TEMPLATE_MASKS:
+            tpl = pc.replace_substring_regex(tpl, pattern=pat, replacement=repl)
+        return pa.table({"template": tpl, "g": t.column(group_col),
+                         "raw": t.column(text_col)})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["template", "g"]).aggregate(
+            [("raw", "min"), ("raw", "count")])
+        return g.rename_columns(["template", "g", "ex", "c"])
+
+    parts = (ds.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+               .map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True))
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        g1 = t.group_by(["template", "g"]).aggregate(
+            [("ex", "min"), ("c", "sum")])
+        g2 = g1.group_by("template").aggregate(
+            [("c_sum", "sum"), ("g", "count"), ("ex_min", "min")])
+        return pa.table({
+            "template": g2.column("template"),
+            "n_lines": pc.cast(g2.column("c_sum_sum"), pa.int64()),
+            "n_convs": pc.cast(g2.column("g_count"), pa.int64()),
+            "example": g2.column("ex_min_min"),
+        })
+
+    rolled = grouped_apply(parts, ["template"], reduce_bucket,
+                           num_buckets=num_buckets, batch_format="pyarrow")
+    return rolled.sort(["n_lines", "template"],
+                       descending=[True, False]).limit(k)
