@@ -142,6 +142,7 @@ SECONDARY = [
     "source_lang_rollup",
     "session_conversion",
     "log_templates",
+    "mm_dhash",
 ]
 
 

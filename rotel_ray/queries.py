@@ -1070,6 +1070,23 @@ def q_mm_resize(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_mm_dhash(sf_dir: str):
+    """Perceptual dHash fingerprints over the decoded image payloads — the
+    image near-dup signature op. Map-only (decode fuses with the hash); the
+    hash ARITHMETIC (integer luma, 8x9 floor-grid shrink, 64 comparison
+    bits) is replayed byte-for-byte by the DuckDB oracle from the original
+    decoded blob."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import MediaDecoder, dhash_images, ensure_media
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
+    return ds.map_batches(dhash_images, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
 @_hinted("events")
 def q_sessionize(sf_dir: str):
     from .stages.window import sessionize
@@ -3680,6 +3697,7 @@ QUERIES = {
     "users_per_type_kmv": q_users_per_type_kmv,
     "dedup_keep_best": q_dedup_keep_best,
     "mm_resize": q_mm_resize,
+    "mm_dhash": q_mm_dhash,
     "slo_burn": q_slo_burn,
     "mm_resample": q_mm_resample,
     "mm_loudness": q_mm_loudness,
@@ -4140,6 +4158,40 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(max(CASE WHEN oi = 31 AND oj = 31 AND oc = ch - 1 THEN b
                  END) AS BIGINT) AS last_px
         FROM b GROUP BY 1"""
+    # mm_dhash: replay the integer dHash (luma, 8x9 floor grid, comparison
+    # bits as two int64 halves) from the decoded-blob hex — same _hd byte
+    # parse, pixel (si, sj) channel c at position ((si*w + sj)*ch + c)
+    _dh_b = [_hd.format(
+        p=f"2 * ((((u.i * h) // 8 * w + (v.j * w) // 9) * ch + {c}) + 0) + 1")
+        for c in (0, 1, 2)]
+    _dh_gv = (f"CASE WHEN ch >= 3 THEN (299 * {_dh_b[0]} + 587 * {_dh_b[1]} "
+              f"+ 114 * {_dh_b[2]}) // 1000 ELSE {_dh_b[0]} END")
+    sql["mm_dhash"] = f"""
+        WITH img AS (
+          SELECT media_id, body_hex AS hx, width AS w, height AS h,
+                 channels AS ch
+          FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'image'),
+        g AS (
+          SELECT media_id, u.i AS gi, v.j AS gj, {_dh_gv} AS gv
+          FROM img, unnest(range(0, 8)) AS u(i), unnest(range(0, 9)) AS v(j)),
+        bits AS (
+          SELECT a.media_id, a.gi * 8 + a.gj AS p,
+                 CASE WHEN a.gv > c.gv THEN 1 ELSE 0 END AS bit
+          FROM g a JOIN g c ON c.media_id = a.media_id AND c.gi = a.gi
+                           AND c.gj = a.gj + 1
+          WHERE a.gj < 8),
+        hsh AS (
+          SELECT media_id,
+                 CAST(sum(CASE WHEN p >= 32 THEN bit * (1::BIGINT << (p - 32))
+                          ELSE 0 END) AS BIGINT) AS dhash_hi,
+                 CAST(sum(CASE WHEN p < 32 THEN bit * (1::BIGINT << p)
+                          ELSE 0 END) AS BIGINT) AS dhash_lo
+          FROM bits GROUP BY media_id),
+        gs AS (
+          SELECT media_id, CAST(sum(gv) AS BIGINT) AS gray_sum
+          FROM g GROUP BY media_id)
+        SELECT hsh.media_id, dhash_hi, dhash_lo, gray_sum
+        FROM hsh JOIN gs ON gs.media_id = hsh.media_id"""
     from .stages.jpeg import jpeg_media_path as _jmp
 
     _jdir = _jmp(_sfd(sf_dir))

@@ -710,3 +710,52 @@ def audio_frame_energy(t: pa.Table, frame: int = 64) -> pa.Table:
         "frame_idx": pa.array(fidx, pa.int64()),
         "energy": pa.array(energy, pa.int64()),
     })
+
+
+def dhash_images(t: pa.Table, *, rows: int = 8, cols: int = 9) -> pa.Table:
+    """Difference-hash (dHash) perceptual image fingerprints — the standard
+    cheap near-duplicate signature for image corpora (hash equal / small
+    Hamming distance => visually near-identical): grayscale, shrink to a
+    ``rows x cols`` grid with the same floor index map as
+    :func:`resize_images`, set bit ``i*8+j`` when grid[i][j] > grid[i][j+1].
+
+    All-integer and exactly oracle-able: grayscale is the integer luma
+    ``(299*R + 587*G + 114*B) // 1000`` for >=3-channel pixels, the first
+    byte (gray8 value / gray16 high byte) otherwise. The 64-bit hash is
+    emitted as two int64 halves (``dhash_hi`` bits 32-63, ``dhash_lo`` bits
+    0-31) so both engines stay in signed-64 range; ``gray_sum`` pins the
+    full grid, not just the comparison bits. Map-only — no shuffle; exact
+    duplicate grouping composes as a downstream two-phase aggregate on
+    (dhash_hi, dhash_lo), the dedup_exact shape. Non-image rows drop."""
+    ids, his, los, gsums = [], [], [], []
+    chs = (t.column("channels").to_pylist() if "channels" in t.column_names
+           else [1] * t.num_rows)
+    bitpos = np.arange((cols - 1) * rows, dtype=np.uint64).reshape(
+        rows, cols - 1)
+    for mid, kind, body, w, h, ch in zip(
+            t.column("media_id").to_pylist(), t.column("kind").to_pylist(),
+            t.column("body").to_pylist(), t.column("width").to_pylist(),
+            t.column("height").to_pylist(), chs):
+        if kind != "image":
+            continue
+        arr = np.frombuffer(body, np.uint8).reshape(h, w, ch).astype(np.int64)
+        if ch >= 3:
+            g = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                 + 114 * arr[:, :, 2]) // 1000
+        else:
+            g = arr[:, :, 0]  # gray8 value / gray16 high (BE first) byte
+        si = (np.arange(rows) * h) // rows
+        sj = (np.arange(cols) * w) // cols
+        gg = g[si][:, sj]
+        bits = (gg[:, :-1] > gg[:, 1:]).astype(np.uint64)
+        hv = int((bits << bitpos).sum(dtype=np.uint64))
+        ids.append(mid)
+        his.append((hv >> 32) & 0xFFFFFFFF)
+        los.append(hv & 0xFFFFFFFF)
+        gsums.append(int(gg.sum()))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "dhash_hi": pa.array(his, pa.int64()),
+        "dhash_lo": pa.array(los, pa.int64()),
+        "gray_sum": pa.array(gsums, pa.int64()),
+    })
