@@ -143,6 +143,7 @@ SECONDARY = [
     "session_conversion",
     "log_templates",
     "mm_dhash",
+    "rate_spikes",
 ]
 
 

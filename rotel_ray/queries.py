@@ -1096,6 +1096,24 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, gap_minutes=30.0)
 
 
+RATE_SPIKE_WINDOW = 16
+RATE_SPIKE_NUM = 3
+RATE_SPIKE_DEN = 2
+
+
+@_hinted("events")
+def q_rate_spikes(sf_dir: str):
+    """Alerting: flag (event_type, minute) cells whose count exceeds 1.5x
+    the trailing-16-observed-minute average — division-free integer rule, the
+    monitoring-pipeline spike detector. Raw rows collapse to per-batch
+    minute partials before the one bucketed exchange."""
+    from .stages.window import rate_spikes
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return rate_spikes(ds, window=RATE_SPIKE_WINDOW,
+                       factor_num=RATE_SPIKE_NUM, factor_den=RATE_SPIKE_DEN)
+
+
 @_hinted("events")
 def q_top_events_per_user(sf_dir: str):
     from .stages.window import topk_per_group
@@ -3539,6 +3557,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "nation_orders": q_nation_orders,
     "events_minute": q_events_minute,
+    "rate_spikes": q_rate_spikes,
     "top_users": q_top_users,
     "dedup_exact": q_dedup_exact,
     "span_dedup": q_span_dedup,
@@ -3863,6 +3882,25 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT event_type, date_trunc('minute', ts) AS ts_minute,
                CAST(sum({cents.format(expr='value')}) AS BIGINT) AS sum_value_cents, count(*) AS n
         FROM events GROUP BY 1, 2"""
+    sql["rate_spikes"] = f"""
+        WITH c AS (
+          SELECT event_type, date_trunc('minute', ts) AS ts_minute,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT event_type, ts_minute, n,
+                 COALESCE(sum(n) OVER (PARTITION BY event_type
+                   ORDER BY ts_minute ROWS BETWEEN {RATE_SPIKE_WINDOW}
+                   PRECEDING AND 1 PRECEDING), 0) AS trail_sum,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY ts_minute) AS rn
+          FROM c)
+        SELECT event_type, ts_minute, CAST(n AS BIGINT) AS n,
+               CAST(trail_sum AS BIGINT) AS trail_sum,
+               (rn > {RATE_SPIKE_WINDOW} AND
+                {RATE_SPIKE_DEN} * {RATE_SPIKE_WINDOW} * n >
+                {RATE_SPIKE_NUM} * trail_sum) AS spike
+        FROM w"""
     sql["top_users"] = f"""
         SELECT user_id, CAST(sum({cents.format(expr='value')}) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1 ORDER BY 2 DESC LIMIT 10"""

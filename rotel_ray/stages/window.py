@@ -909,3 +909,63 @@ def session_conversion(ds, *, key: str = "user_id", ts_col: str = "ts",
          ("n_with_click", "sum", "n_with_click"),
          ("n_converted", "sum", "n_converted")], num_buckets=2)
     return out.drop_columns(["k"])
+
+
+def rate_spikes(ds, *, type_col: str = "event_type", ts_col: str = "ts",
+                window: int = 16, factor_num: int = 3, factor_den: int = 2,
+                num_buckets: int = 16):
+    """Alerting-style rate-spike detection: bucket events into minutes, then
+    flag any (type, minute) whose count exceeds ``factor_num/factor_den``
+    times its trailing-``window``-minute average — evaluated as the integer
+    cross-multiplication ``factor_den * window * n > factor_num * trail_sum``
+    (rational factors without ever dividing) so the rule is
+    division-free and exactly SQL-mirrorable (ROWS BETWEEN window PRECEDING
+    AND 1 PRECEDING; only full windows can flag). The trailing window is
+    over OBSERVED minutes (rows), not calendar minutes — the convention that
+    stays well-defined across sparse series; document the choice, don't
+    hide it.
+
+    Scale shape: the raw stream collapses to (type, minute) partial counts
+    inside each batch before any shuffle (two-phase count), then ONE bucketed
+    exchange of the minute series; inside a bucket the trailing sum is a
+    prefix-sum difference vectorized across every type in the bucket
+    (per-key head correction, no per-key Python) — the rolling_sum shape."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            type_col: t.column(type_col),
+            "ts_minute": pc.floor_temporal(t.column(ts_col), unit="minute"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        })
+
+    counts = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [type_col, "ts_minute"], [("one", "sum", "n")],
+        num_buckets=num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(type_col, "ascending"),
+                                            ("ts_minute", "ascending")])
+        t = t.take(idx)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        kv = np.asarray(t.column(type_col).to_pylist(), dtype=object)
+        m = len(n)
+        pref = np.r_[0, np.cumsum(n)]
+        new_key = np.r_[True, kv[1:] != kv[:-1]] if m else np.zeros(0, bool)
+        run_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(m), 0)) if m else np.zeros(0, np.int64)
+        lo = np.maximum(np.arange(m) - window, run_start)
+        trail = pref[np.arange(m)] - pref[lo]
+        full = (np.arange(m) - run_start) >= window
+        spike = full & (factor_den * window * n > factor_num * trail)
+        return pa.table({
+            type_col: t.column(type_col),
+            "ts_minute": t.column("ts_minute"),
+            "n": pa.array(n),
+            "trail_sum": pa.array(trail.astype(np.int64)),
+            "spike": pa.array(spike),
+        })
+
+    return grouped_apply(counts, [type_col], per_bucket,
+                         num_buckets=num_buckets, batch_format="pyarrow")
