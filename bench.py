@@ -144,6 +144,7 @@ SECONDARY = [
     "log_templates",
     "mm_dhash",
     "rate_spikes",
+    "retry_storms",
 ]
 
 

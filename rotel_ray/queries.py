@@ -332,6 +332,30 @@ def q_log_templates(sf_dir: str):
 LOG_TEMPLATE_K = 50
 
 
+def q_retry_storms(sf_dir: str):
+    """Retry-storm episodes: maximal runs of >=2 consecutive failed calls to
+    the same tool within a conversation (consecutive in the tool-call
+    subsequence). Rows narrow to 4 columns pre-shuffle; islands are mined
+    per conv-hash bucket with a boundary mask + reduceat."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.window import retry_storms
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = _parsed(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "tool_call"))
+        return t.select(["conv_id", "turn_idx", "tool_name", "tool_exit"])
+
+    ds = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    with input_rows_hint(n_turns):
+        return retry_storms(ds)
+
+
 def q_parse_errors(sf_dir: str):
     ds = _parsed(sf_dir)
     return ds.map_batches(
@@ -3542,6 +3566,7 @@ QUERIES = {
     "parse_errors": q_parse_errors,
     "tool_stats": q_tool_stats,
     "log_templates": q_log_templates,
+    "retry_storms": q_retry_storms,
     "conv_outcomes": q_conv_outcomes,
     "error_recovery": q_error_recovery,
     "parse_nginx_access": q_parse_nginx_access,
@@ -3788,6 +3813,30 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                min(text) AS example
         FROM m GROUP BY template
         ORDER BY n_lines DESC, template LIMIT {LOG_TEMPLATE_K}"""
+    sql["retry_storms"] = f"""
+        WITH tc AS (
+          SELECT conv_id, turn_idx,
+                 regexp_extract(text, '^TOOL_CALL tool=(\\w+) ', 1)
+                   AS tool_name,
+                 CAST(regexp_extract(text, 'exit=(\\d+)', 1) AS INTEGER)
+                   AS tool_exit
+          FROM {T} WHERE {SQL_IS_TOOL}),
+        s AS (
+          SELECT *, (tool_exit != 0) AS failed,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS rn
+          FROM tc),
+        isl AS (
+          SELECT *, rn - row_number() OVER (
+                   PARTITION BY conv_id, tool_name, failed
+                   ORDER BY turn_idx) AS grp
+          FROM s)
+        SELECT conv_id, tool_name,
+               CAST(min(turn_idx) AS BIGINT) AS start_turn,
+               CAST(max(turn_idx) AS BIGINT) AS end_turn,
+               CAST(count(*) AS BIGINT) AS n_calls
+        FROM isl WHERE failed
+        GROUP BY conv_id, tool_name, grp HAVING count(*) >= 2"""
     sql["parse_errors"] = f"""
         SELECT conv_id, turn_idx,
                regexp_extract(text, 'code=(\\w+)', 1) AS error_code,

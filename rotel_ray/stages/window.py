@@ -969,3 +969,55 @@ def rate_spikes(ds, *, type_col: str = "event_type", ts_col: str = "ts",
 
     return grouped_apply(counts, [type_col], per_bucket,
                          num_buckets=num_buckets, batch_format="pyarrow")
+
+
+def retry_storms(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
+                 group_col: str = "tool_name", fail_col: str = "tool_exit",
+                 min_run: int = 2, num_buckets: int = 64):
+    """Retry-storm mining: maximal runs of CONSECUTIVE failed calls to the
+    same tool within a conversation (consecutive in the tool-call
+    subsequence — intervening chat turns don't break a run, matching how an
+    agent actually retries). One row per run of length >= ``min_run``:
+    (conv, tool, start/end turn, call count). The gaps-and-islands shape —
+    value-change islands, where sessionize is the time-gap variant.
+
+    Scale shape: rows are filtered to tool calls and narrowed to 4 columns
+    BEFORE the one bucketed exchange; island detection inside a bucket is a
+    boundary-mask + ``reduceat`` over the (key, order) sort, vectorized
+    across every conversation in the bucket."""
+    from .aggregate import grouped_apply
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                            (order_col, "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        conv = np.asarray(t.column(key).to_pylist(), dtype=object)
+        tool = np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        turn = t.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        failed = pc.not_equal(t.column(fail_col), 0).to_numpy(
+            zero_copy_only=False)
+        if n == 0:
+            return pa.table({key: pa.array([], pa.string()),
+                             group_col: pa.array([], pa.string()),
+                             "start_turn": pa.array([], pa.int64()),
+                             "end_turn": pa.array([], pa.int64()),
+                             "n_calls": pa.array([], pa.int64())})
+        boundary = np.r_[True, (conv[1:] != conv[:-1])
+                         | (tool[1:] != tool[:-1])
+                         | (failed[1:] != failed[:-1])]
+        starts = np.flatnonzero(boundary)
+        ends = np.r_[starts[1:], n] - 1
+        lens = ends - starts + 1
+        keep = failed[starts] & (lens >= min_run)
+        s, e = starts[keep], ends[keep]
+        return pa.table({
+            key: pa.array(conv[s], pa.string()),
+            group_col: pa.array(tool[s], pa.string()),
+            "start_turn": pa.array(turn[s]),
+            "end_turn": pa.array(turn[e]),
+            "n_calls": pa.array((e - s + 1).astype(np.int64)),
+        })
+
+    return grouped_apply(ds, [key], per_bucket, num_buckets=num_buckets,
+                         batch_format="pyarrow")
