@@ -145,6 +145,7 @@ SECONDARY = [
     "mm_dhash",
     "rate_spikes",
     "retry_storms",
+    "tool_latency_quantiles",
 ]
 
 

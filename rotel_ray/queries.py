@@ -356,6 +356,22 @@ def q_retry_storms(sf_dir: str):
         return retry_storms(ds)
 
 
+def q_tool_latency_quantiles(sf_dir: str):
+    """Exact per-tool latency percentiles (p50/p95/p99 ms): rows collapse
+    to (tool, duration) -> count partials per batch, so the exchange is
+    bounded by distinct ms values per tool, never call volume."""
+    from .stages.window import group_quantiles
+
+    ds = _parsed(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "tool_call"))
+        return t.select(["tool_name", "duration_ms"])
+
+    ds = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    return group_quantiles(ds)
+
+
 def q_parse_errors(sf_dir: str):
     ds = _parsed(sf_dir)
     return ds.map_batches(
@@ -3567,6 +3583,7 @@ QUERIES = {
     "tool_stats": q_tool_stats,
     "log_templates": q_log_templates,
     "retry_storms": q_retry_storms,
+    "tool_latency_quantiles": q_tool_latency_quantiles,
     "conv_outcomes": q_conv_outcomes,
     "error_recovery": q_error_recovery,
     "parse_nginx_access": q_parse_nginx_access,
@@ -3813,6 +3830,28 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                min(text) AS example
         FROM m GROUP BY template
         ORDER BY n_lines DESC, template LIMIT {LOG_TEMPLATE_K}"""
+    sql["tool_latency_quantiles"] = f"""
+        WITH tc AS (
+          SELECT regexp_extract(text, '^TOOL_CALL tool=(\\w+) ', 1)
+                   AS tool_name,
+                 CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1)
+                   AS BIGINT) AS v
+          FROM {T} WHERE {SQL_IS_TOOL}),
+        c AS (SELECT tool_name, v, count(*) AS n FROM tc GROUP BY 1, 2),
+        t AS (SELECT tool_name, sum(n) AS tot FROM c GROUP BY 1),
+        r AS (
+          SELECT c.tool_name, v,
+                 sum(n) OVER (PARTITION BY c.tool_name ORDER BY v) AS cum,
+                 t.tot
+          FROM c JOIN t USING (tool_name))
+        SELECT tool_name, CAST(max(tot) AS BIGINT) AS n_rows,
+               CAST(min(CASE WHEN cum >= 50 * (tot - 1) // 100 + 1
+                        THEN v END) AS BIGINT) AS p50,
+               CAST(min(CASE WHEN cum >= 95 * (tot - 1) // 100 + 1
+                        THEN v END) AS BIGINT) AS p95,
+               CAST(min(CASE WHEN cum >= 99 * (tot - 1) // 100 + 1
+                        THEN v END) AS BIGINT) AS p99
+        FROM r GROUP BY tool_name"""
     sql["retry_storms"] = f"""
         WITH tc AS (
           SELECT conv_id, turn_idx,

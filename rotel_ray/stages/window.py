@@ -1021,3 +1021,60 @@ def retry_storms(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
 
     return grouped_apply(ds, [key], per_bucket, num_buckets=num_buckets,
                          batch_format="pyarrow")
+
+
+def group_quantiles(ds, *, key: str = "tool_name",
+                    value_col: str = "duration_ms",
+                    percents: tuple = (50, 95, 99), num_buckets: int = 16):
+    """Exact per-group percentiles over a bounded-cardinality integer value
+    (latency-style columns: ms durations, status codes, sizes-in-KB): the
+    stream collapses to (key, value) -> count partials inside each batch, so
+    the shuffle is bounded by the DISTINCT value count per group — never the
+    row count — and the per-group rank selection is a cumsum over the sorted
+    value histogram. Rank convention: 0-based floor rank
+    ``p * (n - 1) // 100`` (the window.global_quantiles convention), so
+    every reported percentile is an actually-observed value.
+
+    Scale note: this is the exact path for value domains like ms-granular
+    latencies (<=~10^6 distinct); for unbounded/continuous domains use
+    sketch.quantile_sketch's equal-width binning instead."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t.column(key),
+            "v": pc.cast(t.column(value_col), pa.int64()),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        })
+
+    counts = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [key, "v"], [("one", "sum", "n")], num_buckets=num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                            ("v", "ascending")])
+        t = t.take(idx)
+        kv = np.asarray(t.column(key).to_pylist(), dtype=object)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        m = len(v)
+        out_k, out_n, out_p = [], [], {p: [] for p in percents}
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]]) if m else []
+        bounds = np.r_[starts, m] if m else np.array([0])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            cum = np.cumsum(n[a:b])
+            tot = int(cum[-1])
+            out_k.append(kv[a])
+            out_n.append(tot)
+            for p in percents:
+                rank = p * (tot - 1) // 100
+                out_p[p].append(int(v[a + int(np.searchsorted(cum, rank + 1))]))
+        cols = {key: pa.array(out_k, pa.string()),
+                "n_rows": pa.array(out_n, pa.int64())}
+        for p in percents:
+            cols[f"p{p}"] = pa.array(out_p[p], pa.int64())
+        return pa.table(cols)
+
+    return grouped_apply(counts, [key], per_bucket, num_buckets=num_buckets,
+                         batch_format="pyarrow")
