@@ -146,6 +146,7 @@ SECONDARY = [
     "rate_spikes",
     "retry_storms",
     "tool_latency_quantiles",
+    "multiline_stitch",
 ]
 
 

@@ -2999,6 +2999,24 @@ def q_late_events(sf_dir: str):
     return late_events(ds)
 
 
+def q_multiline_stitch(sf_dir: str):
+    """Multiline record assembly (the file-receiver continuation rule;
+    reference concept: kmsg's ``c`` continuation flag,
+    src/receivers/kmsg/parser.rs:184,256-270): indented lines join the
+    previous record. One row per stitched record with its start line_no,
+    line count and \\n-joined text. Chunked prefix-sum for the global
+    record ordinal — no global sort; text moves through two bounded
+    exchanges."""
+    from .sources.text_logs import ensure_multiline_logs, stitch_multiline
+    from .stages.aggregate import input_rows_hint
+
+    path = ensure_multiline_logs(sf_dir)
+    n = pq.ParquetFile(f"{path}/part-0000.parquet").metadata.num_rows
+    ds = read_parquet(path)
+    with input_rows_hint(n):
+        return stitch_multiline(ds)
+
+
 def q_turn_latency(sf_dir: str):
     """Inter-turn latency by (role_from -> role_to) speaker transition:
     exact integer microsecond sums/means; timestamps collapse to int64 on
@@ -3607,6 +3625,7 @@ QUERIES = {
     "span_dedup_indoc": q_span_dedup_indoc,
     "conv_dedup": q_conv_dedup,
     "turn_latency": q_turn_latency,
+    "multiline_stitch": q_multiline_stitch,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -5216,6 +5235,24 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                (pm IS NOT NULL AND us < pm - {_LDU}) AS late,
                CAST(count(*) AS BIGINT) AS n_events
         FROM w GROUP BY 1, 2"""
+    from .sources.text_logs import multiline_logs_path as _mlp
+
+    _mldir = _mlp(sf_dir)
+    sql["multiline_stitch"] = f"""
+        WITH l AS (
+          SELECT line_no, text,
+                 CASE WHEN text LIKE ' %' THEN 0 ELSE 1 END AS s
+          FROM read_parquet('{_mldir}/*.parquet')),
+        r AS (
+          SELECT line_no, text,
+                 sum(s) OVER (ORDER BY line_no
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rec
+          FROM l)
+        SELECT CAST(rec AS BIGINT) AS record_id,
+               CAST(min(line_no) AS BIGINT) AS line_no,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               string_agg(text, chr(10) ORDER BY line_no) AS record_text
+        FROM r GROUP BY rec"""
     sql["turn_latency"] = f"""
         WITH t AS (
           SELECT conv_id, role, epoch_us(ts) AS us,

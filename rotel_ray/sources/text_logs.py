@@ -128,3 +128,146 @@ def parse_log_files(log_dir_or_paths, *, max_log_size: int | None = 16 * 1024):
     of src/receivers/file/parser/traits.rs:17-26."""
     ds = read_log_lines(log_dir_or_paths, max_log_size=max_log_size)
     return ds.map_batches(parse_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# multiline record stitching (continuation-line assembly)
+# ---------------------------------------------------------------------------
+
+MULTILINE_VERSION = 1
+
+
+def multiline_logs_path(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path (never builds) — safe to embed in oracle SQL."""
+    from ..generator import sf_from_dir, transcripts_path
+    from ..stages.planted import source_tag
+
+    tdir = transcripts_path(sf_from_dir(sf_dir))
+    first = sorted(globmod.glob(os.path.join(tdir, "*.parquet")))
+    tag = source_tag(first[0]) if first else "empty"
+    return os.path.join(root, f"mlines_g{MULTILINE_VERSION}_{tag}")
+
+
+def ensure_multiline_logs(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
+    """A line stream where records span multiple physical lines: every
+    transcript turn becomes a parent line, followed by md5(i) % 4
+    deterministic continuation lines (indented stack frames — the classic
+    Java/Python traceback shape a file receiver must reassemble). Columns:
+    ``line_no`` (global arrival order, the file-offset analogue) and
+    ``text``. Pure function of the transcript corpus, cached under a
+    content-fingerprint key."""
+    import hashlib
+
+    from ..generator import ensure_transcripts
+
+    out = multiline_logs_path(sf_dir, root)
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    tdir = ensure_transcripts(sf_dir)
+    parents = []
+    for f in sorted(globmod.glob(os.path.join(tdir, "*.parquet"))):
+        parents.extend(pq.read_table(f, columns=["text"]).column("text").to_pylist())
+    lines: list[str] = []
+    for i, p in enumerate(parents):
+        lines.append(p)
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        for j in range(int(h[:8], 16) % 4):
+            hj = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+            lines.append(f"    at frame{j} <{hj[:12]}>")
+    t = pa.table({
+        "line_no": pa.array(range(len(lines)), pa.int64()),
+        "text": pa.array(lines, pa.string()),
+    })
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(t, os.path.join(tmp, "part-0000.parquet"),
+                   row_group_size=16384)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def stitch_multiline(ds, *, chunk: int = 4096, num_buckets: int = 16):
+    """Reassemble multi-line records from a (line_no, text) stream: a line
+    is a record START unless it begins with a space (the file-receiver
+    multiline rule; the reference models the same concept as kmsg's ``c``
+    continuation flag — src/receivers/kmsg/parser.rs:184,256-270 — where a
+    consumer appends continuation lines to the previous record). Output:
+    one row per record with ``record_id`` (ordinal of its start line),
+    ``line_no`` (of the start), ``n_lines`` and ``record_text`` (lines
+    joined with \\n).
+
+    Scale shape (the late_events chunked-prefix pattern, window.py): the
+    record id is the global running count of start lines — phase 1 reduces
+    each ``chunk``-line range to one (chunk, n_starts) int row two-phase;
+    the driver folds those into per-chunk carry-ins (n/chunk ints — scale
+    ``chunk`` with the corpus) and broadcasts them; phase 2 buckets by
+    chunk and finishes each chunk with one vectorized cumsum, emitting
+    (record_id, line_no, text); phase 3 buckets by record_id and joins
+    each record's lines. No global sort — text bytes move through exactly
+    two bounded exchanges, and records spanning chunk boundaries are
+    correct because phase 3 keys on the globally-consistent record_id."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..stages.aggregate import grouped_apply, two_phase_aggregate
+
+    def narrow(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        ln = t.column("line_no").combine_chunks().cast(pa.int64())
+        s = pc.invert(pc.starts_with(text, " ")).cast(pa.int64())
+        ch = pc.divide(ln, chunk)
+        return pa.table({"line_no": ln, "text": text, "s": s, "chunk": ch})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+
+    cstarts = two_phase_aggregate(rows, ["chunk"], [("s", "sum", "n_starts")],
+                                  num_buckets=num_buckets).take_all()
+    cstarts.sort(key=lambda r: r["chunk"])
+    n_chunks = cstarts[-1]["chunk"] + 1 if cstarts else 0
+    carry = np.zeros(n_chunks, np.int64)
+    run = 0
+    for r in cstarts:
+        carry[r["chunk"]] = run
+        run += r["n_starts"]
+    ref = ray.put(carry)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"rec": pd.Series([], dtype=np.int64),
+                                 "line_no": pd.Series([], dtype=np.int64),
+                                 "text": pd.Series([], dtype=str)})
+        carry_l = ray.get(ref)
+        g = g.sort_values("line_no", kind="mergesort")
+        ch = g["chunk"].to_numpy()
+        s = g["s"].to_numpy()
+        cs = np.cumsum(s)
+        seg_id = np.cumsum(np.r_[0, (ch[1:] != ch[:-1]).astype(np.int64)])
+        seg_first = np.flatnonzero(np.r_[True, ch[1:] != ch[:-1]])
+        before_seg = np.r_[0, cs[seg_first[1:] - 1]]
+        rec = cs - before_seg[seg_id] + carry_l[ch]
+        return pd.DataFrame({"rec": rec,
+                             "line_no": g["line_no"].to_numpy(),
+                             "text": g["text"].to_numpy()})
+
+    assigned = grouped_apply(rows, ["chunk"], assign, num_buckets=num_buckets)
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"record_id": pd.Series([], dtype=np.int64),
+                                 "line_no": pd.Series([], dtype=np.int64),
+                                 "n_lines": pd.Series([], dtype=np.int64),
+                                 "record_text": pd.Series([], dtype=str)})
+        g = g.sort_values(["rec", "line_no"], kind="mergesort")
+        gb = g.groupby("rec", sort=False)
+        out = gb.agg(line_no=("line_no", "min"), n_lines=("line_no", "size"))
+        out["record_text"] = gb["text"].agg("\n".join)
+        out = out.reset_index().rename(columns={"rec": "record_id"})
+        out["n_lines"] = out["n_lines"].astype(np.int64)
+        return out[["record_id", "line_no", "n_lines", "record_text"]]
+
+    return grouped_apply(assigned, ["rec"], stitch, num_buckets=num_buckets)

@@ -136,3 +136,58 @@ def test_fluent_msgpack_equals_json_contract(tmp_path):
     a = read_forward_files([pj]).to_pandas().sort_values(["ts", "tag"]).reset_index(drop=True)
     b = read_forward_msgpack([pm]).to_pandas().sort_values(["ts", "tag"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_stitch_multiline_chunk_spanning_records():
+    """Records that span chunk boundaries stitch correctly (the global
+    record ordinal is consistent across chunks), including multi-line
+    ordering and n_lines."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.sources.text_logs import stitch_multiline
+
+    rng = np.random.default_rng(7)
+    lines, expected = [], {}
+    rec = 0
+    while len(lines) < 100:
+        rec += 1
+        parent = f"ERROR boom {rec}"
+        conts = [f"    at f{j} r{rec}" for j in range(int(rng.integers(0, 5)))]
+        expected[rec] = (len(lines), 1 + len(conts),
+                         "\n".join([parent] + conts))
+        lines.append(parent)
+        lines.extend(conts)
+    t = pa.table({"line_no": pa.array(range(len(lines)), pa.int64()),
+                  "text": pa.array(lines)})
+    ds = rd.from_arrow(t).repartition(6)  # scramble block boundaries
+    out = stitch_multiline(ds, chunk=4, num_buckets=4).to_pandas()
+    out = out.set_index("record_id").sort_index()
+    assert len(out) == rec
+    for r, (ln, n, txt) in expected.items():
+        assert out.loc[r, "line_no"] == ln
+        assert out.loc[r, "n_lines"] == n
+        assert out.loc[r, "record_text"] == txt
+
+
+def test_multiline_fixture_shape():
+    """Fixture invariants: records == transcript turns, parent lines never
+    start with a space, continuation lines always do."""
+    import pyarrow.parquet as pq
+
+    from rotel_ray.generator import ensure_transcripts
+    from rotel_ray.sources.text_logs import ensure_multiline_logs
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = ensure_multiline_logs(sf_dir)
+    t = pq.read_table(f"{d}/part-0000.parquet")
+    texts = t.column("text").to_pylist()
+    n_parents = sum(1 for x in texts if not x.startswith(" "))
+    import glob as g
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in sorted(g.glob(f"{tdir}/*.parquet")))
+    assert n_parents == n_turns
+    assert texts[0] and not texts[0].startswith(" ")
+    assert any(x.startswith("    at frame") for x in texts)
