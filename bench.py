@@ -147,6 +147,7 @@ SECONDARY = [
     "retry_storms",
     "tool_latency_quantiles",
     "multiline_stitch",
+    "peak_concurrency",
 ]
 
 

@@ -2999,6 +2999,20 @@ def q_late_events(sf_dir: str):
     return late_events(ds)
 
 
+@_hinted("events", fanout=2)
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions per hour (capacity planning): sweep-line
+    over gap-sessionized intervals, +1/-1 boundary deltas, starts before
+    ends at ties. Chunk == hour in the chunked-prefix pattern: per-hour
+    carry-ins from a two-phase int aggregate, one vectorized
+    cumsum+reduceat per bucket; 3-int rows are all that shuffles."""
+    from .stages.window import peak_concurrency
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "value", "event_id"])
+    return peak_concurrency(ds, gap_minutes=30.0)
+
+
 def q_multiline_stitch(sf_dir: str):
     """Multiline record assembly (the file-receiver continuation rule;
     reference concept: kmsg's ``c`` continuation flag,
@@ -3626,6 +3640,7 @@ QUERIES = {
     "conv_dedup": q_conv_dedup,
     "turn_latency": q_turn_latency,
     "multiline_stitch": q_multiline_stitch,
+    "peak_concurrency": q_peak_concurrency,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -5235,6 +5250,31 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                (pm IS NOT NULL AND us < pm - {_LDU}) AS late,
                CAST(count(*) AS BIGINT) AS n_events
         FROM w GROUP BY 1, 2"""
+    sql["peak_concurrency"] = """
+        WITH sess AS (
+          SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts
+          FROM (
+            SELECT user_id, ts,
+                   CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) - 1 AS session_idx
+            FROM (SELECT user_id, ts, event_id,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events))
+          GROUP BY 1, 2),
+        pts AS (
+          SELECT epoch_us(start_ts) AS us, 1 AS d FROM sess
+          UNION ALL
+          SELECT epoch_us(end_ts) AS us, -1 AS d FROM sess),
+        run AS (
+          SELECT us // 3600000000 AS hour_id, d,
+                 sum(d) OVER (ORDER BY us, d DESC ROWS UNBOUNDED PRECEDING) AS c
+          FROM pts)
+        SELECT CAST(hour_id AS BIGINT) AS hour_id,
+               CAST(max(c) AS BIGINT) AS peak_concurrency,
+               CAST(count(*) AS BIGINT) AS n_boundaries
+        FROM run GROUP BY hour_id"""
     from .sources.text_logs import multiline_logs_path as _mlp
 
     _mldir = _mlp(sf_dir)

@@ -281,3 +281,49 @@ def test_latest_with_tombstones(ray_session):
     assert got["event_id"].tolist() == ref["event_id"].tolist()
     # some keys really did vanish via tombstone
     assert len(got) < df.user_id.nunique()
+
+
+def test_peak_concurrency_sweep_line():
+    """Hand-built intervals with known per-hour peaks: overlapping sessions,
+    a session spanning hours (carry-in), and an hour whose only boundary is
+    an END (peak there is the carried level minus the drop, but the max
+    must include the pre-drop post-boundary value of that hour's events
+    only)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import peak_concurrency
+
+    H = 3_600_000_000  # us
+    # Build events so 30-min-gap sessionization yields these sessions:
+    #   u1: [0.1h, 0.2h]          u2: [0.15h, 0.25h]   -> hour 0 peak 2
+    #   u3: [0.9h, 2.1h] (events every 20 min, spans hours 0-2)
+    #   u4: [2.05h, 2.05h] single event
+    rows = []
+
+    def ev(uid, *hours_f):
+        for hf in hours_f:
+            rows.append((uid, int(hf * H)))
+
+    ev(1, 0.1, 0.2)
+    ev(2, 0.15, 0.25)
+    ev(3, *[0.9 + i * (1 / 3) for i in range(4)])  # 0.9,1.233,1.566,1.9 then 2.1
+    ev(3, 2.1)
+    ev(4, 2.05)
+    df = pd.DataFrame(rows, columns=["user_id", "us"])
+    t = pa.table({
+        "user_id": pa.array(df.user_id, pa.int64()),
+        "ts": pa.array(df.us, pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array(np.zeros(len(df))),
+        "event_id": pa.array(range(len(df)), pa.int64()),
+    })
+    out = (peak_concurrency(rd.from_arrow(t), gap_minutes=30.0, num_buckets=4)
+           .to_pandas().set_index("hour_id").sort_index())
+    # hour 0 boundaries: +u1,+u2,-u1,-u2,+u3 -> peak 2; 5 boundaries
+    assert out.loc[0, "peak_concurrency"] == 2 and out.loc[0, "n_boundaries"] == 5
+    # hour 1: no boundaries (u3 active throughout) -> no row
+    assert 1 not in out.index
+    # hour 2: carry-in 1 (u3); +u4 (2.05) -> 2, -u4 -> 1, -u3 (2.1) -> 0
+    assert out.loc[2, "peak_concurrency"] == 2 and out.loc[2, "n_boundaries"] == 3
