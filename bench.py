@@ -148,6 +148,8 @@ SECONDARY = [
     "tool_latency_quantiles",
     "multiline_stitch",
     "peak_concurrency",
+    "tool_pairs",
+    "subnet_rollup",
 ]
 
 

@@ -2999,6 +2999,61 @@ def q_late_events(sf_dir: str):
     return late_events(ds)
 
 
+def q_tool_pairs(sf_dir: str):
+    """Tool-affinity market-basket view: for every unordered pair of
+    distinct tools used in the same conversation, the number of
+    conversations where they co-occur. Distinct-first (two-phase), then a
+    fully vectorized per-group pair explosion with bounded fan-out (k =
+    tools per conversation, capped by the tool vocabulary)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint, pair_cooccurrence
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["conv_id", "tool"])
+    with input_rows_hint(n_turns * 4):  # pair fan-out bound: k<=8 tools/conv
+        return pair_cooccurrence(ds, group_col="conv_id", item_col="tool")
+
+
+def q_subnet_rollup(sf_dir: str):
+    """Per-/24-subnet traffic rollup over the nginx access grammar: request
+    count, distinct client users and total bytes — the top-talkers view.
+    Distinct users via a chained two-phase ((subnet,user) grain first, then
+    subnet), so no distinct-set ever materializes."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint, two_phase_aggregate
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    parsed = _parsed(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "nginx_access"))
+        sub = pc.struct_field(
+            pc.extract_regex(t.column("remote_addr"),
+                             r"^(?P<s>\d+\.\d+\.\d+)\."), "s")
+        return pa.table({"subnet": sub,
+                         "remote_user": t.column("remote_user"),
+                         "bytes": t.column("body_bytes_sent")})
+
+    rows = parsed.map_batches(narrow, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    with input_rows_hint(n_turns):
+        per_user = two_phase_aggregate(rows, ["subnet", "remote_user"],
+                                       [("bytes", "count", "n"),
+                                        ("bytes", "sum", "b")],
+                                       num_buckets=16)
+        out = two_phase_aggregate(per_user, ["subnet"],
+                                  [("n", "sum", "n_requests"),
+                                   ("n", "count", "n_users"),
+                                   ("b", "sum", "sum_bytes")], num_buckets=8)
+    return out
+
+
 @_hinted("events", fanout=2)
 def q_peak_concurrency(sf_dir: str):
     """Peak concurrent sessions per hour (capacity planning): sweep-line
@@ -3641,6 +3696,8 @@ QUERIES = {
     "turn_latency": q_turn_latency,
     "multiline_stitch": q_multiline_stitch,
     "peak_concurrency": q_peak_concurrency,
+    "tool_pairs": q_tool_pairs,
+    "subnet_rollup": q_subnet_rollup,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -5250,6 +5307,28 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                (pm IS NOT NULL AND us < pm - {_LDU}) AS late,
                CAST(count(*) AS BIGINT) AS n_events
         FROM w GROUP BY 1, 2"""
+    sql["tool_pairs"] = f"""
+        WITH d AS (
+          SELECT DISTINCT conv_id, tool FROM {T}
+          WHERE tool IS NOT NULL AND tool <> ''),
+        p AS (
+          SELECT a.tool AS tool_a, b.tool AS tool_b
+          FROM d a JOIN d b ON a.conv_id = b.conv_id AND a.tool < b.tool)
+        SELECT tool_a, tool_b, CAST(count(*) AS BIGINT) AS n_groups
+        FROM p GROUP BY 1, 2"""
+    sql["subnet_rollup"] = f"""
+        WITH a AS (
+          SELECT regexp_extract(text, '^(\\d+\\.\\d+\\.\\d+)\\.', 1) AS subnet,
+                 regexp_extract(text, '^\\S+ - (\\S+) ', 1) AS remote_user,
+                 CAST(regexp_extract(text, '" (\\d+) (\\d+) "', 2) AS BIGINT) AS bytes
+          FROM {T} WHERE ({SQL_EVENT_TYPE}) = 'nginx_access'),
+        u AS (
+          SELECT subnet, remote_user, count(*) AS n, sum(bytes) AS b
+          FROM a GROUP BY 1, 2)
+        SELECT subnet, CAST(sum(n) AS BIGINT) AS n_requests,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(b) AS BIGINT) AS sum_bytes
+        FROM u GROUP BY subnet"""
     sql["peak_concurrency"] = """
         WITH sess AS (
           SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts

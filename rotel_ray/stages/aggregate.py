@@ -571,3 +571,61 @@ def delta_within_group(
         zero_copy_batch=True,
     )
     return grouped_apply(filtered, [key], per_bucket)
+
+
+def pair_cooccurrence(ds, *, group_col: str = "conv_id",
+                      item_col: str = "tool", num_buckets: int = 64):
+    """Unordered item-pair co-occurrence: for every group, every pair of
+    DISTINCT items (a < b lexicographically) that appear together, counted
+    over groups — the market-basket / tool-affinity view.
+
+    Scale shape: phase 1 is a two-phase distinct on (group, item) — the
+    only pass over raw rows; phase 2 buckets the distinct rows by group
+    and explodes each group's k items into k(k-1)/2 pairs fully
+    vectorized (repeat/arange index algebra, no per-group Python), with
+    per-bucket pair-count pre-aggregation; phase 3 sums the bounded
+    (item_a, item_b) partials. The pair fan-out is k per row, bounded by
+    the item vocabulary, and only (group, item) ints + item strings ever
+    shuffle."""
+    import pandas as pd
+
+    def narrow(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        it = t.column(item_col)
+        keep = pc.and_(pc.is_valid(it), pc.not_equal(it, ""))
+        return pa.table({group_col: g, item_col: it}).filter(keep)
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = two_phase_aggregate(rows, [group_col, item_col],
+                                   [(item_col, "count", "_n")],
+                                   num_buckets=num_buckets)
+
+    def explode_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"tool_a": pd.Series([], dtype=str),
+                                 "tool_b": pd.Series([], dtype=str),
+                                 "n_groups": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([group_col, item_col], kind="mergesort")
+        gv = g[group_col].to_numpy()
+        items = g[item_col].to_numpy()
+        n = len(gv)
+        seg_first = np.flatnonzero(np.r_[True, gv[1:] != gv[:-1]])
+        k = np.diff(np.r_[seg_first, n])
+        row_seg_start = np.repeat(seg_first, k)
+        li = np.arange(n) - row_seg_start          # local index within group
+        right_rows = np.repeat(np.arange(n), li)   # item j appears j times
+        grp_start = np.repeat(np.cumsum(li) - li, li)
+        left_rows = np.repeat(row_seg_start, li) + (
+            np.arange(int(li.sum())) - grp_start)  # items 0..j-1
+        out = (pd.DataFrame({"tool_a": items[left_rows],
+                             "tool_b": items[right_rows]})
+               .groupby(["tool_a", "tool_b"], sort=False)
+               .size().rename("n_groups").reset_index())
+        out["n_groups"] = out["n_groups"].astype(np.int64)
+        return out
+
+    partials = grouped_apply(distinct, [group_col], explode_pairs,
+                             num_buckets=num_buckets)
+    return two_phase_aggregate(partials, ["tool_a", "tool_b"],
+                               [("n_groups", "sum", "n_groups")],
+                               num_buckets=16)

@@ -260,3 +260,26 @@ def test_session_conversion_funnel():
     got = session_conversion(ds, num_buckets=4).to_pandas()
     assert got.to_dict("records") == [
         {"n_sessions": 3, "n_with_click": 2, "n_converted": 1}]
+
+
+def test_pair_cooccurrence_vectorized_explosion():
+    """The repeat/arange pair-index algebra enumerates exactly the k(k-1)/2
+    ordered-by-name pairs per group, with duplicates collapsed first."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.aggregate import pair_cooccurrence
+
+    rows = [
+        ("c1", "bash"), ("c1", "search"), ("c1", "bash"), ("c1", "python"),
+        ("c2", "search"), ("c2", "bash"),
+        ("c3", "python"), ("c3", ""), ("c3", None),   # empties filtered
+        ("c4", "bash"),                                # singleton: no pairs
+    ]
+    t = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                  "tool": pa.array([r[1] for r in rows])})
+    out = (pair_cooccurrence(rd.from_arrow(t), num_buckets=4)
+           .to_pandas().set_index(["tool_a", "tool_b"])["n_groups"])
+    assert out.to_dict() == {("bash", "search"): 2,
+                             ("bash", "python"): 1,
+                             ("python", "search"): 1}
