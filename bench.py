@@ -150,6 +150,7 @@ SECONDARY = [
     "peak_concurrency",
     "tool_pairs",
     "subnet_rollup",
+    "cms_counts",
 ]
 
 

@@ -2999,6 +2999,19 @@ def q_late_events(sf_dir: str):
     return late_events(ds)
 
 
+@_hinted("documents", fanout=256)
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch point estimates vs truth for the top-64 corpus
+    tokens: constant-size (depth x width int) sketch built from per-batch
+    distinct-token partials, md5 double hashing (SQL-replayable); output
+    pins the CMS overestimate guarantee (est >= true, error = hash
+    collisions)."""
+    from .stages.sketch import cms_token_estimates
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cms_token_estimates(ds)
+
+
 def q_tool_pairs(sf_dir: str):
     """Tool-affinity market-basket view: for every unordered pair of
     distinct tools used in the same conversation, the number of
@@ -3698,6 +3711,7 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "tool_pairs": q_tool_pairs,
     "subnet_rollup": q_subnet_rollup,
+    "cms_counts": q_cms_counts,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -5098,6 +5112,30 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
           AND (h1 +     h2 ) % {_BM} IN (SELECT p FROM evp)
           AND (h1 + 2 * h2 ) % {_BM} IN (SELECT p FROM evp)
         GROUP BY doc_id"""
+    # cms_counts: replay the sketch bit-exactly — counters from EXACT global
+    # token counts (mathematically identical to the engine's per-batch
+    # partial accumulation: positions depend only on the token), same md5
+    # double-hash family as decontaminate_bloom. Width 256, depth 4,
+    # probe = top-64 by (count desc, token asc).
+    sql["cms_counts"] = rf"""
+        WITH toks AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x != '')) AS g
+          FROM documents),
+        cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY g),
+        hs AS (SELECT g, c, {_BH1} AS h1, {_BH2} AS h2 FROM cnt),
+        pos AS (SELECT r.r AS r, (h1 + r.r * h2) % 256 AS p, c
+                FROM hs, unnest([0, 1, 2, 3]) AS r(r)),
+        counters AS (SELECT r, p, sum(c) AS v FROM pos GROUP BY r, p),
+        probe AS (SELECT g, c, h1, h2 FROM hs
+                  QUALIFY row_number() OVER (ORDER BY c DESC, g) <= 64),
+        pe AS (SELECT probe.g, probe.c, r.r AS r, (h1 + r.r * h2) % 256 AS p
+               FROM probe, unnest([0, 1, 2, 3]) AS r(r)),
+        est AS (SELECT g, c, min(v) AS e FROM pe
+                JOIN counters USING (r, p) GROUP BY g, c)
+        SELECT g AS token, CAST(e AS BIGINT) AS cms_estimate,
+               c AS true_count, CAST(e - c AS BIGINT) AS overestimate
+        FROM est"""
     sql["vocab_growth"] = r"""
         WITH toks AS (
           SELECT doc_id,

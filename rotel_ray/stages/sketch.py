@@ -474,3 +474,78 @@ def quantile_sketch(ds, *, value_col: str = "value",
         out.append({"perm": perm, "bucket": bk,
                     "est_lo_cents": lo + bk * span // bins, "rank": rank})
     return pd.DataFrame(out).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH_LOG2 = 8
+CMS_DEPTH = 4
+
+
+def cms_token_estimates(ds, *, width_log2: int = CMS_WIDTH_LOG2,
+                        depth: int = CMS_DEPTH, top_v: int = 64,
+                        text_col: str = "text", num_buckets: int = 8):
+    """Count-min sketch over the whitespace-token stream, verified against
+    exact counts: a ``depth`` x ``2^width_log2`` counter matrix built from
+    per-batch partial token counts (md5 double hashing, position_r =
+    (h1 + r*h2) mod width — the same SQL-mirrorable family as
+    decontaminate_bloom), then the CMS point estimate (min over rows) for
+    the ``top_v`` tokens by exact count, next to the truth. The CMS
+    guarantee est >= true holds by construction; ``overestimate`` is the
+    collision error the width/depth trade buys.
+
+    Scale shape: the sketch exchange is depth*width bounded int rows no
+    matter the vocabulary (each batch pre-collapses to distinct local
+    tokens before hashing — the stream is never tokenized twice and no
+    global token table feeds the sketch); the exact-count side rides the
+    vocab-bounded two-phase + distributed top-V selection that
+    unigram_logprob uses. Driver state: depth*width counters + top_v
+    probe rows — constants."""
+    from .dedup import _bloom_hashes
+    from .textstats import split_tokens, top_v_counts, unigram_counts
+
+    width = 1 << width_log2
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = split_tokens(t.column(text_col))
+        d = pc.dictionary_encode(flat)
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary)).astype(np.int64)
+        toks = d.dictionary.to_pylist()
+        h1, h2 = _bloom_hashes(toks)
+        rs, ps, vs = [], [], []
+        for r in range(depth):
+            rs.append(np.full(len(toks), r, np.int64))
+            ps.append((h1 + r * h2) % width)
+            vs.append(cnt)
+        return pa.table({"r": pa.array(np.concatenate(rs) if rs else
+                                       np.zeros(0, np.int64)),
+                         "p": pa.array(np.concatenate(ps) if ps else
+                                       np.zeros(0, np.int64)),
+                         "v": pa.array(np.concatenate(vs) if vs else
+                                       np.zeros(0, np.int64))})
+
+    parts = ds.map_batches(sketch_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counters = two_phase_aggregate(parts, ["r", "p"], [("v", "sum", "v")],
+                                   num_buckets=num_buckets).take_all()
+    mat = np.zeros((depth, width), np.int64)
+    for row in counters:
+        mat[row["r"], row["p"]] = row["v"]
+
+    exact = unigram_counts(ds, text_col=text_col).materialize()
+    if exact.count() > top_v:
+        exact = top_v_counts(exact, key_col="tok", count_col="c", top_v=top_v)
+    probe = exact.take_all()
+    toks = [r["tok"] for r in probe]
+    true = np.array([r["c"] for r in probe], np.int64)
+    h1, h2 = _bloom_hashes(toks)
+    est = np.full(len(toks), np.iinfo(np.int64).max, np.int64)
+    for r in range(depth):
+        est = np.minimum(est, mat[r, (h1 + r * h2) % width])
+    return pa.table({"token": pa.array([str(t) for t in toks]),
+                     "cms_estimate": pa.array(est),
+                     "true_count": pa.array(true),
+                     "overestimate": pa.array(est - true)})

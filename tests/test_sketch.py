@@ -231,3 +231,38 @@ def test_quantile_sketch_brackets_exact_quantile():
         assert b_lo <= exact <= b_hi
         assert r.est_lo_cents == b_lo
     assert got.perm.tolist() == [500, 900, 990]
+
+
+def test_cms_overestimate_and_mirror_under_forced_collisions():
+    """Width 4 forces collisions: the engine's estimates must equal a
+    direct numpy CMS replay and satisfy est >= true everywhere, with at
+    least one real overestimate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.dedup import _bloom_hashes
+    from rotel_ray.stages.sketch import cms_token_estimates
+
+    docs = ["a b c d e f g h", "a a b b c d", "x y z a q w", "q w e r t y"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(3)
+    out = cms_token_estimates(ds, width_log2=2, depth=3, top_v=64).to_pandas()
+
+    from collections import Counter
+    true = Counter(" ".join(docs).split())
+    toks = sorted(true)
+    h1, h2 = _bloom_hashes(toks)
+    mat = np.zeros((3, 4), np.int64)
+    for i, t in enumerate(toks):
+        for r in range(3):
+            mat[r, (h1[i] + r * h2[i]) % 4] += true[t]
+    mirror = {t: min(mat[r, (h1[i] + r * h2[i]) % 4] for r in range(3))
+              for i, t in enumerate(toks)}
+
+    got = out.set_index("token")
+    assert len(got) == len(toks)
+    for t in toks:
+        assert got.loc[t, "true_count"] == true[t]
+        assert got.loc[t, "cms_estimate"] == mirror[t]
+        assert got.loc[t, "overestimate"] >= 0
+    assert (got["overestimate"] > 0).any()  # width 4 must collide
