@@ -151,6 +151,7 @@ SECONDARY = [
     "tool_pairs",
     "subnet_rollup",
     "cms_counts",
+    "pagerank",
 ]
 
 

@@ -2999,6 +2999,26 @@ def q_late_events(sf_dir: str):
     return late_events(ds)
 
 
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration exact-integer PageRank over the deterministic
+    document link graph (crawl-centrality prior): 3 power iterations, each
+    one bucketed edges-join-ranks + two-phase sum + left join back to the
+    node table, materialized per iteration (the distributed checkpoint
+    barrier). Bit-exact vs a chained-CTE DuckDB replay."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import ensure_link_graph, pagerank_int
+
+    gdir = ensure_link_graph(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    with input_rows_hint(n_edges + n):  # join unions edges + node rows
+        return pagerank_int(edges, n)
+
+
 @_hinted("documents", fanout=256)
 def q_cms_counts(sf_dir: str):
     """Count-min sketch point estimates vs truth for the top-64 corpus
@@ -3712,6 +3732,7 @@ QUERIES = {
     "tool_pairs": q_tool_pairs,
     "subnet_rollup": q_subnet_rollup,
     "cms_counts": q_cms_counts,
+    "pagerank": q_pagerank,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -5112,6 +5133,34 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
           AND (h1 +     h2 ) % {_BM} IN (SELECT p FROM evp)
           AND (h1 + 2 * h2 ) % {_BM} IN (SELECT p FROM evp)
         GROUP BY doc_id"""
+    # pagerank: chained-CTE bit-exact replay of the integer power iteration
+    # (all values positive -> // is floor in both engines). r0/BASE literals
+    # computed from the same n the engine uses.
+    from .stages.graph import PR_SCALE as _PRS
+    from .stages.graph import link_graph_path as _lgp
+
+    _gdir = _lgp(sf_dir)
+    _n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    _r0 = _PRS // _n_docs
+    _prbase = (15 * _r0) // 100
+    _iter_cte = """
+        c{t} AS (
+          SELECT e.dst AS v, sum(r{p}.r // e.d) AS s
+          FROM ed e JOIN r{p} ON e.src = r{p}.v GROUP BY e.dst),
+        r{t} AS (
+          SELECT n.v, CAST({base} + 85 * COALESCE(c{t}.s, 0) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN c{t} ON n.v = c{t}.v)"""
+    sql["pagerank"] = (
+        f"""
+        WITH nodes AS (SELECT doc_id AS v FROM documents),
+        edges AS (SELECT src, dst FROM read_parquet('{_gdir}/*.parquet')),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg USING (src)),
+        r0 AS (SELECT v, CAST({_r0} AS BIGINT) AS r FROM nodes),"""
+        + ",".join(_iter_cte.format(t=t, p=t - 1, base=_prbase)
+                   for t in (1, 2, 3))
+        + """
+        SELECT v AS node_id, r AS pagerank_int FROM r3""")
     # cms_counts: replay the sketch bit-exactly — counters from EXACT global
     # token counts (mathematically identical to the engine's per-batch
     # partial accumulation: positions depend only on the token), same md5

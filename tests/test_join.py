@@ -81,3 +81,54 @@ def test_bucket_anti_join_drops_matched_keys():
     assert got.k.tolist() == [1, 3]
     assert got.v.tolist() == ["a", "c"]
     assert str(got.k.dtype) == "int64"
+
+
+def test_pagerank_numpy_mirror_and_mass():
+    """3-iteration integer PageRank on a tiny hand graph equals a direct
+    numpy replay; ranks are positive and the known hub outranks leaves."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import pagerank_int
+
+    # star: everyone links to node 0; node 0 links to 1
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1), (2, 1)]
+    n = 5
+    t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], pa.int64())})
+    out = (pagerank_int(rd.from_arrow(t), n, iters=3, num_buckets=4)
+           .to_pandas().set_index("node_id")["pagerank_int"].sort_index())
+
+    scale = 10**12
+    r0 = scale // n
+    base = (15 * r0) // 100
+    deg = np.zeros(n, np.int64)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, r0, np.int64)
+    for _ in range(3):
+        s = np.zeros(n, np.int64)
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = base + (85 * s) // 100
+    assert list(out.index) == list(range(n))
+    assert (out.to_numpy() == r).all()
+    assert out[0] == out.max() and out[0] > out[3]
+
+
+def test_link_graph_fixture_invariants():
+    """Every node has >= 1 out-edge, no self-loops, no parallel edges,
+    targets in range."""
+    import pyarrow.parquet as pq
+
+    from rotel_ray.stages.graph import GRAPH_MAX_OUT, ensure_link_graph
+
+    d = ensure_link_graph("/root/testdata/sf0.001")
+    t = pq.read_table(f"{d}/part-0000.parquet").to_pandas()
+    n = 500
+    assert t.src.nunique() == n
+    assert (t.src != t.dst).all()
+    assert not t.duplicated(["src", "dst"]).any()
+    assert t.dst.between(0, n - 1).all()
+    assert t.groupby("src").size().max() <= GRAPH_MAX_OUT
