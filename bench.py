@@ -152,6 +152,8 @@ SECONDARY = [
     "subnet_rollup",
     "cms_counts",
     "pagerank",
+    "graph_degrees",
+    "session_paths",
 ]
 
 

@@ -3019,6 +3019,63 @@ def q_pagerank(sf_dir: str):
         return pagerank_int(edges, n)
 
 
+@_hinted("events")
+def q_session_paths(sf_dir: str):
+    """Entry-funnel path mining: the ordered event-type sequence of each
+    gap-session's first 3 events, counted over sessions. One bucketed pass
+    sessionizes + ranks + assembles paths vectorized; the shuffle after it
+    moves (path, n) partials bounded by |event_types|^3."""
+    from .stages.window import session_paths
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type", "event_id"])
+    return session_paths(ds, gap_minutes=30.0, depth=3)
+
+
+def q_graph_degrees(sf_dir: str):
+    """Link-graph degree distribution: (direction, degree, n_nodes) for
+    in- and out-degree, zero-degree nodes included (left join to the node
+    table) — the first sanity report any crawl-graph pipeline prints.
+    Degree cardinality is bounded, so every exchange after the first count
+    is tiny."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from .stages.aggregate import input_rows_hint, two_phase_aggregate
+    from .stages.graph import ensure_link_graph
+    from .stages.join import bucket_hash_join
+
+    gdir = ensure_link_graph(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+
+    with input_rows_hint(n_edges + n):
+        edges = read_parquet(gdir)
+        nodes = rd.range(n).map_batches(
+            lambda t: pa.table({"v": t.column("id").combine_chunks()
+                                .cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        outs = []
+        for direction, key in (("out", "src"), ("in", "dst")):
+            cnt = two_phase_aggregate(edges, [key], [(key, "count", "deg")],
+                                      num_buckets=16)
+            full = bucket_hash_join(nodes, cnt, on="v", right_on=key,
+                                    how="left", fill={"deg": 0},
+                                    num_buckets=16)
+            hist = two_phase_aggregate(full, ["deg"],
+                                       [("v", "count", "n_nodes")],
+                                       num_buckets=4)
+            outs.append(hist.map_batches(
+                lambda t, d=direction: pa.table(
+                    {"direction": pa.array([d] * t.num_rows),
+                     "degree": t.column("deg"),
+                     "n_nodes": t.column("n_nodes")}),
+                batch_format="pyarrow", zero_copy_batch=True))
+        return outs[0].union(outs[1])
+
+
 @_hinted("documents", fanout=256)
 def q_cms_counts(sf_dir: str):
     """Count-min sketch point estimates vs truth for the top-64 corpus
@@ -3733,6 +3790,8 @@ QUERIES = {
     "subnet_rollup": q_subnet_rollup,
     "cms_counts": q_cms_counts,
     "pagerank": q_pagerank,
+    "graph_degrees": q_graph_degrees,
+    "session_paths": q_session_paths,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -5161,6 +5220,41 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                    for t in (1, 2, 3))
         + """
         SELECT v AS node_id, r AS pagerank_int FROM r3""")
+    sql["session_paths"] = """
+        WITH s AS (
+          SELECT user_id, ts, event_type, event_id,
+                 CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_idx
+          FROM (SELECT user_id, ts, event_type, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events)),
+        r AS (
+          SELECT user_id, session_idx, event_type,
+                 row_number() OVER (PARTITION BY user_id, session_idx
+                                    ORDER BY ts, event_id) AS rn
+          FROM s),
+        p AS (
+          SELECT user_id, session_idx,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM p GROUP BY path"""
+    sql["graph_degrees"] = f"""
+        WITH nodes AS (SELECT doc_id AS v FROM documents),
+        edges AS (SELECT src, dst FROM read_parquet('{_gdir}/*.parquet')),
+        o AS (SELECT n.v, COALESCE(c.d, 0) AS deg FROM nodes n
+              LEFT JOIN (SELECT src, count(*) AS d FROM edges GROUP BY src) c
+              ON n.v = c.src),
+        i AS (SELECT n.v, COALESCE(c.d, 0) AS deg FROM nodes n
+              LEFT JOIN (SELECT dst, count(*) AS d FROM edges GROUP BY dst) c
+              ON n.v = c.dst)
+        SELECT 'out' AS direction, CAST(deg AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_nodes FROM o GROUP BY deg
+        UNION ALL
+        SELECT 'in', CAST(deg AS BIGINT), CAST(count(*) AS BIGINT)
+        FROM i GROUP BY deg"""
     # cms_counts: replay the sketch bit-exactly — counters from EXACT global
     # token counts (mathematically identical to the engine's per-batch
     # partial accumulation: positions depend only on the token), same md5

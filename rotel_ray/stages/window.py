@@ -1162,3 +1162,51 @@ def peak_concurrency(ds, *, gap_minutes: float = 30.0,
 
     return grouped_apply(points, ["hour_id"], per_bucket,
                          num_buckets=num_buckets)
+
+
+def session_paths(ds, *, key: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type", id_col: str = "event_id",
+                  gap_minutes: float = 30.0, depth: int = 3,
+                  num_buckets: int = 64):
+    """Session path mining: the ordered event-type sequence of each
+    session's first ``depth`` events ('click>view>purchase'), counted over
+    sessions — the entry-funnel view product analytics starts from.
+
+    Scale shape: one bucketed pass (grouped_apply by key) does
+    sessionization, per-session rank and path assembly vectorized across
+    every key in the bucket, emitting per-bucket (path, n) partials; a
+    bounded two-phase sum finishes. Paths are at most depth event-type
+    names — the partial space is |event_types|^depth, far below row
+    count."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"path": pd.Series([], dtype=str),
+                                 "n_sessions": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        gap_break = ((g[ts_col] - g[ts_col].shift()) > gap).to_numpy()
+        new_sess = key_change | gap_break
+        sess_id = np.cumsum(new_sess)
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.r_[starts, len(sess_id)])
+        rank = np.arange(len(sess_id)) - np.repeat(starts, counts)
+        kept = rank < depth
+        out = (pd.DataFrame({"sess": sess_id[kept],
+                             "t": g[type_col].to_numpy()[kept]})
+               .groupby("sess", sort=False)["t"].agg(">".join)
+               .value_counts())
+        return pd.DataFrame({"path": out.index.to_numpy(),
+                             "n_sessions": out.to_numpy().astype(np.int64)})
+
+    partials = grouped_apply(ds, [key], per_bucket,
+                             select=[key, ts_col, type_col, id_col],
+                             num_buckets=num_buckets)
+    return two_phase_aggregate(partials, ["path"],
+                               [("n_sessions", "sum", "n_sessions")],
+                               num_buckets=4)
