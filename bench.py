@@ -154,6 +154,7 @@ SECONDARY = [
     "pagerank",
     "graph_degrees",
     "session_paths",
+    "skew_report",
 ]
 
 

@@ -3020,6 +3020,18 @@ def q_pagerank(sf_dir: str):
 
 
 @_hinted("events")
+def q_skew_report(sf_dir: str):
+    """Shuffle-planning skew diagnostics on events.user_id: n_keys,
+    n_rows, hottest-key count and the exact-integer Gini of the per-key
+    count distribution (rank-run algebra over a bounded count-value
+    histogram — no global sort)."""
+    from .stages.profile import skew_report
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return skew_report(ds, key="user_id")
+
+
+@_hinted("events")
 def q_session_paths(sf_dir: str):
     """Entry-funnel path mining: the ordered event-type sequence of each
     gap-session's first 3 events, counted over sessions. One bucketed pass
@@ -3792,6 +3804,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "graph_degrees": q_graph_degrees,
     "session_paths": q_session_paths,
+    "skew_report": q_skew_report,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -5220,6 +5233,17 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                    for t in (1, 2, 3))
         + """
         SELECT v AS node_id, r AS pagerank_int FROM r3""")
+    sql["skew_report"] = """
+        WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        s AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c),
+        t AS (SELECT count(*) AS n, sum(c) AS tot, sum(i * c) AS s1,
+                     max(c) AS mx
+              FROM s)
+        SELECT CAST(n AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS n_rows,
+               CAST(mx AS BIGINT) AS max_count,
+               CAST((1000000 * (2 * s1 - (n + 1) * tot)) // (n * tot)
+                    AS BIGINT) AS gini_e6
+        FROM t"""
     sql["session_paths"] = """
         WITH s AS (
           SELECT user_id, ts, event_type, event_id,

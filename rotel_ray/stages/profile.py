@@ -152,3 +152,41 @@ def attr_mi(ds, *, x_col: str, y_col: str, num_buckets: int = 16,
         "n_y": pa.array([len(cy)], pa.int64()),
         "mi_nanonats": pa.array([mi], pa.int64()),
     }))
+
+
+def skew_report(ds, *, key: str = "user_id", num_buckets: int = 32):
+    """Key-skew diagnostics for shuffle planning: per-key row counts
+    reduced to (n_keys, n_rows, max_count, gini_e6) where gini_e6 is the
+    exact-integer Gini coefficient of the per-key count distribution,
+
+        gini_e6 = floor(1e6 * (2*S1 - (n+1)*T) / (n*T)),
+        S1 = sum_i i * c_(i)  (counts sorted ascending, 1-based ranks).
+
+    0 = perfectly balanced keys, ->1e6 = one hot key owns everything: the
+    number that says whether a groupby on this key needs salting.
+
+    Scale shape: per-key counts are one two-phase pass; they collapse to a
+    COUNT-VALUE HISTOGRAM (distinct count value -> #keys, bounded by the
+    hottest key's count) via a second tiny two-phase; the driver folds the
+    histogram with exact Python ints (rank-run algebra: a run of m keys at
+    count c contributes c * (base*m + m*(m+1)/2)), so no global sort and
+    no unbounded driver state."""
+    counts = two_phase_aggregate(ds, [key], [(key, "count", "c")],
+                                 num_buckets=num_buckets)
+    hist = two_phase_aggregate(counts, ["c"], [("c", "count", "m")],
+                               num_buckets=4).take_all()
+    hist.sort(key=lambda r: r["c"])
+    n = t_rows = s1 = mx = 0
+    base = 0  # keys ranked before the current run
+    for r in hist:
+        c, m = int(r["c"]), int(r["m"])
+        s1 += c * (base * m + m * (m + 1) // 2)
+        t_rows += c * m
+        n += m
+        base += m
+        mx = c
+    gini_e6 = (1_000_000 * (2 * s1 - (n + 1) * t_rows)) // (n * t_rows) if n else 0
+    return pa.table({"n_keys": pa.array([n], pa.int64()),
+                     "n_rows": pa.array([t_rows], pa.int64()),
+                     "max_count": pa.array([mx], pa.int64()),
+                     "gini_e6": pa.array([gini_e6], pa.int64())})

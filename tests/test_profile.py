@@ -31,3 +31,35 @@ def test_table_profile_empty_input(ray_session):
         "a": pa.array([], pa.int64()), "s": pa.array([], pa.string())}))
     out = table_profile(ds, ["a", "s"], num_buckets=2).to_pandas()
     assert list(out.n) == [0, 0] and list(out.n_distinct) == [0, 0]
+
+
+def test_skew_report_extremes_and_mirror():
+    """Gini: balanced keys -> 0; one dominant key -> high; value equals a
+    direct sorted-rank replay."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.profile import skew_report
+
+    def run(keys):
+        t = pa.table({"user_id": pa.array(keys, pa.int64())})
+        return (skew_report(rd.from_arrow(t).repartition(3), key="user_id")
+                .to_pandas().iloc[0])
+
+    def mirror(keys):
+        from collections import Counter
+        c = np.sort(np.array(list(Counter(keys).values()), np.int64))
+        n, tot = len(c), int(c.sum())
+        s1 = int((np.arange(1, n + 1) * c).sum())
+        return (1_000_000 * (2 * s1 - (n + 1) * tot)) // (n * tot)
+
+    balanced = [i % 10 for i in range(100)]
+    r = run(balanced)
+    assert r.n_keys == 10 and r.n_rows == 100 and r.max_count == 10
+    assert r.gini_e6 == 0 == mirror(balanced)
+
+    skewed = [0] * 91 + list(range(1, 10))
+    r = run(skewed)
+    assert r.max_count == 91
+    assert r.gini_e6 == mirror(skewed) > 700_000
