@@ -3044,6 +3044,56 @@ def q_session_paths(sf_dir: str):
     return session_paths(ds, gap_minutes=30.0, depth=3)
 
 
+def q_label_propagation(sf_dir: str):
+    """Semi-supervised label propagation over the link graph: every 5th
+    doc seeds its lang label; 2 fixed rounds of majority-vote adoption by
+    unlabeled neighbors (ties -> label asc). Per round: one bucketed
+    halfedge-join, a (node,label) two-phase count, a vectorized per-node
+    argmax and a bucketed anti-join — labels move as 2-column rows."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import LP_SEED_MOD, ensure_link_graph, label_propagation
+
+    gdir = ensure_link_graph(sf_dir)
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang"])
+
+    def seed(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = pa.array(d % LP_SEED_MOD == 0)
+        return pa.table({"v": t.column("doc_id").filter(m),
+                         "lab": t.column("lang").filter(m)})
+
+    seeds = docs.map_batches(seed, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    with input_rows_hint(n_edges * 4):  # halfedge-join fan-out bound
+        return label_propagation(edges, seeds)
+
+
+def q_triangle_count(sf_dir: str):
+    """Triangle census of the undirected link graph (clustering-structure
+    health check): distinct-edge canonicalization, per-center vectorized
+    wedge explosion, bucketed wedge-vs-edge join; n_triangles =
+    closed_wedges // 3 (exact identity, asserted in the stage)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import ensure_link_graph, triangle_count
+
+    gdir = ensure_link_graph(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    # wedge fan-out: avg degree is < 2*GRAPH_MAX_OUT; 32x bounds k(k-1)/2
+    with input_rows_hint(n_edges * 32):
+        return triangle_count(edges, n)
+
+
 def q_graph_degrees(sf_dir: str):
     """Link-graph degree distribution: (direction, degree, n_nodes) for
     in- and out-degree, zero-degree nodes included (left join to the node
@@ -3803,6 +3853,8 @@ QUERIES = {
     "cms_counts": q_cms_counts,
     "pagerank": q_pagerank,
     "graph_degrees": q_graph_degrees,
+    "triangle_count": q_triangle_count,
+    "label_propagation": q_label_propagation,
     "session_paths": q_session_paths,
     "skew_report": q_skew_report,
     "late_events": q_late_events,
@@ -5279,6 +5331,45 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         UNION ALL
         SELECT 'in', CAST(deg AS BIGINT), CAST(count(*) AS BIGINT)
         FROM i GROUP BY deg"""
+    _lp_round = """
+        c{t} AS (
+          SELECT he.v, l.lab, count(*) AS c
+          FROM he JOIN l{p} l ON he.nbr = l.v GROUP BY 1, 2),
+        n{t} AS (
+          SELECT v, lab FROM c{t} WHERE v NOT IN (SELECT v FROM l{p})
+          QUALIFY row_number() OVER (PARTITION BY v
+                                     ORDER BY c DESC, lab) = 1),
+        l{t} AS (SELECT v, lab FROM l{p}
+                 UNION ALL SELECT v, lab FROM n{t})"""
+    sql["label_propagation"] = (
+        f"""
+        WITH e AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM read_parquet('{_gdir}/*.parquet') WHERE src <> dst),
+        he AS (SELECT a AS v, b AS nbr FROM e
+               UNION ALL SELECT b AS v, a AS nbr FROM e),
+        l0 AS (SELECT doc_id AS v, lang AS lab FROM documents
+               WHERE doc_id % 5 = 0),"""
+        + ",".join(_lp_round.format(t=t, p=t - 1) for t in (1, 2))
+        + """
+        SELECT v AS node_id, lab AS label FROM l2""")
+    sql["triangle_count"] = f"""
+        WITH e AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM read_parquet('{_gdir}/*.parquet') WHERE src <> dst),
+        deg AS (
+          SELECT v, count(*) AS k
+          FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+          GROUP BY v),
+        w AS (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_wedges
+              FROM deg),
+        tri AS (
+          SELECT count(*) AS t FROM e e1
+          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               w.n_wedges, CAST(tri.t AS BIGINT) AS n_triangles
+        FROM w, tri"""
     # cms_counts: replay the sketch bit-exactly — counters from EXACT global
     # token counts (mathematically identical to the engine's per-batch
     # partial accumulation: positions depend only on the token), same md5

@@ -148,3 +148,189 @@ def pagerank_int(edges, n_nodes: int, *, iters: int = PR_ITERS,
         lambda t: pa.table({"node_id": t.column("v"),
                             "pagerank_int": t.column("r")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def triangle_count(edges, n_nodes: int, *, num_buckets: int = 32):
+    """Global triangle census over the undirected link graph: returns one
+    row (n_edges, n_wedges, n_triangles) — the clustering-structure
+    numbers a crawl-graph health check reports.
+
+    Algorithm (the distributed wedge-check): canonicalize to undirected
+    distinct edges (a < b); per center vertex, explode its neighbor set
+    into sorted pairs (u < w) — the same vectorized repeat/arange pair
+    algebra as pair_cooccurrence — emitting (packed u*n+w, multiplicity)
+    partials; bucket-join the wedge keys against the edge-key set and sum
+    matches. Every triangle closes exactly 3 wedges (one per center), so
+    n_triangles = matches // 3 — an integer identity that doubles as a
+    self-check (asserted).
+
+    Scale shape: wedges are Σ_v deg(v)(deg(v))/2 rows of 2 ints each,
+    pre-summed per bucket by key; the join is the bucketed big-big join.
+    Packing needs n_nodes < 2^31 — for a larger graph swap the packed key
+    for the two-column grouped join (documented bound)."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+    from .join import bucket_hash_join
+
+    if n_nodes >= 1 << 31:
+        raise ValueError("triangle_count: packed u*n+w key needs n < 2^31")
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    und = two_phase_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], [("a", "count", "_n")], num_buckets=num_buckets)
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table({
+            "v": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+            "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+        })
+
+    halfedges = und.map_batches(adj, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["v", "nbr"], kind="mergesort")
+        vv = g["v"].to_numpy()
+        nb = g["nbr"].to_numpy()
+        n = len(vv)
+        seg_first = np.flatnonzero(np.r_[True, vv[1:] != vv[:-1]])
+        k = np.diff(np.r_[seg_first, n])
+        li = np.arange(n) - np.repeat(seg_first, k)
+        right_rows = np.repeat(np.arange(n), li)
+        grp_start = np.repeat(np.cumsum(li) - li, li)
+        left_rows = np.repeat(np.repeat(seg_first, k), li) + (
+            np.arange(int(li.sum())) - grp_start)
+        key = nb[left_rows] * n_nodes + nb[right_rows]  # u < w by sort order
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"key": uk, "cnt": cnt.astype(np.int64)})
+
+    wkeys = grouped_apply(halfedges, ["v"], wedges, num_buckets=num_buckets)
+    wsum = two_phase_aggregate(wkeys, ["key"], [("cnt", "sum", "cnt")],
+                               num_buckets=num_buckets)
+
+    ekeys = und.map_batches(
+        lambda t: pa.table({"key": pa.array(
+            t.column("a").to_numpy(zero_copy_only=False) * n_nodes
+            + t.column("b").to_numpy(zero_copy_only=False)),
+            "is_edge": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    closed = bucket_hash_join(wsum, ekeys, on="key",
+                              num_buckets=num_buckets)
+    totals = two_phase_aggregate(
+        closed.map_batches(lambda t: t.select(["key", "cnt"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .map_batches(lambda t: pa.table(
+                  {"one": pa.array(np.zeros(t.num_rows, np.int64)),
+                   "cnt": t.column("cnt")}),
+                  batch_format="pyarrow", zero_copy_batch=True),
+        ["one"], [("cnt", "sum", "closed_wedges")], num_buckets=2).take_all()
+    closed_wedges = totals[0]["closed_wedges"] if totals else 0
+    assert closed_wedges % 3 == 0, closed_wedges
+
+    stats = two_phase_aggregate(
+        halfedges.map_batches(lambda t: pa.table(
+            {"one": pa.array(np.zeros(t.num_rows, np.int64)),
+             "deg": t.column("v")}), batch_format="pyarrow",
+            zero_copy_batch=True),
+        ["one"], [("deg", "count", "n_half")], num_buckets=2).take_all()
+    n_edges = (stats[0]["n_half"] // 2) if stats else 0
+    wtot = two_phase_aggregate(
+        wkeys.map_batches(lambda t: pa.table(
+            {"one": pa.array(np.zeros(t.num_rows, np.int64)),
+             "cnt": t.column("cnt")}), batch_format="pyarrow",
+            zero_copy_batch=True),
+        ["one"], [("cnt", "sum", "n_wedges")], num_buckets=2).take_all()
+    n_wedges = wtot[0]["n_wedges"] if wtot else 0
+
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_wedges": pa.array([n_wedges], pa.int64()),
+                     "n_triangles": pa.array([closed_wedges // 3], pa.int64())})
+
+
+LP_ITERS = 2
+LP_SEED_MOD = 5
+
+
+def label_propagation(edges, seeds, *, iters: int = LP_ITERS,
+                      num_buckets: int = 32):
+    """Semi-supervised label propagation over the undirected link graph
+    (Zhu & Ghahramani 2002 / community LP): seed nodes keep their label;
+    each iteration, every still-unlabeled node adopts the MAJORITY label
+    among its labeled neighbors (ties break by label ascending —
+    deterministic); ``iters`` fixed rounds so the DuckDB oracle replays
+    the schedule as chained CTEs. ``seeds`` is a (v, lab) Dataset;
+    returns (node_id, label) for every node labeled after the rounds.
+
+    Scale shape: per iteration one bucketed halfedge ⋈ labels join, a
+    two-phase (v, lab) count, a per-bucket vectorized argmax
+    (sort + first-of-segment, the topk_per_group shape), and a bucketed
+    anti-join against the current label set; labels move as 2-column
+    rows."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+    from .join import bucket_anti_join, bucket_hash_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    und = two_phase_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], [("a", "count", "_n")], num_buckets=num_buckets)
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks().cast(pa.int64())
+        b = t.column("b").combine_chunks().cast(pa.int64())
+        return pa.table({"v": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
+
+    halfedges = und.map_batches(adj, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
+    labels = seeds.materialize()
+    for _ in range(iters):
+        votes = bucket_hash_join(halfedges, labels, on="nbr", right_on="v",
+                                 num_buckets=num_buckets)
+        counts = two_phase_aggregate(
+            votes.map_batches(lambda t: t.select(["v", "lab"]),
+                              batch_format="pyarrow", zero_copy_batch=True),
+            ["v", "lab"], [("lab", "count", "c")], num_buckets=num_buckets)
+
+        def argmax(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                                     "lab": pd.Series([], dtype=str)})
+            g = g.sort_values(["v", "c", "lab"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            return g.drop_duplicates("v")[["v", "lab"]]
+
+        cand = grouped_apply(counts, ["v"], argmax, num_buckets=num_buckets)
+        fresh = bucket_anti_join(cand, labels, on="v",
+                                 num_buckets=num_buckets)
+        labels = labels.union(fresh).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table({"node_id": t.column("v"),
+                            "label": t.column("lab")}),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -56,7 +56,8 @@ nodes = set(r["node"] for r in ray.data.range(4096, override_num_blocks=64)
 
 from rotel_ray.pipelines.flagship import run_flagship
 t0 = time.time()
-res = run_flagship(sys.argv[2], sys.argv[3], waves=8, batch_size=65536)
+res = run_flagship(sys.argv[2], sys.argv[3], waves=int(sys.argv[5]),
+                   batch_size=65536)
 wall = time.time() - t0
 print(json.dumps({"nodes_seen": len(nodes), "wall_sec": round(wall, 2),
                   "rows_in": res["rows_in"],
@@ -73,8 +74,16 @@ def _ray(args):
                           cwd=REPO, env=env, timeout=300)
 
 
-def run_once(n_nodes: int, cpus: int, tdir: str, out_dir: str) -> dict:
-    """Fresh cluster (head + n_nodes-1 workers), one flagship run, teardown."""
+def run_once(n_nodes: int, cpus: int, tdir: str, out_dir: str,
+             waves: int = 8) -> dict:
+    """Fresh cluster (head + n_nodes-1 workers), one flagship run, teardown.
+
+    ``waves``: 8 for the cross-node-overhead A/B (exercises checkpointed
+    multi-wave resume across object stores); 1 for the N->2N scaling
+    measurement (single-wave streaming job, the same profile as the
+    single-node bench.py scaling datapoints — at 24 workers the 8 per-wave
+    manifest barriers otherwise dominate wall time and measure launch
+    latency, not node scaling)."""
     subprocess.run(["rm", "-rf", out_dir], check=True)
     assert _ray(["stop", "--force"]).returncode == 0
     head = _ray(["start", "--head", f"--port={PORT}", f"--num-cpus={cpus}",
@@ -90,7 +99,7 @@ def run_once(n_nodes: int, cpus: int, tdir: str, out_dir: str) -> dict:
         env.pop("RAY_ADDRESS", None)
         res = subprocess.run(
             [sys.executable, "-c", DRIVER, f"127.0.0.1:{PORT}", tdir, out_dir,
-             str(n_nodes)],
+             str(n_nodes), str(waves)],
             capture_output=True, text=True, cwd=REPO, env=env, timeout=1800)
         assert res.returncode == 0, res.stderr[-2000:]
         return json.loads(res.stdout.strip().splitlines()[-1])
@@ -124,7 +133,7 @@ def main() -> None:
     runs = {1: [], 2: []}
     for _ in range(repeats):
         for n in (1, 2):
-            rec = run_once(n, cpus, tdir, out_dir)
+            rec = run_once(n, cpus, tdir, out_dir, waves=1)
             runs[n].append(rec["turns_per_sec"])
     t1, t2 = max(runs[1]), max(runs[2])
     print(json.dumps({

@@ -132,3 +132,26 @@ def test_link_graph_fixture_invariants():
     assert not t.duplicated(["src", "dst"]).any()
     assert t.dst.between(0, n - 1).all()
     assert t.groupby("src").size().max() <= GRAPH_MAX_OUT
+
+
+def test_triangle_count_known_graph():
+    """K4 plus a pendant edge: 4 triangles, wedge count matches the
+    degree formula, and parallel/reversed/self edges are canonicalized
+    away."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import triangle_count
+
+    # K4 on {0,1,2,3} (4 triangles), pendant 3-4, plus noise:
+    # duplicates, a reversed edge, and a self-loop
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4),
+         (1, 0), (2, 0), (4, 4), (0, 1)]
+    t = pa.table({"src": pa.array([x[0] for x in e], pa.int64()),
+                  "dst": pa.array([x[1] for x in e], pa.int64())})
+    out = (triangle_count(rd.from_arrow(t).repartition(3), 5, num_buckets=4)
+           .to_pandas().iloc[0])
+    assert out.n_edges == 7
+    # degrees: 0:3, 1:3, 2:3, 3:4, 4:1 -> wedges = 3+3+3+6+0 = 15
+    assert out.n_wedges == 15
+    assert out.n_triangles == 4
