@@ -155,6 +155,8 @@ SECONDARY = [
     "graph_degrees",
     "session_paths",
     "skew_report",
+    "triangle_count",
+    "label_propagation",
 ]
 
 

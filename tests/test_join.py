@@ -155,3 +155,29 @@ def test_triangle_count_known_graph():
     # degrees: 0:3, 1:3, 2:3, 3:4, 4:1 -> wedges = 3+3+3+6+0 = 15
     assert out.n_wedges == 15
     assert out.n_triangles == 4
+
+
+def test_label_propagation_majority_and_ties():
+    """Seeds stay fixed; unlabeled nodes adopt the neighbor majority with
+    ties broken by label ascending; second round reaches 2-hop nodes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import label_propagation
+
+    # seeds: 0='en', 1='de', 2='de'. node 3 ~ {0,1,2} -> majority de.
+    # node 4 ~ {0,1} -> tie en/de -> 'de' (asc). node 5 ~ {4} only ->
+    # labeled in round 2 from node 4's round-1 label. node 6 isolated-ish
+    # ~ {5}: round 2 can't reach (5 labeled only after round 1... it can:
+    # round 2 uses l1 which includes 4; 5 gets labeled in round 2; 6 stays
+    # unlabeled after 2 rounds).
+    edges = [(0, 3), (1, 3), (2, 3), (0, 4), (1, 4), (4, 5), (5, 6)]
+    t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], pa.int64())})
+    seeds = rd.from_arrow(pa.table({"v": pa.array([0, 1, 2], pa.int64()),
+                                    "lab": pa.array(["en", "de", "de"])}))
+    out = (label_propagation(rd.from_arrow(t), seeds, iters=2, num_buckets=4)
+           .to_pandas().set_index("node_id")["label"].sort_index())
+    assert out.to_dict() == {0: "en", 1: "de", 2: "de",
+                             3: "de", 4: "de", 5: "de"}
+    assert 6 not in out.index
