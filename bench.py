@@ -157,6 +157,8 @@ SECONDARY = [
     "skew_report",
     "triangle_count",
     "label_propagation",
+    "state_dwell",
+    "event_cooccurrence",
 ]
 
 

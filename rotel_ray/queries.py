@@ -3020,6 +3020,47 @@ def q_pagerank(sf_dir: str):
 
 
 @_hinted("events")
+def q_state_dwell(sf_dir: str):
+    """Time-in-state rollup: inter-event gaps attributed to the previous
+    event's type (how long users sit in each state), exact int64 us,
+    bucketed with per-bucket partials."""
+    from .stages.window import state_dwell
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type", "event_id"])
+    return state_dwell(ds)
+
+
+@_hinted("events")
+def q_event_cooccurrence(sf_dir: str):
+    """Alert-correlation mining: unordered pairs of event types observed
+    within the same calendar minute, counted over minutes — which signals
+    fire together. Reuses the vectorized pair-explosion kernel over
+    (minute, event_type) distincts."""
+    from .stages.aggregate import pair_cooccurrence
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["ts", "event_type"])
+
+    def to_minute(t: pa.Table) -> pa.Table:
+        us = t.column("ts").combine_chunks().cast(pa.int64())
+        return pa.table({
+            "minute_id": pc.divide(us, 60_000_000),
+            "event_type": t.column("event_type"),
+        })
+
+    rows = ds.map_batches(to_minute, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    pairs = pair_cooccurrence(rows, group_col="minute_id",
+                              item_col="event_type")
+    return pairs.map_batches(
+        lambda t: pa.table({"type_a": t.column("tool_a"),
+                            "type_b": t.column("tool_b"),
+                            "n_minutes": t.column("n_groups")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_hinted("events")
 def q_skew_report(sf_dir: str):
     """Shuffle-planning skew diagnostics on events.user_id: n_keys,
     n_rows, hottest-key count and the exact-integer Gini of the per-key
@@ -3857,6 +3898,8 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "session_paths": q_session_paths,
     "skew_report": q_skew_report,
+    "state_dwell": q_state_dwell,
+    "event_cooccurrence": q_event_cooccurrence,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -5285,6 +5328,24 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                    for t in (1, 2, 3))
         + """
         SELECT v AS node_id, r AS pagerank_int FROM r3""")
+    sql["state_dwell"] = """
+        WITH x AS (
+          SELECT event_type, epoch_us(ts) AS us,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+          FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(nxt - us) AS BIGINT) AS sum_dwell_us,
+               CAST(sum(nxt - us) // count(*) AS BIGINT) AS mean_dwell_us
+        FROM x WHERE nxt IS NOT NULL GROUP BY event_type"""
+    sql["event_cooccurrence"] = """
+        WITH d AS (
+          SELECT DISTINCT epoch_us(ts) // 60000000 AS m, event_type
+          FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_minutes
+        FROM d a JOIN d b ON a.m = b.m AND a.event_type < b.event_type
+        GROUP BY 1, 2"""
     sql["skew_report"] = """
         WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
         s AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c),

@@ -1210,3 +1210,48 @@ def session_paths(ds, *, key: str = "user_id", ts_col: str = "ts",
     return two_phase_aggregate(partials, ["path"],
                                [("n_sessions", "sum", "n_sessions")],
                                num_buckets=4)
+
+
+def state_dwell(ds, *, key: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type", id_col: str = "event_id",
+                num_buckets: int = 64):
+    """Time-in-state accounting: each inter-event gap is attributed to the
+    PREVIOUS event's type (the state the user was in while the clock ran) —
+    the state-machine dwell rollup behind "how long do users sit in
+    checkout". Exact int64 microseconds; per-bucket partial sums so only
+    (type, n, sum) rows shuffle after the keyed pass."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({type_col: pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "sum_dwell_us": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        same_key = (g[key] == g[key].shift(-1)).to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dwell = np.r_[us[1:] - us[:-1], 0]
+        out = (pd.DataFrame({type_col: g[type_col].to_numpy()[same_key],
+                             "dwell": dwell[same_key]})
+               .groupby(type_col, sort=False)
+               .agg(n=("dwell", "size"), sum_dwell_us=("dwell", "sum"))
+               .reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_dwell_us"] = out["sum_dwell_us"].astype(np.int64)
+        return out
+
+    partials = grouped_apply(ds, [key], per_bucket,
+                             select=[key, ts_col, type_col, id_col],
+                             num_buckets=num_buckets)
+    rolled = two_phase_aggregate(partials, [type_col],
+                                 [("n", "sum", "n"),
+                                  ("sum_dwell_us", "sum", "sum_dwell_us")],
+                                 num_buckets=4)
+    return rolled.map_batches(
+        lambda t: t.append_column(
+            "mean_dwell_us",
+            pa.array(t.column("sum_dwell_us").to_numpy(zero_copy_only=False)
+                     // t.column("n").to_numpy(zero_copy_only=False))),
+        batch_format="pyarrow", zero_copy_batch=True)
