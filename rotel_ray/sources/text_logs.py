@@ -263,11 +263,19 @@ def stitch_multiline(ds, *, chunk: int = 4096, num_buckets: int = 16):
                                  "n_lines": pd.Series([], dtype=np.int64),
                                  "record_text": pd.Series([], dtype=str)})
         g = g.sort_values(["rec", "line_no"], kind="mergesort")
-        gb = g.groupby("rec", sort=False)
-        out = gb.agg(line_no=("line_no", "min"), n_lines=("line_no", "size"))
-        out["record_text"] = gb["text"].agg("\n".join)
-        out = out.reset_index().rename(columns={"rec": "record_id"})
-        out["n_lines"] = out["n_lines"].astype(np.int64)
-        return out[["record_id", "line_no", "n_lines", "record_text"]]
+        rec = g["rec"].to_numpy()
+        seg_first = np.flatnonzero(np.r_[True, rec[1:] != rec[:-1]])
+        n_lines = np.diff(np.r_[seg_first, len(rec)])
+        # vectorized per-record join: one Arrow binary_join over a
+        # record-offset ListArray (the pandas per-group "\n".join was the
+        # hot spot — 16 s summed UDF at sf0.1, ~10x this kernel)
+        texts = pa.array(g["text"].to_numpy(), pa.string())
+        offsets = pa.array(np.r_[seg_first, len(rec)].astype(np.int32))
+        joined = pc.binary_join(pa.ListArray.from_arrays(offsets, texts),
+                                "\n")
+        return pd.DataFrame({"record_id": rec[seg_first],
+                             "line_no": g["line_no"].to_numpy()[seg_first],
+                             "n_lines": n_lines.astype(np.int64),
+                             "record_text": joined.to_pandas().to_numpy()})
 
     return grouped_apply(assigned, ["rec"], stitch, num_buckets=num_buckets)

@@ -112,11 +112,15 @@ def pagerank_int(edges, n_nodes: int, *, iters: int = PR_ITERS,
         return pa.table({"v": v,
                          "r": pa.array(np.full(len(v), r0, np.int64))})
 
-    nodes = rd.range(n_nodes).map_batches(
+    # size-derived block count (the io.read_parquet rule): Ray's default
+    # cpus*2 split puts 65 tasks under a 5k-row range at test scale
+    nblocks = max(8, n_nodes // (1 << 20) + 1) if n_nodes < (1 << 26) else None
+    kw = {"override_num_blocks": nblocks} if nblocks else {}
+    nodes = rd.range(n_nodes, **kw).map_batches(
         lambda t: pa.table({"v": t.column("id").combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
-    ranks = rd.range(n_nodes).map_batches(init_ranks, batch_format="pyarrow",
-                                          zero_copy_batch=True).materialize()
+    ranks = rd.range(n_nodes, **kw).map_batches(init_ranks, batch_format="pyarrow",
+                                                zero_copy_batch=True).materialize()
 
     for _ in range(iters):
         joined = bucket_hash_join(edges_d, ranks, on="src", right_on="v",
