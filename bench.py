@@ -159,6 +159,7 @@ SECONDARY = [
     "label_propagation",
     "state_dwell",
     "event_cooccurrence",
+    "typo_pairs",
 ]
 
 

@@ -3261,6 +3261,24 @@ def q_peak_concurrency(sf_dir: str):
     return peak_concurrency(ds, gap_minutes=30.0)
 
 
+def q_typo_pairs(sf_dir: str):
+    """Typo mining over the transcript alphabetic vocabulary: token pairs
+    within Levenshtein distance 2 via FastSS deletion-neighborhood
+    candidates (complete filter) + exact DP verification on the few
+    survivors — the spell-canonicalization primitive of corpus cleaning."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.textstats import typo_pairs
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["text"])
+    with input_rows_hint(n_turns * 64):  # deletion-variant fan-out bound
+        return typo_pairs(ds, max_dist=2, min_len=3)
+
+
 def q_multiline_stitch(sf_dir: str):
     """Multiline record assembly (the file-receiver continuation rule;
     reference concept: kmsg's ``c`` continuation flag,
@@ -3888,6 +3906,7 @@ QUERIES = {
     "conv_dedup": q_conv_dedup,
     "turn_latency": q_turn_latency,
     "multiline_stitch": q_multiline_stitch,
+    "typo_pairs": q_typo_pairs,
     "peak_concurrency": q_peak_concurrency,
     "tool_pairs": q_tool_pairs,
     "subnet_rollup": q_subnet_rollup,
@@ -5328,6 +5347,16 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                    for t in (1, 2, 3))
         + """
         SELECT v AS node_id, r AS pagerank_int FROM r3""")
+    sql["typo_pairs"] = f"""
+        WITH t AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x != '')) AS g
+          FROM {_trans_sql_rel(sf_dir)}),
+        d AS (SELECT DISTINCT g FROM t
+              WHERE regexp_matches(g, '^[A-Za-z]{{3,}}$'))
+        SELECT a.g AS tok_a, b.g AS tok_b,
+               CAST(levenshtein(a.g, b.g) AS BIGINT) AS dist
+        FROM d a JOIN d b ON a.g < b.g AND levenshtein(a.g, b.g) <= 2"""
     sql["state_dwell"] = """
         WITH x AS (
           SELECT event_type, epoch_us(ts) AS us,

@@ -1597,3 +1597,102 @@ def oov_rate(ds, *, vocab_size: int = 16, text_col: str = "text",
                                [("n_tokens", "sum", "n_tokens"),
                                 ("n_oov", "sum", "n_oov")],
                                num_buckets=num_buckets)
+
+
+def typo_pairs(ds, *, text_col: str = "text", max_dist: int = 2,
+               min_len: int = 3, top_v: int = 1 << 16,
+               num_buckets: int = 16):
+    """Typo / near-spelling mining over the alphabetic token vocabulary
+    (FastSS, Bocek et al. 2007): tokens within Levenshtein distance
+    <= ``max_dist``. Candidate pairs come from shared deletion-variant
+    buckets (delete up to ``max_dist`` chars — a COMPLETE filter: every
+    pair within distance k shares a variant), then the exact distance is
+    verified per candidate. Output (tok_a, tok_b, dist), tok_a < tok_b.
+
+    Scale shape: the vocabulary is the vocab-bounded distinct-token
+    two-phase (+ the distributed top-V cap used by unigram_logprob, so an
+    open vocab can't blow the variant fan-out); variant generation fans
+    out ~1 + L + L(L-1)/2 rows per token; pairs assemble per variant
+    bucket with the vectorized pair algebra and dedup as 2-string rows;
+    only the FEW verified candidates ever see the DP."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    counts = unigram_counts(ds, text_col=text_col).materialize()
+
+    def alpha_only(t: pa.Table) -> pa.Table:
+        keep = pc.match_substring_regex(t.column("tok"),
+                                        rf"^[A-Za-z]{{{min_len},}}$")
+        return t.filter(keep)
+
+    vocab = counts.map_batches(alpha_only, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    if vocab.count() > top_v:
+        vocab = top_v_counts(vocab, key_col="tok", count_col="c", top_v=top_v)
+
+    def variants(t: pa.Table) -> pa.Table:
+        toks = t.column("tok").to_pylist()
+        vs, ts = [], []
+        for tok in toks:  # bounded: distinct vocab rows, not the stream
+            seen = {tok}
+            frontier = {tok}
+            for _ in range(max_dist):
+                frontier = {s[:i] + s[i + 1:]
+                            for s in frontier for i in range(len(s))}
+                seen |= frontier
+            vs.extend(seen)
+            ts.extend([tok] * len(seen))
+        return pa.table({"variant": pa.array(vs, pa.string()),
+                         "tok": pa.array(ts, pa.string())})
+
+    var_rows = vocab.map_batches(variants, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"tok_a": pd.Series([], dtype=str),
+                                 "tok_b": pd.Series([], dtype=str)})
+        g = g.drop_duplicates(["variant", "tok"]).sort_values(
+            ["variant", "tok"], kind="mergesort")
+        vv = g["variant"].to_numpy()
+        tk = g["tok"].to_numpy()
+        n = len(vv)
+        seg_first = np.flatnonzero(np.r_[True, vv[1:] != vv[:-1]])
+        k = np.diff(np.r_[seg_first, n])
+        li = np.arange(n) - np.repeat(seg_first, k)
+        right = np.repeat(np.arange(n), li)
+        grp = np.repeat(np.cumsum(li) - li, li)
+        left = np.repeat(np.repeat(seg_first, k), li) + (
+            np.arange(int(li.sum())) - grp)
+        out = pd.DataFrame({"tok_a": tk[left], "tok_b": tk[right]})
+        return out.drop_duplicates()
+
+    cand = grouped_apply(var_rows, ["variant"], pairs,
+                         num_buckets=num_buckets)
+    distinct = two_phase_aggregate(cand, ["tok_a", "tok_b"],
+                                   [("tok_a", "count", "_n")],
+                                   num_buckets=8)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("tok_a").to_pylist()
+        b = t.column("tok_b").to_pylist()
+        ds_ = []
+        for x, y in zip(a, b):  # candidates only — few survive the filter
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x, 1):
+                cur = [i] + [0] * len(y)
+                for j, cy in enumerate(y, 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                                 prev[j - 1] + (cx != cy))
+                prev = cur
+            ds_.append(prev[-1])
+        d = pa.array(ds_, pa.int64())
+        out = pa.table({"tok_a": t.column("tok_a"),
+                        "tok_b": t.column("tok_b"), "dist": d})
+        return out.filter(pc.less_equal(out.column("dist"), max_dist))
+
+    return distinct.map_batches(
+        lambda t: t.select(["tok_a", "tok_b"]), batch_format="pyarrow",
+        zero_copy_batch=True).map_batches(verify, batch_format="pyarrow",
+                                          zero_copy_batch=True)

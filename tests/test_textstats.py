@@ -531,3 +531,40 @@ def test_oov_rate_counts_out_of_vocab_tokens():
     assert got.source.tolist() == ["s1", "s2"]
     assert got.n_tokens.tolist() == [5, 6]
     assert got.n_oov.tolist() == [0, 3]  # c c z
+
+
+def test_typo_pairs_fastss_filter_is_complete():
+    """Every pair within distance 2 is found (FastSS completeness) and no
+    pair beyond 2 survives verification — checked against a brute-force
+    DP over a vocabulary with planted typos, transpositions and an
+    unrelated word."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import typo_pairs
+
+    words = ["kitten", "sitten", "sitting", "mitten", "kitchen",
+             "apple", "appel", "aple", "zebra"]
+    docs = [" ".join(words), "kitten apple zebra"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(2)
+    out = (typo_pairs(ds, max_dist=2, min_len=3, num_buckets=4)
+           .to_pandas())
+    got = {(r.tok_a, r.tok_b): r.dist for r in out.itertuples()}
+
+    def ed(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i] + [0] * len(y)
+            for j, cy in enumerate(y, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (cx != cy))
+            prev = cur
+        return prev[-1]
+
+    want = {(a, b): ed(a, b) for a, b in
+            itertools.combinations(sorted(set(words)), 2) if ed(a, b) <= 2}
+    assert got == want
+    assert ("appel", "apple") in got and got[("appel", "apple")] == 2
+    assert all(v <= 2 for v in got.values())
