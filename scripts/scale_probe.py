@@ -221,8 +221,190 @@ def ann_probe(n_vecs: int) -> dict:
     }
 
 
+
+def _h64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — deterministic vectorized integer hash."""
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = x.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & M
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & M
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & M
+    return (x ^ (x >> np.uint64(31))).astype(np.int64) & np.int64(2**62 - 1)
+
+
+def ensure_big_graph(n_nodes: int, root: str = "/tmp/rotel_ray_data") -> str:
+    """Deterministic directed graph at probe scale: out-degree 1 + h(i)%8,
+    targets h(i*8+j)%n, self-loops/parallels dropped, missing sources get
+    a fallback edge — the same invariants as stages/graph.ensure_link_graph
+    but fully vectorized (the md5-loop fixture is test-scale only)."""
+    out = os.path.join(root, f"biggraph_{n_nodes}")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    i = np.arange(n_nodes, dtype=np.int64)
+    k = 1 + (_h64(i) % 8)
+    src = np.repeat(i, k)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+    dst = _h64(src * 8 + j) % n_nodes
+    m = src != dst
+    src, dst = src[m], dst[m]
+    key = np.unique(src * n_nodes + dst)
+    src, dst = key // n_nodes, key % n_nodes
+    missing = np.setdiff1d(i, src, assume_unique=False)
+    if len(missing):
+        src = np.r_[src, missing]
+        dst = np.r_[dst, (missing + 1) % n_nodes]
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(t, os.path.join(tmp, "part-0000.parquet"),
+                   row_group_size=262144)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def graph_probe(n_nodes: int) -> dict:
+    """pagerank + triangle_count at probe scale, both checked against full
+    sequential numpy replays (the distributed bucketed shapes must agree
+    with the single-process semantics row-for-row)."""
+    from rotel_ray.io import read_parquet
+    from rotel_ray.stages.aggregate import auto_buckets
+    from rotel_ray.stages.graph import PR_SCALE, pagerank_int, triangle_count
+
+    path = ensure_big_graph(n_nodes)
+    t = pq.read_table(os.path.join(path, "part-0000.parquet"))
+    src = t.column("src").to_numpy()
+    dst = t.column("dst").to_numpy()
+    nb = auto_buckets(n_nodes)
+
+    t0 = time.time()
+    pr = pagerank_int(read_parquet(path), n_nodes,
+                      num_buckets=nb).to_pandas()
+    t1 = time.time()
+    # full numpy replay (sums < 2^53 so bincount weights stay exact ints)
+    deg = np.bincount(src, minlength=n_nodes).astype(np.int64)
+    r0 = PR_SCALE // n_nodes
+    base = (15 * r0) // 100
+    r = np.full(n_nodes, r0, np.int64)
+    for _ in range(3):
+        s = np.bincount(dst, weights=(r[src] // deg[src]).astype(np.float64),
+                        minlength=n_nodes).astype(np.int64)
+        r = base + (85 * s) // 100
+    got = pr.sort_values("node_id")["pagerank_int"].to_numpy()
+    pr_match = bool((got == r).all()) and len(got) == n_nodes
+    assert pr_match
+
+    t2 = time.time()
+    tri = triangle_count(read_parquet(path), n_nodes,
+                         num_buckets=nb).to_pandas().iloc[0]
+    t3 = time.time()
+    # numpy wedge-check replay: sorted undirected edge keys + searchsorted
+    a = np.minimum(src, dst); b = np.maximum(src, dst)
+    ekey = np.unique(a * n_nodes + b)
+    ua, ub = ekey // n_nodes, ekey % n_nodes
+    hv = np.r_[ua, ub]; hn = np.r_[ub, ua]
+    order = np.lexsort((hn, hv))
+    hv, hn = hv[order], hn[order]
+    seg_first = np.flatnonzero(np.r_[True, hv[1:] != hv[:-1]])
+    k = np.diff(np.r_[seg_first, len(hv)])
+    li = np.arange(len(hv)) - np.repeat(seg_first, k)
+    right = np.repeat(np.arange(len(hv)), li)
+    grp = np.repeat(np.cumsum(li) - li, li)
+    left = np.repeat(np.repeat(seg_first, k), li) + (
+        np.arange(int(li.sum())) - grp)
+    wkey = hn[left] * n_nodes + hn[right]
+    closed = int(np.isin(wkey, ekey).sum())
+    tri_match = bool(int(tri.n_edges) == len(ekey)
+                     and int(tri.n_wedges) == len(wkey)
+                     and int(tri.n_triangles) == closed // 3)
+    assert tri_match, (dict(tri), len(ekey), len(wkey), closed)
+
+    return {"graph_nodes": n_nodes, "graph_edges": len(src),
+            "pagerank_sec": round(t1 - t0, 1),
+            "pagerank_match_numpy": pr_match,
+            "triangle_sec": round(t3 - t2, 1),
+            "n_triangles": int(tri.n_triangles),
+            "triangle_match_numpy": tri_match}
+
+
+def stitch_probe(n_parents: int) -> dict:
+    """multiline_stitch at probe scale (above the coalesce threshold, so
+    both text exchanges run bucketed), checked against a full pandas
+    groupby replay — counts, line numbers AND joined text all equal."""
+    import pandas as pd
+
+    from rotel_ray.io import read_parquet
+    from rotel_ray.sources.text_logs import stitch_multiline
+
+    root = "/tmp/rotel_ray_data"
+    path = os.path.join(root, f"biglines_{n_parents}")
+    i = np.arange(n_parents, dtype=np.int64)
+    conts = (_h64(i) % 4).astype(np.int64)
+    rec_of = np.repeat(i, 1 + conts)          # record per line
+    is_start = np.r_[True, rec_of[1:] != rec_of[:-1]]
+    n_lines = len(rec_of)
+    j = np.arange(n_lines) - np.repeat(np.flatnonzero(is_start), 1 + conts)
+    texts = np.where(is_start,
+                     np.char.add("ERROR boom r", rec_of.astype(str)),
+                     np.char.add(np.char.add("    at f", j.astype(str)),
+                                 np.char.add(" r", rec_of.astype(str))))
+    if not (os.path.isdir(path) and os.listdir(path)):
+        os.makedirs(path + ".tmp", exist_ok=True)
+        pq.write_table(pa.table({
+            "line_no": pa.array(np.arange(n_lines)),
+            "text": pa.array(texts.astype(object), pa.string()),
+        }), os.path.join(path + ".tmp", "part-0000.parquet"),
+            row_group_size=262144)
+        try:
+            os.replace(path + ".tmp", path)
+        except OSError:
+            shutil.rmtree(path + ".tmp", ignore_errors=True)
+    t0 = time.time()
+    out = stitch_multiline(read_parquet(path), chunk=65_536,
+                           num_buckets=32).to_pandas()
+    t1 = time.time()
+    rep = (pd.DataFrame({"rec": rec_of, "line_no": np.arange(n_lines),
+                         "text": texts})
+           .groupby("rec", sort=True)
+           .agg(line_no=("line_no", "min"), n_lines=("line_no", "size"),
+                record_text=("text", "\n".join)))
+    out = out.sort_values("record_id").reset_index(drop=True)
+    match = bool(
+        len(out) == n_parents
+        and (out["line_no"].to_numpy() == rep["line_no"].to_numpy()).all()
+        and (out["n_lines"].to_numpy() == rep["n_lines"].to_numpy()).all()
+        and (out["record_text"].to_numpy()
+             == rep["record_text"].to_numpy()).all())
+    assert match
+    return {"stitch_lines": int(n_lines), "stitch_records": int(len(out)),
+            "stitch_sec": round(t1 - t0, 1),
+            "stitch_match_pandas": match,
+            "stitch_lines_per_sec": round(n_lines / (t1 - t0), 1)}
+
+
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if args else 500_000
+    if "--r5" in sys.argv:   # graph + stitch probes only (round-5 ops)
+        import json
+        import logging
+
+        import ray
+
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+        res = {**graph_probe(n_docs), **stitch_probe(4 * n_docs)}
+        print(json.dumps(res))
+        ray.shutdown()
+        return
     path = ensure_big_docs(n_docs)
 
     import logging
