@@ -160,6 +160,7 @@ SECONDARY = [
     "state_dwell",
     "event_cooccurrence",
     "typo_pairs",
+    "rank_curation",
 ]
 
 

@@ -3135,6 +3135,46 @@ def q_triangle_count(sf_dir: str):
         return triangle_count(edges, n)
 
 
+def q_rank_curation(sf_dir: str):
+    """Composed graph-aware curation (the crawl-frontier shape: keep pages
+    that are both well-linked and well-written): integer PageRank over the
+    link graph -> exact global median rank via distributed bisection (no
+    sort, driver sees bin counts) -> bucketed semi-join with the Gopher
+    keep set. Output: (doc_id, pagerank_int) of docs passing both gates."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.filterrules import ensure_lines_docs, gopher_rules
+    from .stages.graph import ensure_link_graph, pagerank_int
+    from .stages.join import bucket_hash_join
+    from .stages.window import global_quantiles
+
+    gdir = ensure_link_graph(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    with input_rows_hint(n_edges + n):
+        ranks = pagerank_int(read_parquet(gdir), n).materialize()
+        med = global_quantiles(ranks, value_col="pagerank_int",
+                               qs=(0.5,)).take_all()[0]["value"]
+        high = ranks.map_batches(
+            lambda t, m=med: t.filter(
+                pc.greater_equal(t.column("pagerank_int"), m)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        g = gopher_rules(read_parquet(ensure_lines_docs(sf_dir),
+                                      columns=["doc_id", "text"]))
+        keeps = g.map_batches(
+            lambda t: t.filter(pc.equal(t.column("keep"), 1))
+                       .select(["doc_id"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        out = bucket_hash_join(high, keeps, on="node_id",
+                               right_on="doc_id", num_buckets=16)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node_id"),
+                            "pagerank_int": t.column("pagerank_int")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_graph_degrees(sf_dir: str):
     """Link-graph degree distribution: (direction, degree, n_nodes) for
     in- and out-degree, zero-degree nodes included (left join to the node
@@ -3915,6 +3955,7 @@ QUERIES = {
     "graph_degrees": q_graph_degrees,
     "triangle_count": q_triangle_count,
     "label_propagation": q_label_propagation,
+    "rank_curation": q_rank_curation,
     "session_paths": q_session_paths,
     "skew_report": q_skew_report,
     "state_dwell": q_state_dwell,
@@ -5336,17 +5377,34 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         r{t} AS (
           SELECT n.v, CAST({base} + 85 * COALESCE(c{t}.s, 0) // 100 AS BIGINT) AS r
           FROM nodes n LEFT JOIN c{t} ON n.v = c{t}.v)"""
-    sql["pagerank"] = (
-        f"""
-        WITH nodes AS (SELECT doc_id AS v FROM documents),
+    _pr_ctes = (
+        f"""nodes AS (SELECT doc_id AS v FROM documents),
         edges AS (SELECT src, dst FROM read_parquet('{_gdir}/*.parquet')),
         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
         ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg USING (src)),
         r0 AS (SELECT v, CAST({_r0} AS BIGINT) AS r FROM nodes),"""
         + ",".join(_iter_cte.format(t=t, p=t - 1, base=_prbase)
-                   for t in (1, 2, 3))
+                   for t in (1, 2, 3)))
+    sql["pagerank"] = (
+        "WITH " + _pr_ctes
         + """
         SELECT v AS node_id, r AS pagerank_int FROM r3""")
+    # rank_curation: pagerank CTEs + quantile_disc median + the gopher keep
+    # flag over the SAME reflowed docs the gopher_rules query reads
+    from .stages.filterrules import gopher_rules_oracle_sql as _go
+    from .stages.filterrules import lines_docs_path as _ldp
+
+    sql["rank_curation"] = (
+        "WITH " + _pr_ctes
+        + f""",
+        ranks AS (SELECT v AS node_id, r AS pagerank_int FROM r3),
+        med AS (SELECT quantile_disc(pagerank_int, 0.5) AS m FROM ranks),
+        keeps AS (SELECT doc_id FROM ({_go(_ldp(sf_dir))}) WHERE keep)
+        SELECT r.node_id AS doc_id, r.pagerank_int
+        FROM ranks r
+        JOIN keeps k ON k.doc_id = r.node_id
+        CROSS JOIN med
+        WHERE r.pagerank_int >= med.m""")
     sql["typo_pairs"] = f"""
         WITH t AS (
           SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
