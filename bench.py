@@ -161,6 +161,9 @@ SECONDARY = [
     "event_cooccurrence",
     "typo_pairs",
     "rank_curation",
+    "cusum_hourly",
+    "cohort_retention",
+    "scd2_intervals",
 ]
 
 

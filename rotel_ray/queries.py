@@ -3911,6 +3911,42 @@ def q_file_source_gz(sf_dir: str):
     return _cast_final(agg, {"severity_number": pa.int32()})
 
 
+@_hinted("events")
+def q_cusum_hourly(sf_dir: str):
+    """CUSUM changepoint detection over the per-hour event-count series:
+    s = max(0, s + (x - k)) via the vectorized reset identity
+    s_i = P_i - min(0, running-min P) — prefix sum + prefix min, plain
+    window functions in the oracle. k = ceil(mean hourly count),
+    alert at 4k. Full hour grid (empty hours are 0)."""
+    from .stages.window import cusum_hourly
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return cusum_hourly(ds)
+
+
+@_hinted("events")
+def q_cohort_retention(sf_dir: str):
+    """Retention triangle: users cohorted by first-activity day, distinct
+    cohort members active at each day offset. One bucketed pass (users are
+    bucket-local), bounded cell-count shuffle."""
+    from .stages.window import cohort_retention
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ds)
+
+
+@_hinted("events")
+def q_scd2_intervals(sf_dir: str):
+    """SCD type-2 dimension build: per-user state runs as validity
+    intervals (valid_from/valid_to, open-ended current row). One bucketed
+    pass; lead within buckets."""
+    from .stages.window import scd2_intervals
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type", "event_id"])
+    return scd2_intervals(ds)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3960,6 +3996,9 @@ QUERIES = {
     "skew_report": q_skew_report,
     "state_dwell": q_state_dwell,
     "event_cooccurrence": q_event_cooccurrence,
+    "cusum_hourly": q_cusum_hourly,
+    "cohort_retention": q_cohort_retention,
+    "scd2_intervals": q_scd2_intervals,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7091,4 +7130,51 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                count(*) AS n_dups
         FROM {T}
         GROUP BY 1"""
+    sql["cusum_hourly"] = """
+        WITH b AS (SELECT epoch_us(min(ts)) // 3600000000 AS lo,
+                          epoch_us(max(ts)) // 3600000000 AS hi,
+                          count(*) AS total
+                   FROM events),
+        par AS (SELECT lo, hi, (total + (hi - lo + 1) - 1) // (hi - lo + 1) AS k
+                FROM b),
+        grid AS (SELECT unnest(generate_series(lo, hi)) AS hour_id FROM b),
+        cnt AS (SELECT epoch_us(ts) // 3600000000 AS hour_id,
+                       count(*) AS x
+                FROM events GROUP BY 1),
+        ser AS (SELECT g.hour_id, COALESCE(c.x, 0) AS x
+                FROM grid g LEFT JOIN cnt c USING (hour_id)),
+        p AS (SELECT hour_id, x,
+                     sum(x - par.k) OVER (ORDER BY hour_id
+                                          ROWS UNBOUNDED PRECEDING) AS pfx
+              FROM ser CROSS JOIN par),
+        s AS (SELECT hour_id, x,
+                     pfx - least(0, min(pfx) OVER (ORDER BY hour_id
+                                                   ROWS UNBOUNDED PRECEDING)) AS s_pos
+              FROM p)
+        SELECT hour_id, CAST(x AS BIGINT) AS x, CAST(s_pos AS BIGINT) AS s_pos,
+               CAST(CASE WHEN s_pos >= 4 * par.k THEN 1 ELSE 0 END AS BIGINT) AS alert
+        FROM s CROSS JOIN par"""
+    sql["cohort_retention"] = """
+        WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+        a AS (SELECT DISTINCT d.user_id, f.cohort_day,
+                              d.day - f.cohort_day AS day_offset
+              FROM d JOIN f USING (user_id))
+        SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+        FROM a GROUP BY 1, 2"""
+    sql["scd2_intervals"] = """
+        WITH o AS (SELECT user_id, event_type, ts, event_id,
+                          lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS prev
+                   FROM events),
+        st AS (SELECT user_id, event_type, ts, event_id
+               FROM o WHERE prev IS NULL OR prev != event_type),
+        v AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS valid_to_us
+              FROM st)
+        SELECT user_id, event_type, valid_from_us, valid_to_us,
+               CAST(valid_to_us IS NULL AS BIGINT) AS is_current
+        FROM v"""
     return sql

@@ -1255,3 +1255,142 @@ def state_dwell(ds, *, key: str = "user_id", ts_col: str = "ts",
             pa.array(t.column("sum_dwell_us").to_numpy(zero_copy_only=False)
                      // t.column("n").to_numpy(zero_copy_only=False))),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+DAY_US = 86_400_000_000
+
+
+def cusum_hourly(ds, *, ts_col: str = "ts", h_mult: int = 4,
+                 num_buckets: int = 16):
+    """CUSUM changepoint detection over the per-hour event-count series
+    (Page 1954): s_i = max(0, s_{i-1} + (x_i - k)) with drift allowance
+    k = ceil(mean hourly count) and decision threshold h = h_mult * k —
+    the sustained-shift detector that complements rate_spikes' trailing
+    window (CUSUM accumulates small persistent drifts a single-window
+    threshold never sees). Emits the full hour grid (empty hours count 0)
+    with (hour_id, x, s_pos, alert) — exact int64 end-to-end.
+
+    The max(0, ·) recurrence is NOT computed sequentially: by the classic
+    reset identity s_i = P_i - min(0, min_{j<=i} P_j) with
+    P_i = cumsum(x_i - k), it's a prefix-sum plus a prefix-min — both
+    vectorized here and plain window functions in the DuckDB oracle.
+
+    Scale shape: the only pass over the data is a two-phase per-hour count;
+    the hourly series itself is O(wall-clock hours) — bounded by time, not
+    data size (a year is 8 760 rows at ANY corpus scale), so the driver
+    finishing pass over it is constant-sized by construction (same
+    justification as peak_concurrency's carry prefix)."""
+    from .aggregate import two_phase_aggregate
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).combine_chunks().cast(pa.timestamp("us")) \
+              .cast(pa.int64())
+        return pa.table({"hour_id": pc.divide(us, HOUR_US),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cnt = two_phase_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour_id"], [("one", "sum", "x")], num_buckets=num_buckets).take_all()
+    if not cnt:
+        return pa.table({"hour_id": pa.array([], pa.int64()),
+                         "x": pa.array([], pa.int64()),
+                         "s_pos": pa.array([], pa.int64()),
+                         "alert": pa.array([], pa.int64())})
+    cnt.sort(key=lambda r: r["hour_id"])
+    lo, hi = cnt[0]["hour_id"], cnt[-1]["hour_id"]
+    x = np.zeros(hi - lo + 1, np.int64)
+    for r in cnt:
+        x[r["hour_id"] - lo] = r["x"]
+    total, span = int(x.sum()), len(x)
+    k = (total + span - 1) // span           # ceil(mean), exact int
+    p = np.cumsum(x - k)
+    s = p - np.minimum(0, np.minimum.accumulate(p))
+    alert = (s >= h_mult * k).astype(np.int64)
+    return pa.table({"hour_id": pa.array(lo + np.arange(span, dtype=np.int64)),
+                     "x": pa.array(x), "s_pos": pa.array(s),
+                     "alert": pa.array(alert)})
+
+
+def cohort_retention(ds, *, key: str = "user_id", ts_col: str = "ts",
+                     num_buckets: int = 64):
+    """Cohort retention matrix: users are cohorted by their first-activity
+    day; each cell (cohort_day, day_offset) counts the distinct cohort
+    members active day_offset days after joining — the product-analytics
+    retention triangle.
+
+    Scale shape: ONE bucketed pass — hashing by user puts every user's
+    rows in a single bucket, so first-day assignment, offset computation
+    and per-(user, cohort, offset) dedup are all bucket-local and
+    vectorized across keys; only (cohort_day, day_offset, partial count)
+    rows shuffle into the bounded two-phase sum (cell space is
+    O(active-days²), time-bounded like the hour grid)."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"cohort_day": pd.Series([], dtype=np.int64),
+                                 "day_offset": pd.Series([], dtype=np.int64),
+                                 "n_users": pd.Series([], dtype=np.int64)})
+        day = (g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+               // DAY_US)
+        d = pd.DataFrame({"u": g[key].to_numpy(), "day": day})
+        d["cohort_day"] = d.groupby("u", sort=False)["day"].transform("min")
+        d["day_offset"] = d["day"] - d["cohort_day"]
+        cells = d.drop_duplicates(["u", "day_offset"])
+        out = (cells.groupby(["cohort_day", "day_offset"], sort=False)
+               .size().reset_index(name="n_users"))
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    partials = grouped_apply(ds, [key], per_bucket,
+                             select=[key, ts_col], num_buckets=num_buckets)
+    return two_phase_aggregate(partials, ["cohort_day", "day_offset"],
+                               [("n_users", "sum", "n_users")],
+                               num_buckets=4)
+
+
+def scd2_intervals(ds, *, key: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type", id_col: str = "event_id",
+                   num_buckets: int = 64):
+    """Slowly-changing-dimension type-2 build: collapse each key's ordered
+    event stream into state runs (consecutive rows with the same type) and
+    emit one validity interval per run — (key, state, valid_from_us,
+    valid_to_us, is_current), valid_to open (NULL) for the key's last run.
+    The warehouse-dimension view of the same state machine state_dwell
+    rolls up.
+
+    Scale shape: one bucketed pass; run detection is a shift-compare, the
+    interval bounds a lead within the bucket (keys are bucket-local). The
+    output is a transform (~one row per state change), not an aggregate —
+    it streams back out."""
+    from .aggregate import grouped_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({key: pd.Series([], dtype=np.int64),
+                                 type_col: pd.Series([], dtype=str),
+                                 "valid_from_us": pd.Series([], dtype=np.int64),
+                                 "valid_to_us": pd.Series([], dtype="Int64"),
+                                 "is_current": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        kv = g[key].to_numpy()
+        tv = g[type_col].to_numpy()
+        new_key = np.r_[True, kv[1:] != kv[:-1]]
+        run_start = new_key | np.r_[True, tv[1:] != tv[:-1]]
+        starts = np.flatnonzero(run_start)
+        # valid_to = start of the key's NEXT run; open for the last run
+        nxt = np.r_[us[starts[1:]], 0]
+        last_of_key = np.r_[new_key[starts[1:]], True]
+        vt = pd.Series(np.where(last_of_key, 0, nxt), dtype="Int64")
+        vt[last_of_key] = pd.NA
+        return pd.DataFrame({
+            key: kv[starts],
+            type_col: tv[starts],
+            "valid_from_us": us[starts],
+            "valid_to_us": vt,
+            "is_current": last_of_key.astype(np.int64)})
+
+    return grouped_apply(ds, [key], per_bucket,
+                         select=[key, ts_col, type_col, id_col],
+                         num_buckets=num_buckets)

@@ -327,3 +327,97 @@ def test_peak_concurrency_sweep_line():
     assert 1 not in out.index
     # hour 2: carry-in 1 (u3); +u4 (2.05) -> 2, -u4 -> 1, -u3 (2.1) -> 0
     assert out.loc[2, "peak_concurrency"] == 2 and out.loc[2, "n_boundaries"] == 3
+
+
+def test_cusum_hourly_reset_identity():
+    """Hand-built hourly series with a planted level shift: the vectorized
+    prefix-sum/prefix-min identity must equal the sequential
+    s = max(0, s + x - k) recurrence, and the alert fires only after the
+    shift persists."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import cusum_hourly
+
+    H = 3_600_000_000
+    # hours 0-9 quiet (1 event), hours 10-14 shifted (6 events)
+    counts = [1] * 10 + [6] * 5
+    us = []
+    for h, c in enumerate(counts):
+        us.extend(h * H + np.arange(c) * 1000)
+    t = pa.table({"ts": pa.array(us, pa.int64()).cast(pa.timestamp("us"))})
+    out = (cusum_hourly(rd.from_arrow(t), num_buckets=2)
+           .to_pandas().sort_values("hour_id").reset_index(drop=True))
+    total, span = sum(counts), len(counts)
+    k = -(-total // span)
+    s, seq = 0, []
+    for x in counts:
+        s = max(0, s + x - k)
+        seq.append(s)
+    assert out["x"].tolist() == counts
+    assert out["s_pos"].tolist() == seq
+    assert out["alert"].tolist() == [int(v >= 4 * k) for v in seq]
+    # the shift is detected, the quiet head never alerts
+    assert out["alert"][:10].sum() == 0 and out["alert"].sum() > 0
+
+
+def test_cohort_retention_triangle():
+    """Two cohorts with known return days, including a user active twice
+    the same day (distinct-user semantics, not event counts)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import cohort_retention
+
+    D = 86_400_000_000
+    rows = [  # (user, day)
+        (1, 0), (1, 0), (1, 1), (1, 3),   # cohort 0: offsets 0,1,3 (day0 twice)
+        (2, 0), (2, 3),                   # cohort 0: offsets 0,3
+        (3, 1), (3, 2),                   # cohort 1: offsets 0,1
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * D + r[0] for r in rows],
+                       pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = (cohort_retention(rd.from_arrow(t), num_buckets=4).to_pandas()
+           .set_index(["cohort_day", "day_offset"])["n_users"].sort_index())
+    assert out.to_dict() == {(0, 0): 2, (0, 1): 1, (0, 3): 2,
+                             (1, 0): 1, (1, 1): 1}
+
+
+def test_scd2_intervals_runs():
+    """Consecutive same-state events collapse into one interval; the last
+    run per key is open-ended and flagged current; same-ts ties break by
+    event_id."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import scd2_intervals
+
+    M = 60_000_000
+    rows = [  # (user, minute, type, event_id)
+        (1, 0, "a", 0), (1, 1, "a", 1), (1, 2, "b", 2), (1, 3, "a", 3),
+        (2, 0, "x", 4), (2, 0, "y", 5),  # same ts: id order decides runs
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * M for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "event_id": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = (scd2_intervals(rd.from_arrow(t), num_buckets=4).to_pandas()
+           .sort_values(["user_id", "valid_from_us"]).reset_index(drop=True))
+    u1 = out[out.user_id == 1]
+    assert u1["event_type"].tolist() == ["a", "b", "a"]
+    assert u1["valid_from_us"].tolist() == [0, 2 * M, 3 * M]
+    assert u1["valid_to_us"].tolist()[:2] == [2 * M, 3 * M]
+    assert pd.isna(u1["valid_to_us"].iloc[2]) and u1["is_current"].tolist() == [0, 0, 1]
+    u2 = out[out.user_id == 2]
+    assert u2["event_type"].tolist() == ["x", "y"]
+    assert u2["valid_to_us"].tolist()[0] == 0  # y starts at the same ts
+    assert u2["is_current"].tolist() == [0, 1]
