@@ -164,6 +164,9 @@ SECONDARY = [
     "cusum_hourly",
     "cohort_retention",
     "scd2_intervals",
+    "two_hop_reach",
+    "zorder_layout",
+    "autocorr_hourly",
 ]
 
 

@@ -3911,6 +3911,52 @@ def q_file_source_gz(sf_dir: str):
     return _cast_final(agg, {"severity_number": pa.int32()})
 
 
+def q_two_hop_reach(sf_dir: str):
+    """Per-node distinct 1-or-2-hop reach over the link graph: one
+    bucketed edges-self-join on the middle vertex, two-phase dedup +
+    count. Hint covers the join fan-out (out-degree capped at
+    GRAPH_MAX_OUT)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import GRAPH_MAX_OUT, ensure_link_graph, two_hop_reach
+
+    gdir = ensure_link_graph(sf_dir)
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    with input_rows_hint(n_edges * (GRAPH_MAX_OUT + 1)):
+        return two_hop_reach(edges)
+
+
+@_hinted("events")
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout assignment over (user_id, event-minute):
+    quantize both dimensions to 16 bits against footer-stat min/max (zero
+    data read), interleave, assign 64 target files by top bits, and emit
+    the per-file zone map. The multi-dimensional clustering step a
+    100 TB lakehouse rewrite runs before scan_prune_plan prunes."""
+    from .stages.compact import footer_min_max, zorder_layout
+
+    st = footer_min_max(f"{sf_dir}/events.parquet", ["user_id", "ts"])
+    stats = {"a_min": st["user_id_min"], "a_max": st["user_id_max"],
+             "m_min": st["ts_min"] // 60_000_000,
+             "m_max": st["ts_max"] // 60_000_000}
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return zorder_layout(ds, stats)
+
+
+@_hinted("events")
+def q_autocorr_hourly(sf_dir: str):
+    """Lag 1-3 autocorrelation of the hourly event-count series, scaled to
+    integer r_e6 with arbitrary-precision driver math over the
+    wall-clock-bounded series (HUGEINT on the oracle side)."""
+    from .stages.window import autocorr_hourly
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return autocorr_hourly(ds)
+
+
 @_hinted("events")
 def q_cusum_hourly(sf_dir: str):
     """CUSUM changepoint detection over the per-hour event-count series:
@@ -3999,6 +4045,9 @@ QUERIES = {
     "cusum_hourly": q_cusum_hourly,
     "cohort_retention": q_cohort_retention,
     "scd2_intervals": q_scd2_intervals,
+    "two_hop_reach": q_two_hop_reach,
+    "zorder_layout": q_zorder_layout,
+    "autocorr_hourly": q_autocorr_hourly,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7130,6 +7179,59 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                count(*) AS n_dups
         FROM {T}
         GROUP BY 1"""
+    sql["two_hop_reach"] = f"""
+        WITH e AS (SELECT src, dst FROM read_parquet('{_gdir}/*.parquet')),
+        r AS (SELECT src AS s, dst AS w FROM e
+              UNION
+              SELECT e1.src AS s, e2.dst AS w
+              FROM e e1 JOIN e e2 ON e1.dst = e2.src
+              WHERE e2.dst != e1.src)
+        SELECT s AS node_id, CAST(count(*) AS BIGINT) AS n_reach
+        FROM r GROUP BY s"""
+    # zorder: 16-bit Morton interleave, unrolled as plain bit algebra so
+    # the oracle replays the magic-mask ladder exactly
+    _mort_a = " + ".join(f"(((qa >> {b}) & 1) << {2 * b + 1})"
+                         for b in range(16))
+    _mort_m = " + ".join(f"(((qm >> {b}) & 1) << {2 * b})"
+                         for b in range(16))
+    sql["zorder_layout"] = f"""
+        WITH b AS (SELECT min(user_id) AS a_lo, max(user_id) AS a_hi,
+                          min(epoch_us(ts)) // 60000000 AS m_lo,
+                          max(epoch_us(ts)) // 60000000 AS m_hi
+                   FROM events),
+        q AS (SELECT user_id AS a, epoch_us(ts) // 60000000 AS m,
+                     (user_id - a_lo) * 65536
+                        // greatest(1, a_hi - a_lo + 1) AS qa,
+                     (epoch_us(ts) // 60000000 - m_lo) * 65536
+                        // greatest(1, m_hi - m_lo + 1) AS qm
+              FROM events CROSS JOIN b),
+        z AS (SELECT ({_mort_a} + {_mort_m}) >> 26 AS zfile, a, m FROM q)
+        SELECT zfile, CAST(count(*) AS BIGINT) AS n_rows,
+               min(a) AS a_min, max(a) AS a_max,
+               min(m) AS m_min, max(m) AS m_max
+        FROM z GROUP BY zfile"""
+    sql["autocorr_hourly"] = """
+        WITH b AS (SELECT epoch_us(min(ts)) // 3600000000 AS lo,
+                          epoch_us(max(ts)) // 3600000000 AS hi
+                   FROM events),
+        grid AS (SELECT unnest(generate_series(lo, hi)) AS hour_id FROM b),
+        cnt AS (SELECT epoch_us(ts) // 3600000000 AS hour_id, count(*) AS x
+                FROM events GROUP BY 1),
+        ser AS (SELECT g.hour_id, CAST(COALESCE(c.x, 0) AS HUGEINT) AS x
+                FROM grid g LEFT JOIN cnt c USING (hour_id)),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s FROM ser),
+        res AS (SELECT hour_id, tot.n * x - tot.s AS r
+                FROM ser CROSS JOIN tot),
+        den AS (SELECT sum(r * r) AS d FROM res),
+        lags AS (SELECT unnest(generate_series(1, 3)) AS lag),
+        num AS (SELECT l.lag, sum(a.r * c.r) AS nm,
+                       CAST(count(*) AS BIGINT) AS n_terms
+                FROM lags l
+                JOIN res a ON TRUE
+                JOIN res c ON c.hour_id = a.hour_id + l.lag
+                GROUP BY l.lag)
+        SELECT lag, CAST((1000000 * nm) // den.d AS BIGINT) AS r_e6, n_terms
+        FROM num CROSS JOIN den"""
     sql["cusum_hourly"] = """
         WITH b AS (SELECT epoch_us(min(ts)) // 3600000000 AS lo,
                           epoch_us(max(ts)) // 3600000000 AS hi,

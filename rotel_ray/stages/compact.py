@@ -208,3 +208,91 @@ def scan_prune_plan(input_dir: str, *, column: str, threshold: int,
         }
 
     return rd.from_items(files).map_batches(meta)
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each uint32 to even bit positions
+    (Morton bit interleave half, the standard magic-mask ladder)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def zorder_layout(ds, stats: dict, *, key_a: str = "user_id",
+                  ts_col: str = "ts", n_files: int = 64,
+                  num_buckets: int = 8):
+    """Z-order (Morton-curve) layout assignment over two clustering
+    dimensions — the multi-dimensional-locality complement to
+    :func:`scan_prune_plan`: quantize (key_a, event-minute) each to 16
+    bits against the global min/max from parquet FOOTER statistics (zero
+    data read — ``stats`` carries a_min/a_max/m_min/m_max), interleave the
+    bits into a 32-bit Morton key, and assign each row to one of
+    ``n_files`` target files by the key's top bits. Returns the per-file
+    ZONE MAP (n_rows, min/max of both dimensions) — narrow rectangles in
+    (user × time) space, so a predicate on EITHER dimension prunes most
+    files, which neither a user-sort nor a time-sort layout gives you.
+
+    Scale shape: one stateless vectorized map computes keys; the zone map
+    is a bounded two-phase aggregate (n_files rows). The actual rewrite
+    is write_parquet(partition_cols=[zfile]) downstream — assignment and
+    audit are the testable core."""
+    from .aggregate import two_phase_aggregate
+
+    a_min, a_max = int(stats["a_min"]), int(stats["a_max"])
+    m_min, m_max = int(stats["m_min"]), int(stats["m_max"])
+    a_span = max(1, a_max - a_min + 1)
+    m_span = max(1, m_max - m_min + 1)
+    shift = int(np.uint64(32 - n_files.bit_length() + 1))  # top log2(n_files) bits
+
+    def assign(t: pa.Table) -> pa.Table:
+        a = t.column(key_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        m = us // 60_000_000
+        qa = ((a - a_min) * 65536 // a_span).astype(np.uint64)
+        qm = ((m - m_min) * 65536 // m_span).astype(np.uint64)
+        z = (_part1by1(qa) << np.uint64(1)) | _part1by1(qm)
+        zfile = (z >> np.uint64(shift)).astype(np.int64)
+        return pa.table({"zfile": pa.array(zfile),
+                         "a": pa.array(a), "m": pa.array(m)})
+
+    keyed = ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return two_phase_aggregate(
+        keyed, ["zfile"],
+        [("a", "count", "n_rows"),
+         ("a", "min", "a_min"), ("a", "max", "a_max"),
+         ("m", "min", "m_min"), ("m", "max", "m_max")],
+        num_buckets=num_buckets)
+
+
+def footer_min_max(input_dir_or_file: str, columns: list[str],
+                   pattern: str = "*.parquet") -> dict:
+    """Global min/max per column from parquet footer statistics only —
+    the metadata-read that seeds zorder_layout's quantization grid. File
+    list handled driver-side (footers are KB-sized; for a million-file
+    table lift this into the scan_prune_plan Ray map)."""
+    files = ([input_dir_or_file] if os.path.isfile(input_dir_or_file)
+             else sorted(glob.glob(os.path.join(input_dir_or_file, pattern))))
+    if not files:
+        raise FileNotFoundError(f"no {pattern} under {input_dir_or_file}")
+    lo: dict = {}
+    hi: dict = {}
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        for c in columns:
+            ci = names.index(c)
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ci).statistics
+                mn, mx = st.min, st.max
+                if hasattr(mn, "timestamp"):  # datetime -> us, TZ-free
+                    mn = int(np.datetime64(mn, "us").astype(np.int64))
+                    mx = int(np.datetime64(mx, "us").astype(np.int64))
+                lo[c] = min(lo.get(c, mn), mn)
+                hi[c] = max(hi.get(c, mx), mx)
+    return {**{f"{c}_min": lo[c] for c in columns},
+            **{f"{c}_max": hi[c] for c in columns}}

@@ -338,3 +338,50 @@ def label_propagation(edges, seeds, *, iters: int = LP_ITERS,
         lambda t: pa.table({"node_id": t.column("v"),
                             "label": t.column("lab")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def two_hop_reach(edges, *, num_buckets: int = 32):
+    """Per-node 2-hop reach: how many distinct nodes each node can reach in
+    one or two directed hops (self excluded) — the neighborhood-size signal
+    crawl frontier scheduling and influence ranking start from.
+
+    Scale shape: the 2-hop pairs come from ONE bucketed self-join on the
+    middle vertex (edges ⋈ edges, both sides pre-renamed to skinny 2-int
+    rows); dedup and the final per-source count are two-phase aggregates.
+    The intermediate is Σ_v in_deg(v)·out_deg(v) rows — bounded by the
+    crawl's out-degree cap (GRAPH_MAX_OUT here); for an uncapped graph,
+    cap or sample high-degree middles first (documented assumption, same
+    bound as triangle_count's wedge space)."""
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    def as_sm(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t.column("src"), "m": t.column("dst")})
+
+    def as_mw(t: pa.Table) -> pa.Table:
+        return pa.table({"m": t.column("src"), "w": t.column("dst")})
+
+    h1 = edges.map_batches(as_sm, batch_format="pyarrow", zero_copy_batch=True)
+    h2 = edges.map_batches(as_mw, batch_format="pyarrow", zero_copy_batch=True)
+    hops = bucket_hash_join(h1, h2, on="m", num_buckets=num_buckets)
+
+    def pairs2(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        keep = s != w
+        return pa.table({"s": pa.array(s[keep]), "w": pa.array(w[keep])})
+
+    two = hops.map_batches(pairs2, batch_format="pyarrow", zero_copy_batch=True)
+    one = edges.map_batches(
+        lambda t: pa.table({"s": t.column("src"), "w": t.column("dst")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    distinct = two_phase_aggregate(one.union(two), ["s", "w"],
+                                   [("w", "count", "_n")],
+                                   num_buckets=num_buckets)
+    reach = two_phase_aggregate(distinct, ["s"], [("w", "count", "n_reach")],
+                                num_buckets=num_buckets)
+    return reach.map_batches(
+        lambda t: pa.table({"node_id": t.column("s"),
+                            "n_reach": t.column("n_reach")}),
+        batch_format="pyarrow", zero_copy_batch=True)

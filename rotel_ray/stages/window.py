@@ -1394,3 +1394,55 @@ def scd2_intervals(ds, *, key: str = "user_id", ts_col: str = "ts",
     return grouped_apply(ds, [key], per_bucket,
                          select=[key, ts_col, type_col, id_col],
                          num_buckets=num_buckets)
+
+
+def autocorr_hourly(ds, *, ts_col: str = "ts", max_lag: int = 3,
+                    num_buckets: int = 16):
+    """Lag-k autocorrelation of the per-hour event-count series (k = 1..
+    max_lag) — the seasonality detector (a daily cycle shows as a bump at
+    lag 24). Division-free exact-int preparation: with residuals scaled by
+    n (r_i = n·x_i − S, so no mean division), emits per lag the scaled
+    correlation r_e6 = (10⁶ · Σ r_i r_{i+k}) / Σ r_i² as a truncated-
+    toward-zero integer (matching SQL integer division; numerator may be
+    negative). Products are computed in arbitrary-precision Python ints —
+    n·x overflows int64 at extreme corpus scale — and only the bounded
+    r_e6 (|r_e6| ≤ 10⁶) lands in the output.
+
+    Scale shape: identical to cusum_hourly — one two-phase per-hour count
+    over the data; the hourly series is wall-clock-bounded, so the driver
+    finishing pass is constant-sized at any corpus scale."""
+    from .aggregate import two_phase_aggregate
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).combine_chunks().cast(pa.timestamp("us")) \
+              .cast(pa.int64())
+        return pa.table({"hour_id": pc.divide(us, HOUR_US),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cnt = two_phase_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour_id"], [("one", "sum", "x")], num_buckets=num_buckets).take_all()
+    if not cnt:
+        return pa.table({"lag": pa.array([], pa.int64()),
+                         "r_e6": pa.array([], pa.int64()),
+                         "n_terms": pa.array([], pa.int64())})
+    cnt.sort(key=lambda r: r["hour_id"])
+    lo, hi = cnt[0]["hour_id"], cnt[-1]["hour_id"]
+    x = np.zeros(hi - lo + 1, np.int64)
+    for r in cnt:
+        x[r["hour_id"] - lo] = r["x"]
+    n = len(x)
+    S = int(x.sum())
+    res = [n * int(v) - S for v in x]          # python ints: no overflow
+    den = sum(v * v for v in res)
+    lags, r6, terms = [], [], []
+    for k in range(1, max_lag + 1):
+        num = sum(res[i] * res[i + k] for i in range(n - k))
+        v = 1_000_000 * num
+        q = -((-v) // den) if v < 0 else v // den  # truncate toward zero (SQL //)
+        lags.append(k)
+        r6.append(q)
+        terms.append(n - k)
+    return pa.table({"lag": pa.array(lags, pa.int64()),
+                     "r_e6": pa.array(r6, pa.int64()),
+                     "n_terms": pa.array(terms, pa.int64())})

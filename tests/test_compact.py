@@ -107,3 +107,61 @@ def test_scan_prune_plan_skips_early_row_groups(tmp_path):
     # k >= 60 can only live in groups whose max >= 60 -> first two skip
     assert got.skip.tolist() == [True, True, False, False]
     assert got.n_rows.sum() == 100
+
+
+def test_part1by1_spread():
+    import numpy as np
+
+    from rotel_ray.stages.compact import _part1by1
+
+    assert _part1by1(np.array([0xFFFF], np.uint64))[0] == 0x55555555
+    assert _part1by1(np.array([0b1011], np.uint64))[0] == 0b1000101
+    # interleave is a bijection on 16+16 bits: distinct inputs stay distinct
+    a = np.arange(1024, dtype=np.uint64)
+    z = (_part1by1(a) << np.uint64(1)) | _part1by1(a[::-1])
+    assert len(np.unique(z)) == len(z)
+
+
+def test_zorder_zone_map_rectangles():
+    """Z-order files cover every row, and each file's (a, m) rectangle is
+    strictly narrower than the global extent on BOTH dimensions — the
+    multi-dimensional locality a single-column sort can't give."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.compact import zorder_layout
+
+    rng_a = 4096
+    n = 4096
+    a = np.arange(n, dtype=np.int64) % rng_a
+    m = (np.arange(n, dtype=np.int64) * 37) % 50000
+    t = pa.table({"user_id": pa.array(a),
+                  "ts": pa.array(m * 60_000_000).cast(pa.timestamp("us"))})
+    stats = {"a_min": int(a.min()), "a_max": int(a.max()),
+             "m_min": int(m.min()), "m_max": int(m.max())}
+    out = zorder_layout(rd.from_arrow(t).repartition(4), stats,
+                        num_buckets=4).to_pandas()
+    assert out["n_rows"].sum() == n
+    a_span = stats["a_max"] - stats["a_min"] + 1
+    m_span = stats["m_max"] - stats["m_min"] + 1
+    widths_a = out["a_max"] - out["a_min"] + 1
+    widths_m = out["m_max"] - out["m_min"] + 1
+    assert (widths_a <= a_span // 2).all()
+    assert (widths_m <= m_span // 2).all()
+
+
+def test_footer_min_max_matches_data(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rotel_ray.stages.compact import footer_min_max
+
+    us = np.array([5_000_000, 9_000_000, 1_000_000], np.int64)
+    t = pa.table({"user_id": pa.array([7, 3, 11], pa.int64()),
+                  "ts": pa.array(us).cast(pa.timestamp("us"))})
+    pq.write_table(t, tmp_path / "x.parquet")
+    st = footer_min_max(str(tmp_path / "x.parquet"), ["user_id", "ts"])
+    assert st == {"user_id_min": 3, "user_id_max": 11,
+                  "ts_min": 1_000_000, "ts_max": 9_000_000}

@@ -181,3 +181,21 @@ def test_label_propagation_majority_and_ties():
     assert out.to_dict() == {0: "en", 1: "de", 2: "de",
                              3: "de", 4: "de", 5: "de"}
     assert 6 not in out.index
+
+
+def test_two_hop_reach_known_graph():
+    """0->1->2->0 cycle plus 0->3: reach excludes self, dedups the union of
+    direct and 2-hop targets; sink nodes (no out-edges) emit no row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import two_hop_reach
+
+    t = pa.table({"src": pa.array([0, 1, 2, 0], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    out = (two_hop_reach(rd.from_arrow(t).repartition(2), num_buckets=4)
+           .to_pandas().set_index("node_id")["n_reach"].sort_index())
+    # 0: direct {1,3}, via 1 -> {2}           => 3
+    # 1: direct {2},   via 2 -> {0}           => 2
+    # 2: direct {0},   via 0 -> {1,3}         => 3
+    assert out.to_dict() == {0: 3, 1: 2, 2: 3}

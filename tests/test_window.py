@@ -421,3 +421,32 @@ def test_scd2_intervals_runs():
     assert u2["event_type"].tolist() == ["x", "y"]
     assert u2["valid_to_us"].tolist()[0] == 0  # y starts at the same ts
     assert u2["is_current"].tolist() == [0, 1]
+
+
+def test_autocorr_hourly_periodic_signal():
+    """A period-2 alternating hourly series: lag-2 autocorrelation is
+    strongly positive, lag-1 strongly negative; values match a direct
+    big-int replay of the scaled formula."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import autocorr_hourly
+
+    H = 3_600_000_000
+    counts = [1, 5] * 10
+    us = []
+    for h, c in enumerate(counts):
+        us.extend(h * H + np.arange(c) * 1000)
+    t = pa.table({"ts": pa.array(us, pa.int64()).cast(pa.timestamp("us"))})
+    out = (autocorr_hourly(rd.from_arrow(t), max_lag=3, num_buckets=2)
+           .to_pandas().set_index("lag"))
+    n, S = len(counts), sum(counts)
+    res = [n * v - S for v in counts]
+    den = sum(v * v for v in res)
+    for k in (1, 2, 3):
+        v = 1_000_000 * sum(res[i] * res[i + k] for i in range(n - k))
+        q = -((-v) // den) if v < 0 else v // den
+        assert out.loc[k, "r_e6"] == q
+        assert out.loc[k, "n_terms"] == n - k
+    assert out.loc[1, "r_e6"] < -500_000 and out.loc[2, "r_e6"] > 500_000
