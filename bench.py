@@ -167,6 +167,9 @@ SECONDARY = [
     "two_hop_reach",
     "zorder_layout",
     "autocorr_hourly",
+    "user_burstiness",
+    "hourly_profile",
+    "context_overflow",
 ]
 
 

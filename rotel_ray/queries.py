@@ -3911,6 +3911,43 @@ def q_file_source_gz(sf_dir: str):
     return _cast_final(agg, {"severity_number": pa.int32()})
 
 
+@_hinted("events")
+def q_user_burstiness(sf_dir: str):
+    """Per-user Fano factor (variance/mean of active-hour counts) as two
+    exact integer ratio terms — the bot-vs-human burstiness signal."""
+    from .stages.window import user_burstiness
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return user_burstiness(ds)
+
+
+@_hinted("events")
+def q_hourly_profile(sf_dir: str):
+    """Weekly seasonality matrix: events + distinct users per
+    (day-of-week, hour-of-day); pure-int dow formula on both sides."""
+    from .stages.window import hourly_profile
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return hourly_profile(ds)
+
+
+def q_context_overflow(sf_dir: str):
+    """Per-conversation context-budget audit: first turn where the running
+    char total exceeds the budget (NULL when it never does). Char counts
+    pre-shuffle; text never moves."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.window import context_overflow
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
+    with input_rows_hint(n_turns):
+        return context_overflow(ds)
+
+
 def q_two_hop_reach(sf_dir: str):
     """Per-node distinct 1-or-2-hop reach over the link graph: one
     bucketed edges-self-join on the middle vertex, two-phase dedup +
@@ -4048,6 +4085,9 @@ QUERIES = {
     "two_hop_reach": q_two_hop_reach,
     "zorder_layout": q_zorder_layout,
     "autocorr_hourly": q_autocorr_hourly,
+    "user_burstiness": q_user_burstiness,
+    "hourly_profile": q_hourly_profile,
+    "context_overflow": q_context_overflow,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7179,6 +7219,37 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                count(*) AS n_dups
         FROM {T}
         GROUP BY 1"""
+    sql["user_burstiness"] = """
+        WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_hours,
+               CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS BIGINT) AS fano_num,
+               CAST(count(*) * sum(c) AS BIGINT) AS fano_den
+        FROM h GROUP BY user_id"""
+    sql["hourly_profile"] = """
+        WITH d AS (SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+                          (epoch_us(ts) // 3600000000) % 24 AS hod,
+                          user_id
+                   FROM events),
+        g AS (SELECT dow, hod, user_id, count(*) AS c FROM d GROUP BY 1, 2, 3)
+        SELECT dow, hod, CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM g GROUP BY 1, 2"""
+    sql["context_overflow"] = f"""
+        WITH c AS (SELECT conv_id, turn_idx, length(text) AS ch
+                   FROM {_trans_sql_rel(sf_dir)}),
+        w AS (SELECT conv_id, turn_idx,
+                     sum(ch) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+              FROM c),
+        o AS (SELECT conv_id, min(turn_idx) AS overflow_turn
+              FROM w WHERE cum > 500 GROUP BY 1),
+        t AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                     CAST(sum(ch) AS BIGINT) AS total_chars
+              FROM c GROUP BY 1)
+        SELECT t.conv_id, t.n_turns, t.total_chars, o.overflow_turn
+        FROM t LEFT JOIN o USING (conv_id)"""
     sql["two_hop_reach"] = f"""
         WITH e AS (SELECT src, dst FROM read_parquet('{_gdir}/*.parquet')),
         r AS (SELECT src AS s, dst AS w FROM e

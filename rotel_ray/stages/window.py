@@ -1446,3 +1446,146 @@ def autocorr_hourly(ds, *, ts_col: str = "ts", max_lag: int = 3,
     return pa.table({"lag": pa.array(lags, pa.int64()),
                      "r_e6": pa.array(r6, pa.int64()),
                      "n_terms": pa.array(terms, pa.int64())})
+
+
+def user_burstiness(ds, *, key: str = "user_id", ts_col: str = "ts",
+                    num_buckets: int = 32):
+    """Per-user burstiness (Fano factor of the user's ACTIVE-hour counts):
+    fano = variance/mean = fano_num / fano_den with
+    fano_num = m·Σc² − (Σc)² and fano_den = m·Σc (m = active hours) —
+    emitted as the two exact BIGINT terms, never divided, so the result
+    is bit-exact (bots/agents show fano ≫ 1, steady humans ≈ 1).
+    Overflow bound: per-user-hour count < 3·10⁴ and m ≤ wall-clock hours
+    keeps fano_num < 2⁶³ (documented, generous for per-user activity).
+
+    Scale shape: two chained two-phase aggregates — (user, hour) counts,
+    then per-user moment sums (count/sum/sum-of-squares as three int
+    columns); the final ratio terms are a stateless per-batch map."""
+    from .aggregate import two_phase_aggregate
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).combine_chunks().cast(pa.timestamp("us")) \
+              .cast(pa.int64())
+        return pa.table({key: t.column(key),
+                         "hour_id": pc.divide(us, HOUR_US),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_hour = two_phase_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True),
+        [key, "hour_id"], [("one", "sum", "c")], num_buckets=num_buckets)
+
+    def square(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({key: t.column(key), "c": t.column("c"),
+                         "c2": pa.array(c * c)})
+
+    moments = two_phase_aggregate(
+        per_hour.map_batches(square, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        [key], [("c", "count", "m"), ("c", "sum", "s"), ("c2", "sum", "q")],
+        num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = t.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key: t.column(key),
+                         "n_active_hours": pa.array(m),
+                         "fano_num": pa.array(m * q - s * s),
+                         "fano_den": pa.array(m * s)})
+
+    return moments.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def hourly_profile(ds, *, key: str = "user_id", ts_col: str = "ts",
+                   num_buckets: int = 16):
+    """Weekly seasonality heat map: events and distinct users per
+    (day-of-week, hour-of-day) cell. Day-of-week is the pure integer
+    formula (epoch_days + 3) % 7 with 0 = Monday (1970-01-01 was a
+    Thursday) on BOTH engine and oracle — no calendar builtin semantics
+    to disagree about. Distinct users via the chained two-phase pattern
+    (grain (cell, user) first, then cell) — no distinct set
+    materializes."""
+    from .aggregate import two_phase_aggregate
+
+    def cells(t: pa.Table) -> pa.Table:
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        return pa.table({"dow": pa.array((us // DAY_US + 3) % 7),
+                         "hod": pa.array((us // HOUR_US) % 24),
+                         key: t.column(key)})
+
+    grain = two_phase_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        ["dow", "hod", key], [(key, "count", "c")], num_buckets=num_buckets)
+    return two_phase_aggregate(grain, ["dow", "hod"],
+                               [("c", "sum", "n_events"),
+                                ("c", "count", "n_users")],
+                               num_buckets=4)
+
+
+CONTEXT_BUDGET_CHARS = 500
+
+
+def context_overflow(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
+                     text_col: str = "text",
+                     budget: int = CONTEXT_BUDGET_CHARS,
+                     num_buckets: int = 64):
+    """Context-window budget audit: per conversation, the first turn at
+    which the running char total exceeds ``budget`` (NULL if it never
+    does) plus turn/char totals — the truncation planning view an SFT
+    packer runs before deciding chunk boundaries.
+
+    Scale shape: char counts come from the Arrow length kernel BEFORE the
+    shuffle (text never moves — only (key, order, n_chars) int rows);
+    one bucketed pass finishes every conversation with a segment cumsum
+    + first-over scan vectorized across the bucket's keys."""
+    from .aggregate import grouped_apply
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t.column(key),
+            order_col: t.column(order_col),
+            "n_chars": pc.cast(pc.fill_null(
+                pc.utf8_length(t.column(text_col).combine_chunks()), 0),
+                pa.int64()),
+        })
+
+    counted = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({key: pd.Series([], dtype=str),
+                                 "n_turns": pd.Series([], dtype=np.int64),
+                                 "total_chars": pd.Series([], dtype=np.int64),
+                                 "overflow_turn": pd.Series([], dtype="Int64")})
+        g = g.sort_values([key, order_col], kind="mergesort")
+        kv = g[key].to_numpy()
+        ch = g["n_chars"].to_numpy().astype(np.int64)
+        ti = g[order_col].to_numpy().astype(np.int64)
+        first = np.r_[True, kv[1:] != kv[:-1]]
+        starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        cs = np.cumsum(ch)
+        before = np.r_[0, cs[starts[1:] - 1]]
+        cum = cs - before[seg_id]
+        over = cum > budget
+        # first over-budget row per segment: reduceat(argmax) via minimum
+        # of row index where over, sentinel len(g) when never over
+        idx = np.where(over, np.arange(len(g)), len(g))
+        first_over = np.minimum.reduceat(idx, starts)
+        n_turns = np.diff(np.r_[starts, len(kv)])
+        total = np.add.reduceat(ch, starts)
+        ot = pd.Series(np.where(first_over < len(g),
+                                ti[np.minimum(first_over, len(g) - 1)], 0),
+                       dtype="Int64")
+        ot[first_over >= len(g)] = pd.NA
+        return pd.DataFrame({key: kv[starts],
+                             "n_turns": n_turns.astype(np.int64),
+                             "total_chars": total.astype(np.int64),
+                             "overflow_turn": ot})
+
+    return grouped_apply(counted, [key], per_bucket,
+                         num_buckets=num_buckets)

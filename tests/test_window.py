@@ -450,3 +450,72 @@ def test_autocorr_hourly_periodic_signal():
         assert out.loc[k, "r_e6"] == q
         assert out.loc[k, "n_terms"] == n - k
     assert out.loc[1, "r_e6"] < -500_000 and out.loc[2, "r_e6"] > 500_000
+
+
+def test_user_burstiness_ratio_terms():
+    """A steady user (1 event/hour) has fano_num 0; a bursty user (all
+    events in one hour plus singletons) has a large positive ratio."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import user_burstiness
+
+    H = 3_600_000_000
+    rows = []
+    for h in range(4):                      # user 1: steady, c = [1,1,1,1]
+        rows.append((1, h * H))
+    rows += [(2, 0)] * 9 + [(2, H)]         # user 2: c = [9, 1]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us"))})
+    out = (user_burstiness(rd.from_arrow(t), num_buckets=4).to_pandas()
+           .set_index("user_id").sort_index())
+    # u1: m=4, S=4, Q=4  -> num = 16-16 = 0, den = 16
+    assert out.loc[1, "n_active_hours"] == 4
+    assert out.loc[1, "fano_num"] == 0 and out.loc[1, "fano_den"] == 16
+    # u2: m=2, S=10, Q=82 -> num = 164-100 = 64, den = 20 (fano 3.2)
+    assert out.loc[2, "fano_num"] == 64 and out.loc[2, "fano_den"] == 20
+
+
+def test_hourly_profile_dow_formula():
+    """1970-01-01 (epoch day 0) is a Thursday -> dow 3 with 0=Monday;
+    distinct-user counting collapses repeat events."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import hourly_profile
+
+    H = 3_600_000_000
+    D = 24 * H
+    rows = [(1, 5 * H), (1, 5 * H + 1), (2, 5 * H),   # day 0 (Thu) hod 5
+            (1, D + 6 * H)]                           # day 1 (Fri) hod 6
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us"))})
+    out = (hourly_profile(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index(["dow", "hod"]).sort_index())
+    assert out.loc[(3, 5), "n_events"] == 3 and out.loc[(3, 5), "n_users"] == 2
+    assert out.loc[(4, 6), "n_events"] == 1 and out.loc[(4, 6), "n_users"] == 1
+
+
+def test_context_overflow_first_turn():
+    """Budget 10: a conv crossing at turn 2, one never crossing (NULL),
+    and a cross exactly AT the boundary (> budget, not >=)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import context_overflow
+
+    rows = [("a", 0, "12345"), ("a", 1, "1234"), ("a", 2, "123"),  # cum 5,9,12
+            ("b", 0, "12"),                                        # cum 2
+            ("c", 0, "1234567890")]                                # cum 10 == budget
+    t = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                  "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                  "text": pa.array([r[2] for r in rows])})
+    out = (context_overflow(rd.from_arrow(t), budget=10, num_buckets=2)
+           .to_pandas().set_index("conv_id").sort_index())
+    assert out.loc["a", "overflow_turn"] == 2 and out.loc["a", "total_chars"] == 12
+    assert pd.isna(out.loc["b", "overflow_turn"])
+    assert pd.isna(out.loc["c", "overflow_turn"])  # exactly at budget: no overflow
