@@ -170,6 +170,9 @@ SECONDARY = [
     "user_burstiness",
     "hourly_profile",
     "context_overflow",
+    "coverage_gaps",
+    "rate_limit_audit",
+    "latency_trend",
 ]
 
 

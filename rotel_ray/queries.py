@@ -3912,6 +3912,54 @@ def q_file_source_gz(sf_dir: str):
 
 
 @_hinted("events")
+def q_coverage_gaps(sf_dir: str):
+    """Telemetry coverage health: per event type, empty hours in the
+    global span and the longest outage run. Data pass = one two-phase
+    (type, hour) count; the gap scan is wall-clock-bounded."""
+    from .stages.window import coverage_gaps
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["ts", "event_type"])
+    return coverage_gaps(ds)
+
+
+@_hinted("events")
+def q_rate_limit_audit(sf_dir: str):
+    """Per-user max events in any trailing 10-minute window (exact
+    RANGE-frame semantics) via one bucketed composite-axis searchsorted
+    pass — no per-user loop."""
+    from .stages.window import rate_limit_audit
+
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return rate_limit_audit(ds)
+
+
+def q_latency_trend(sf_dir: str):
+    """Per-tool exact least-squares latency slope (micro-ms/day) over the
+    parsed tool-call stream; day index anchored by footer stats so the
+    distributed moment sums stay in int64."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.compact import footer_min_max
+    from .stages.window import latency_trend
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    day0 = footer_min_max(tdir, ["ts"])["ts_min"] // 86_400_000_000
+    ds = _parsed(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "tool_call"))
+        return t.select(["tool_name", "ts", "duration_ms"])
+
+    ds = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    with input_rows_hint(n_turns):
+        return latency_trend(ds, day0)
+
+
+@_hinted("events")
 def q_user_burstiness(sf_dir: str):
     """Per-user Fano factor (variance/mean of active-hour counts) as two
     exact integer ratio terms — the bot-vs-human burstiness signal."""
@@ -4088,6 +4136,9 @@ QUERIES = {
     "user_burstiness": q_user_burstiness,
     "hourly_profile": q_hourly_profile,
     "context_overflow": q_context_overflow,
+    "coverage_gaps": q_coverage_gaps,
+    "rate_limit_audit": q_rate_limit_audit,
+    "latency_trend": q_latency_trend,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7219,6 +7270,64 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                count(*) AS n_dups
         FROM {T}
         GROUP BY 1"""
+    sql["coverage_gaps"] = """
+        WITH b AS (SELECT epoch_us(min(ts)) // 3600000000 AS lo,
+                          epoch_us(max(ts)) // 3600000000 AS hi
+                   FROM events),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT t.event_type, g.h AS hour_id
+                 FROM types t
+                 CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h
+                             FROM b) g),
+        cnt AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+                       count(*) AS x
+                FROM events GROUP BY 1, 2),
+        empty AS (SELECT g.event_type, g.hour_id
+                  FROM grid g LEFT JOIN cnt c
+                    ON c.event_type = g.event_type
+                   AND c.hour_id = g.hour_id
+                  WHERE c.x IS NULL),
+        isl AS (SELECT event_type,
+                       hour_id - row_number() OVER (PARTITION BY event_type
+                                                    ORDER BY hour_id) AS grp
+                FROM empty),
+        runs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS len
+                 FROM isl GROUP BY event_type, grp)
+        SELECT t.event_type,
+               CAST(COALESCE(sum(r.len), 0) AS BIGINT) AS n_empty_hours,
+               CAST(COALESCE(max(r.len), 0) AS BIGINT) AS max_gap_hours
+        FROM types t LEFT JOIN runs r USING (event_type)
+        GROUP BY t.event_type"""
+    sql["rate_limit_audit"] = """
+        WITH w AS (SELECT user_id,
+                          count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                                               AND CURRENT ROW) AS c
+                   FROM events)
+        SELECT user_id, CAST(max(c) AS BIGINT) AS max_in_window
+        FROM w GROUP BY user_id"""
+    sql["latency_trend"] = f"""
+        WITH t0 AS (SELECT min(epoch_us(ts)) // 86400000000 AS d0
+                    FROM {_trans_sql_rel(sf_dir)}),
+        tc AS (SELECT regexp_extract(text, '^TOOL_CALL tool=(\\w+) ', 1)
+                        AS tool_name,
+                      CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1)
+                        AS BIGINT) AS y,
+                      epoch_us(ts) // 86400000000 - t0.d0 AS x
+               FROM {_trans_sql_rel(sf_dir)} CROSS JOIN t0
+               WHERE {SQL_IS_TOOL}),
+        m AS (SELECT tool_name, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x * y) AS HUGEINT) AS sxy,
+                     CAST(sum(x * x) AS HUGEINT) AS sxx
+              FROM tc GROUP BY 1)
+        SELECT tool_name, CAST(n AS BIGINT) AS n_calls,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST((1000000 * (n * sxy - sx * sy))
+                              // (n * sxx - sx * sx) AS BIGINT)
+               END AS slope_e6
+        FROM m"""
     sql["user_burstiness"] = """
         WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
                           CAST(count(*) AS BIGINT) AS c

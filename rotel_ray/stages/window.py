@@ -1589,3 +1589,148 @@ def context_overflow(ds, *, key: str = "conv_id", order_col: str = "turn_idx",
 
     return grouped_apply(counted, [key], per_bucket,
                          num_buckets=num_buckets)
+
+
+def coverage_gaps(ds, *, ts_col: str = "ts", type_col: str = "event_type",
+                  num_buckets: int = 16):
+    """Missing-data detector: per event type, how many hours of the global
+    wall-clock span had NO events and the longest such outage run — the
+    telemetry-coverage health check run before trusting any rate metric.
+
+    Scale shape: the data pass is one two-phase (type, hour) count; the
+    per-type hour series is wall-clock-bounded (types × hours, constant in
+    corpus size), so the gap scan finishes on the driver like
+    cusum_hourly."""
+    from .aggregate import two_phase_aggregate
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).combine_chunks().cast(pa.timestamp("us")) \
+              .cast(pa.int64())
+        return pa.table({type_col: t.column(type_col),
+                         "hour_id": pc.divide(us, HOUR_US),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cnt = two_phase_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True),
+        [type_col, "hour_id"], [("one", "sum", "x")],
+        num_buckets=num_buckets).take_all()
+    if not cnt:
+        return pa.table({type_col: pa.array([], pa.string()),
+                         "n_empty_hours": pa.array([], pa.int64()),
+                         "max_gap_hours": pa.array([], pa.int64())})
+    lo = min(r["hour_id"] for r in cnt)
+    hi = max(r["hour_id"] for r in cnt)
+    span = hi - lo + 1
+    present: dict = {}
+    for r in cnt:
+        present.setdefault(r[type_col], np.zeros(span, bool))[
+            r["hour_id"] - lo] = True
+    types, n_empty, max_gap = [], [], []
+    for tname in sorted(present):
+        p = present[tname]
+        empty = ~p
+        # longest run of True in `empty`: reset-counter via cumsum trick
+        idx = np.arange(span)
+        run = idx - np.maximum.accumulate(np.where(p, idx, -1))
+        types.append(tname)
+        n_empty.append(int(empty.sum()))
+        max_gap.append(int((run * empty).max()) if span else 0)
+    return pa.table({type_col: pa.array(types),
+                     "n_empty_hours": pa.array(n_empty, pa.int64()),
+                     "max_gap_hours": pa.array(max_gap, pa.int64())})
+
+
+RATE_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def rate_limit_audit(ds, *, key: str = "user_id", ts_col: str = "ts",
+                     window_us: int = RATE_WINDOW_US, num_buckets: int = 64):
+    """Sliding-window rate audit: per user, the maximum number of events in
+    ANY trailing ``window_us`` window [t − W, t] anchored at an event —
+    the exact check a rate limiter's threshold is tuned against (mirrors
+    SQL's RANGE BETWEEN INTERVAL W PRECEDING frame, which counts ALL rows
+    in the closed interval including equal-timestamp peers).
+
+    Scale shape: one bucketed pass; within a bucket, users' sorted streams
+    are packed onto a single composite axis (segment_id · stride + relative
+    ts, stride > span + 2W) so ONE pair of vectorized searchsorted calls
+    answers every row's window count across all users at once — no
+    per-user loop. Bound: segments_per_bucket × (span + 2W) < 2⁶³
+    (documented; raise num_buckets for denser keys)."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({key: pd.Series([], dtype=np.int64),
+                                 "max_in_window": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        kv = g[key].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        first = np.r_[True, kv[1:] != kv[:-1]]
+        seg_id = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        rel = us - np.repeat(us[starts], np.diff(np.r_[starts, len(us)]))
+        stride = int(rel.max()) + 2 * window_us + 1 if len(rel) else 1
+        axis = seg_id * stride + rel
+        left = np.searchsorted(axis, axis - window_us, side="left")
+        right = np.searchsorted(axis, axis, side="right")
+        c = right - left
+        mx = np.maximum.reduceat(c, starts)
+        return pd.DataFrame({key: kv[starts],
+                             "max_in_window": mx.astype(np.int64)})
+
+    partials = grouped_apply(ds, [key], per_bucket,
+                             select=[key, ts_col], num_buckets=num_buckets)
+    # keys are bucket-local, so partials already hold one row per key; the
+    # pass-through aggregate only restores a stable schema
+    return two_phase_aggregate(partials, [key],
+                               [("max_in_window", "max", "max_in_window")],
+                               num_buckets=4)
+
+
+def latency_trend(ds, day0: int, *, tool_col: str = "tool_name",
+                  ts_col: str = "ts", y_col: str = "duration_ms",
+                  num_buckets: int = 16):
+    """Per-tool latency trend: exact least-squares slope of duration
+    against day index (micro-ms per day, truncated toward zero like SQL
+    integer division) — the regression SRE dashboards fit to catch slow
+    drift a threshold alert misses. ``day0`` anchors the day index at the
+    corpus start (from parquet footer stats — zero data read) so the
+    moment sums stay small: with x ≤ wall-clock days and y = millis,
+    int64 partials hold past 10¹² rows per tool (documented bound).
+
+    Scale shape: one two-phase pass accumulates the five regression
+    moments (n, Σx, Σy, Σxy, Σx²) per tool; the closed-form slope runs on
+    the driver over the per-tool table (rows = |tools|) in
+    arbitrary-precision ints, so the final products can never overflow."""
+    from .aggregate import two_phase_aggregate
+
+    def xy(t: pa.Table) -> pa.Table:
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        x = us // DAY_US - day0
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({tool_col: t.column(tool_col),
+                         "x": pa.array(x), "y": pa.array(y),
+                         "xy": pa.array(x * y), "xx": pa.array(x * x)})
+
+    m = two_phase_aggregate(
+        ds.map_batches(xy, batch_format="pyarrow", zero_copy_batch=True),
+        [tool_col],
+        [("x", "count", "n"), ("x", "sum", "sx"), ("y", "sum", "sy"),
+         ("xy", "sum", "sxy"), ("xx", "sum", "sxx")],
+        num_buckets=num_buckets).take_all()
+    tools, ns, slopes = [], [], []
+    for r in sorted(m, key=lambda r: r[tool_col]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        den = n * int(r["sxx"]) - sx * sx
+        tools.append(r[tool_col])
+        ns.append(n)
+        if den == 0:
+            slopes.append(None)
+        else:
+            v = 1_000_000 * (n * int(r["sxy"]) - sx * sy)
+            slopes.append(-((-v) // den) if v < 0 else v // den)
+    return pa.table({tool_col: pa.array(tools),
+                     "n_calls": pa.array(ns, pa.int64()),
+                     "slope_e6": pa.array(slopes, pa.int64())})

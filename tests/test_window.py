@@ -519,3 +519,75 @@ def test_context_overflow_first_turn():
     assert out.loc["a", "overflow_turn"] == 2 and out.loc["a", "total_chars"] == 12
     assert pd.isna(out.loc["b", "overflow_turn"])
     assert pd.isna(out.loc["c", "overflow_turn"])  # exactly at budget: no overflow
+
+
+def test_coverage_gaps_runs():
+    """Type A present hours {0,1,5}, type B all of {0..5}: A has 3 empty
+    hours with max run 3 (hours 2-4), B has none."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import coverage_gaps
+
+    H = 3_600_000_000
+    rows = [("A", 0), ("A", 1), ("A", 5)] + [("B", h) for h in range(6)]
+    t = pa.table({"event_type": pa.array([r[0] for r in rows]),
+                  "ts": pa.array([r[1] * H for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us"))})
+    out = (coverage_gaps(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("event_type").sort_index())
+    assert out.loc["A", "n_empty_hours"] == 3 and out.loc["A", "max_gap_hours"] == 3
+    assert out.loc["B", "n_empty_hours"] == 0 and out.loc["B", "max_gap_hours"] == 0
+
+
+def test_rate_limit_audit_window_semantics():
+    """Closed-interval [t-W, t] counting with equal-timestamp peers: the
+    burst of 3 within 10 min dominates; an event exactly W after another
+    still counts it (boundary inclusive)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import rate_limit_audit
+
+    M = 60_000_000
+    rows = [(1, 0), (1, 5 * M), (1, 9 * M),      # 3 inside 10 min
+            (1, 60 * M),
+            (2, 0), (2, 10 * M),                 # exactly W apart: both count
+            (3, 7 * M), (3, 7 * M)]              # equal-ts peers
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us"))})
+    out = (rate_limit_audit(rd.from_arrow(t), num_buckets=4).to_pandas()
+           .set_index("user_id")["max_in_window"].sort_index())
+    assert out.to_dict() == {1: 3, 2: 2, 3: 2}
+
+
+def test_latency_trend_exact_slope():
+    """y = 100 + 7x plus one outlier: slope matches the big-int closed
+    form; a single-day tool yields NULL slope."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import latency_trend
+
+    D = 86_400_000_000
+    xs = [0, 1, 2, 3, 4, 4]
+    ys = [100, 107, 114, 121, 128, 200]
+    rows = [("grep", x, y) for x, y in zip(xs, ys)] + [("ls", 2, 50), ("ls", 2, 60)]
+    t = pa.table({"tool_name": pa.array([r[0] for r in rows]),
+                  "ts": pa.array([r[1] * D for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us")),
+                  "duration_ms": pa.array([r[2] for r in rows], pa.int64())})
+    out = (latency_trend(rd.from_arrow(t), 0, num_buckets=2).to_pandas()
+           .set_index("tool_name"))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    v = 1_000_000 * (n * sxy - sx * sy)
+    den = n * sxx - sx * sx
+    want = -((-v) // den) if v < 0 else v // den
+    assert out.loc["grep", "slope_e6"] == want and want > 7_000_000
+    assert pd.isna(out.loc["ls", "slope_e6"]) and out.loc["ls", "n_calls"] == 2
