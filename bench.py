@@ -173,6 +173,9 @@ SECONDARY = [
     "coverage_gaps",
     "rate_limit_audit",
     "latency_trend",
+    "fair_allocation",
+    "event_transitions",
+    "edge_reciprocity",
 ]
 
 

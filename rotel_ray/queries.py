@@ -3911,6 +3911,47 @@ def q_file_source_gz(sf_dir: str):
     return _cast_final(agg, {"severity_number": pa.int32()})
 
 
+@_hinted("documents")
+def q_fair_allocation(sf_dir: str):
+    """Hamilton largest-remainder apportionment of a 10⁶-slot sampling
+    budget across sources by token mass: per-source quotas sum exactly
+    to the budget."""
+    from .stages.mix import fair_allocation
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    return fair_allocation(ds)
+
+
+@_hinted("events")
+def q_event_transitions(sf_dir: str):
+    """Session-scoped next-event transition matrix with exact integer
+    probabilities (p_e6 per from-type); pair space bounded by
+    |event types|²."""
+    from .stages.window import event_transitions
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type", "event_id"])
+    return event_transitions(ds)
+
+
+def q_edge_reciprocity(sf_dir: str):
+    """Link-graph mutuality: distinct directed edges whose reverse also
+    exists, as one exact-int row; bucketed self-join on the packed
+    reversed key."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import edge_reciprocity, ensure_link_graph
+
+    gdir = ensure_link_graph(sf_dir)
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    with input_rows_hint(2 * n_edges):
+        return edge_reciprocity(edges)
+
+
 @_hinted("events")
 def q_coverage_gaps(sf_dir: str):
     """Telemetry coverage health: per event type, empty hours in the
@@ -4139,6 +4180,9 @@ QUERIES = {
     "coverage_gaps": q_coverage_gaps,
     "rate_limit_audit": q_rate_limit_audit,
     "latency_trend": q_latency_trend,
+    "fair_allocation": q_fair_allocation,
+    "event_transitions": q_event_transitions,
+    "edge_reciprocity": q_edge_reciprocity,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7270,6 +7314,50 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                count(*) AS n_dups
         FROM {T}
         GROUP BY 1"""
+    sql["fair_allocation"] = r"""
+        WITH w AS (SELECT source,
+                          CAST(sum(len(regexp_extract_all(text, '\S+')))
+                               AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1),
+        tot AS (SELECT sum(n_tokens) AS W FROM w),
+        q AS (SELECT source, n_tokens,
+                     1000000 * n_tokens // tot.W AS base,
+                     1000000 * n_tokens % tot.W AS rem
+              FROM w CROSS JOIN tot),
+        lo AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover FROM q),
+        r AS (SELECT source, n_tokens, base,
+                     row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+              FROM q)
+        SELECT source, n_tokens,
+               CAST(base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM r CROSS JOIN lo"""
+    sql["event_transitions"] = """
+        WITH o AS (SELECT user_id, event_type, ts, event_id,
+                          lead(event_type) OVER w AS nxt,
+                          lead(ts) OVER w AS nxt_ts
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        p AS (SELECT event_type AS from_type, nxt AS to_type
+              FROM o
+              WHERE nxt IS NOT NULL
+                AND nxt_ts - ts <= INTERVAL 30 MINUTE),
+        n AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2),
+        ft AS (SELECT from_type, sum(n) AS tot FROM n GROUP BY 1)
+        SELECT n.from_type, n.to_type, n.n,
+               CAST(1000000 * n.n // ft.tot AS BIGINT) AS p_e6
+        FROM n JOIN ft USING (from_type)"""
+    sql["edge_reciprocity"] = f"""
+        WITH e AS (SELECT DISTINCT src, dst
+                   FROM read_parquet('{_gdir}/*.parquet')),
+        r AS (SELECT count(*) AS nr
+              FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src),
+        t AS (SELECT count(*) AS ne FROM e)
+        SELECT CAST(ne AS BIGINT) AS n_edges,
+               CAST(nr AS BIGINT) AS n_reciprocal,
+               CAST(1000000 * nr // ne AS BIGINT) AS mutuality_e6
+        FROM t CROSS JOIN r"""
     sql["coverage_gaps"] = """
         WITH b AS (SELECT epoch_us(min(ts)) // 3600000000 AS lo,
                           epoch_us(max(ts)) // 3600000000 AS hi

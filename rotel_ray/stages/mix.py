@@ -469,3 +469,51 @@ def _cap_select(t: pa.Table, cap: int, *, id_col: str, source_col: str,
     else:
         cols["__h"] = pa.array(np.char.decode(h_s[keep], "ascii"))
     return pa.table(cols)
+
+
+ALLOC_BUDGET = 1_000_000
+
+
+def fair_allocation(ds, *, source_col: str = "source",
+                    text_col: str = "text", budget: int = ALLOC_BUDGET,
+                    num_buckets: int = 8):
+    """Largest-remainder (Hamilton) apportionment of a sampling budget
+    across sources, weighted by whitespace-token mass: every source gets
+    floor(budget · w/W), and the leftover seats go to the largest
+    remainders (ties broken by source name ascending) — the deterministic
+    integer allocation a mixture sampler needs so per-source quotas sum
+    EXACTLY to the budget (proportional rounding never does).
+
+    Scale shape: one two-phase per-source token sum over the corpus; the
+    apportionment runs on the driver over |sources| rows in Python ints
+    (no overflow at any corpus size)."""
+    from .aggregate import two_phase_aggregate
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            source_col: t.column(source_col),
+            "n": pc.cast(pc.count_substring_regex(
+                t.column(text_col).combine_chunks(), r"\S+"), pa.int64()),
+        })
+
+    sums = two_phase_aggregate(
+        ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        [source_col], [("n", "sum", "n_tokens")],
+        num_buckets=num_buckets).take_all()
+    rows = sorted(sums, key=lambda r: r[source_col])
+    W = sum(int(r["n_tokens"]) for r in rows)
+    if W == 0:
+        return pa.table({source_col: pa.array([r[source_col] for r in rows]),
+                         "n_tokens": pa.array([0] * len(rows), pa.int64()),
+                         "alloc": pa.array([0] * len(rows), pa.int64())})
+    base = [budget * int(r["n_tokens"]) // W for r in rows]
+    rem = [budget * int(r["n_tokens"]) % W for r in rows]
+    leftover = budget - sum(base)
+    order = sorted(range(len(rows)), key=lambda i: (-rem[i], rows[i][source_col]))
+    alloc = list(base)
+    for i in order[:leftover]:
+        alloc[i] += 1
+    return pa.table({source_col: pa.array([r[source_col] for r in rows]),
+                     "n_tokens": pa.array([int(r["n_tokens"]) for r in rows],
+                                          pa.int64()),
+                     "alloc": pa.array(alloc, pa.int64())})

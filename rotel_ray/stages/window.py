@@ -1734,3 +1734,53 @@ def latency_trend(ds, day0: int, *, tool_col: str = "tool_name",
     return pa.table({tool_col: pa.array(tools),
                      "n_calls": pa.array(ns, pa.int64()),
                      "slope_e6": pa.array(slopes, pa.int64())})
+
+
+def event_transitions(ds, *, key: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type", id_col: str = "event_id",
+                      gap_minutes: float = 30.0, num_buckets: int = 64):
+    """Session-scoped Markov transition matrix: consecutive event-type
+    pairs within the same gap session, with the exact transition
+    probability p_e6 = 10⁶·n(from→to) // n(from→·) — the next-action
+    model product analytics and prefetch heuristics read.
+
+    Scale shape: one bucketed pass emits per-bucket (from, to, n)
+    partials (pair space is |types|², tiny); the probability join runs
+    over that bounded matrix, never the events."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"from_type": pd.Series([], dtype=str),
+                                 "to_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        same_key = (g[key] == g[key].shift(-1)).to_numpy()
+        in_sess = same_key & ~((g[ts_col].shift(-1) - g[ts_col]) > gap).to_numpy()
+        tv = g[type_col].to_numpy()
+        out = (pd.DataFrame({"from_type": tv[:-1][in_sess[:-1]],
+                             "to_type": tv[1:][in_sess[:-1]]})
+               .groupby(["from_type", "to_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    pairs = two_phase_aggregate(
+        grouped_apply(ds, [key], per_bucket,
+                      select=[key, ts_col, type_col, id_col],
+                      num_buckets=num_buckets),
+        ["from_type", "to_type"], [("n", "sum", "n")], num_buckets=4)
+    rows = pairs.take_all()   # bounded: |event types|² rows
+    rows.sort(key=lambda r: (r["from_type"], r["to_type"]))
+    from_tot: dict = {}
+    for r in rows:
+        from_tot[r["from_type"]] = from_tot.get(r["from_type"], 0) + int(r["n"])
+    return pa.table({
+        "from_type": pa.array([r["from_type"] for r in rows]),
+        "to_type": pa.array([r["to_type"] for r in rows]),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "p_e6": pa.array([1_000_000 * int(r["n"]) // from_tot[r["from_type"]]
+                          for r in rows], pa.int64()),
+    })

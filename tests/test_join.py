@@ -199,3 +199,20 @@ def test_two_hop_reach_known_graph():
     # 1: direct {2},   via 2 -> {0}           => 2
     # 2: direct {0},   via 0 -> {1,3}         => 3
     assert out.to_dict() == {0: 3, 1: 2, 2: 3}
+
+
+def test_edge_reciprocity_known_graph():
+    """Edges 0->1, 1->0 (mutual pair), 1->2, plus a duplicate 0->1 that
+    must dedup before counting: 3 distinct edges, 2 reciprocal."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import edge_reciprocity
+
+    t = pa.table({"src": pa.array([0, 1, 1, 0], pa.int64()),
+                  "dst": pa.array([1, 0, 2, 1], pa.int64())})
+    out = edge_reciprocity(rd.from_arrow(t).repartition(2),
+                           num_buckets=4).to_pandas()
+    assert out.loc[0, "n_edges"] == 3
+    assert out.loc[0, "n_reciprocal"] == 2
+    assert out.loc[0, "mutuality_e6"] == 666_666

@@ -238,3 +238,23 @@ def test_flagship_hot_conversation_end_to_end(ray_session, tmp_path):
                                       preserve_index=False)
     partial = _conv_partial(hot_parsed)
     assert hot_parsed.num_rows > 5_000 and partial.num_rows == 1
+
+
+def test_fair_allocation_hamilton():
+    """Quotas sum exactly to the budget; the leftover seat goes to the
+    largest remainder (name-ascending tie-break)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.mix import fair_allocation
+
+    # token masses 5, 3, 1 over budget 10: base 5,3,1 with W=9 ->
+    # base = [5,3,1], rem = [5,3,1] scaled... use budget=10, W=9:
+    # 10*5//9=5 r5; 10*3//9=3 r3; 10*1//9=1 r1; leftover 1 -> to 'a'
+    t = pa.table({"source": pa.array(["a"] * 1 + ["b"] * 1 + ["c"] * 1),
+                  "text": pa.array(["w " * 5, "w " * 3, "w"])})
+    out = fair_allocation(rd.from_arrow(t), budget=10,
+                          num_buckets=2).to_pandas().set_index("source")
+    assert out["alloc"].sum() == 10
+    assert out.loc["a", "alloc"] == 6
+    assert out.loc["b", "alloc"] == 3 and out.loc["c", "alloc"] == 1

@@ -591,3 +591,29 @@ def test_latency_trend_exact_slope():
     want = -((-v) // den) if v < 0 else v // den
     assert out.loc["grep", "slope_e6"] == want and want > 7_000_000
     assert pd.isna(out.loc["ls", "slope_e6"]) and out.loc["ls", "n_calls"] == 2
+
+
+def test_event_transitions_session_break():
+    """Pairs crossing the 30-min gap are dropped; probabilities are exact
+    integer ratios of the from-type total."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import event_transitions
+
+    M = 60_000_000
+    rows = [(1, 0, "a", 0), (1, 5 * M, "b", 1), (1, 10 * M, "a", 2),
+            (1, 60 * M, "c", 3),                 # 50-min gap: a->c dropped
+            (2, 0, "a", 4), (2, 5 * M, "b", 5)]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us")),
+                  "event_type": pa.array([r[2] for r in rows]),
+                  "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = (event_transitions(rd.from_arrow(t), num_buckets=4).to_pandas()
+           .set_index(["from_type", "to_type"]).sort_index())
+    # from 'a': a->b twice, a->c dropped by the gap -> p exactly 1
+    assert out.loc[("a", "b"), "n"] == 2 and out.loc[("a", "b"), "p_e6"] == 1_000_000
+    # from 'b': the single b->a transition
+    assert out.loc[("b", "a"), "n"] == 1 and out.loc[("b", "a"), "p_e6"] == 1_000_000
+    assert ("a", "c") not in out.index
