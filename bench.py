@@ -176,6 +176,9 @@ SECONDARY = [
     "fair_allocation",
     "event_transitions",
     "edge_reciprocity",
+    "stickiness_daily",
+    "attribution_first_touch",
+    "gap_histogram",
 ]
 
 

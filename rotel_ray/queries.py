@@ -3911,6 +3911,42 @@ def q_file_source_gz(sf_dir: str):
     return _cast_final(agg, {"severity_number": pa.int32()})
 
 
+@_hinted("events")
+def q_stickiness_daily(sf_dir: str):
+    """DAU/WAU stickiness per day: chained-distinct user-day grain, the
+    7-day window explodes the GRAIN (never events), span clipped by
+    footer stats."""
+    from .stages.compact import footer_min_max
+    from .stages.window import stickiness_daily
+
+    st = footer_min_max(f"{sf_dir}/events.parquet", ["ts"])
+    ds = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return stickiness_daily(ds, st["ts_min"] // 86_400_000_000,
+                            st["ts_max"] // 86_400_000_000)
+
+
+@_hinted("events")
+def q_attribution_first_touch(sf_dir: str):
+    """First-touch attribution: purchases credited to their gap session's
+    first event type."""
+    from .stages.window import attribution_first_touch
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type", "event_id"])
+    return attribution_first_touch(ds)
+
+
+@_hinted("events")
+def q_gap_histogram(sf_dir: str):
+    """Power-of-two histogram of per-user inter-event gaps (ms) — the
+    sessionization-gap calibration view; exact int sums."""
+    from .stages.window import gap_histogram
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id"])
+    return gap_histogram(ds)
+
+
 @_hinted("documents")
 def q_fair_allocation(sf_dir: str):
     """Hamilton largest-remainder apportionment of a 10⁶-slot sampling
@@ -4183,6 +4219,9 @@ QUERIES = {
     "fair_allocation": q_fair_allocation,
     "event_transitions": q_event_transitions,
     "edge_reciprocity": q_edge_reciprocity,
+    "stickiness_daily": q_stickiness_daily,
+    "attribution_first_touch": q_attribution_first_touch,
+    "gap_histogram": q_gap_histogram,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7314,6 +7353,55 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                count(*) AS n_dups
         FROM {T}
         GROUP BY 1"""
+    sql["stickiness_daily"] = """
+        WITH g AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        b AS (SELECT max(day) AS hi FROM g),
+        e AS (SELECT DISTINCT user_id, g.day + os.o AS d
+              FROM g
+              CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) os
+              CROSS JOIN b
+              WHERE g.day + os.o <= b.hi),
+        w AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS wau
+              FROM e GROUP BY 1),
+        a AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+              FROM g GROUP BY 1)
+        SELECT w.day, COALESCE(a.dau, 0) AS dau, w.wau,
+               CAST(1000000 * COALESCE(a.dau, 0) // w.wau AS BIGINT)
+                 AS stickiness_e6
+        FROM w LEFT JOIN a USING (day)"""
+    sql["attribution_first_touch"] = """
+        WITH l AS (SELECT user_id, ts, event_type, event_id,
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_ts
+                   FROM events),
+        s AS (SELECT user_id, ts, event_type, event_id,
+                     CAST(sum(CASE WHEN prev_ts IS NULL
+                                     OR ts - prev_ts > INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+              FROM l),
+        f AS (SELECT user_id, sess, event_type AS first_type
+              FROM s
+              QUALIFY row_number() OVER (PARTITION BY user_id, sess
+                                         ORDER BY ts, event_id) = 1),
+        p AS (SELECT user_id, sess FROM s WHERE event_type = 'purchase')
+        SELECT f.first_type, CAST(count(*) AS BIGINT) AS n_targets
+        FROM p JOIN f USING (user_id, sess) GROUP BY 1"""
+    sql["gap_histogram"] = """
+        WITH o AS (SELECT user_id, ts,
+                          lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+                   FROM events),
+        g AS (SELECT (epoch_us(nxt) - epoch_us(ts)) // 1000 AS ms
+              FROM o WHERE nxt IS NOT NULL)
+        SELECT CAST(CASE WHEN ms = 0 THEN 0
+                         ELSE length(bin(ms)) END AS BIGINT) AS gap_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ms) AS BIGINT) AS sum_gap_ms
+        FROM g GROUP BY 1"""
     sql["fair_allocation"] = r"""
         WITH w AS (SELECT source,
                           CAST(sum(len(regexp_extract_all(text, '\S+')))

@@ -1784,3 +1784,145 @@ def event_transitions(ds, *, key: str = "user_id", ts_col: str = "ts",
         "p_e6": pa.array([1_000_000 * int(r["n"]) // from_tot[r["from_type"]]
                           for r in rows], pa.int64()),
     })
+
+
+def stickiness_daily(ds, day_lo: int, day_hi: int, *, key: str = "user_id",
+                     ts_col: str = "ts", window_days: int = 7,
+                     num_buckets: int = 32):
+    """DAU / WAU stickiness: per day, the distinct daily actives, the
+    distinct trailing-``window_days`` actives, and their exact ratio
+    (stickiness_e6) — the engagement metric growth teams track.
+    ``day_lo``/``day_hi`` come from parquet footer stats (zero data
+    read) and clip the window explosion to the observed span.
+
+    Scale shape: collapse to the distinct (user, day) grain first (one
+    two-phase pass over the data); the window then explodes that GRAIN
+    — ×window_days on user-days, never on events — into a second
+    chained-distinct count. The per-day series is wall-clock-bounded, so
+    the DAU/WAU join finishes on the driver like cusum_hourly."""
+    from .aggregate import two_phase_aggregate
+
+    def days(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).combine_chunks().cast(pa.timestamp("us")) \
+              .cast(pa.int64())
+        return pa.table({key: t.column(key),
+                         "day": pc.divide(us, DAY_US)})
+
+    grain = two_phase_aggregate(
+        ds.map_batches(days, batch_format="pyarrow", zero_copy_batch=True),
+        [key, "day"], [("day", "count", "_n")], num_buckets=num_buckets)
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t.column(key).to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        k = window_days
+        uu = np.repeat(u, k)
+        dd = np.repeat(d, k) + np.tile(np.arange(k, dtype=np.int64), len(d))
+        keep = dd <= day_hi
+        return pa.table({key: pa.array(uu[keep]), "d": pa.array(dd[keep])})
+
+    wgrain = two_phase_aggregate(
+        grain.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        [key, "d"], [("d", "count", "_n")], num_buckets=num_buckets)
+    wau = two_phase_aggregate(wgrain, ["d"], [("d", "count", "wau")],
+                              num_buckets=4).take_all()
+    dau = two_phase_aggregate(grain, ["day"], [("day", "count", "dau")],
+                              num_buckets=4).take_all()
+    dau_by_day = {r["day"]: int(r["dau"]) for r in dau}
+    rows = sorted((r["d"], int(r["wau"])) for r in wau)
+    days_out = [d for d, _ in rows]
+    wau_out = [w for _, w in rows]
+    dau_out = [dau_by_day.get(d, 0) for d in days_out]
+    return pa.table({
+        "day": pa.array(days_out, pa.int64()),
+        "dau": pa.array(dau_out, pa.int64()),
+        "wau": pa.array(wau_out, pa.int64()),
+        "stickiness_e6": pa.array(
+            [1_000_000 * a // w for a, w in zip(dau_out, wau_out)],
+            pa.int64()),
+    })
+
+
+def attribution_first_touch(ds, *, key: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            id_col: str = "event_id",
+                            target: str = "purchase",
+                            gap_minutes: float = 30.0,
+                            num_buckets: int = 64):
+    """First-touch attribution: every ``target`` event is credited to the
+    FIRST event type of its gap session — which entry channel produces
+    conversions. Output (first_type, n_targets).
+
+    Scale shape: one bucketed pass (sessionization + per-session first +
+    target counting all vectorized across the bucket's keys) emitting
+    per-bucket (first_type, n) partials into a types-bounded sum."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"first_type": pd.Series([], dtype=str),
+                                 "n_targets": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        gap_break = ((g[ts_col] - g[ts_col].shift()) > gap).to_numpy()
+        new_sess = key_change | gap_break
+        sess_id = np.cumsum(new_sess) - 1
+        starts = np.flatnonzero(new_sess)
+        tv = g[type_col].to_numpy()
+        first_of_sess = tv[starts]
+        hits = tv == target
+        out = (pd.DataFrame({"first_type": first_of_sess[sess_id[hits]]})
+               .groupby("first_type", sort=False)
+               .size().reset_index(name="n_targets"))
+        out["n_targets"] = out["n_targets"].astype(np.int64)
+        return out
+
+    partials = grouped_apply(ds, [key], per_bucket,
+                             select=[key, ts_col, type_col, id_col],
+                             num_buckets=num_buckets)
+    return two_phase_aggregate(partials, ["first_type"],
+                               [("n_targets", "sum", "n_targets")],
+                               num_buckets=4)
+
+
+def gap_histogram(ds, *, key: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", num_buckets: int = 32):
+    """Inter-event gap histogram: per-user consecutive gaps, binned by
+    bit_length(gap_ms) (power-of-two latency bins, the length_buckets
+    convention) — the burst-vs-idle shape check behind choosing a
+    sessionization gap. Output (gap_bucket, n, sum_gap_ms).
+
+    Scale shape: one bucketed keyed pass emits ≤64-bin partials; the
+    reduce is constant-sized."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    powers = np.left_shift(np.int64(1), np.arange(63))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"gap_bucket": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "sum_gap_ms": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        same = (g[key] == g[key].shift(-1)).to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps_ms = (np.r_[us[1:] - us[:-1], 0] // 1000)[same]
+        k = np.searchsorted(powers, gaps_ms, side="right").astype(np.int64)
+        n = np.bincount(k, minlength=64).astype(np.int64)
+        sums = np.zeros(64, np.int64)
+        np.add.at(sums, k, gaps_ms)        # exact int64 (bincount weights
+        nz = np.flatnonzero(n)             # would round-trip via float64)
+        return pd.DataFrame({"gap_bucket": nz.astype(np.int64),
+                             "n": n[nz],
+                             "sum_gap_ms": sums[nz]})
+
+    partials = grouped_apply(ds, [key], per_bucket,
+                             select=[key, ts_col, id_col],
+                             num_buckets=num_buckets)
+    return two_phase_aggregate(partials, ["gap_bucket"],
+                               [("n", "sum", "n"),
+                                ("sum_gap_ms", "sum", "sum_gap_ms")],
+                               num_buckets=4)

@@ -617,3 +617,72 @@ def test_event_transitions_session_break():
     # from 'b': the single b->a transition
     assert out.loc[("b", "a"), "n"] == 1 and out.loc[("b", "a"), "p_e6"] == 1_000_000
     assert ("a", "c") not in out.index
+
+
+def test_stickiness_daily_window():
+    """Two users: u1 active days 0 and 3, u2 active day 0 only. WAU(d) =
+    users active in [d-6, d]; stickiness = dau/wau exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import stickiness_daily
+
+    D = 86_400_000_000
+    rows = [(1, 0), (1, 3), (2, 0)]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] * D for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us"))})
+    out = (stickiness_daily(rd.from_arrow(t), 0, 3, num_buckets=2)
+           .to_pandas().set_index("day").sort_index())
+    # day 0: dau 2, wau 2; day 1-2: dau 0, wau 2; day 3: dau 1, wau 2
+    assert out.loc[0, "dau"] == 2 and out.loc[0, "wau"] == 2
+    assert out.loc[0, "stickiness_e6"] == 1_000_000
+    assert out.loc[1, "dau"] == 0 and out.loc[1, "wau"] == 2
+    assert out.loc[3, "dau"] == 1 and out.loc[3, "wau"] == 2
+    assert out.loc[3, "stickiness_e6"] == 500_000
+    assert 4 not in out.index  # clipped at day_hi
+
+
+def test_attribution_first_touch_sessions():
+    """Purchase in a click-entered session credits 'click'; a purchase
+    opening its own session credits 'purchase'."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import attribution_first_touch
+
+    M = 60_000_000
+    rows = [(1, 0, "click", 0), (1, 5 * M, "view", 1), (1, 9 * M, "purchase", 2),
+            (1, 120 * M, "purchase", 3),        # new session, self-entered
+            (2, 0, "view", 4), (2, 3 * M, "purchase", 5),
+            (2, 6 * M, "purchase", 6)]          # two purchases, one session
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us")),
+                  "event_type": pa.array([r[2] for r in rows]),
+                  "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = (attribution_first_touch(rd.from_arrow(t), num_buckets=4)
+           .to_pandas().set_index("first_type")["n_targets"].sort_index())
+    assert out.to_dict() == {"click": 1, "purchase": 1, "view": 2}
+
+
+def test_gap_histogram_bins():
+    """Gaps of 0ms, 1ms, 5ms, and a cross-user boundary that must NOT
+    produce a gap; bin = bit_length(ms)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import gap_histogram
+
+    rows = [(1, 0, 0), (1, 0, 1), (1, 1000, 2), (1, 6000, 3),  # gaps 0,1,5 ms
+            (2, 9_999_000, 4)]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us")),
+                  "event_id": pa.array([r[2] for r in rows], pa.int64())})
+    out = (gap_histogram(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("gap_bucket").sort_index())
+    assert out.loc[0, "n"] == 1 and out.loc[0, "sum_gap_ms"] == 0
+    assert out.loc[1, "n"] == 1 and out.loc[1, "sum_gap_ms"] == 1
+    assert out.loc[3, "n"] == 1 and out.loc[3, "sum_gap_ms"] == 5
+    assert out["n"].sum() == 3
