@@ -3911,6 +3911,53 @@ def q_file_source_gz(sf_dir: str):
     return _cast_final(agg, {"severity_number": pa.int32()})
 
 
+def q_kcore_peel(sf_dir: str):
+    """Fixed-round 2-core peeling over the link graph (chained-CTE
+    oracle, the pagerank convention): survivors of 3 degree-filter
+    rounds with their last-check degree."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import ensure_link_graph, kcore_peel
+
+    gdir = ensure_link_graph(sf_dir)
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    with input_rows_hint(2 * n_edges):
+        return kcore_peel(edges)
+
+
+def q_token_canonical(sf_dir: str):
+    """Lexicon canonicalization: min-label connected components over the
+    FastSS typo-pair graph; canonical = lexicographically smallest
+    cluster member."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.textstats import token_canonical
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["text"])
+    with input_rows_hint(n_turns):
+        return token_canonical(ds)
+
+
+@_hinted("events")
+def q_retention_audit(sf_dir: str):
+    """7-day TTL deletion dry run per event type, anchored at the corpus
+    max timestamp from footer stats."""
+    from .stages.compact import footer_min_max
+    from .stages.window import retention_audit
+
+    now_us = footer_min_max(f"{sf_dir}/events.parquet", ["ts"])["ts_max"]
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["ts", "event_type"])
+    return retention_audit(ds, now_us)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4222,6 +4269,9 @@ QUERIES = {
     "stickiness_daily": q_stickiness_daily,
     "attribution_first_touch": q_attribution_first_touch,
     "gap_histogram": q_gap_histogram,
+    "kcore_peel": q_kcore_peel,
+    "token_canonical": q_token_canonical,
+    "retention_audit": q_retention_audit,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7353,6 +7403,45 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                count(*) AS n_dups
         FROM {T}
         GROUP BY 1"""
+    # k-core: chained-CTE replay of the fixed peel schedule (k=2, 3 rounds)
+    _kc = [f"""e0 AS (SELECT DISTINCT least(src, dst) AS a,
+                             greatest(src, dst) AS b
+               FROM read_parquet('{_gdir}/*.parquet') WHERE src != dst)"""]
+    _pe = "e0"
+    for _r in (1, 2, 3):
+        _kc.append(f"h{_r} AS (SELECT a AS v, b AS nbr FROM {_pe} "
+                   f"UNION ALL SELECT b, a FROM {_pe})")
+        _kc.append(f"d{_r} AS (SELECT v, count(*) AS deg FROM h{_r} GROUP BY v)")
+        if _r < 3:
+            _kc.append(f"k{_r} AS (SELECT v FROM d{_r} WHERE deg >= 2)")
+            _kc.append(f"e{_r} AS (SELECT a, b FROM {_pe} "
+                       f"WHERE a IN (SELECT v FROM k{_r}) "
+                       f"AND b IN (SELECT v FROM k{_r}))")
+            _pe = f"e{_r}"
+    sql["kcore_peel"] = ("WITH " + ",\n".join(_kc) + """
+        SELECT v AS node_id, CAST(deg AS BIGINT) AS degree
+        FROM d3 WHERE deg >= 2""")
+    sql["token_canonical"] = f"""
+        WITH RECURSIVE prs AS (SELECT tok_a, tok_b FROM ({sql["typo_pairs"]})),
+        edges AS (SELECT tok_a AS src, tok_b AS dst FROM prs
+                  UNION SELECT tok_b, tok_a FROM prs),
+        walk(id, lbl) AS (
+          SELECT * FROM (SELECT src AS id, dst AS lbl FROM edges
+                         UNION SELECT src, src FROM edges)
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+        )
+        SELECT id AS tok, MIN(lbl) AS canonical FROM walk GROUP BY id"""
+    sql["retention_audit"] = """
+        WITH b AS (SELECT max(epoch_us(ts)) AS now_us FROM events)
+        SELECT event_type,
+               CAST(sum(CASE WHEN epoch_us(ts) < now_us - 604800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+               CAST(sum(CASE WHEN epoch_us(ts) < now_us - 604800000000
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+               CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS oldest_day,
+               CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS newest_day
+        FROM events CROSS JOIN b GROUP BY event_type"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

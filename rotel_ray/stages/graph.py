@@ -445,3 +445,67 @@ def edge_reciprocity(edges, *, num_buckets: int = 32):
     return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
                      "n_reciprocal": pa.array([n_recip], pa.int64()),
                      "mutuality_e6": pa.array([mut], pa.int64())})
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def kcore_peel(edges, *, k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
+               num_buckets: int = 32):
+    """Fixed-round k-core peeling over the undirected link graph: each
+    round computes degrees, drops nodes with degree < ``k`` and removes
+    their incident edges — after ``rounds`` rounds the survivors
+    approximate the k-core (exact once a round removes nothing; a fixed
+    schedule keeps the DuckDB oracle a chained-CTE replay, the
+    pagerank/label-propagation convention). Returns (node_id, degree):
+    the last round's keep set with its degree at that check — the
+    link-farm-resistant "well-embedded pages" set a crawl curator keeps.
+
+    Scale shape: per round one two-phase degree count plus two bucketed
+    semi-joins (endpoint membership), materialized as the iteration
+    barrier; shuffles move 2-int edge rows and (node, degree) pairs
+    only."""
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = s != d
+        return pa.table({"a": pa.array(np.minimum(s[m], d[m])),
+                         "b": pa.array(np.maximum(s[m], d[m]))})
+
+    cur = two_phase_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], [("a", "count", "_n")], num_buckets=num_buckets
+    ).map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow",
+                  zero_copy_batch=True).materialize()
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks().cast(pa.int64())
+        b = t.column("b").combine_chunks().cast(pa.int64())
+        return pa.table({"v": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
+
+    keep = None
+    for r in range(rounds):
+        deg = two_phase_aggregate(
+            cur.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True),
+            ["v"], [("nbr", "count", "degree")], num_buckets=num_buckets)
+        keep = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("degree"),
+                                                pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        if r == rounds - 1:
+            break
+        ids = keep.map_batches(lambda t: t.select(["v"]),
+                               batch_format="pyarrow", zero_copy_batch=True)
+        cur = bucket_hash_join(cur, ids, on="a", right_on="v",
+                               num_buckets=num_buckets)
+        cur = bucket_hash_join(cur, ids, on="b", right_on="v",
+                               num_buckets=num_buckets).materialize()
+    return keep.map_batches(
+        lambda t: pa.table({"node_id": t.column("v"),
+                            "degree": t.column("degree")}),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -1696,3 +1696,25 @@ def typo_pairs(ds, *, text_col: str = "text", max_dist: int = 2,
         lambda t: t.select(["tok_a", "tok_b"]), batch_format="pyarrow",
         zero_copy_batch=True).map_batches(verify, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def token_canonical(ds, *, text_col: str = "text", max_dist: int = 2,
+                    min_len: int = 3, num_buckets: int = 16):
+    """Lexicon canonicalization: connected components over the typo-pair
+    graph (FastSS candidates, exact Levenshtein verify), labeling every
+    token in a cluster with its lexicographically smallest member — the
+    spell-normalization map a corpus cleaner applies after typo mining.
+    Output (tok, canonical).
+
+    Scale shape: the pair graph is O(near-spelling mass), far smaller
+    than the vocabulary; min-label CC runs the bucketed message-passing
+    of dedup.connected_components (labels are the native string ids;
+    Arrow's hash min on binary is bytewise-lexicographic, exactly
+    DuckDB's default VARCHAR MIN)."""
+    from .dedup import connected_components
+
+    pairs = typo_pairs(ds, text_col=text_col, max_dist=max_dist,
+                       min_len=min_len, num_buckets=num_buckets)
+    return connected_components(pairs, a_col="tok_a", b_col="tok_b",
+                                id_col="tok", label_col="canonical",
+                                num_buckets=num_buckets)

@@ -1926,3 +1926,33 @@ def gap_histogram(ds, *, key: str = "user_id", ts_col: str = "ts",
                                [("n", "sum", "n"),
                                 ("sum_gap_ms", "sum", "sum_gap_ms")],
                                num_buckets=4)
+
+
+def retention_audit(ds, now_us: int, *, ttl_days: int = 7,
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    num_buckets: int = 8):
+    """Retention-policy (TTL) audit: per event type, how many rows a
+    ``ttl_days`` deletion policy anchored at ``now_us`` (the corpus max
+    timestamp, from footer stats) would expire vs keep, plus the
+    oldest/newest day present — the data-governance dry run before a
+    GDPR-style purge. One stateless pass into a types-bounded
+    two-phase reduce."""
+    from .aggregate import two_phase_aggregate
+
+    cutoff = now_us - ttl_days * DAY_US
+
+    def flags(t: pa.Table) -> pa.Table:
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        exp = (us < cutoff).astype(np.int64)
+        return pa.table({type_col: t.column(type_col),
+                         "n_expired": pa.array(exp),
+                         "n_kept": pa.array(1 - exp),
+                         "day": pa.array(us // DAY_US)})
+
+    return two_phase_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        [type_col],
+        [("n_expired", "sum", "n_expired"), ("n_kept", "sum", "n_kept"),
+         ("day", "min", "oldest_day"), ("day", "max", "newest_day")],
+        num_buckets=num_buckets)

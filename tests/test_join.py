@@ -216,3 +216,19 @@ def test_edge_reciprocity_known_graph():
     assert out.loc[0, "n_edges"] == 3
     assert out.loc[0, "n_reciprocal"] == 2
     assert out.loc[0, "mutuality_e6"] == 666_666
+
+
+def test_kcore_peel_path_plus_triangle():
+    """Path 0-1-2-3 hanging off nothing + triangle 4-5-6: rounds peel the
+    path ends then its middle; only the triangle survives with degree 2."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import kcore_peel
+
+    t = pa.table({"src": pa.array([0, 1, 2, 4, 5, 6], pa.int64()),
+                  "dst": pa.array([1, 2, 3, 5, 6, 4], pa.int64())})
+    out = (kcore_peel(rd.from_arrow(t).repartition(2), k=2, rounds=3,
+                      num_buckets=4).to_pandas()
+           .set_index("node_id")["degree"].sort_index())
+    assert out.to_dict() == {4: 2, 5: 2, 6: 2}

@@ -568,3 +568,23 @@ def test_typo_pairs_fastss_filter_is_complete():
     assert got == want
     assert ("appel", "apple") in got and got[("appel", "apple")] == 2
     assert all(v <= 2 for v in got.values())
+
+
+def test_token_canonical_clusters(ray_session):
+    """Typo clusters label every member with the lexicographically
+    smallest token (appel < apple < apples)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import token_canonical
+
+    docs = ["apple appel apples banana bananna",
+            "apple banana zebra unrelatedword"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+    out = (token_canonical(ds, num_buckets=4).to_pandas()
+           .set_index("tok")["canonical"].sort_index())
+    got = out.to_dict()
+    assert got["apple"] == "appel" and got["appel"] == "appel"
+    assert got["apples"] == "appel"
+    assert got["banana"] == "banana" and got["bananna"] == "banana"
+    assert "zebra" not in got  # no near-spelling partner -> not in the graph

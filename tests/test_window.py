@@ -686,3 +686,25 @@ def test_gap_histogram_bins():
     assert out.loc[1, "n"] == 1 and out.loc[1, "sum_gap_ms"] == 1
     assert out.loc[3, "n"] == 1 and out.loc[3, "sum_gap_ms"] == 5
     assert out["n"].sum() == 3
+
+
+def test_retention_audit_cutoff():
+    """Strict cutoff: rows older than now - 7d expire, the boundary row
+    (exactly 7d old) is kept."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import retention_audit
+
+    D = 86_400_000_000
+    now = 30 * D
+    rows = [("a", now - 8 * D), ("a", now - 7 * D), ("a", now),
+            ("b", now - 30 * D)]
+    t = pa.table({"event_type": pa.array([r[0] for r in rows]),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us"))})
+    out = (retention_audit(rd.from_arrow(t), now, num_buckets=2)
+           .to_pandas().set_index("event_type").sort_index())
+    assert out.loc["a", "n_expired"] == 1 and out.loc["a", "n_kept"] == 2
+    assert out.loc["a", "oldest_day"] == 22 and out.loc["a", "newest_day"] == 30
+    assert out.loc["b", "n_expired"] == 1 and out.loc["b", "n_kept"] == 0
