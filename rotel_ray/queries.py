@@ -3958,6 +3958,52 @@ def q_retention_audit(sf_dir: str):
     return retention_audit(ds, now_us)
 
 
+def q_clustering_coef(sf_dir: str):
+    """Per-node local clustering coefficient over the link graph (exact
+    int fields: degree, triangles through the node, cc_e6) — the
+    per-page link-farm signal."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import clustering_coefficient, ensure_link_graph
+
+    gdir = ensure_link_graph(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    # wedge fan-out bound, the triangle_count convention
+    with input_rows_hint(n_edges * 32):
+        return clustering_coefficient(edges, n)
+
+
+@_hinted("events")
+def q_user_event_entropy(sf_dir: str):
+    """Per-user behavioral entropy over event types, exact int64
+    micro-nats (bot/monoculture detector)."""
+    from .stages.window import user_event_entropy
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type"])
+    return user_event_entropy(ds)
+
+
+def q_script_mix(sf_dir: str):
+    """Per-source UTF-8 width-class composition (ASCII / 2-byte / 3-byte
+    BMP / 4-byte astral codepoints) over the dirtied unicode fixture —
+    lead-byte counting on the raw Arrow buffers, no decode."""
+    from .stages.aggregate import input_rows_hint
+    from .stages.clean import ensure_unicode_docs, script_mix
+
+    udir = ensure_unicode_docs(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    texts = read_parquet(udir, columns=["doc_id", "text"])
+    sources = read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    with input_rows_hint(2 * n):
+        return script_mix(texts, sources)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4272,6 +4318,9 @@ QUERIES = {
     "kcore_peel": q_kcore_peel,
     "token_canonical": q_token_canonical,
     "retention_audit": q_retention_audit,
+    "clustering_coef": q_clustering_coef,
+    "user_event_entropy": q_user_event_entropy,
+    "script_mix": q_script_mix,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7442,6 +7491,52 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS oldest_day,
                CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS newest_day
         FROM events CROSS JOIN b GROUP BY event_type"""
+    # local clustering coefficient: wedge-check per center (all ints
+    # non-negative -> // floors in both engines)
+    sql["clustering_coef"] = f"""
+        WITH e AS (SELECT DISTINCT least(src, dst) AS a,
+                          greatest(src, dst) AS b
+                   FROM read_parquet('{_gdir}/*.parquet') WHERE src != dst),
+        h AS (SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT v, count(*) AS deg FROM h GROUP BY v),
+        tri AS (SELECT h1.v AS v, count(*) AS n_tri
+                FROM h h1 JOIN h h2 ON h1.v = h2.v AND h1.nbr < h2.nbr
+                JOIN e ON e.a = h1.nbr AND e.b = h2.nbr
+                GROUP BY h1.v)
+        SELECT deg.v AS node_id, CAST(deg.deg AS BIGINT) AS degree,
+               CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(CASE WHEN deg.deg >= 2
+                    THEN COALESCE(tri.n_tri, 0) * 1000000
+                         // (deg.deg * (deg.deg - 1) // 2)
+                    ELSE 0 END AS BIGINT) AS cc_e6
+        FROM deg LEFT JOIN tri ON tri.v = deg.v"""
+    # behavioral entropy: same floor(ln*1e6) micro-nat mirror as
+    # char_entropy (floor absorbs the <=1-ulp libm gap)
+    sql["user_event_entropy"] = """
+        WITH c AS (SELECT user_id, event_type, count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT user_id, c,
+                     sum(c) OVER (PARTITION BY user_id) AS n FROM c)
+        SELECT user_id,
+               CAST(max(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c * CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1e6)
+                    AS BIGINT)) AS BIGINT) AS ent_unat
+        FROM t GROUP BY user_id"""
+    # UTF-8 width classes by codepoint range == encoded-width lead-byte
+    # classes (RE2 \\x{..} ranges; length() is codepoints in DuckDB)
+    _wcls = {"n_ascii": r"[\x{00}-\x{7F}]", "n_w2": r"[\x{80}-\x{7FF}]",
+             "n_w3": r"[\x{800}-\x{FFFF}]",
+             "n_w4": r"[\x{10000}-\x{10FFFF}]"}
+    _wsum = ",\n               ".join(
+        f"CAST(sum(length(u.text) - length(regexp_replace(u.text, "
+        f"'{p}', '', 'g'))) AS BIGINT) AS {c}" for c, p in _wcls.items())
+    sql["script_mix"] = f"""
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               {_wsum}
+        FROM read_parquet('{_unidir}/*.parquet') u
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

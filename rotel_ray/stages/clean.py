@@ -84,7 +84,7 @@ def text_normalize(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-UNICODE_FIXTURE_VERSION = 1
+UNICODE_FIXTURE_VERSION = 2
 
 
 def dirty_text(doc_id: int, text: str) -> str:
@@ -98,6 +98,8 @@ def dirty_text(doc_id: int, text: str) -> str:
         return "  " + text.replace(" ", "  ", 3) + " \t"
     if v == 3:  # BOM + C0 control + trailing spaces
         return "\ufeff" + text[:5] + "\x01" + text[5:] + "   "
+    if doc_id % 10 == 9:  # CJK + astral emoji: NFC-stable, widths 3 and 4
+        return text + " \u4e2d\u6587\U0001F600"
     return text
 
 
@@ -135,3 +137,55 @@ def ensure_unicode_docs(sf_dir: str, root: str = "/tmp/rotel_ray_data") -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def script_mix(texts, sources, *, id_col: str = "doc_id",
+               text_col: str = "text", source_col: str = "source",
+               num_buckets: int = 16):
+    """Per-source unicode composition by UTF-8 encoded width — the quick
+    corpus health check for mojibake and script drift (ASCII / 2-byte
+    Latin-ext+combining / 3-byte BMP incl. CJK and zero-widths / 4-byte
+    astral incl. emoji). Output
+    (source, n_docs, n_ascii, n_w2, n_w3, n_w4).
+
+    Classification walks the raw Arrow string buffers once and counts
+    LEAD bytes by range (<0x80, 0xC0-0xDF, 0xE0-0xEF, 0xF0-0xF7;
+    continuation bytes 0x80-0xBF are skipped) — zero-copy, no decode, one
+    codepoint per lead byte by UTF-8 construction. Narrow
+    (doc_id, 4 counts) rows bucket-join the (doc_id, source) map; text
+    never shuffles."""
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    def widths(t: pa.Table) -> pa.Table:
+        s = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(s.type):
+            s = pc.cast(s, pa.string())
+        n = len(s)
+        offs = np.frombuffer(s.buffers()[1], np.int32)[s.offset: s.offset + n + 1]
+        data = np.frombuffer(s.buffers()[2], np.uint8)
+        stream = data[offs[0]: offs[-1]]
+        doc_of = np.repeat(np.arange(n), np.diff(offs).astype(np.int64))
+        cols = {id_col: t.column(id_col)}
+        for lo, hi, name in ((0x00, 0x80, "n_ascii"), (0xC0, 0xE0, "n_w2"),
+                             (0xE0, 0xF0, "n_w3"), (0xF0, 0xF8, "n_w4")):
+            m = (stream >= lo) & (stream < hi)
+            cols[name] = pa.array(
+                np.bincount(doc_of[m], minlength=n).astype(np.int64))
+        cols["n_docs"] = pa.array(np.ones(n, np.int64))
+        return pa.table(cols)
+
+    per_doc = texts.map_batches(widths, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = bucket_hash_join(per_doc, sources, on=id_col,
+                              num_buckets=num_buckets)
+    return two_phase_aggregate(
+        joined.map_batches(
+            lambda t: t.select([source_col, "n_docs", "n_ascii", "n_w2",
+                                "n_w3", "n_w4"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        [source_col],
+        [("n_docs", "sum", "n_docs"), ("n_ascii", "sum", "n_ascii"),
+         ("n_w2", "sum", "n_w2"), ("n_w3", "sum", "n_w3"),
+         ("n_w4", "sum", "n_w4")],
+        num_buckets=8)

@@ -154,6 +154,40 @@ def pagerank_int(edges, n_nodes: int, *, iters: int = PR_ITERS,
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def undirected_edges(edges, *, num_buckets: int = 32):
+    """Canonical distinct undirected edge set (a < b): drop self-loops,
+    orient min→max, dedup via one two-phase count — the shared first step
+    of every undirected-graph stage here (triangles, k-core, clustering
+    coefficient)."""
+    from .aggregate import two_phase_aggregate
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = s != d
+        return pa.table({"a": pa.array(np.minimum(s[m], d[m])),
+                         "b": pa.array(np.maximum(s[m], d[m]))})
+
+    return two_phase_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], [("a", "count", "_n")], num_buckets=num_buckets
+    ).map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+
+def explode_halfedges(und):
+    """Both directed half-edges (v, nbr) of the canonical edge set — the
+    adjacency stream every degree/wedge pass consumes."""
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks().cast(pa.int64())
+        b = t.column("b").combine_chunks().cast(pa.int64())
+        return pa.table({"v": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
+
+    return und.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def triangle_count(edges, n_nodes: int, *, num_buckets: int = 32):
     """Global triangle census over the undirected link graph: returns one
     row (n_edges, n_wedges, n_triangles) — the clustering-structure
@@ -180,28 +214,8 @@ def triangle_count(edges, n_nodes: int, *, num_buckets: int = 32):
     if n_nodes >= 1 << 31:
         raise ValueError("triangle_count: packed u*n+w key needs n < 2^31")
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        m = s != d
-        a = np.minimum(s[m], d[m])
-        b = np.maximum(s[m], d[m])
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
-
-    und = two_phase_aggregate(
-        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
-        ["a", "b"], [("a", "count", "_n")], num_buckets=num_buckets)
-
-    def adj(t: pa.Table) -> pa.Table:
-        a = t.column("a").combine_chunks()
-        b = t.column("b").combine_chunks()
-        return pa.table({
-            "v": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
-            "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
-        })
-
-    halfedges = und.map_batches(adj, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    und = undirected_edges(edges, num_buckets=num_buckets)
+    halfedges = explode_halfedges(und)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -469,29 +483,12 @@ def kcore_peel(edges, *, k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
     from .aggregate import two_phase_aggregate
     from .join import bucket_hash_join
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        m = s != d
-        return pa.table({"a": pa.array(np.minimum(s[m], d[m])),
-                         "b": pa.array(np.maximum(s[m], d[m]))})
-
-    cur = two_phase_aggregate(
-        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
-        ["a", "b"], [("a", "count", "_n")], num_buckets=num_buckets
-    ).map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow",
-                  zero_copy_batch=True).materialize()
-
-    def adj(t: pa.Table) -> pa.Table:
-        a = t.column("a").combine_chunks().cast(pa.int64())
-        b = t.column("b").combine_chunks().cast(pa.int64())
-        return pa.table({"v": pa.concat_arrays([a, b]),
-                         "nbr": pa.concat_arrays([b, a])})
+    cur = undirected_edges(edges, num_buckets=num_buckets).materialize()
 
     keep = None
     for r in range(rounds):
         deg = two_phase_aggregate(
-            cur.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True),
+            explode_halfedges(cur),
             ["v"], [("nbr", "count", "degree")], num_buckets=num_buckets)
         keep = deg.map_batches(
             lambda t: t.filter(pc.greater_equal(t.column("degree"),
@@ -509,3 +506,91 @@ def kcore_peel(edges, *, k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
         lambda t: pa.table({"node_id": t.column("v"),
                             "degree": t.column("degree")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def clustering_coefficient(edges, n_nodes: int, *, num_buckets: int = 32):
+    """Per-node local clustering coefficient over the undirected link
+    graph: cc(v) = triangles_through(v) / C(deg(v), 2), reported as exact
+    integer fields (degree, n_tri, cc_e6 = floor(1e6·n_tri / C(deg,2)),
+    0 when deg < 2) — the per-page link-farm signal: spam farms link as
+    near-cliques (cc → 1e6) while organic hubs sit low.
+
+    Same distributed wedge-check as ``triangle_count`` but keyed by the
+    wedge CENTER: per-center neighbor pairs (u < w) bucket-join the
+    edge-key set, and matches counted per center are exactly the
+    triangles through that node. Zero-triangle nodes survive without an
+    outer join: degree partials (from half-edges) and triangle partials
+    (from closed wedges) are unioned and summed in ONE two-phase reduce.
+    Packing needs n_nodes < 2^31 (the triangle_count bound)."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+    from .join import bucket_hash_join
+
+    if n_nodes >= 1 << 31:
+        raise ValueError("clustering_coefficient: packed key needs n < 2^31")
+
+    und = undirected_edges(edges, num_buckets=num_buckets).materialize()
+    half = explode_halfedges(und)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # the triangle_count pair algebra, keeping the center column
+        if not len(g):
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["v", "nbr"], kind="mergesort")
+        vv = g["v"].to_numpy()
+        nb = g["nbr"].to_numpy()
+        n = len(vv)
+        seg_first = np.flatnonzero(np.r_[True, vv[1:] != vv[:-1]])
+        k = np.diff(np.r_[seg_first, n])
+        li = np.arange(n) - np.repeat(seg_first, k)
+        right_rows = np.repeat(np.arange(n), li)
+        grp_start = np.repeat(np.cumsum(li) - li, li)
+        left_rows = np.repeat(np.repeat(seg_first, k), li) + (
+            np.arange(int(li.sum())) - grp_start)
+        return pd.DataFrame({"key": nb[left_rows] * n_nodes + nb[right_rows],
+                             "v": vv[right_rows]})
+
+    wk = grouped_apply(half, ["v"], wedges, num_buckets=num_buckets)
+
+    ekeys = und.map_batches(
+        lambda t: pa.table({"key": pa.array(
+            t.column("a").to_numpy(zero_copy_only=False) * n_nodes
+            + t.column("b").to_numpy(zero_copy_only=False)),
+            "is_edge": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    closed = bucket_hash_join(wk, ekeys, on="key", num_buckets=num_buckets)
+
+    def tri_part(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t.column("v"),
+                         "deg_part": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "tri_part": pa.array(np.ones(t.num_rows, np.int64))})
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t.column("v"),
+                         "deg_part": pa.array(np.ones(t.num_rows, np.int64)),
+                         "tri_part": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    parts = half.map_batches(deg_part, batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        closed.map_batches(tri_part, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    per_v = two_phase_aggregate(parts, ["v"],
+                                [("deg_part", "sum", "degree"),
+                                 ("tri_part", "sum", "n_tri")],
+                                num_buckets=num_buckets)
+
+    def final(t: pa.Table) -> pa.Table:
+        deg = t.column("degree").to_numpy(zero_copy_only=False)
+        tri = t.column("n_tri").to_numpy(zero_copy_only=False)
+        w = deg * (deg - 1) // 2
+        cc = np.where(w > 0, tri * 1_000_000 // np.maximum(w, 1), 0)
+        return pa.table({"node_id": t.column("v"),
+                         "degree": pa.array(deg.astype(np.int64)),
+                         "n_tri": pa.array(tri.astype(np.int64)),
+                         "cc_e6": pa.array(cc.astype(np.int64))})
+
+    return per_v.map_batches(final, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -1956,3 +1956,52 @@ def retention_audit(ds, now_us: int, *, ttl_days: int = 7,
         [("n_expired", "sum", "n_expired"), ("n_kept", "sum", "n_kept"),
          ("day", "min", "oldest_day"), ("day", "max", "newest_day")],
         num_buckets=num_buckets)
+
+
+def user_event_entropy(ds, *, user_col: str = "user_id",
+                       type_col: str = "event_type", num_buckets: int = 32):
+    """Per-user behavioral entropy over the event-type distribution — the
+    bot/monoculture detector (a user who only ever fires one event type
+    scores 0; a uniform mixer scores ln(n_types)):
+
+        ent_unat = sum_t c_t * floor(ln(n_u / c_t) * 1e6)
+
+    exact int64 micro-nats (the char_entropy floor-absorbs-ulp argument;
+    divide by n_u downstream for nats/event). Output
+    (user_id, n_events, n_types, ent_unat).
+
+    Scale shape: one two-phase (user, type) count shrinks the stream to
+    the distinct-pair mass, then a bucketed per-user reduce vectorized
+    across all users in the bucket (reduceat over sorted segments)."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    counts = two_phase_aggregate(
+        ds.map_batches(lambda t: t.select([user_col, type_col]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        [user_col, type_col], [(type_col, "count", "c")],
+        num_buckets=num_buckets)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({user_col: pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "n_types": pd.Series([], dtype=np.int64),
+                                 "ent_unat": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(user_col, kind="mergesort")
+        u = g[user_col].to_numpy()
+        c = g["c"].to_numpy().astype(np.int64)
+        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        k = np.diff(np.r_[seg, len(u)])
+        n_u = np.add.reduceat(c, seg)
+        terms = c * np.floor(
+            np.log(np.repeat(n_u, k).astype(np.float64) / c) * 1e6
+        ).astype(np.int64)
+        return pd.DataFrame({user_col: u[seg],
+                             "n_events": n_u,
+                             "n_types": k.astype(np.int64),
+                             "ent_unat": np.add.reduceat(terms, seg)})
+
+    return grouped_apply(counts, [user_col], per_user,
+                         num_buckets=num_buckets)

@@ -232,3 +232,22 @@ def test_kcore_peel_path_plus_triangle():
                       num_buckets=4).to_pandas()
            .set_index("node_id")["degree"].sort_index())
     assert out.to_dict() == {4: 2, 5: 2, 6: 2}
+
+
+def test_clustering_coefficient_known_graph():
+    """Triangle 0-1-2 plus pendant 3 attached to 0: cc(1)=cc(2)=1e6,
+    cc(0)=1/3 of 1e6 (1 triangle of C(3,2)=3 wedges), cc(3)=0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import clustering_coefficient
+
+    t = pa.table({"src": pa.array([0, 1, 2, 0], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    out = (clustering_coefficient(rd.from_arrow(t).repartition(2), 4,
+                                  num_buckets=4).to_pandas()
+           .set_index("node_id").sort_index())
+    assert out["degree"].to_dict() == {0: 3, 1: 2, 2: 2, 3: 1}
+    assert out["n_tri"].to_dict() == {0: 1, 1: 1, 2: 1, 3: 0}
+    assert out["cc_e6"].to_dict() == {0: 333_333, 1: 1_000_000,
+                                      2: 1_000_000, 3: 0}

@@ -588,3 +588,26 @@ def test_token_canonical_clusters(ray_session):
     assert got["apples"] == "appel"
     assert got["banana"] == "banana" and got["bananna"] == "banana"
     assert "zebra" not in got  # no near-spelling partner -> not in the graph
+
+
+def test_script_mix_width_classes(ray_session):
+    """Mixed-width strings classify by UTF-8 lead byte: ASCII, 2-byte
+    (é), 3-byte (zero-width + CJK), 4-byte (emoji)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.clean import script_mix
+
+    texts = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["abcé​\U0001F600", "xy中"])}))
+    srcs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "source": pa.array(["s1", "s1"])}))
+    out = (script_mix(texts, srcs, num_buckets=2).to_pandas()
+           .set_index("source"))
+    assert out.loc["s1", "n_docs"] == 2
+    assert out.loc["s1", "n_ascii"] == 5   # abc + xy
+    assert out.loc["s1", "n_w2"] == 1      # é
+    assert out.loc["s1", "n_w3"] == 2      # zero-width space + CJK
+    assert out.loc["s1", "n_w4"] == 1      # emoji

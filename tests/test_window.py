@@ -708,3 +708,27 @@ def test_retention_audit_cutoff():
     assert out.loc["a", "n_expired"] == 1 and out.loc["a", "n_kept"] == 2
     assert out.loc["a", "oldest_day"] == 22 and out.loc["a", "newest_day"] == 30
     assert out.loc["b", "n_expired"] == 1 and out.loc["b", "n_kept"] == 0
+
+
+def test_user_event_entropy_exact_terms():
+    """User 10: 2 clicks + 1 view + 1 error (n=4) -> entropy terms
+    2*floor(ln(2)*1e6) + 2*floor(ln(4)*1e6); user 20: single type -> 0."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import user_event_entropy
+
+    rows = [(10, "click"), (10, "click"), (10, "view"), (10, "error"),
+            (20, "view"), (20, "view")]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[1] for r in rows])})
+    out = (user_event_entropy(rd.from_arrow(t).repartition(2), num_buckets=2)
+           .to_pandas().set_index("user_id").sort_index())
+    want10 = (2 * math.floor(math.log(4 / 2) * 1e6)
+              + 2 * math.floor(math.log(4 / 1) * 1e6))
+    assert out.loc[10, "n_events"] == 4 and out.loc[10, "n_types"] == 3
+    assert out.loc[10, "ent_unat"] == want10
+    assert out.loc[20, "n_events"] == 2 and out.loc[20, "n_types"] == 1
+    assert out.loc[20, "ent_unat"] == 0
