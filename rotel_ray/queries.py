@@ -4004,6 +4004,49 @@ def q_script_mix(sf_dir: str):
         return script_mix(texts, sources)
 
 
+def q_hits_scores(sf_dir: str):
+    """Fixed-iteration exact-integer HITS hubs/authorities over the
+    directed link graph (2 rounds, unnormalized int recurrence) —
+    bit-exact vs a chained-CTE DuckDB replay."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import ensure_link_graph, hits_int
+
+    gdir = ensure_link_graph(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    with input_rows_hint(n_edges + n):
+        return hits_int(edges, n)
+
+
+@_hinted("events")
+def q_volume_trend(sf_dir: str):
+    """Per-type hourly log-volume least-squares slope (micro-events/hour
+    per hour), hour index anchored by footer stats."""
+    from .stages.compact import footer_min_max
+    from .stages.window import volume_trend
+
+    hour0 = (footer_min_max(f"{sf_dir}/events.parquet", ["ts"])["ts_min"]
+             // 3_600_000_000)
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["ts", "event_type"])
+    return volume_trend(ds, hour0)
+
+
+@_hinted("documents")
+def q_fertility_by_lang(sf_dir: str):
+    """Tokenizer-fertility proxy per language: exact chars-per-token
+    ratio over whitespace tokens."""
+    from .stages.textstats import fertility_by_lang
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["lang", "text"])
+    return fertility_by_lang(ds)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4321,6 +4364,9 @@ QUERIES = {
     "clustering_coef": q_clustering_coef,
     "user_event_entropy": q_user_event_entropy,
     "script_mix": q_script_mix,
+    "hits_scores": q_hits_scores,
+    "volume_trend": q_volume_trend,
+    "fertility_by_lang": q_fertility_by_lang,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7537,6 +7583,60 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         FROM read_parquet('{_unidir}/*.parquet') u
         JOIN documents d USING (doc_id)
         GROUP BY d.source"""
+    # HITS: chained-CTE replay of the unnormalized integer recurrence
+    # (2 rounds; all values non-negative ints)
+    _hits_iter = """
+        a{t} AS (SELECT e.dst AS v, sum(h{p}.h) AS s
+                 FROM ed e JOIN h{p} ON e.src = h{p}.v GROUP BY e.dst),
+        a{t}f AS (SELECT nodes.v, CAST(COALESCE(a{t}.s, 0) AS BIGINT) AS a
+                  FROM nodes LEFT JOIN a{t} ON nodes.v = a{t}.v),
+        hs{t} AS (SELECT e.src AS v, sum(a{t}f.a) AS s
+                  FROM ed e JOIN a{t}f ON e.dst = a{t}f.v GROUP BY e.src),
+        h{t} AS (SELECT nodes.v, CAST(COALESCE(hs{t}.s, 0) AS BIGINT) AS h
+                 FROM nodes LEFT JOIN hs{t} ON nodes.v = hs{t}.v)"""
+    sql["hits_scores"] = (f"""
+        WITH ed AS (SELECT src, dst FROM read_parquet('{_gdir}/*.parquet')),
+        nodes AS (SELECT range AS v FROM range({_n_docs})),
+        h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS h FROM nodes),"""
+        + _hits_iter.format(t=1, p=0) + ","
+        + _hits_iter.format(t=2, p=1) + """
+        SELECT nodes.v AS node_id, a2f.a AS auth_int, h2.h AS hub_int
+        FROM nodes JOIN a2f ON nodes.v = a2f.v JOIN h2 ON nodes.v = h2.v""")
+    # volume trend: latency_trend's HUGEINT closed form over the hourly
+    # count series (observed hours only)
+    sql["volume_trend"] = """
+        WITH t0 AS (SELECT min(epoch_us(ts)) // 3600000000 AS h0
+                    FROM events),
+        hc AS (SELECT event_type,
+                      epoch_us(ts) // 3600000000 - t0.h0 AS x,
+                      count(*) AS y
+               FROM events CROSS JOIN t0 GROUP BY 1, 2),
+        m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x * y) AS HUGEINT) AS sxy,
+                     CAST(sum(x * x) AS HUGEINT) AS sxx
+              FROM hc GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+               CAST(sy AS BIGINT) AS n_events,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST((1000000 * (n * sxy - sx * sy))
+                              // (n * sxx - sx * sx) AS BIGINT)
+               END AS slope_e6
+        FROM m"""
+    sql["fertility_by_lang"] = r"""
+        WITH c AS (SELECT lang,
+                          CAST(len(regexp_extract_all(text, '\S+'))
+                               AS BIGINT) AS tok,
+                          CAST(length(text) AS BIGINT) AS ch
+                   FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               CAST(sum(ch) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN sum(tok) > 0
+                    THEN sum(ch) * 1000000 // sum(tok)
+                    ELSE 0 END AS BIGINT) AS chars_per_tok_e6
+        FROM c GROUP BY lang"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

@@ -594,3 +594,78 @@ def clustering_coefficient(edges, n_nodes: int, *, num_buckets: int = 32):
 
     return per_v.map_batches(final, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+HITS_SCALE = 10**6
+HITS_ITERS = 2
+
+
+def hits_int(edges, n_nodes: int, *, iters: int = HITS_ITERS,
+             scale: int = HITS_SCALE, num_buckets: int = 32):
+    """Fixed-iteration exact-integer HITS (Kleinberg hubs/authorities)
+    over the directed link graph — the directory-page vs content-page
+    separator a crawl curator reads next to PageRank. Unnormalized
+    integer recurrence (h0 = scale; a_t(v) = Σ_{u→v} h_{t-1}(u);
+    h_t(u) = Σ_{u→v} a_t(v)) for ``iters`` rounds so the DuckDB oracle
+    replays it as chained CTEs; magnitudes are bounded by
+    maxdeg^(2·iters)·scale — int64-safe for iters=2 on any graph with
+    max degree < ~2000 (documented bound; normalize downstream).
+
+    Scale shape: the pagerank loop's exchange — per iteration one
+    edges ⋈ scores bucketed join each direction, a two-phase sum, and a
+    left join back to the node table for score-0 nodes (materialized as
+    the iteration barrier). Output (node_id, auth_int, hub_int)."""
+    import ray.data as rd
+
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    nblocks = max(8, n_nodes // (1 << 20) + 1) if n_nodes < (1 << 26) else None
+    kw = {"override_num_blocks": nblocks} if nblocks else {}
+    nodes = rd.range(n_nodes, **kw).map_batches(
+        lambda t: pa.table({"v": t.column("id").combine_chunks()
+                            .cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    h = nodes.map_batches(
+        lambda t: pa.table({"v": t.column("v"),
+                            "h": pa.array(np.full(t.num_rows, scale,
+                                                  np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    a = None
+
+    for _ in range(iters):
+        ja = bucket_hash_join(edges, h, on="src", right_on="v",
+                              num_buckets=num_buckets)
+        asum = two_phase_aggregate(
+            ja.map_batches(lambda t: pa.table({"v": t.column("dst"),
+                                               "s": t.column("h")}),
+                           batch_format="pyarrow", zero_copy_batch=True),
+            ["v"], [("s", "sum", "s")], num_buckets=num_buckets)
+        a = bucket_hash_join(nodes, asum, on="v", how="left",
+                             fill={"s": 0}, num_buckets=num_buckets
+                             ).map_batches(
+            lambda t: pa.table({"v": t.column("v"),
+                                "a": pc.cast(t.column("s"), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+        jh = bucket_hash_join(edges, a, on="dst", right_on="v",
+                              num_buckets=num_buckets)
+        hsum = two_phase_aggregate(
+            jh.map_batches(lambda t: pa.table({"v": t.column("src"),
+                                               "s": t.column("a")}),
+                           batch_format="pyarrow", zero_copy_batch=True),
+            ["v"], [("s", "sum", "s")], num_buckets=num_buckets)
+        h = bucket_hash_join(nodes, hsum, on="v", how="left",
+                             fill={"s": 0}, num_buckets=num_buckets
+                             ).map_batches(
+            lambda t: pa.table({"v": t.column("v"),
+                                "h": pc.cast(t.column("s"), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    out = bucket_hash_join(a, h, on="v", num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: pa.table({"node_id": t.column("v"),
+                            "auth_int": t.column("a"),
+                            "hub_int": t.column("h")}),
+        batch_format="pyarrow", zero_copy_batch=True)

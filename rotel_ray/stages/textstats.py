@@ -1718,3 +1718,45 @@ def token_canonical(ds, *, text_col: str = "text", max_dist: int = 2,
     return connected_components(pairs, a_col="tok_a", b_col="tok_b",
                                 id_col="tok", label_col="canonical",
                                 num_buckets=num_buckets)
+
+
+def fertility_by_lang(ds, *, lang_col: str = "lang", text_col: str = "text",
+                      num_buckets: int = 8):
+    """Tokenizer-fertility proxy per language: whitespace tokens and
+    codepoint chars summed per lang, with chars_per_tok_e6 = exact
+    floor(1e6 · Σchars / Σtokens) — the per-language cost signal a
+    multilingual tokenizer budget reads (CJK-heavy corpora run long
+    chars-per-token under whitespace tokenization, agglutinative ones
+    short). Output (lang, n_docs, n_tokens, n_chars, chars_per_tok_e6).
+
+    Scale shape: stateless vectorized RE2 count per batch into a
+    langs-bounded two-phase reduce; the ratio is computed on the final
+    |langs| rows."""
+    from .aggregate import two_phase_aggregate
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        return pa.table({
+            lang_col: t.column(lang_col),
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"),
+                                pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+
+    agg = two_phase_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        [lang_col],
+        [("n_docs", "sum", "n_docs"), ("n_tokens", "sum", "n_tokens"),
+         ("n_chars", "sum", "n_chars")],
+        num_buckets=num_buckets)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        ch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        r = np.where(tok > 0, ch * 1_000_000 // np.maximum(tok, 1), 0)
+        return t.append_column("chars_per_tok_e6",
+                               pa.array(r.astype(np.int64)))
+
+    return agg.map_batches(ratio, batch_format="pyarrow",
+                           zero_copy_batch=True)

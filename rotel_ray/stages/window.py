@@ -2005,3 +2005,61 @@ def user_event_entropy(ds, *, user_col: str = "user_id",
 
     return grouped_apply(counts, [user_col], per_user,
                          num_buckets=num_buckets)
+
+
+def volume_trend(ds, hour0: int, *, type_col: str = "event_type",
+                 ts_col: str = "ts", num_buckets: int = 8):
+    """Per-type log-volume trend: exact least-squares slope of the hourly
+    event-count series against the hour index (micro-events/hour per
+    hour, truncated toward zero) — the capacity-planning drift signal
+    next to rate_spikes' threshold alerts. Hours with zero events are
+    excluded from the fit (the observed-series convention; coverage_gaps
+    owns the zero-hour view). ``hour0`` anchors the index at the corpus
+    start (footer stats) so moments stay small.
+
+    Scale shape: one two-phase (type, hour) count collapses the stream
+    to the hour grid, a second accumulates the five regression moments
+    per type, and the closed form runs on the driver over |types| rows
+    in arbitrary-precision ints (the latency_trend convention)."""
+    from .aggregate import two_phase_aggregate
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        return pa.table({type_col: t.column(type_col),
+                         "x": pa.array(us // HOUR_US - hour0)})
+
+    hourly = two_phase_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True),
+        [type_col, "x"], [("x", "count", "y")], num_buckets=num_buckets)
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({type_col: t.column(type_col),
+                         "x": pa.array(x), "y": pa.array(y),
+                         "xy": pa.array(x * y), "xx": pa.array(x * x)})
+
+    m = two_phase_aggregate(
+        hourly.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        [type_col],
+        [("x", "count", "n"), ("x", "sum", "sx"), ("y", "sum", "sy"),
+         ("xy", "sum", "sxy"), ("xx", "sum", "sxx")],
+        num_buckets=4).take_all()
+    types, ns, totals, slopes = [], [], [], []
+    for r in sorted(m, key=lambda r: r[type_col]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        den = n * int(r["sxx"]) - sx * sx
+        types.append(r[type_col])
+        ns.append(n)
+        totals.append(sy)
+        if den == 0:
+            slopes.append(None)
+        else:
+            v = 1_000_000 * (n * int(r["sxy"]) - sx * sy)
+            slopes.append(-((-v) // den) if v < 0 else v // den)
+    return pa.table({type_col: pa.array(types),
+                     "n_hours": pa.array(ns, pa.int64()),
+                     "n_events": pa.array(totals, pa.int64()),
+                     "slope_e6": pa.array(slopes, pa.int64())})

@@ -251,3 +251,20 @@ def test_clustering_coefficient_known_graph():
     assert out["n_tri"].to_dict() == {0: 1, 1: 1, 2: 1, 3: 0}
     assert out["cc_e6"].to_dict() == {0: 333_333, 1: 1_000_000,
                                       2: 1_000_000, 3: 0}
+
+
+def test_hits_int_star_graph():
+    """Star 1,2,3 -> 0: after round 1 a(0)=3M (others 0), hubs get a(0)
+    each; round 2 a(0)=sum of hubs = 9M, hubs 9M each, node 0 hub 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import hits_int
+
+    t = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                  "dst": pa.array([0, 0, 0], pa.int64())})
+    out = (hits_int(rd.from_arrow(t).repartition(2), 4, num_buckets=4)
+           .to_pandas().set_index("node_id").sort_index())
+    assert out["auth_int"].to_dict() == {0: 9_000_000, 1: 0, 2: 0, 3: 0}
+    assert out["hub_int"].to_dict() == {0: 0, 1: 9_000_000, 2: 9_000_000,
+                                        3: 9_000_000}

@@ -611,3 +611,23 @@ def test_script_mix_width_classes(ray_session):
     assert out.loc["s1", "n_w2"] == 1      # é
     assert out.loc["s1", "n_w3"] == 2      # zero-width space + CJK
     assert out.loc["s1", "n_w4"] == 1      # emoji
+
+
+def test_fertility_by_lang_ratio(ray_session):
+    """en: 2 docs, 3+1 tokens, 15+5 chars -> floor(20e6/4); empty-token
+    lang reports ratio 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import fertility_by_lang
+
+    t = pa.table({"lang": pa.array(["en", "en", "zz"]),
+                  "text": pa.array(["hello big world", "hello", ""])})
+    out = (fertility_by_lang(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("lang").sort_index())
+    assert out.loc["en", "n_docs"] == 2
+    assert out.loc["en", "n_tokens"] == 4
+    assert out.loc["en", "n_chars"] == 20
+    assert out.loc["en", "chars_per_tok_e6"] == 5_000_000
+    assert out.loc["zz", "n_tokens"] == 0
+    assert out.loc["zz", "chars_per_tok_e6"] == 0

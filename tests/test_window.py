@@ -732,3 +732,25 @@ def test_user_event_entropy_exact_terms():
     assert out.loc[10, "ent_unat"] == want10
     assert out.loc[20, "n_events"] == 2 and out.loc[20, "n_types"] == 1
     assert out.loc[20, "ent_unat"] == 0
+
+
+def test_volume_trend_exact_slope():
+    """Type 'a' counts 1,2,3 over hours 0,1,2 -> slope exactly 1e6;
+    type 'b' lives in a single hour -> NULL slope (den=0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import volume_trend
+
+    H = 3_600_000_000
+    ts = [0] + [H] * 2 + [2 * H] * 3 + [5 * H] * 4
+    ty = ["a"] * 6 + ["b"] * 4
+    t = pa.table({"event_type": pa.array(ty),
+                  "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us"))})
+    out = (volume_trend(rd.from_arrow(t), 0, num_buckets=2).to_pandas()
+           .set_index("event_type").sort_index())
+    assert out.loc["a", "n_hours"] == 3 and out.loc["a", "n_events"] == 6
+    assert out.loc["a", "slope_e6"] == 1_000_000
+    import pandas as pd
+    assert out.loc["b", "n_hours"] == 1
+    assert pd.isna(out.loc["b", "slope_e6"])
