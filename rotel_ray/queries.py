@@ -4047,6 +4047,48 @@ def q_fertility_by_lang(sf_dir: str):
     return fertility_by_lang(ds)
 
 
+@_hinted("documents")
+def q_readability(sf_dir: str):
+    """Per-doc readability raw fields (Flesch inputs) as exact ints:
+    words, sentence runs, vowel-group syllable proxy + e3 ratios."""
+    from .stages.textstats import readability
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return readability(ds)
+
+
+def q_edge_overlap(sf_dir: str):
+    """Per-edge common-neighbor count + neighborhood Jaccard over the
+    link graph (tie-strength / link-spam signal)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import edge_overlap, ensure_link_graph
+
+    gdir = ensure_link_graph(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    with input_rows_hint(n_edges * 32):
+        return edge_overlap(edges, n)
+
+
+@_hinted("events")
+def q_anomaly_hours(sf_dir: str):
+    """Hourly volume anomalies per event type (|z| > 2 via the
+    division-free exact-integer z² identity)."""
+    from .stages.compact import footer_min_max
+    from .stages.window import anomaly_hours
+
+    hour0 = (footer_min_max(f"{sf_dir}/events.parquet", ["ts"])["ts_min"]
+             // 3_600_000_000)
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["ts", "event_type"])
+    return anomaly_hours(ds, hour0)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4367,6 +4409,9 @@ QUERIES = {
     "hits_scores": q_hits_scores,
     "volume_trend": q_volume_trend,
     "fertility_by_lang": q_fertility_by_lang,
+    "readability": q_readability,
+    "edge_overlap": q_edge_overlap,
+    "anomaly_hours": q_anomaly_hours,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7637,6 +7682,59 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     THEN sum(ch) * 1000000 // sum(tok)
                     ELSE 0 END AS BIGINT) AS chars_per_tok_e6
         FROM c GROUP BY lang"""
+    sql["readability"] = r"""
+        WITH c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+            CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+            CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                 AS BIGINT) AS v
+        FROM documents)
+        SELECT doc_id, w AS n_words, s AS n_sents, v AS n_vgroups,
+               CAST(w * 1000 // greatest(s, 1) AS BIGINT)
+                 AS words_per_sent_e3,
+               CAST(CASE WHEN w > 0 THEN v * 1000 // w ELSE 0 END
+                 AS BIGINT) AS syll_per_word_e3
+        FROM c"""
+    # edge overlap: common neighbors per edge == triangles containing it
+    sql["edge_overlap"] = f"""
+        WITH e AS (SELECT DISTINCT least(src, dst) AS a,
+                          greatest(src, dst) AS b
+                   FROM read_parquet('{_gdir}/*.parquet') WHERE src != dst),
+        h AS (SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM h GROUP BY v),
+        cn AS (SELECT e.a, e.b, count(*) AS c
+               FROM e JOIN h ha ON ha.v = e.a
+                      JOIN h hb ON hb.v = e.b AND hb.nbr = ha.nbr
+               GROUP BY e.a, e.b)
+        SELECT e.a, e.b, da.deg AS deg_a, db.deg AS deg_b,
+               CAST(COALESCE(cn.c, 0) AS BIGINT) AS n_common,
+               CAST(CASE WHEN da.deg + db.deg - 2 - COALESCE(cn.c, 0) > 0
+                    THEN COALESCE(cn.c, 0) * 1000000
+                         // (da.deg + db.deg - 2 - COALESCE(cn.c, 0))
+                    ELSE 0 END AS BIGINT) AS jac_e6
+        FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+        LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b"""
+    # anomaly hours: division-free z^2 in HUGEINT (exact at any size)
+    sql["anomaly_hours"] = """
+        WITH t0 AS (SELECT min(epoch_us(ts)) // 3600000000 AS h0
+                    FROM events),
+        hc AS (SELECT event_type,
+                      epoch_us(ts) // 3600000000 - t0.h0 AS x,
+                      CAST(count(*) AS HUGEINT) AS y
+               FROM events CROSS JOIN t0 GROUP BY 1, 2),
+        st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS hh,
+                      CAST(sum(y) AS HUGEINT) AS s,
+                      CAST(sum(y * y) AS HUGEINT) AS ss
+               FROM hc GROUP BY 1)
+        SELECT hc.event_type, CAST(hc.x AS BIGINT) AS hour_idx,
+               CAST(hc.y AS BIGINT) AS n,
+               CAST((st.hh * hc.y - st.s) * (st.hh * hc.y - st.s)
+                    * 1000000 // (st.hh * st.ss - st.s * st.s)
+                    AS BIGINT) AS zsq_e6
+        FROM hc JOIN st USING (event_type)
+        WHERE st.hh * st.ss - st.s * st.s > 0
+          AND (st.hh * hc.y - st.s) * (st.hh * hc.y - st.s) * 1000000
+              > 4000000 * (st.hh * st.ss - st.s * st.s)"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

@@ -1760,3 +1760,31 @@ def fertility_by_lang(ds, *, lang_col: str = "lang", text_col: str = "text",
 
     return agg.map_batches(ratio, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def readability(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document readability raw fields (the Flesch/FK inputs) as
+    exact integers: whitespace words, sentence-terminator runs, and
+    vowel-group syllable proxy, plus the two floor-quantized ratios the
+    grade formulas consume (words_per_sent_e3, syll_per_word_e3) — the
+    corpus-quality lens that separates prose from code/logs/tables.
+    Stateless vectorized RE2 counts; mirrored 1:1 by DuckDB
+    regexp_extract_all lengths."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        w = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        s = pc.cast(pc.count_substring_regex(text, r"[.!?]+"), pa.int64())
+        v = pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(text), r"[aeiou]+"), pa.int64())
+        wn = w.to_numpy(zero_copy_only=False)
+        sn = s.to_numpy(zero_copy_only=False)
+        vn = v.to_numpy(zero_copy_only=False)
+        wps = wn * 1000 // np.maximum(sn, 1)
+        spw = np.where(wn > 0, vn * 1000 // np.maximum(wn, 1), 0)
+        return pa.table({id_col: t.column(id_col),
+                         "n_words": w, "n_sents": s, "n_vgroups": v,
+                         "words_per_sent_e3": pa.array(wps),
+                         "syll_per_word_e3": pa.array(spw)})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

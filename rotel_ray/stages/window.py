@@ -2063,3 +2063,54 @@ def volume_trend(ds, hour0: int, *, type_col: str = "event_type",
                      "n_hours": pa.array(ns, pa.int64()),
                      "n_events": pa.array(totals, pa.int64()),
                      "slope_e6": pa.array(slopes, pa.int64())})
+
+
+ANOM_Z2_E6 = 4_000_000  # flag hours with z^2 > 4 (|z| > 2)
+
+
+def anomaly_hours(ds, hour0: int, *, type_col: str = "event_type",
+                  ts_col: str = "ts", z2_e6: int = ANOM_Z2_E6,
+                  num_buckets: int = 8):
+    """Hourly volume anomalies per event type: hours whose count sits
+    more than |z| std-devs from that type's mean hourly count, via the
+    division-free identity z² = (H·y − S)² / (H·SS − S²) over the
+    observed-hour series (H hours, S = Σy, SS = Σy²) — the
+    alert-worthy-spike view next to volume_trend's drift. All
+    comparisons run in arbitrary-precision Python ints, so no overflow
+    at any corpus size. Output (event_type, hour_idx, n, zsq_e6).
+
+    Scale shape: one two-phase (type, hour) count collapses the stream
+    to the time grid; the grid (|types| × |hours| rows — bounded by the
+    calendar, not the data) comes to the driver for the exact big-int
+    scoring, the latency_trend convention."""
+    from .aggregate import two_phase_aggregate
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        return pa.table({type_col: t.column(type_col),
+                         "x": pa.array(us // HOUR_US - hour0)})
+
+    hourly = two_phase_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True),
+        [type_col, "x"], [("x", "count", "y")],
+        num_buckets=num_buckets).take_all()
+
+    stats: dict[str, list[int]] = {}
+    for r in hourly:
+        h, s, ss = stats.setdefault(r[type_col], [0, 0, 0])
+        stats[r[type_col]] = [h + 1, s + int(r["y"]), ss + int(r["y"]) ** 2]
+    types, xs, ys, zs = [], [], [], []
+    for r in sorted(hourly, key=lambda r: (r[type_col], r["x"])):
+        h, s, ss = stats[r[type_col]]
+        den = h * ss - s * s
+        num = (h * int(r["y"]) - s) ** 2 * 1_000_000
+        if den > 0 and num > z2_e6 * den:
+            types.append(r[type_col])
+            xs.append(int(r["x"]))
+            ys.append(int(r["y"]))
+            zs.append(num // den)
+    return pa.table({type_col: pa.array(types, pa.string()),
+                     "hour_idx": pa.array(xs, pa.int64()),
+                     "n": pa.array(ys, pa.int64()),
+                     "zsq_e6": pa.array(zs, pa.int64())})

@@ -268,3 +268,24 @@ def test_hits_int_star_graph():
     assert out["auth_int"].to_dict() == {0: 9_000_000, 1: 0, 2: 0, 3: 0}
     assert out["hub_int"].to_dict() == {0: 0, 1: 9_000_000, 2: 9_000_000,
                                         3: 9_000_000}
+
+
+def test_edge_overlap_triangle_plus_pendant():
+    """Triangle 0-1-2 + pendant 3 on 0: edge (0,1) shares neighbor 2
+    (jac = 1/(3+2-2-1) = 1/2); edge (0,3) shares none."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import edge_overlap
+
+    t = pa.table({"src": pa.array([0, 1, 2, 0], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    out = (edge_overlap(rd.from_arrow(t).repartition(2), 4, num_buckets=4)
+           .to_pandas().set_index(["a", "b"]).sort_index())
+    assert len(out) == 4
+    assert out.loc[(0, 1), "n_common"] == 1
+    assert out.loc[(0, 1), "jac_e6"] == 500_000
+    assert out.loc[(1, 2), "n_common"] == 1
+    assert out.loc[(1, 2), "jac_e6"] == 1_000_000  # 1/(2+2-2-1)
+    assert out.loc[(0, 3), "n_common"] == 0
+    assert out.loc[(0, 3), "jac_e6"] == 0

@@ -631,3 +631,24 @@ def test_fertility_by_lang_ratio(ray_session):
     assert out.loc["en", "chars_per_tok_e6"] == 5_000_000
     assert out.loc["zz", "n_tokens"] == 0
     assert out.loc["zz", "chars_per_tok_e6"] == 0
+
+
+def test_readability_exact_fields(ray_session):
+    """'Hi there. Ok!' -> 3 words, 2 sentence runs, vowel groups i/e-e/o;
+    ratios floor-quantized."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import readability
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["Hi there. Ok!", ""])})
+    out = (readability(rd.from_arrow(t)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0, "n_words"] == 3
+    assert out.loc[0, "n_sents"] == 2
+    assert out.loc[0, "n_vgroups"] == 4  # i, e-e (2 groups: 'e','e'), o
+    assert out.loc[0, "words_per_sent_e3"] == 1500
+    assert out.loc[0, "syll_per_word_e3"] == 1333
+    assert out.loc[1, "n_words"] == 0
+    assert out.loc[1, "syll_per_word_e3"] == 0

@@ -754,3 +754,25 @@ def test_volume_trend_exact_slope():
     import pandas as pd
     assert out.loc["b", "n_hours"] == 1
     assert pd.isna(out.loc["b", "slope_e6"])
+
+
+def test_anomaly_hours_spike():
+    """9 quiet hours at 1 event + one 20-event spike: only the spike
+    crosses z^2 > 4; zsq_e6 is the exact floor of the identity."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import anomaly_hours
+
+    H = 3_600_000_000
+    ts = [i * H for i in range(9)] + [9 * H] * 20
+    t = pa.table({"event_type": pa.array(["e"] * len(ts)),
+                  "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us"))})
+    out = (anomaly_hours(rd.from_arrow(t), 0, num_buckets=2)
+           .to_pandas())
+    assert len(out) == 1
+    assert out.loc[0, "hour_idx"] == 9 and out.loc[0, "n"] == 20
+    hh, s, ss = 10, 29, 9 + 400
+    num = (hh * 20 - s) ** 2 * 1_000_000
+    den = hh * ss - s * s
+    assert out.loc[0, "zsq_e6"] == num // den
