@@ -4089,6 +4089,39 @@ def q_anomaly_hours(sf_dir: str):
     return anomaly_hours(ds, hour0)
 
 
+@_hinted("documents")
+def q_length_ks(sf_dir: str):
+    """Exact KS drift statistic of each source's doc-length CDF vs the
+    whole corpus (64-char buckets, arbitrary-precision ints)."""
+    from .stages.textstats import length_ks
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "n_chars"])
+    return length_ks(ds)
+
+
+@_hinted("events")
+def q_props_stats(sf_dir: str):
+    """JSON side-payload promotion: extract props.k with one shared RE2
+    pattern and reduce per event type."""
+    from .stages.window import props_stats
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "props"])
+    return props_stats(ds)
+
+
+@_hinted("events")
+def q_audience_overlap(sf_dir: str):
+    """Pairwise distinct-user overlap + exact Jaccard between event
+    types (the pair_cooccurrence kernel grouped by user)."""
+    from .stages.window import audience_overlap
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type"])
+    return audience_overlap(ds)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4412,6 +4445,9 @@ QUERIES = {
     "readability": q_readability,
     "edge_overlap": q_edge_overlap,
     "anomaly_hours": q_anomaly_hours,
+    "length_ks": q_length_ks,
+    "props_stats": q_props_stats,
+    "audience_overlap": q_audience_overlap,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7735,6 +7771,56 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         WHERE st.hh * st.ss - st.s * st.s > 0
           AND (st.hh * hc.y - st.s) * (st.hh * hc.y - st.s) * 1000000
               > 4000000 * (st.hh * st.ss - st.s * st.s)"""
+    # exact KS over 64-char length buckets, all HUGEINT
+    sql["length_ks"] = """
+        WITH c AS (SELECT source, n_chars // 64 AS bk,
+                          CAST(count(*) AS HUGEINT) AS c
+                   FROM documents GROUP BY 1, 2),
+        grid AS (SELECT s.source, b.bk
+                 FROM (SELECT DISTINCT source FROM c) s
+                 CROSS JOIN (SELECT DISTINCT bk FROM c) b),
+        j AS (SELECT g.source, g.bk, COALESCE(c.c, 0) AS c
+              FROM grid g LEFT JOIN c ON c.source = g.source
+                                     AND c.bk = g.bk),
+        cums AS (SELECT source, bk,
+                        sum(c) OVER (PARTITION BY source ORDER BY bk) AS cs
+                 FROM j),
+        gc AS (SELECT bk, sum(c) OVER (ORDER BY bk) AS cg
+               FROM (SELECT bk, sum(c) AS c FROM c GROUP BY bk)),
+        nsrc AS (SELECT source, CAST(count(*) AS HUGEINT) AS ns
+                 FROM documents GROUP BY source),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents)
+        SELECT cums.source, CAST(nsrc.ns AS BIGINT) AS n_docs,
+               CAST(max(abs(cums.cs * tot.n - gc.cg * nsrc.ns)) * 1000000
+                    // (nsrc.ns * tot.n) AS BIGINT) AS ks_e6
+        FROM cums JOIN gc USING (bk) JOIN nsrc USING (source)
+        CROSS JOIN tot
+        GROUP BY cums.source, nsrc.ns, tot.n"""
+    sql["props_stats"] = r"""
+        WITH k AS (SELECT event_type,
+                          CAST(regexp_extract(props, '"k": (\d+)', 1)
+                               AS BIGINT) AS k
+                   FROM events
+                   WHERE regexp_extract(props, '"k": (\d+)', 1) <> '')
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM k GROUP BY event_type"""
+    sql["audience_overlap"] = """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY 1),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM d a JOIN d b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT type_a, type_b, n_common, na.n AS n_a, nb.n AS n_b,
+               CAST(n_common * 1000000 // (na.n + nb.n - n_common)
+                    AS BIGINT) AS jac_e6
+        FROM p JOIN n na ON na.event_type = type_a
+               JOIN n nb ON nb.event_type = type_b"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

@@ -1788,3 +1788,56 @@ def readability(ds, *, id_col: str = "doc_id", text_col: str = "text"):
                          "syll_per_word_e3": pa.array(spw)})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+KS_BUCKET_CHARS = 64
+
+
+def length_ks(ds, *, source_col: str = "source", len_col: str = "n_chars",
+              bucket_chars: int = KS_BUCKET_CHARS, num_buckets: int = 8):
+    """Per-source distribution drift on document length: the exact
+    Kolmogorov–Smirnov statistic between each source's length CDF and
+    the whole corpus, over ``bucket_chars``-wide length buckets —
+    ks_e6 = floor(1e6 · max_b |cdf_s(b)·N − cdf_all(b)·n_s| / (n_s·N)),
+    computed in arbitrary-precision ints. The drift gate a curation
+    pipeline runs before mixing a new crawl snapshot in. Output
+    (source, n_docs, ks_e6).
+
+    Scale shape: one two-phase (source, bucket) count collapses the
+    corpus to a grid bounded by |sources| × (max_len/bucket); the exact
+    CDF comparison runs driver-side over that grid (the latency_trend
+    convention — the grid is calendar/config-bounded, not data-bounded)."""
+    from .aggregate import two_phase_aggregate
+
+    def b(t: pa.Table) -> pa.Table:
+        ln = t.column(len_col).to_numpy(zero_copy_only=False)
+        return pa.table({source_col: t.column(source_col),
+                         "bk": pa.array(ln // bucket_chars)})
+
+    grid = two_phase_aggregate(
+        ds.map_batches(b, batch_format="pyarrow", zero_copy_batch=True),
+        [source_col, "bk"], [("bk", "count", "c")],
+        num_buckets=num_buckets).take_all()
+
+    by_src: dict[str, dict[int, int]] = {}
+    for r in grid:
+        by_src.setdefault(r[source_col], {})[int(r["bk"])] = int(r["c"])
+    buckets = sorted({int(r["bk"]) for r in grid})
+    gcum, acc = {}, 0
+    for bk in buckets:
+        acc += sum(d.get(bk, 0) for d in by_src.values())
+        gcum[bk] = acc
+    n_total = acc
+    srcs, ns, kss = [], [], []
+    for s in sorted(by_src):
+        n_s = sum(by_src[s].values())
+        cs, best = 0, 0
+        for bk in buckets:
+            cs += by_src[s].get(bk, 0)
+            best = max(best, abs(cs * n_total - gcum[bk] * n_s))
+        srcs.append(s)
+        ns.append(n_s)
+        kss.append(best * 1_000_000 // (n_s * n_total))
+    return pa.table({source_col: pa.array(srcs, pa.string()),
+                     "n_docs": pa.array(ns, pa.int64()),
+                     "ks_e6": pa.array(kss, pa.int64())})

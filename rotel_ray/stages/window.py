@@ -2114,3 +2114,77 @@ def anomaly_hours(ds, hour0: int, *, type_col: str = "event_type",
                      "hour_idx": pa.array(xs, pa.int64()),
                      "n": pa.array(ys, pa.int64()),
                      "zsq_e6": pa.array(zs, pa.int64())})
+
+
+PROPS_K_RE = r'"k": (\d+)'
+
+
+def props_stats(ds, *, type_col: str = "event_type",
+                props_col: str = "props", num_buckets: int = 8):
+    """Side-payload extraction rollup: pull the integer ``k`` field out
+    of the JSON ``props`` string with one vectorized RE2 extract (the
+    pattern is shared verbatim with the DuckDB oracle) and reduce per
+    event type — the dynamic-attribute → typed-column promotion every
+    telemetry store does at ingest. Output
+    (event_type, n_with_k, sum_k, min_k, max_k)."""
+    from .aggregate import two_phase_aggregate
+
+    def f(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t.column(props_col).combine_chunks(),
+                               r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        tbl = pa.table({type_col: t.column(type_col), "k": k,
+                        "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return tbl.filter(pc.is_valid(k))
+
+    return two_phase_aggregate(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        [type_col],
+        [("one", "sum", "n_with_k"), ("k", "sum", "sum_k"),
+         ("k", "min", "min_k"), ("k", "max", "max_k")],
+        num_buckets=num_buckets)
+
+
+def audience_overlap(ds, *, user_col: str = "user_id",
+                     type_col: str = "event_type", num_buckets: int = 32):
+    """Pairwise audience overlap between event types: for every type
+    pair (a < b), the number of distinct users who fired both, plus each
+    type's distinct-user count and the exact Jaccard
+    jac_e6 = floor(1e6·common / (n_a + n_b − common)) — the
+    feature-adjacency matrix product analytics reads.
+
+    Scale shape: the pair_cooccurrence kernel grouped by user (only
+    (user, type) distinct ints shuffle; the pair space is |types|²,
+    tiny), with the per-type distinct-user counts (|types| rows) applied
+    driver-side. Output (type_a, type_b, n_common, n_a, n_b, jac_e6)."""
+    from .aggregate import pair_cooccurrence, two_phase_aggregate
+
+    pairs = pair_cooccurrence(ds, group_col=user_col, item_col=type_col,
+                              num_buckets=num_buckets)
+
+    distinct = two_phase_aggregate(
+        ds.map_batches(lambda t: t.select([user_col, type_col]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        [user_col, type_col], [(type_col, "count", "_n")],
+        num_buckets=num_buckets)
+    per_type = two_phase_aggregate(distinct, [type_col],
+                                   [("_n", "count", "n")],
+                                   num_buckets=4).take_all()
+    n_of = {r[type_col]: int(r["n"]) for r in per_type}
+
+    def final(t: pa.Table) -> pa.Table:
+        a = t.column("tool_a").to_pylist()
+        b = t.column("tool_b").to_pylist()
+        c = t.column("n_groups").to_numpy(zero_copy_only=False)
+        na = np.array([n_of[x] for x in a], np.int64)
+        nb = np.array([n_of[x] for x in b], np.int64)
+        den = na + nb - c
+        jac = np.where(den > 0, c * 1_000_000 // np.maximum(den, 1), 0)
+        return pa.table({"type_a": pa.array(a, pa.string()),
+                         "type_b": pa.array(b, pa.string()),
+                         "n_common": pa.array(c.astype(np.int64)),
+                         "n_a": pa.array(na), "n_b": pa.array(nb),
+                         "jac_e6": pa.array(jac.astype(np.int64))})
+
+    return pairs.map_batches(final, batch_format="pyarrow",
+                             zero_copy_batch=True)

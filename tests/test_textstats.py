@@ -652,3 +652,20 @@ def test_readability_exact_fields(ray_session):
     assert out.loc[0, "syll_per_word_e3"] == 1333
     assert out.loc[1, "n_words"] == 0
     assert out.loc[1, "syll_per_word_e3"] == 0
+
+
+def test_length_ks_exact(ray_session):
+    """Two sources with disjoint length buckets: KS = max |cdf diff|.
+    s1 = lengths 10,10 (bucket 0); s2 = 100,100 (bucket 1). At bucket 0:
+    |1.0 - 0.5| = 0.5 for both."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import length_ks
+
+    t = pa.table({"source": pa.array(["s1", "s1", "s2", "s2"]),
+                  "n_chars": pa.array([10, 10, 100, 100], pa.int64())})
+    out = (length_ks(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("source").sort_index())
+    assert out.loc["s1", "n_docs"] == 2 and out.loc["s1", "ks_e6"] == 500_000
+    assert out.loc["s2", "n_docs"] == 2 and out.loc["s2", "ks_e6"] == 500_000

@@ -776,3 +776,40 @@ def test_anomaly_hours_spike():
     num = (hh * 20 - s) ** 2 * 1_000_000
     den = hh * ss - s * s
     assert out.loc[0, "zsq_e6"] == num // den
+
+
+def test_props_stats_extraction():
+    """props.k extracted via the shared RE2 pattern; malformed rows drop."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import props_stats
+
+    t = pa.table({"event_type": pa.array(["a", "a", "a", "b"]),
+                  "props": pa.array(['{"k": 3}', '{"k": 7}', '{}',
+                                     '{"k": 10}'])})
+    out = (props_stats(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("event_type").sort_index())
+    assert out.loc["a", "n_with_k"] == 2 and out.loc["a", "sum_k"] == 10
+    assert out.loc["a", "min_k"] == 3 and out.loc["a", "max_k"] == 7
+    assert out.loc["b", "n_with_k"] == 1 and out.loc["b", "sum_k"] == 10
+
+
+def test_audience_overlap_jaccard():
+    """Users 1,2 fire both a and b; user 3 only a: common=2, n_a=3,
+    n_b=2 -> jac = 2/3."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import audience_overlap
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (1, "a")]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[1] for r in rows])})
+    out = (audience_overlap(rd.from_arrow(t).repartition(2), num_buckets=4)
+           .to_pandas())
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert r["n_common"] == 2 and r["n_a"] == 3 and r["n_b"] == 2
+    assert r["jac_e6"] == 666_666
