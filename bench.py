@@ -179,6 +179,21 @@ SECONDARY = [
     "stickiness_daily",
     "attribution_first_touch",
     "gap_histogram",
+    "kcore_peel",
+    "token_canonical",
+    "retention_audit",
+    "clustering_coef",
+    "user_event_entropy",
+    "script_mix",
+    "hits_scores",
+    "volume_trend",
+    "fertility_by_lang",
+    "readability",
+    "edge_overlap",
+    "anomaly_hours",
+    "length_ks",
+    "props_stats",
+    "audience_overlap",
 ]
 
 
