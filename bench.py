@@ -194,6 +194,9 @@ SECONDARY = [
     "length_ks",
     "props_stats",
     "audience_overlap",
+    "promo_share",
+    "supplier_rank",
+    "ship_delay",
 ]
 
 

@@ -4122,6 +4122,105 @@ def q_audience_overlap(sf_dir: str):
     return audience_overlap(ds)
 
 
+@_hinted("lineitem")
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14-shaped promo revenue share per ship year: part type
+    broadcast onto the lineitem stream (never shuffled), exact cents
+    sums, share_e6 = floor(1e6·promo/total)."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_partkey", "l_shipdate",
+                               "l_extendedprice", "l_discount"])
+    li = broadcast_join(li, part, left_on="l_partkey",
+                        right_on="p_partkey", take_cols=["p_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = _cents_arr(pc.multiply(t.column("l_extendedprice"),
+                                     pc.subtract(1.0, t.column("l_discount"))))
+        promo = pc.cast(pc.equal(t.column("p_type"), "PROMO"), pa.int64())
+        return pa.table({
+            "ship_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+            "promo_cents": pc.multiply(rev, promo),
+            "total_cents": rev})
+
+    agg = two_phase_aggregate(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["ship_year"],
+        [("promo_cents", "sum", "promo_cents"),
+         ("total_cents", "sum", "total_cents")], num_buckets=8)
+
+    def share(t: pa.Table) -> pa.Table:
+        p = t.column("promo_cents").to_numpy(zero_copy_only=False)
+        tot = t.column("total_cents").to_numpy(zero_copy_only=False)
+        s = np.where(tot > 0, p * 1_000_000 // np.maximum(tot, 1), 0)
+        return t.append_column("share_e6", pa.array(s.astype(np.int64)))
+
+    return agg.map_batches(share, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@_hinted("supplier")
+def q_supplier_rank(sf_dir: str):
+    """Top-3 suppliers per nation by account balance (deterministic
+    suppkey tiebreak): the topk_per_group bounded-shuffle kernel over a
+    relational dimension table + nation-name broadcast."""
+    from .stages.join import broadcast_join
+    from .stages.window import topk_per_group
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    ds = read_parquet(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_name", "s_nationkey",
+                               "s_acctbal"])
+    top = topk_per_group(ds, key="s_nationkey", order_col="s_acctbal",
+                         id_col="s_suppkey", k=3,
+                         cols=["s_nationkey", "s_acctbal", "s_suppkey",
+                               "s_name"])
+    top = broadcast_join(top, nation, left_on="s_nationkey",
+                         right_on="n_nationkey", take_cols=["n_name"])
+    return top.map_batches(
+        lambda t: t.select(["n_name", "s_suppkey", "s_name", "s_acctbal"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_hinted("lineitem")
+def q_ship_delay(sf_dir: str):
+    """Exact ship-delay percentiles per order priority (days from order
+    to line shipment, negative-safe offset floor): lineitem ⋈ orders
+    bucket join into the group_quantiles bounded-value histogram."""
+    from .stages.join import bucket_hash_join
+    from .stages.window import group_quantiles
+
+    DAY = 86_400_000_000
+    OFF = 10_000
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"])
+    j = bucket_hash_join(li, orders, on="l_orderkey",
+                         right_on="o_orderkey", num_buckets=32)
+
+    def delay(t: pa.Table) -> pa.Table:
+        s = (t.column("l_shipdate").combine_chunks()
+             .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy())
+        o = (t.column("o_orderdate").combine_chunks()
+             .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy())
+        # + OFF days keeps the dividend positive so // floors identically
+        # in numpy and DuckDB (which truncates toward zero on negatives)
+        d = (s - o + OFF * DAY) // DAY - OFF
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "delay_days": pa.array(d)})
+
+    return group_quantiles(
+        j.map_batches(delay, batch_format="pyarrow", zero_copy_batch=True),
+        key="o_orderpriority", value_col="delay_days", percents=(50, 95))
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4448,6 +4547,9 @@ QUERIES = {
     "length_ks": q_length_ks,
     "props_stats": q_props_stats,
     "audience_overlap": q_audience_overlap,
+    "promo_share": q_promo_share,
+    "supplier_rank": q_supplier_rank,
+    "ship_delay": q_ship_delay,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7821,6 +7923,45 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     AS BIGINT) AS jac_e6
         FROM p JOIN n na ON na.event_type = type_a
                JOIN n nb ON nb.event_type = type_b"""
+    sql["promo_share"] = f"""
+        WITH li AS (
+          SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                 {cents.format(expr='l_extendedprice * (1 - l_discount)')}
+                   AS rc,
+                 CAST(p_type = 'PROMO' AS BIGINT) AS promo
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT ship_year,
+               CAST(sum(rc * promo) AS BIGINT) AS promo_cents,
+               CAST(sum(rc) AS BIGINT) AS total_cents,
+               CAST(CASE WHEN sum(rc) > 0
+                    THEN sum(rc * promo) * 1000000 // sum(rc)
+                    ELSE 0 END AS BIGINT) AS share_e6
+        FROM li GROUP BY 1"""
+    sql["supplier_rank"] = """
+        SELECT n_name, s_suppkey, s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        QUALIFY row_number() OVER (
+            PARTITION BY s_nationkey
+            ORDER BY s_acctbal DESC, s_suppkey) <= 3"""
+    # ship delay: +10000-day offset keeps // positive (trunc == floor)
+    sql["ship_delay"] = """
+        WITH d AS (
+          SELECT o_orderpriority,
+                 (epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                  + 10000 * 86400000000) // 86400000000 - 10000 AS v
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        c AS (SELECT o_orderpriority, v, count(*) AS n FROM d GROUP BY 1, 2),
+        t AS (SELECT o_orderpriority, sum(n) AS tot FROM c GROUP BY 1),
+        r AS (SELECT c.o_orderpriority, v,
+                     sum(n) OVER (PARTITION BY c.o_orderpriority
+                                  ORDER BY v) AS cum, t.tot
+              FROM c JOIN t USING (o_orderpriority))
+        SELECT o_orderpriority, CAST(max(tot) AS BIGINT) AS n_rows,
+               CAST(min(CASE WHEN cum >= 50 * (tot - 1) // 100 + 1
+                        THEN v END) AS BIGINT) AS p50,
+               CAST(min(CASE WHEN cum >= 95 * (tot - 1) // 100 + 1
+                        THEN v END) AS BIGINT) AS p95
+        FROM r GROUP BY o_orderpriority"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

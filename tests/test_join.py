@@ -289,3 +289,24 @@ def test_edge_overlap_triangle_plus_pendant():
     assert out.loc[(1, 2), "jac_e6"] == 1_000_000  # 1/(2+2-2-1)
     assert out.loc[(0, 3), "n_common"] == 0
     assert out.loc[(0, 3), "jac_e6"] == 0
+
+
+def test_supplier_rank_topk_ties():
+    """4 suppliers in one nation, tie on acctbal broken by suppkey asc;
+    k=3 keeps the deterministic top three."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import topk_per_group
+
+    t = pa.table({"s_nationkey": pa.array([1, 1, 1, 1], pa.int64()),
+                  "s_acctbal": pa.array([9.0, 9.0, 5.0, 1.0]),
+                  "s_suppkey": pa.array([7, 3, 9, 2], pa.int64()),
+                  "s_name": pa.array(["a", "b", "c", "d"])})
+    out = (topk_per_group(rd.from_arrow(t).repartition(2),
+                          key="s_nationkey", order_col="s_acctbal",
+                          id_col="s_suppkey", k=3,
+                          cols=["s_nationkey", "s_acctbal", "s_suppkey",
+                                "s_name"]).to_pandas()
+           .sort_values("s_suppkey"))
+    assert sorted(out["s_suppkey"].tolist()) == [3, 7, 9]

@@ -813,3 +813,15 @@ def test_audience_overlap_jaccard():
     assert (r["type_a"], r["type_b"]) == ("a", "b")
     assert r["n_common"] == 2 and r["n_a"] == 3 and r["n_b"] == 2
     assert r["jac_e6"] == 666_666
+
+
+def test_ship_delay_negative_floor():
+    """Negative delays floor (not truncate): -1.5 days -> -2, matching
+    the offset-division identity used in both engines."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    OFF = 10_000
+    diffs = np.array([-DAY * 3 // 2, DAY // 2, DAY * 2], np.int64)
+    d = (diffs + OFF * DAY) // DAY - OFF
+    assert d.tolist() == [-2, 0, 2]
