@@ -197,6 +197,9 @@ SECONDARY = [
     "promo_share",
     "supplier_rank",
     "ship_delay",
+    "trending_tokens",
+    "event_dedup",
+    "value_psi",
 ]
 
 

@@ -4221,6 +4221,50 @@ def q_ship_delay(sf_dir: str):
         key="o_orderpriority", value_col="delay_days", percents=(50, 95))
 
 
+def q_trending_tokens(sf_dir: str):
+    """Daily trending terms over the transcript stream: tokens whose
+    e6-quantized daily share beats 1.5× their corpus share at ≥5
+    occurrences (int64-safe cross-multiplied comparison)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.textstats import trending_tokens
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["text", "ts"])
+    with input_rows_hint(8 * n_turns):  # token explosion fan-out
+        return trending_tokens(ds)
+
+
+@_hinted("events")
+def q_event_dedup(sf_dir: str):
+    """Streaming dedup / alert-throttle accounting: events within 60 s
+    of the previous same-(user, type) event are suppressed (lag
+    semantics, event_id tie order)."""
+    from .stages.window import event_dedup
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type", "ts", "event_id"])
+    return event_dedup(ds)
+
+
+@_hinted("events")
+def q_value_psi(sf_dir: str):
+    """Population Stability Index of the value distribution between the
+    first and second half of the time range, per event type (exact
+    big-int terms, e6 micro-nats)."""
+    from .stages.compact import footer_min_max
+    from .stages.window import value_psi
+
+    mm = footer_min_max(f"{sf_dir}/events.parquet", ["ts"])
+    mid = (mm["ts_min"] + mm["ts_max"]) // 2
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts", "value"])
+    return value_psi(ds, mid)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4550,6 +4594,9 @@ QUERIES = {
     "promo_share": q_promo_share,
     "supplier_rank": q_supplier_rank,
     "ship_delay": q_ship_delay,
+    "trending_tokens": q_trending_tokens,
+    "event_dedup": q_event_dedup,
+    "value_psi": q_value_psi,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -7962,6 +8009,66 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(min(CASE WHEN cum >= 95 * (tot - 1) // 100 + 1
                         THEN v END) AS BIGINT) AS p95
         FROM r GROUP BY o_orderpriority"""
+    sql["trending_tokens"] = rf"""
+        WITH tk AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    t -> t != '')) AS tok
+          FROM {T}),
+        c AS (SELECT tok, day, CAST(count(*) AS BIGINT) AS n
+              FROM tk GROUP BY 1, 2),
+        ct AS (SELECT tok, sum(n) AS c_tok FROM c GROUP BY 1),
+        cd AS (SELECT day, sum(n) AS c_day FROM c GROUP BY 1),
+        tot AS (SELECT sum(n) AS total FROM c)
+        SELECT c.day, c.tok, c.n,
+               CAST(c.n * 1000000 // cd.c_day AS BIGINT) AS share_day_e6,
+               CAST(ct.c_tok * 1000000 // tot.total AS BIGINT)
+                 AS share_all_e6
+        FROM c JOIN ct USING (tok) JOIN cd USING (day) CROSS JOIN tot
+        WHERE c.n >= 5
+          AND (c.n * 1000000 // cd.c_day) * 1000000
+              > 1500000 * (ct.c_tok * 1000000 // tot.total)"""
+    sql["event_dedup"] = """
+        WITH x AS (
+          SELECT event_type,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           >= 60000000 THEN 1
+                      ELSE 0 END AS kept
+          FROM events
+          WINDOW w AS (PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(ts), event_id))
+        SELECT event_type, CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+        FROM x GROUP BY 1"""
+    # PSI: every term has (p-q) and ln(p/q) the same sign, so the HUGEINT
+    # sum is non-negative and // floors identically to the engine
+    sql["value_psi"] = """
+        WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                     AS mid FROM events),
+        b AS (SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+                     CASE WHEN epoch_us(ts) < m.mid THEN 1 ELSE 0 END AS h1
+              FROM events CROSS JOIN m),
+        c AS (SELECT event_type, bin, CAST(sum(h1) AS HUGEINT) AS c1,
+                     CAST(sum(1 - h1) AS HUGEINT) AS c2
+              FROM b GROUP BY 1, 2),
+        n AS (SELECT event_type, sum(c1) AS n1, sum(c2) AS n2
+              FROM c GROUP BY 1)
+        SELECT c.event_type,
+               CAST(count(*) FILTER (WHERE c1 > 0 AND c2 > 0) AS BIGINT)
+                 AS n_bins_common,
+               CAST(count(*) FILTER (WHERE c1 > 0 AND c2 = 0) AS BIGINT)
+                 AS n_only_first,
+               CAST(count(*) FILTER (WHERE c1 = 0 AND c2 > 0) AS BIGINT)
+                 AS n_only_second,
+               CAST(sum(CASE WHEN c1 > 0 AND c2 > 0 THEN
+                        (c1 * n.n2 - c2 * n.n1)
+                        * CAST(floor(ln(CAST(c1 * n.n2 AS DOUBLE)
+                                        / CAST(c2 * n.n1 AS DOUBLE))
+                                     * 1e6) AS HUGEINT)
+                        ELSE 0 END)
+                    // (max(n.n1) * max(n.n2)) AS BIGINT) AS psi_e6
+        FROM c JOIN n USING (event_type) GROUP BY c.event_type"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

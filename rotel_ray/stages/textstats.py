@@ -1841,3 +1841,68 @@ def length_ks(ds, *, source_col: str = "source", len_col: str = "n_chars",
     return pa.table({source_col: pa.array(srcs, pa.string()),
                      "n_docs": pa.array(ns, pa.int64()),
                      "ks_e6": pa.array(kss, pa.int64())})
+
+
+TREND_MIN_SUP = 5
+TREND_LIFT_E6 = 1_500_000
+
+
+def trending_tokens(ds, *, text_col: str = "text", ts_col: str = "ts",
+                    min_sup: int = TREND_MIN_SUP,
+                    lift_e6: int = TREND_LIFT_E6, num_buckets: int = 16):
+    """Daily trending terms: tokens whose share of a day's token mass
+    exceeds ``lift_e6``× their overall corpus share (with ``min_sup``
+    occurrences that day) — the burst-detection view a topic monitor
+    runs. Shares are floor-quantized to e6 FIRST, so every comparison is
+    an int64-safe cross-multiplication of ≤1e6-scale ints regardless of
+    corpus size:
+
+        keep iff n >= min_sup and share_day_e6 · 1e6 > lift_e6 · share_all_e6
+
+    Output (day, tok, n, share_day_e6, share_all_e6).
+
+    Scale shape: one token explosion into a two-phase (tok, day) count —
+    the gram-mass-bounded shuffle of the unigram ops; token and day
+    totals derive from that table (days broadcast driver-side, the
+    calendar-bounded map); one bucketed join carries the token total."""
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    DAY_US = 86_400_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = split_tokens(t.column(text_col).combine_chunks())
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        return pa.table({"tok": flat,
+                         "day": pa.array(us[doc_of] // DAY_US)})
+
+    cnt = two_phase_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok", "day"], [("day", "count", "n")], num_buckets=num_buckets)
+    tok_tot = two_phase_aggregate(cnt, ["tok"], [("n", "sum", "c_tok")],
+                                  num_buckets=num_buckets)
+    day_rows = two_phase_aggregate(cnt, ["day"], [("n", "sum", "c_day")],
+                                   num_buckets=4).take_all()
+    c_day = {int(r["day"]): int(r["c_day"]) for r in day_rows}
+    total = sum(c_day.values())
+
+    joined = bucket_hash_join(cnt, tok_tot, on="tok",
+                              num_buckets=num_buckets)
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        ct = t.column("c_tok").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        cd = np.array([c_day[int(d)] for d in day], np.int64)
+        sd = n * 1_000_000 // cd
+        sa = ct * 1_000_000 // total
+        keep = (n >= min_sup) & (sd * 1_000_000 > lift_e6 * sa)
+        return pa.table({"day": pa.array(day[keep]),
+                         "tok": t.column("tok").filter(pa.array(keep)),
+                         "n": pa.array(n[keep]),
+                         "share_day_e6": pa.array(sd[keep]),
+                         "share_all_e6": pa.array(sa[keep])})
+
+    return joined.map_batches(final, batch_format="pyarrow",
+                              zero_copy_batch=True)

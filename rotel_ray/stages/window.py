@@ -2188,3 +2188,129 @@ def audience_overlap(ds, *, user_col: str = "user_id",
 
     return pairs.map_batches(final, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+DEDUP_WINDOW_US = 60_000_000
+
+
+def event_dedup(ds, *, user_col: str = "user_id",
+                type_col: str = "event_type", ts_col: str = "ts",
+                id_col: str = "event_id",
+                window_us: int = DEDUP_WINDOW_US, num_buckets: int = 32):
+    """Streaming event dedup / alert throttling: an event is suppressed
+    when it follows the PREVIOUS event of the same (user, type) by less
+    than ``window_us`` (lag semantics — the collector-side dedup rule;
+    ties order by event_id so equal timestamps are deterministic).
+    Output per type: (event_type, n_kept, n_dropped).
+
+    Scale shape: only (user, type, ts, id) ints shuffle, bucketed by
+    user; each bucket sorts once and lags vectorized across all its
+    (user, type) segments; per-bucket (type, kept) partials feed a
+    types-bounded final reduce."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            user_col: t.column(user_col),
+            type_col: t.column(type_col),
+            "us": t.column(ts_col).combine_chunks()
+                   .cast(pa.timestamp("us")).cast(pa.int64()),
+            id_col: t.column(id_col)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({type_col: pd.Series([], dtype=str),
+                                 "n_kept": pd.Series([], dtype=np.int64),
+                                 "n_dropped": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([user_col, type_col, "us", id_col],
+                          kind="mergesort")
+        u = g[user_col].to_numpy()
+        ty = g[type_col].to_numpy()
+        us = g["us"].to_numpy()
+        first = np.r_[True, (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])]
+        gap = np.r_[np.int64(0), us[1:] - us[:-1]]
+        kept = first | (gap >= window_us)
+        out = (pd.DataFrame({type_col: ty, "k": kept.astype(np.int64)})
+               .groupby(type_col, sort=False)["k"]
+               .agg(n_kept="sum", n_dropped=lambda s: int((1 - s).sum()))
+               .reset_index())
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        out["n_dropped"] = out["n_dropped"].astype(np.int64)
+        return out
+
+    partials = grouped_apply(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        [user_col], per_bucket, num_buckets=num_buckets)
+    return two_phase_aggregate(partials, [type_col],
+                               [("n_kept", "sum", "n_kept"),
+                                ("n_dropped", "sum", "n_dropped")],
+                               num_buckets=4)
+
+
+def value_psi(ds, mid_us: int, *, type_col: str = "event_type",
+              ts_col: str = "ts", val_col: str = "value",
+              num_buckets: int = 8):
+    """Population Stability Index between the first and second half of
+    the time range, per event type, over 0.1-wide value bins — the
+    standard drift score a feature monitor computes, as exact integers:
+
+        psi_e6 = floor(1e6 · Σ_bins (c1·n2 − c2·n1) · floor(1e6·ln(c1·n2 / (c2·n1))) / (n1·n2·1e6))
+
+    restricted to bins populated in BOTH halves (one-sided bins are
+    reported as counts). Every term has (p−q) and ln(p/q) the same sign,
+    so the sum is non-negative and // floors identically. Output
+    (event_type, n_bins_common, n_only_first, n_only_second, psi_e6).
+
+    Scale shape: one two-phase (type, bin, half) count collapses the
+    stream to the value grid; the exact big-int scoring runs driver-side
+    over that grid (value-range-bounded, the latency_trend convention)."""
+    import math
+
+    from .aggregate import two_phase_aggregate
+
+    def bins(t: pa.Table) -> pa.Table:
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        h1 = (us < mid_us).astype(np.int64)
+        return pa.table({type_col: t.column(type_col),
+                         "bin": pa.array(np.floor(v * 10).astype(np.int64)),
+                         "c1": pa.array(h1), "c2": pa.array(1 - h1)})
+
+    grid = two_phase_aggregate(
+        ds.map_batches(bins, batch_format="pyarrow", zero_copy_batch=True),
+        [type_col, "bin"], [("c1", "sum", "c1"), ("c2", "sum", "c2")],
+        num_buckets=num_buckets).take_all()
+
+    n1: dict[str, int] = {}
+    n2: dict[str, int] = {}
+    for r in grid:
+        n1[r[type_col]] = n1.get(r[type_col], 0) + int(r["c1"])
+        n2[r[type_col]] = n2.get(r[type_col], 0) + int(r["c2"])
+    acc: dict[str, list[int]] = {}
+    for r in grid:
+        ty, c1, c2 = r[type_col], int(r["c1"]), int(r["c2"])
+        a = acc.setdefault(ty, [0, 0, 0, 0])  # common, only1, only2, num
+        if c1 > 0 and c2 > 0:
+            x, y = c1 * n2[ty], c2 * n1[ty]
+            a[0] += 1
+            # float(x)/float(y): the same two HUGEINT→DOUBLE casts DuckDB
+            # does, so ln sees a bit-identical argument
+            a[3] += (x - y) * math.floor(
+                math.log(float(x) / float(y)) * 1e6)
+        elif c1 > 0:
+            a[1] += 1
+        else:
+            a[2] += 1
+    types = sorted(acc)
+    return pa.table({
+        type_col: pa.array(types, pa.string()),
+        "n_bins_common": pa.array([acc[t][0] for t in types], pa.int64()),
+        "n_only_first": pa.array([acc[t][1] for t in types], pa.int64()),
+        "n_only_second": pa.array([acc[t][2] for t in types], pa.int64()),
+        "psi_e6": pa.array(
+            [acc[t][3] // (n1[t] * n2[t]) if n1[t] and n2[t] else 0
+             for t in types], pa.int64()),
+    })

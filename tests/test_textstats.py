@@ -669,3 +669,30 @@ def test_length_ks_exact(ray_session):
            .set_index("source").sort_index())
     assert out.loc["s1", "n_docs"] == 2 and out.loc["s1", "ks_e6"] == 500_000
     assert out.loc["s2", "n_docs"] == 2 and out.loc["s2", "ks_e6"] == 500_000
+
+
+def test_trending_tokens_burst(ray_session):
+    """Token 'spike' appears 5x on day 1 out of 10 day-1 tokens (share
+    0.5) vs 5/40 overall (0.125): 4x lift passes; uniform fillers don't."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import trending_tokens
+
+    D = 86_400_000_000
+    texts, ts = [], []
+    for day in range(4):
+        for _ in range(5):
+            texts.append("base filler" if day != 1 else
+                         "spike filler" if len(ts) % 5 < 5 else "")
+            ts.append(day * D)
+    # day 1: 5 docs of "spike filler" (10 tokens, 5 spike); other days:
+    # 5 docs of "base filler"
+    t = pa.table({"text": pa.array(texts),
+                  "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us"))})
+    out = trending_tokens(rd.from_arrow(t), num_buckets=4).to_pandas()
+    assert set(out["tok"]) == {"spike"}
+    r = out.iloc[0]
+    assert r["day"] == 1 and r["n"] == 5
+    assert r["share_day_e6"] == 500_000
+    assert r["share_all_e6"] == 125_000

@@ -825,3 +825,53 @@ def test_ship_delay_negative_floor():
     diffs = np.array([-DAY * 3 // 2, DAY // 2, DAY * 2], np.int64)
     d = (diffs + OFF * DAY) // DAY - OFF
     assert d.tolist() == [-2, 0, 2]
+
+
+def test_event_dedup_lag_window():
+    """Same (user, type): events 0s, 30s, 120s -> middle suppressed
+    (30s gap), third kept (90s gap from PREVIOUS, lag semantics)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import event_dedup
+
+    S = 1_000_000
+    rows = [(1, "a", 0, 1), (1, "a", 30 * S, 2), (1, "a", 120 * S, 3),
+            (2, "a", 0, 4), (1, "b", 5 * S, 5)]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[1] for r in rows]),
+                  "ts": pa.array([r[2] for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us")),
+                  "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = (event_dedup(rd.from_arrow(t).repartition(2), num_buckets=4)
+           .to_pandas().set_index("event_type").sort_index())
+    assert out.loc["a", "n_kept"] == 3 and out.loc["a", "n_dropped"] == 1
+    assert out.loc["b", "n_kept"] == 1 and out.loc["b", "n_dropped"] == 0
+
+
+def test_value_psi_identical_halves_zero():
+    """Identical value distributions in both halves -> every bin common,
+    psi_e6 == 0; a shifted type scores > 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import value_psi
+
+    H = 3_600_000_000
+    rows = []
+    for half, base in ((0, 0), (1, 0)):          # type s: same dist
+        rows += [("s", half * 10 * H, 1.0)] * 3 + [("s", half * 10 * H, 2.0)] * 3
+    for half, vals in ((0, [1.0] * 6), (1, [5.0] * 6)):  # type d: disjoint
+        rows += [("d", half * 10 * H, v) for v in vals]
+    t = pa.table({"event_type": pa.array([r[0] for r in rows]),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.int64()).cast(pa.timestamp("us")),
+                  "value": pa.array([r[2] for r in rows])})
+    mid = 5 * H
+    out = (value_psi(rd.from_arrow(t), mid, num_buckets=2).to_pandas()
+           .set_index("event_type").sort_index())
+    assert out.loc["s", "psi_e6"] == 0 and out.loc["s", "n_bins_common"] == 2
+    assert out.loc["d", "n_bins_common"] == 0
+    assert out.loc["d", "n_only_first"] == 1
+    assert out.loc["d", "n_only_second"] == 1
+    assert out.loc["d", "psi_e6"] == 0  # no common bins -> sum empty
