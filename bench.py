@@ -200,6 +200,9 @@ SECONDARY = [
     "trending_tokens",
     "event_dedup",
     "value_psi",
+    "label_scatter",
+    "user_lifetimes",
+    "mm_histogram",
 ]
 
 

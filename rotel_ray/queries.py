@@ -4265,6 +4265,42 @@ def q_value_psi(sf_dir: str):
     return value_psi(ds, mid)
 
 
+@_hinted("embeddings", fanout=64)
+def q_label_scatter(sf_dir: str):
+    """Per-label Fisher separation over int-quantized embeddings:
+    within-class scatter, centroid distance to global, exact-int ratio."""
+    from .stages.similarity import label_scatter
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    return label_scatter(ds)
+
+
+@_hinted("events")
+def q_user_lifetimes(sf_dir: str):
+    """Per-user lifetime summary (events, first/last/active days)."""
+    from .stages.window import user_lifetimes
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+    return user_lifetimes(ds)
+
+
+def q_mm_histogram(sf_dir: str):
+    """Per-image 16-bin byte histogram over REAL decoded payloads
+    (exposure profile); byte-level hex-replay oracle on the decode."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import (MediaDecoder, ensure_media,
+                                    image_byte_histogram)
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    return ds.map_batches(image_byte_histogram, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4597,6 +4633,9 @@ QUERIES = {
     "trending_tokens": q_trending_tokens,
     "event_dedup": q_event_dedup,
     "value_psi": q_value_psi,
+    "label_scatter": q_label_scatter,
+    "user_lifetimes": q_user_lifetimes,
+    "mm_histogram": q_mm_histogram,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8069,6 +8108,58 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                         ELSE 0 END)
                     // (max(n.n1) * max(n.n2)) AS BIGINT) AS psi_e6
         FROM c JOIN n USING (event_type) GROUP BY c.event_type"""
+    # Fisher label scatter: n·Q − S² >= 0 (Cauchy–Schwarz) and squares,
+    # so every HUGEINT // floors identically to the Python big ints
+    sql["label_scatter"] = """
+        WITH pos AS (
+          SELECT vec_id, label, CAST(t.i - 1 AS INTEGER) AS dim,
+                 CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0)
+                      AS HUGEINT) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        g AS (SELECT label, dim, CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS s, sum(x * x) AS q
+              FROM pos GROUP BY 1, 2),
+        gl AS (SELECT dim, sum(s) AS gs FROM g GROUP BY dim),
+        dd AS (SELECT CAST(count(DISTINCT dim) AS HUGEINT) AS d FROM g),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM embeddings)
+        SELECT CAST(g.label AS BIGINT) AS label,
+               CAST(max(g.n) AS BIGINT) AS n,
+               CAST(sum(g.n * g.q - g.s * g.s)
+                    // (max(g.n) * max(g.n) * max(dd.d)) AS BIGINT)
+                 AS within_avg,
+               CAST(sum((g.s * tot.nn - gl.gs * g.n)
+                        * (g.s * tot.nn - gl.gs * g.n))
+                    // (max(g.n) * max(g.n) * tot.nn * tot.nn * max(dd.d))
+                    AS BIGINT) AS between_avg,
+               CAST((sum((g.s * tot.nn - gl.gs * g.n)
+                         * (g.s * tot.nn - gl.gs * g.n))
+                     // (max(g.n) * max(g.n) * tot.nn * tot.nn * max(dd.d)))
+                    * 1000000
+                    // greatest(sum(g.n * g.q - g.s * g.s)
+                                // (max(g.n) * max(g.n) * max(dd.d)), 1)
+                    AS BIGINT) AS fisher_e6
+        FROM g JOIN gl USING (dim) CROSS JOIN dd CROSS JOIN tot
+        GROUP BY g.label, tot.nn"""
+    sql["user_lifetimes"] = """
+        WITH g AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(min(day) AS BIGINT) AS first_day,
+               CAST(max(day) AS BIGINT) AS last_day,
+               CAST(count(*) AS BIGINT) AS active_days,
+               CAST(max(day) - min(day) + 1 AS BIGINT) AS lifetime_days
+        FROM g GROUP BY user_id"""
+    sql["mm_histogram"] = f"""
+        WITH img AS (
+          SELECT media_id, body_hex AS hx,
+                 CAST(width AS BIGINT) * height * nframes * channels AS n
+          FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'image'),
+        b AS (SELECT media_id, {_bk} AS b
+              FROM img, unnest(range(0, n)) AS u(k))
+        SELECT media_id, CAST(b // 16 AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_bytes
+        FROM b GROUP BY 1, 2"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

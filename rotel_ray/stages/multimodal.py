@@ -759,3 +759,26 @@ def dhash_images(t: pa.Table, *, rows: int = 8, cols: int = 9) -> pa.Table:
         "dhash_lo": pa.array(los, pa.int64()),
         "gray_sum": pa.array(gsums, pa.int64()),
     })
+
+
+def image_byte_histogram(t: pa.Table, *, bins: int = 16) -> pa.Table:
+    """Per-image byte histogram over REAL decoded pixel bodies (16 bins
+    of width 16) — the exposure/contrast profile an image-curation pass
+    reads (all-dark / blown-out frames cluster in the end bins).
+    Non-image rows drop; only NONZERO bins emit (the sparse convention,
+    mirrored by the oracle's GROUP BY). One bincount per image."""
+    ids, bn, cnt = [], [], []
+    for mid, kind, body in zip(t.column("media_id").to_pylist(),
+                               t.column("kind").to_pylist(),
+                               t.column("body").to_pylist()):
+        if kind != "image" or not body:
+            continue
+        arr = np.frombuffer(body, np.uint8)
+        h = np.bincount(arr // (256 // bins), minlength=bins)
+        nz = np.flatnonzero(h)
+        ids.extend([mid] * len(nz))
+        bn.extend(int(b) for b in nz)
+        cnt.extend(int(h[b]) for b in nz)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "bin": pa.array(bn, pa.int64()),
+                     "n_bytes": pa.array(cnt, pa.int64())})

@@ -829,3 +829,77 @@ def embedding_outliers(ds, k: int = 20, *, scale: float = 1000.0,
 
     return (ds.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True)
             .sort(["dist2", id_col], descending=[True, False]).limit(k))
+
+
+def label_scatter(ds, *, scale: float = 1000.0, emb_col: str = "embedding",
+                  label_col: str = "label", num_buckets: int = 8):
+    """Per-label Fisher separation diagnostics over int-quantized
+    embeddings (floor(float64(x)·scale), the embedding_covariance
+    convention): within-class scatter, centroid distance to the global
+    centroid, and their ratio — the quick "are my labels separable"
+    check before training a probe. Exact integers end to end:
+
+        within_avg  = Σ_d (n·Q_d − S_d²)            // (n²·d)
+        between_avg = Σ_d (S_d·N − G_d·n)²           // (n²·N²·d)
+        fisher_e6   = between_avg · 1e6 // max(within_avg, 1)
+
+    with S_d/Q_d the per-label per-dim sum and square-sum, G_d the
+    global sum, N the corpus count (n·Q−S² ≥ 0 by Cauchy–Schwarz, so
+    every // floors identically in numpy/Python and DuckDB HUGEINT).
+
+    Scale shape: each batch reduces to (label, dim) partial rows
+    (labels × d, model-state-bounded, never corpus-bounded); the big-int
+    closed form runs driver-side over that grid."""
+    from .aggregate import two_phase_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        x = np.floor(m * scale).astype(np.int64)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        x = x[order]
+        lab = lab[order]
+        n, d = x.shape
+        seg = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        k = np.diff(np.r_[seg, n])
+        s = np.add.reduceat(x, seg, axis=0)
+        q = np.add.reduceat(x * x, seg, axis=0)
+        labs = lab[seg]
+        return pa.table({
+            label_col: pa.array(np.repeat(labs, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(labs))),
+            "n": pa.array(np.repeat(k.astype(np.int64), d)),
+            "s": pa.array(s.ravel()), "q": pa.array(q.ravel())})
+
+    grid = two_phase_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [label_col, "dim"],
+        [("n", "sum", "n"), ("s", "sum", "s"), ("q", "sum", "q")],
+        num_buckets=num_buckets).take_all()
+
+    g: dict[int, int] = {}
+    per: dict[int, dict[int, tuple[int, int, int]]] = {}
+    for r in grid:
+        lb, dim = int(r[label_col]), int(r["dim"])
+        per.setdefault(lb, {})[dim] = (int(r["n"]), int(r["s"]), int(r["q"]))
+        g[dim] = g.get(dim, 0) + int(r["s"])
+    d = len(g)
+    big_n = sum(v[0][0] for v in (list(p.values()) for p in per.values()))
+    labels = sorted(per)
+    ns, wit, bet, fis = [], [], [], []
+    for lb in labels:
+        n = per[lb][0][0]
+        w = sum(n * q - s * s for (_, s, q) in per[lb].values())
+        b = sum((s * big_n - g[dim] * n) ** 2
+                for dim, (_, s, _q) in per[lb].items())
+        wa = w // (n * n * d)
+        ba = b // (n * n * big_n * big_n * d)
+        ns.append(n)
+        wit.append(wa)
+        bet.append(ba)
+        fis.append(ba * 1_000_000 // max(wa, 1))
+    return pa.table({label_col: pa.array(labels, pa.int64()),
+                     "n": pa.array(ns, pa.int64()),
+                     "within_avg": pa.array(wit, pa.int64()),
+                     "between_avg": pa.array(bet, pa.int64()),
+                     "fisher_e6": pa.array(fis, pa.int64())})

@@ -2314,3 +2314,44 @@ def value_psi(ds, mid_us: int, *, type_col: str = "event_type",
             [acc[t][3] // (n1[t] * n2[t]) if n1[t] and n2[t] else 0
              for t in types], pa.int64()),
     })
+
+
+def user_lifetimes(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                   num_buckets: int = 16):
+    """Per-user lifetime summary: total events, first/last active day,
+    distinct active days, and calendar lifetime — the cohort-analysis
+    base table. One two-phase (user, day) distinct-with-count pass, then
+    a per-user reduce over the day grain. Output
+    (user_id, n_events, first_day, last_day, active_days,
+    lifetime_days = last − first + 1)."""
+    from .aggregate import two_phase_aggregate
+
+    def days(t: pa.Table) -> pa.Table:
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        return pa.table({user_col: t.column(user_col),
+                         "day": pa.array(us // DAY_US),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    grain = two_phase_aggregate(
+        ds.map_batches(days, batch_format="pyarrow", zero_copy_batch=True),
+        [user_col, "day"], [("one", "sum", "n")], num_buckets=num_buckets)
+    per_user = two_phase_aggregate(
+        grain.map_batches(
+            lambda t: t.append_column("active",
+                                      pa.array(np.ones(t.num_rows,
+                                                       np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        [user_col],
+        [("n", "sum", "n_events"), ("day", "min", "first_day"),
+         ("day", "max", "last_day"), ("active", "sum", "active_days")],
+        num_buckets=num_buckets)
+
+    def final(t: pa.Table) -> pa.Table:
+        f = t.column("first_day").to_numpy(zero_copy_only=False)
+        lt = t.column("last_day").to_numpy(zero_copy_only=False)
+        return t.append_column("lifetime_days",
+                               pa.array((lt - f + 1).astype(np.int64)))
+
+    return per_user.map_batches(final, batch_format="pyarrow",
+                                zero_copy_batch=True)

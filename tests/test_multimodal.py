@@ -443,3 +443,21 @@ def test_audio_frame_energy_exact_and_tail_drop():
     # non-audio rows drop entirely
     t2 = t.set_column(1, "kind", pa.array(["image"]))
     assert audio_frame_energy(t2).num_rows == 0
+
+
+def test_image_byte_histogram_bins(ray_session):
+    """Known body: bytes 0,0,16,255 -> bins 0 (x2), 1, 15; audio rows
+    drop."""
+    import pyarrow as pa
+
+    from rotel_ray.stages.multimodal import image_byte_histogram
+
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "kind": pa.array(["image", "audio"]),
+                  "body": pa.array([bytes([0, 0, 16, 255]), b"\x01"],
+                                   pa.binary())})
+    out = image_byte_histogram(t).to_pandas().set_index(["media_id", "bin"])
+    assert out.loc[(1, 0), "n_bytes"] == 2
+    assert out.loc[(1, 1), "n_bytes"] == 1
+    assert out.loc[(1, 15), "n_bytes"] == 1
+    assert len(out) == 3

@@ -559,3 +559,30 @@ def test_embedding_outliers_exact_int_distance():
     s0, n0 = x[:4].sum(axis=0), 4
     exp = int(((n0 * x[3] - s0) ** 2).sum())
     assert got.dist2.tolist()[0] == exp
+
+
+def test_label_scatter_separable_labels(ray_session):
+    """Two tight clusters far apart: within_avg small, between_avg large,
+    fisher ratio high; exact values checked against the closed form."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.similarity import label_scatter
+
+    vecs = [[0.0, 0.0], [0.002, 0.0],       # label 0 around origin
+            [1.0, 1.0], [1.002, 1.0]]        # label 1 around (1,1)
+    t = pa.table({"embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array([0, 0, 1, 1], pa.int32())})
+    out = (label_scatter(rd.from_arrow(t).repartition(2), num_buckets=2)
+           .to_pandas().set_index("label").sort_index())
+    # label 0: q = [[0,0],[2,0]]: within = (2*4 - 4) + 0 = 4 -> //(4*2)=0
+    assert out.loc[0, "n"] == 2
+    assert out.loc[0, "within_avg"] == 0
+    # quantized ints from float32 storage: label0 -> (0,0),(2,0);
+    # label1 -> (1000,1000),(1001,1000)  (float32(1.002)*1000 floors to 1001)
+    s0 = (2, 0)
+    g = (2 + 1000 + 1001, 2000)
+    b = sum((s * 4 - gd * 2) ** 2 for s, gd in zip(s0, g)) // (4 * 16 * 2)
+    assert out.loc[0, "between_avg"] == b
+    assert out.loc[0, "fisher_e6"] == b * 1_000_000

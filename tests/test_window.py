@@ -875,3 +875,24 @@ def test_value_psi_identical_halves_zero():
     assert out.loc["d", "n_only_first"] == 1
     assert out.loc["d", "n_only_second"] == 1
     assert out.loc["d", "psi_e6"] == 0  # no common bins -> sum empty
+
+
+def test_user_lifetimes_days():
+    """User 1: events on days 0, 0, 5 -> 3 events, 2 active days,
+    lifetime 6."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import user_lifetimes
+
+    D = 86_400_000_000
+    t = pa.table({"user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                  "ts": pa.array([0, 3600_000_000, 5 * D, 2 * D],
+                                 pa.int64()).cast(pa.timestamp("us"))})
+    out = (user_lifetimes(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("user_id").sort_index())
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[1, "first_day"] == 0 and out.loc[1, "last_day"] == 5
+    assert out.loc[1, "active_days"] == 2
+    assert out.loc[1, "lifetime_days"] == 6
+    assert out.loc[2, "lifetime_days"] == 1
