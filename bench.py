@@ -203,6 +203,9 @@ SECONDARY = [
     "label_scatter",
     "user_lifetimes",
     "mm_histogram",
+    "assortativity",
+    "hapax_rate",
+    "nation_share",
 ]
 
 

@@ -4301,6 +4301,96 @@ def q_mm_histogram(sf_dir: str):
                           batch_size=256, zero_copy_batch=True)
 
 
+def q_assortativity(sf_dir: str):
+    """Degree-assortativity moments of the link graph (exact-int pieces
+    of Newman's r; sqrt left to the consumer)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.graph import assortativity_moments, ensure_link_graph
+
+    gdir = ensure_link_graph(sf_dir)
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{gdir}/*.parquet"))
+    edges = read_parquet(gdir)
+    with input_rows_hint(2 * n_edges):
+        return assortativity_moments(edges)
+
+
+def q_hapax_rate(sf_dir: str):
+    """Hapax-legomenon share of each role's token mass over the
+    transcript stream (lexical novelty / junk-id signal)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.textstats import hapax_rate
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["role", "text"])
+    with input_rows_hint(8 * n_turns):  # token explosion fan-out
+        return hapax_rate(ds)
+
+
+@_hinted("lineitem")
+def q_nation_share(sf_dir: str):
+    """Revenue per nation with its exact share of the region total
+    (window-function mirror computed on the 25-row grid)."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import broadcast_join, bucket_hash_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    rk = dict(zip(region.column("r_regionkey").to_pylist(),
+                  region.column("r_name").to_pylist()))
+    nat = nation.append_column("r_name", pa.array(
+        [rk[v] for v in nation.column("n_regionkey").to_pylist()]))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey", take_cols=["c_nationkey"])
+    orders = broadcast_join(orders, nat, left_on="c_nationkey",
+                            right_on="n_nationkey",
+                            take_cols=["n_name", "r_name"])
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_extendedprice",
+                               "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(1.0, t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev_cents": _cents_arr(rev)})
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucket_hash_join(
+        li, orders.select_columns(["o_orderkey", "n_name", "r_name"]),
+        on="l_orderkey", right_on="o_orderkey", num_buckets=64)
+    grid = two_phase_aggregate(
+        joined, ["r_name", "n_name"],
+        [("rev_cents", "sum", "revenue_cents")], num_buckets=8).take_all()
+    reg_tot: dict[str, int] = {}
+    for r in grid:
+        reg_tot[r["r_name"]] = reg_tot.get(r["r_name"], 0) + int(
+            r["revenue_cents"])
+    rows = sorted(grid, key=lambda r: (r["r_name"], r["n_name"]))
+    return pa.table({
+        "r_name": pa.array([r["r_name"] for r in rows], pa.string()),
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "revenue_cents": pa.array([int(r["revenue_cents"]) for r in rows],
+                                  pa.int64()),
+        "share_e6": pa.array(
+            [int(r["revenue_cents"]) * 1_000_000 // reg_tot[r["r_name"]]
+             for r in rows], pa.int64())})
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4636,6 +4726,9 @@ QUERIES = {
     "label_scatter": q_label_scatter,
     "user_lifetimes": q_user_lifetimes,
     "mm_histogram": q_mm_histogram,
+    "assortativity": q_assortativity,
+    "hapax_rate": q_hapax_rate,
+    "nation_share": q_nation_share,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8160,6 +8253,56 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT media_id, CAST(b // 16 AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS n_bytes
         FROM b GROUP BY 1, 2"""
+    sql["assortativity"] = f"""
+        WITH e AS (SELECT DISTINCT least(src, dst) AS a,
+                          greatest(src, dst) AS b
+                   FROM read_parquet('{_gdir}/*.parquet') WHERE src != dst),
+        h AS (SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT v, CAST(count(*) AS HUGEINT) AS deg
+                FROM h GROUP BY v),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+                     sum(dx.deg) AS sx, sum(dy.deg) AS sy,
+                     sum(dx.deg * dy.deg) AS sxy,
+                     sum(dx.deg * dx.deg) AS sxx,
+                     sum(dy.deg * dy.deg) AS syy
+              FROM h JOIN deg dx ON dx.v = h.v
+                     JOIN deg dy ON dy.v = h.nbr)
+        SELECT CAST(m AS BIGINT) AS m_halfedges,
+               CAST(m * sxy - sx * sy AS BIGINT) AS sxy_num,
+               CAST(m * sxx - sx * sx AS BIGINT) AS varx_num,
+               CAST(m * syy - sy * sy AS BIGINT) AS vary_num
+        FROM m"""
+    sql["hapax_rate"] = rf"""
+        WITH tk AS (
+          SELECT role AS grp,
+                 unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    t -> t != '')) AS tok
+          FROM {T}),
+        gt AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS n
+               FROM tk GROUP BY 1, 2),
+        gl AS (SELECT tok, sum(n) AS c_glob FROM gt GROUP BY 1)
+        SELECT grp AS role, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN c_glob = 1 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               CAST(sum(CASE WHEN c_glob = 1 THEN n ELSE 0 END) * 1000000
+                    // greatest(sum(n), 1) AS BIGINT) AS hapax_e6
+        FROM gt JOIN gl USING (tok) GROUP BY grp"""
+    sql["nation_share"] = f"""
+        WITH rev AS (
+          SELECT r_name, n_name,
+                 CAST(sum({cents.format(expr='l_extendedprice * (1 - l_discount)')})
+                      AS BIGINT) AS revenue_cents
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2)
+        SELECT r_name, n_name, revenue_cents,
+               CAST(revenue_cents * 1000000
+                    // sum(revenue_cents) OVER (PARTITION BY r_name)
+                    AS BIGINT) AS share_e6
+        FROM rev"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

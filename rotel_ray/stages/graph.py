@@ -773,3 +773,58 @@ def edge_overlap(edges, n_nodes: int, *, num_buckets: int = 32):
 
     return ab.map_batches(final, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def assortativity_moments(edges, *, num_buckets: int = 32):
+    """Degree-assortativity moments of the undirected link graph: the
+    exact-integer pieces of Newman's degree-correlation r — numerator
+    ``M·Σxy − Σx·Σy`` and the two variance factors ``M·Σx² − (Σx)²`` /
+    ``M·Σy² − (Σy)²`` over both orientations of every edge (x = deg(u),
+    y = deg(v)); r = num / sqrt(varx·vary) is left to the consumer so
+    nothing stored is a float. Positive r = hub-to-hub linking (organic
+    webs are slightly disassortative; link farms skew positive).
+
+    Scale shape: one degree count, two bucketed (endpoint → degree)
+    joins onto the edge list, one global moment reduce; the driver holds
+    five integers. Output one row
+    (m_halfedges, sxy_num, varx_num, vary_num)."""
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    und = undirected_edges(edges, num_buckets=num_buckets).materialize()
+    half = explode_halfedges(und)
+    deg = two_phase_aggregate(half, ["v"], [("nbr", "count", "deg")],
+                              num_buckets=num_buckets)
+
+    j = bucket_hash_join(half, deg.map_batches(
+        lambda t: pa.table({"v": t.column("v"), "dx": t.column("deg")}),
+        batch_format="pyarrow", zero_copy_batch=True), on="v",
+        num_buckets=num_buckets)
+    j = bucket_hash_join(j, deg.map_batches(
+        lambda t: pa.table({"nbr": t.column("v"), "dy": t.column("deg")}),
+        batch_format="pyarrow", zero_copy_batch=True), on="nbr",
+        num_buckets=num_buckets)
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("dx").to_numpy(zero_copy_only=False)
+        y = t.column("dy").to_numpy(zero_copy_only=False)
+        one = np.zeros(t.num_rows, np.int64)
+        return pa.table({"g": pa.array(one),
+                         "m": pa.array(np.ones(t.num_rows, np.int64)),
+                         "sx": pa.array(x), "sy": pa.array(y),
+                         "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+                         "syy": pa.array(y * y)})
+
+    rows = two_phase_aggregate(
+        j.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [("m", "sum", "m"), ("sx", "sum", "sx"), ("sy", "sum", "sy"),
+                ("sxy", "sum", "sxy"), ("sxx", "sum", "sxx"),
+                ("syy", "sum", "syy")], num_buckets=2).take_all()
+    r = rows[0] if rows else {"m": 0, "sx": 0, "sy": 0, "sxy": 0,
+                              "sxx": 0, "syy": 0}
+    m, sx, sy = int(r["m"]), int(r["sx"]), int(r["sy"])
+    return pa.table({
+        "m_halfedges": pa.array([m], pa.int64()),
+        "sxy_num": pa.array([m * int(r["sxy"]) - sx * sy], pa.int64()),
+        "varx_num": pa.array([m * int(r["sxx"]) - sx * sx], pa.int64()),
+        "vary_num": pa.array([m * int(r["syy"]) - sy * sy], pa.int64())})

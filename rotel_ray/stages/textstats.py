@@ -1906,3 +1906,55 @@ def trending_tokens(ds, *, text_col: str = "text", ts_col: str = "ts",
 
     return joined.map_batches(final, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def hapax_rate(ds, *, group_col: str = "role", text_col: str = "text",
+               num_buckets: int = 16):
+    """Hapax-legomenon rate per group: the share of each group's token
+    mass that consists of corpus-global singletons — the
+    lexical-novelty / junk-id signal (hapax-heavy streams are serial
+    numbers and hashes, hapax-free streams are templates). Output
+    (group, n_tokens, n_hapax, hapax_e6 = floor(1e6·hapax/tokens)).
+
+    Scale shape: one token explosion into a two-phase (group, token)
+    count (the gram-mass shuffle); global counts derive from that table
+    by a second vocab-bounded reduce; one bucketed join marks the
+    singletons."""
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = split_tokens(t.column(text_col).combine_chunks())
+        grp = t.column(group_col).to_numpy(zero_copy_only=False)
+        return pa.table({"grp": pa.array(grp[doc_of]), "tok": flat})
+
+    gt = two_phase_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["grp", "tok"], [("tok", "count", "n")], num_buckets=num_buckets)
+    glob = two_phase_aggregate(gt, ["tok"], [("n", "sum", "c_glob")],
+                               num_buckets=num_buckets)
+    j = bucket_hash_join(gt, glob, on="tok", num_buckets=num_buckets)
+
+    def mark(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        cg = t.column("c_glob").to_numpy(zero_copy_only=False)
+        return pa.table({"grp": t.column("grp"),
+                         "n_tokens": pa.array(n),
+                         "n_hapax": pa.array(np.where(cg == 1, n, 0))})
+
+    agg = two_phase_aggregate(
+        j.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True),
+        ["grp"], [("n_tokens", "sum", "n_tokens"),
+                  ("n_hapax", "sum", "n_hapax")], num_buckets=4)
+
+    def final(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        nh = t.column("n_hapax").to_numpy(zero_copy_only=False)
+        return pa.table({"role": t.column("grp"),
+                         "n_tokens": t.column("n_tokens"),
+                         "n_hapax": t.column("n_hapax"),
+                         "hapax_e6": pa.array(
+                             nh * 1_000_000 // np.maximum(nt, 1))})
+
+    return agg.map_batches(final, batch_format="pyarrow",
+                           zero_copy_batch=True)

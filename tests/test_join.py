@@ -310,3 +310,21 @@ def test_supplier_rank_topk_ties():
                                 "s_name"]).to_pandas()
            .sort_values("s_suppkey"))
     assert sorted(out["s_suppkey"].tolist()) == [3, 7, 9]
+
+
+def test_assortativity_star_vs_path():
+    """Star 0-{1,2,3}: every edge joins deg 3 to deg 1 -> perfectly
+    disassortative; exact moment check: M=6, sx=sy=12, sxy=18,
+    sxx=syy=30 -> num = 6*18-144 = -36, var = 6*30-144 = 36."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.graph import assortativity_moments
+
+    t = pa.table({"src": pa.array([0, 0, 0], pa.int64()),
+                  "dst": pa.array([1, 2, 3], pa.int64())})
+    out = (assortativity_moments(rd.from_arrow(t), num_buckets=4)
+           .to_pandas().iloc[0])
+    assert out["m_halfedges"] == 6
+    assert out["sxy_num"] == -36
+    assert out["varx_num"] == 36 and out["vary_num"] == 36

@@ -696,3 +696,20 @@ def test_trending_tokens_burst(ray_session):
     assert r["day"] == 1 and r["n"] == 5
     assert r["share_day_e6"] == 500_000
     assert r["share_all_e6"] == 125_000
+
+
+def test_hapax_rate_singletons(ray_session):
+    """'unique1' appears once globally (hapax); 'common' twice across
+    roles (not hapax even though once per role)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import hapax_rate
+
+    t = pa.table({"role": pa.array(["u", "a"]),
+                  "text": pa.array(["common unique1", "common xx xx"])})
+    out = (hapax_rate(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("role").sort_index())
+    assert out.loc["u", "n_tokens"] == 2 and out.loc["u", "n_hapax"] == 1
+    assert out.loc["u", "hapax_e6"] == 500_000
+    assert out.loc["a", "n_tokens"] == 3 and out.loc["a", "n_hapax"] == 0
