@@ -206,6 +206,9 @@ SECONDARY = [
     "assortativity",
     "hapax_rate",
     "nation_share",
+    "tool_success_daily",
+    "tool_latency_mad",
+    "mm_zero_cross",
 ]
 
 

@@ -4391,6 +4391,68 @@ def q_nation_share(sf_dir: str):
              for r in rows], pa.int64())})
 
 
+def q_tool_success_daily(sf_dir: str):
+    """Per-tool daily success rate over the parsed tool-call stream
+    (exit == 0 share, e6-exact) — the SRE reliability trend."""
+    from .stages.aggregate import two_phase_aggregate
+
+    ds = _parsed(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "tool_call"))
+        us = (t.column("ts").combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        return pa.table({
+            "tool_name": t.column("tool_name"),
+            "day": pa.array(us // 86_400_000_000),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "ok": pc.cast(pc.equal(t.column("tool_exit"), 0), pa.int64())})
+
+    agg = two_phase_aggregate(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        ["tool_name", "day"],
+        [("one", "sum", "n_calls"), ("ok", "sum", "n_ok")], num_buckets=8)
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t.column("n_calls").to_numpy(zero_copy_only=False)
+        ok = t.column("n_ok").to_numpy(zero_copy_only=False)
+        return t.append_column("ok_e6",
+                               pa.array(ok * 1_000_000 // np.maximum(n, 1)))
+
+    return agg.map_batches(final, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_tool_latency_mad(sf_dir: str):
+    """Exact per-tool latency median + MAD (robust stats over the
+    bounded ms-value histogram, double rank selection)."""
+    from .stages.window import group_mad
+
+    ds = _parsed(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "tool_call"))
+        return t.select(["tool_name", "duration_ms"])
+
+    ds = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    return group_mad(ds)
+
+
+def q_mm_zero_cross(sf_dir: str):
+    """Per-frame audio zero-crossing counts over REAL decoded payloads
+    (the second VAD feature); hex-replay oracle on the decode."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import (MediaDecoder, audio_zero_crossings,
+                                    ensure_media)
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    return ds.map_batches(audio_zero_crossings, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4729,6 +4791,9 @@ QUERIES = {
     "assortativity": q_assortativity,
     "hapax_rate": q_hapax_rate,
     "nation_share": q_nation_share,
+    "tool_success_daily": q_tool_success_daily,
+    "tool_latency_mad": q_tool_latency_mad,
+    "mm_zero_cross": q_mm_zero_cross,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8303,6 +8368,65 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     // sum(revenue_cents) OVER (PARTITION BY r_name)
                     AS BIGINT) AS share_e6
         FROM rev"""
+    sql["tool_success_daily"] = f"""
+        WITH tc AS (
+          SELECT regexp_extract(text, '^TOOL_CALL tool=(\\w+) ', 1)
+                   AS tool_name,
+                 CAST(regexp_extract(text, 'exit=(\\d+)', 1) AS INTEGER)
+                   AS tool_exit,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM {T} WHERE {SQL_IS_TOOL})
+        SELECT tool_name, CAST(day AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               CAST(count(*) FILTER (WHERE tool_exit = 0) AS BIGINT)
+                 AS n_ok,
+               CAST(count(*) FILTER (WHERE tool_exit = 0) * 1000000
+                    // count(*) AS BIGINT) AS ok_e6
+        FROM tc GROUP BY 1, 2"""
+    sql["tool_latency_mad"] = f"""
+        WITH tc AS (
+          SELECT regexp_extract(text, '^TOOL_CALL tool=(\\w+) ', 1)
+                   AS tool_name,
+                 CAST(regexp_extract(text, 'duration_ms=(\\d+)$', 1)
+                   AS BIGINT) AS v
+          FROM {T} WHERE {SQL_IS_TOOL}),
+        c AS (SELECT tool_name, v, count(*) AS n FROM tc GROUP BY 1, 2),
+        t AS (SELECT tool_name, sum(n) AS tot FROM c GROUP BY 1),
+        r AS (SELECT c.tool_name, v,
+                     sum(n) OVER (PARTITION BY c.tool_name ORDER BY v)
+                       AS cum, t.tot
+              FROM c JOIN t USING (tool_name)),
+        med AS (SELECT tool_name, CAST(max(tot) AS BIGINT) AS n_rows,
+                       CAST(min(CASE WHEN cum >= 50 * (tot - 1) // 100 + 1
+                                THEN v END) AS BIGINT) AS median
+                FROM r GROUP BY tool_name),
+        d AS (SELECT c.tool_name, abs(c.v - med.median) AS dv,
+                     sum(c.n) AS n
+              FROM c JOIN med USING (tool_name) GROUP BY 1, 2),
+        rd AS (SELECT d.tool_name, dv,
+                      sum(n) OVER (PARTITION BY d.tool_name ORDER BY dv)
+                        AS cum, t.tot
+               FROM d JOIN t USING (tool_name))
+        SELECT med.tool_name, med.n_rows, med.median,
+               CAST(min(CASE WHEN rd.cum >= 50 * (rd.tot - 1) // 100 + 1
+                        THEN rd.dv END) AS BIGINT) AS mad
+        FROM rd JOIN med USING (tool_name)
+        GROUP BY med.tool_name, med.n_rows, med.median"""
+    # zero crossings: strictly sign-opposed adjacent pairs within frames
+    _zb1 = _hd.format(p="2 * u.i + 1")
+    _zb2 = _hd.format(p="2 * (u.i + 1) + 1")
+    sql["mm_zero_cross"] = f"""
+        WITH aud AS (
+          SELECT media_id, body_hex AS hx, width AS w
+          FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'audio'),
+        p AS (
+          SELECT media_id, u.i AS i,
+                 ({_zb1} - 128) * ({_zb2} - 128) AS prod
+          FROM aud, unnest(range(0, (w // 64) * 64 - 1)) AS u(i)
+          WHERE u.i % 64 != 63)
+        SELECT media_id, CAST(i // 64 AS BIGINT) AS frame_idx,
+               CAST(count(*) FILTER (WHERE prod < 0) AS BIGINT) AS n_cross
+        FROM p GROUP BY 1, 2"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

@@ -782,3 +782,34 @@ def image_byte_histogram(t: pa.Table, *, bins: int = 16) -> pa.Table:
     return pa.table({"media_id": pa.array(ids, pa.int64()),
                      "bin": pa.array(bn, pa.int64()),
                      "n_bytes": pa.array(cnt, pa.int64())})
+
+
+def audio_zero_crossings(t: pa.Table, frame: int = 64) -> pa.Table:
+    """Per-frame zero-crossing count over decoded audio bodies — the
+    second classic VAD feature next to audio_frame_energy (voiced frames
+    cross rarely, fricatives/noise often). A crossing is a strictly
+    sign-opposed adjacent sample pair around the 128 zero line, counted
+    WITHIN each frame (63 pairs per 64-sample frame; no cross-frame
+    pairs — the oracle mirrors the i % frame != frame-1 skip). Trailing
+    partial frames drop; non-audio rows drop."""
+    ids, fidx, zc = [], [], []
+    for mid, kind, body, w in zip(
+            t.column("media_id").to_pylist(), t.column("kind").to_pylist(),
+            t.column("body").to_pylist(), t.column("width").to_pylist()):
+        if kind != "audio":
+            continue
+        n = (w // frame) * frame
+        if n == 0:
+            continue
+        s = np.frombuffer(body, np.uint8)[:n].astype(np.int64) - 128
+        prod = s[:-1] * s[1:]
+        cross = (prod < 0).astype(np.int64)
+        cross[frame - 1::frame] = 0  # no cross-frame pairs
+        c = np.add.reduceat(np.r_[cross, np.int64(0)],
+                            np.arange(0, n, frame))
+        ids.extend([mid] * len(c))
+        fidx.extend(range(len(c)))
+        zc.extend(int(x) for x in c)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "frame_idx": pa.array(fidx, pa.int64()),
+                     "n_cross": pa.array(zc, pa.int64())})

@@ -2355,3 +2355,58 @@ def user_lifetimes(ds, *, user_col: str = "user_id", ts_col: str = "ts",
 
     return per_user.map_batches(final, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def group_mad(ds, *, key: str = "tool_name", value_col: str = "duration_ms",
+              num_buckets: int = 16):
+    """Exact per-group median + MAD (median absolute deviation) over a
+    bounded-cardinality integer value — the robust-statistics pair an
+    SRE latency monitor prefers over mean/std under outliers. Rank
+    convention is group_quantiles' 0-based floor rank on p=50, applied
+    twice: once over the value histogram, once over the |v − median|
+    histogram (equal deviations need no merge: the first cum ≥ rank+1
+    row carries the right value either way). Output
+    (key, n_rows, median, mad)."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t.column(key),
+            "v": pc.cast(t.column(value_col), pa.int64()),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    counts = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [key, "v"], [("one", "sum", "n")], num_buckets=num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                            ("v", "ascending")])
+        t = t.take(idx)
+        kv = np.asarray(t.column(key).to_pylist(), dtype=object)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        m = len(v)
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]]) if m else []
+        bounds = np.r_[starts, m] if m else np.array([0])
+        out_k, out_n, out_med, out_mad = [], [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            cum = np.cumsum(n[a:b])
+            tot = int(cum[-1])
+            rank = 50 * (tot - 1) // 100
+            med = int(v[a + int(np.searchsorted(cum, rank + 1))])
+            dv = np.abs(v[a:b] - med)
+            order = np.argsort(dv, kind="stable")
+            cumd = np.cumsum(n[a:b][order])
+            mad = int(dv[order][int(np.searchsorted(cumd, rank + 1))])
+            out_k.append(kv[a])
+            out_n.append(tot)
+            out_med.append(med)
+            out_mad.append(mad)
+        return pa.table({key: pa.array(out_k, pa.string()),
+                         "n_rows": pa.array(out_n, pa.int64()),
+                         "median": pa.array(out_med, pa.int64()),
+                         "mad": pa.array(out_mad, pa.int64())})
+
+    return grouped_apply(counts, [key], per_bucket,
+                         num_buckets=num_buckets, batch_format="pyarrow")

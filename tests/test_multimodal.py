@@ -461,3 +461,23 @@ def test_image_byte_histogram_bins(ray_session):
     assert out.loc[(1, 1), "n_bytes"] == 1
     assert out.loc[(1, 15), "n_bytes"] == 1
     assert len(out) == 3
+
+
+def test_audio_zero_crossings_frames(ray_session):
+    """Alternating 100/156 crosses at every pair (63/frame); constant
+    body never crosses; pair 63->64 (cross-frame) is excluded."""
+    import pyarrow as pa
+
+    from rotel_ray.stages.multimodal import audio_zero_crossings
+
+    alt = bytes([100, 156] * 64)          # 128 samples, 2 frames
+    flat = bytes([128] * 64)              # 1 frame, no crossings
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "kind": pa.array(["audio", "audio"]),
+                  "body": pa.array([alt, flat], pa.binary()),
+                  "width": pa.array([128, 64], pa.int64())})
+    out = (audio_zero_crossings(t).to_pandas()
+           .set_index(["media_id", "frame_idx"]))
+    assert out.loc[(1, 0), "n_cross"] == 63
+    assert out.loc[(1, 1), "n_cross"] == 63
+    assert out.loc[(2, 0), "n_cross"] == 0

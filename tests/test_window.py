@@ -896,3 +896,20 @@ def test_user_lifetimes_days():
     assert out.loc[1, "active_days"] == 2
     assert out.loc[1, "lifetime_days"] == 6
     assert out.loc[2, "lifetime_days"] == 1
+
+
+def test_group_mad_exact():
+    """Values 1,2,3,100 (rank convention 50*(n-1)//100 = 1 -> median 2);
+    deviations 1,0,1,98 sorted 0,1,1,98 -> MAD at rank 1 = 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import group_mad
+
+    t = pa.table({"tool_name": pa.array(["t"] * 4),
+                  "duration_ms": pa.array([1, 2, 3, 100], pa.int64())})
+    out = (group_mad(rd.from_arrow(t).repartition(2), num_buckets=2)
+           .to_pandas().set_index("tool_name"))
+    assert out.loc["t", "n_rows"] == 4
+    assert out.loc["t", "median"] == 2
+    assert out.loc["t", "mad"] == 1
