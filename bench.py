@@ -209,6 +209,9 @@ SECONDARY = [
     "tool_success_daily",
     "tool_latency_mad",
     "mm_zero_cross",
+    "cdc_field_diff",
+    "forecast_error",
+    "conv_idle_share",
 ]
 
 

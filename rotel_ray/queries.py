@@ -4453,6 +4453,44 @@ def q_mm_zero_cross(sf_dir: str):
                           batch_size=256, zero_copy_batch=True)
 
 
+@_hinted("documents", fanout=2)
+def q_cdc_field_diff(sf_dir: str):
+    """Field-level CDC diff between documents and the v2 snapshot
+    (which fields changed among common doc ids; text travels as md5)."""
+    from .stages.mix import cdc_field_diff, ensure_docs_v2
+
+    v1 = read_parquet(f"{sf_dir}/documents.parquet")
+    v2 = read_parquet(ensure_docs_v2(sf_dir))
+    return cdc_field_diff(v1, v2)
+
+
+@_hinted("events")
+def q_forecast_error(sf_dir: str):
+    """Naive vs seasonal-naive forecast error per event type over the
+    zero-filled hourly grid (MASE-style exact ratio)."""
+    from .stages.window import forecast_error
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["ts", "event_type"])
+    return forecast_error(ds)
+
+
+def q_conv_idle_share(sf_dir: str):
+    """Per-conversation idle-time share (gaps > 5 min over the turn
+    sequence) — the billable-time / abandonment signal."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.window import conv_idle_share
+
+    tdir = ensure_transcripts(sf_dir)
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in _glob.glob(f"{tdir}/*.parquet"))
+    ds = read_parquet(tdir, columns=["conv_id", "turn_idx", "ts"])
+    with input_rows_hint(n_turns):
+        return conv_idle_share(ds)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4794,6 +4832,9 @@ QUERIES = {
     "tool_success_daily": q_tool_success_daily,
     "tool_latency_mad": q_tool_latency_mad,
     "mm_zero_cross": q_mm_zero_cross,
+    "cdc_field_diff": q_cdc_field_diff,
+    "forecast_error": q_forecast_error,
+    "conv_idle_share": q_conv_idle_share,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8427,6 +8468,78 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT media_id, CAST(i // 64 AS BIGINT) AS frame_idx,
                CAST(count(*) FILTER (WHERE prod < 0) AS BIGINT) AS n_cross
         FROM p GROUP BY 1, 2"""
+    sql["cdc_field_diff"] = f"""
+        WITH a AS (SELECT doc_id, md5(text) AS th, lang, source, n_chars
+                   FROM documents),
+        b AS (SELECT doc_id, md5(text) AS th, lang, source, n_chars
+              FROM read_parquet('{_v2dir}/*.parquet')),
+        j AS (SELECT CAST(a.th <> b.th AS BIGINT) AS c_text,
+                     CAST(a.lang <> b.lang AS BIGINT) AS c_lang,
+                     CAST(a.source <> b.source AS BIGINT) AS c_source,
+                     CAST(a.n_chars <> b.n_chars AS BIGINT) AS c_n_chars
+              FROM a JOIN b USING (doc_id)),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n_common,
+                     CAST(sum(c_text) AS BIGINT) AS f_text,
+                     CAST(sum(c_lang) AS BIGINT) AS f_lang,
+                     CAST(sum(c_source) AS BIGINT) AS f_source,
+                     CAST(sum(c_n_chars) AS BIGINT) AS f_n_chars
+              FROM j)
+        SELECT f.field, s.n_common,
+               CASE f.field WHEN 'text' THEN s.f_text
+                            WHEN 'lang' THEN s.f_lang
+                            WHEN 'source' THEN s.f_source
+                            ELSE s.f_n_chars END AS n_changed
+        FROM (VALUES ('text'), ('lang'), ('source'), ('n_chars'))
+             f(field) CROSS JOIN s"""
+    sql["forecast_error"] = """
+        WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS x,
+                           count(*) AS y
+                    FROM events GROUP BY 1, 2),
+        mm AS (SELECT min(x) AS h0, max(x) AS h1 FROM hc),
+        grid AS (SELECT t.event_type, g.x
+                 FROM (SELECT DISTINCT event_type FROM hc) t
+                 CROSS JOIN (SELECT h0 + u.i AS x
+                             FROM mm, unnest(range(0, h1 - h0 + 1))
+                                  AS u(i)) g),
+        f AS (SELECT grid.event_type, grid.x,
+                     CAST(COALESCE(hc.y, 0) AS HUGEINT) AS y
+              FROM grid LEFT JOIN hc ON hc.event_type = grid.event_type
+                                    AND hc.x = grid.x),
+        l AS (SELECT event_type, y,
+                     lag(y, 1) OVER w AS y1, lag(y, 24) OVER w AS y24
+              FROM f WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+        s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     sum(CASE WHEN y1 IS NOT NULL
+                              THEN abs(y - y1) ELSE 0 END) AS a,
+                     sum(CASE WHEN y24 IS NOT NULL
+                              THEN abs(y - y24) ELSE 0 END) AS s24
+              FROM l GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+               CAST(a AS BIGINT) AS sae_naive,
+               CAST(s24 AS BIGINT) AS sae_seasonal,
+               CASE WHEN a > 0 AND n > 24
+                    THEN CAST(s24 * (n - 1) * 1000000
+                              // (a * (n - 24)) AS BIGINT)
+                    ELSE NULL END AS mase_e6
+        FROM s"""
+    sql["conv_idle_share"] = f"""
+        WITH x AS (SELECT conv_id, turn_idx, epoch_us(ts) AS us FROM {T}),
+        g AS (SELECT conv_id, us, turn_idx,
+                     greatest(us - COALESCE(lag(us) OVER (
+                         PARTITION BY conv_id ORDER BY turn_idx), us),
+                         0) AS gap
+              FROM x)
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(greatest(arg_max(us, turn_idx) - arg_min(us, turn_idx),
+                    0) AS BIGINT) AS span_us,
+               CAST(sum(CASE WHEN gap > 300000000 THEN gap ELSE 0 END)
+                    AS BIGINT) AS idle_us_total,
+               CAST(sum(CASE WHEN gap > 300000000 THEN gap ELSE 0 END)
+                    * 1000000
+                    // greatest(greatest(arg_max(us, turn_idx)
+                                         - arg_min(us, turn_idx), 0), 1)
+                    AS BIGINT) AS idle_e6
+        FROM g GROUP BY conv_id"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

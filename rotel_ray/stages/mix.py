@@ -517,3 +517,61 @@ def fair_allocation(ds, *, source_col: str = "source",
                      "n_tokens": pa.array([int(r["n_tokens"]) for r in rows],
                                           pa.int64()),
                      "alloc": pa.array(alloc, pa.int64())})
+
+
+CDC_FIELDS = ("text", "lang", "source", "n_chars")
+
+
+def cdc_field_diff(v1, v2, *, id_col: str = "doc_id",
+                   fields: tuple = CDC_FIELDS, num_buckets: int = 64):
+    """Field-level CDC diff between two corpus snapshots: for every doc
+    id present in BOTH versions, which fields changed — the
+    column-granular companion to corpus_diff's row-level add/remove/mod
+    view (e.g. a recrawl that rewrites text but forgets to refresh
+    n_chars shows up here as text≠ / n_chars=). Output one row per
+    field: (field, n_common, n_changed).
+
+    Scale shape: text is replaced by its md5 on the map side (raw text
+    never shuffles); one bucketed id join, one global flag reduce; the
+    unpivot runs on the |fields|-row driver result."""
+    from .dedup import _hash_values
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    def prep(suffix: str):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {id_col: t.column(id_col),
+                    "text" + suffix: _hash_values(t.column("text"), "md5")}
+            for c in fields:
+                if c != "text":
+                    cols[c + suffix] = t.column(c)
+            return pa.table(cols)
+        return f
+
+    a = v1.map_batches(prep("_a"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    b = v2.map_batches(prep("_b"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    j = bucket_hash_join(a, b, on=id_col, num_buckets=num_buckets)
+
+    def flags(t: pa.Table) -> pa.Table:
+        cols = {"g": pa.array(np.zeros(t.num_rows, np.int64)),
+                "n_common": pa.array(np.ones(t.num_rows, np.int64))}
+        for c in fields:
+            cols["chg_" + c] = pc.cast(
+                pc.not_equal(t.column(c + "_a"), t.column(c + "_b")),
+                pa.int64())
+        return pa.table(cols)
+
+    sums = two_phase_aggregate(
+        j.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [("n_common", "sum", "n_common")]
+        + [("chg_" + c, "sum", "chg_" + c) for c in fields],
+        num_buckets=2).take_all()
+    r = sums[0] if sums else {"n_common": 0,
+                              **{"chg_" + c: 0 for c in fields}}
+    return pa.table({
+        "field": pa.array(list(fields), pa.string()),
+        "n_common": pa.array([int(r["n_common"])] * len(fields), pa.int64()),
+        "n_changed": pa.array([int(r["chg_" + c]) for c in fields],
+                              pa.int64())})

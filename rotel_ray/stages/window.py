@@ -2410,3 +2410,118 @@ def group_mad(ds, *, key: str = "tool_name", value_col: str = "duration_ms",
 
     return grouped_apply(counts, [key], per_bucket,
                          num_buckets=num_buckets, batch_format="pyarrow")
+
+
+FORECAST_SEASON = 24
+
+
+def forecast_error(ds, *, type_col: str = "event_type", ts_col: str = "ts",
+                   season: int = FORECAST_SEASON, num_buckets: int = 8):
+    """Forecast-baseline error audit per event type over the FULL hourly
+    grid (zero hours filled): sum of absolute errors of the naive
+    (lag-1) and seasonal-naive (lag-``season``) predictors, plus the
+    MASE-style ratio
+
+        mase_e6 = floor(1e6 · sae_seasonal·(n−1) / (sae_naive·(n−season)))
+
+    — the sanity floor every volume-forecasting model must beat
+    (< 1e6 means daily seasonality is real). Exact big ints driver-side.
+    Output (event_type, n_hours, sae_naive, sae_seasonal, mase_e6;
+    NULL ratio when a denominator term is 0).
+
+    Scale shape: one two-phase (type, hour) count collapses the stream
+    to the calendar grid; the lag algebra runs driver-side over it (the
+    anomaly_hours convention)."""
+    from .aggregate import two_phase_aggregate
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        return pa.table({type_col: t.column(type_col),
+                         "x": pa.array(us // HOUR_US)})
+
+    grid = two_phase_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True),
+        [type_col, "x"], [("x", "count", "y")],
+        num_buckets=num_buckets).take_all()
+    if not grid:
+        return pa.table({type_col: pa.array([], pa.string()),
+                         "n_hours": pa.array([], pa.int64()),
+                         "sae_naive": pa.array([], pa.int64()),
+                         "sae_seasonal": pa.array([], pa.int64()),
+                         "mase_e6": pa.array([], pa.int64())})
+    hmin = min(int(r["x"]) for r in grid)
+    hmax = max(int(r["x"]) for r in grid)
+    n = hmax - hmin + 1
+    series: dict[str, np.ndarray] = {}
+    for r in grid:
+        y = series.setdefault(r[type_col], np.zeros(n, np.int64))
+        y[int(r["x"]) - hmin] = int(r["y"])
+    types = sorted(series)
+    sn, ss, ratio = [], [], []
+    for ty in types:
+        y = series[ty]
+        a = int(np.abs(np.diff(y)).sum())
+        s = int(np.abs(y[season:] - y[:-season]).sum()) if n > season else 0
+        sn.append(a)
+        ss.append(s)
+        ratio.append(s * (n - 1) * 1_000_000 // (a * (n - season))
+                     if a > 0 and n > season else None)
+    return pa.table({type_col: pa.array(types, pa.string()),
+                     "n_hours": pa.array([n] * len(types), pa.int64()),
+                     "sae_naive": pa.array(sn, pa.int64()),
+                     "sae_seasonal": pa.array(ss, pa.int64()),
+                     "mase_e6": pa.array(ratio, pa.int64())})
+
+
+def conv_idle_share(ds, *, conv_col: str = "conv_id",
+                    ts_col: str = "ts", order_col: str = "turn_idx",
+                    idle_us: int = 300_000_000, num_buckets: int = 32):
+    """Per-conversation idle-time share: total span, time spent in
+    turn-to-turn gaps longer than ``idle_us`` (5 min default), and the
+    idle fraction — the billable-time / abandonment signal a
+    conversational-agent dashboard reads. Turn order is ``order_col``
+    (deterministic), gaps clamp at 0. Output
+    (conv_id, n_turns, span_us, idle_us_total, idle_e6).
+
+    Scale shape: only (conv, turn_idx, ts) ints shuffle, bucketed by
+    conv; each bucket sorts once and diffs vectorized across all its
+    conversation segments."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            conv_col: t.column(conv_col),
+            order_col: t.column(order_col),
+            "us": t.column(ts_col).combine_chunks()
+                   .cast(pa.timestamp("us")).cast(pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({conv_col: pd.Series([], dtype=str),
+                                 "n_turns": pd.Series([], dtype=np.int64),
+                                 "span_us": pd.Series([], dtype=np.int64),
+                                 "idle_us_total": pd.Series([], dtype=np.int64),
+                                 "idle_e6": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        cv = g[conv_col].to_numpy()
+        us = g["us"].to_numpy()
+        first = np.r_[True, cv[1:] != cv[:-1]]
+        seg = np.flatnonzero(first)
+        k = np.diff(np.r_[seg, len(cv)])
+        gap = np.r_[np.int64(0), np.maximum(us[1:] - us[:-1], 0)]
+        gap[first] = 0
+        idle = np.where(gap > idle_us, gap, 0)
+        idle_tot = np.add.reduceat(idle, seg)
+        span = us[seg + k - 1] - us[seg]
+        span = np.maximum(span, 0)
+        return pd.DataFrame({
+            conv_col: cv[seg], "n_turns": k.astype(np.int64),
+            "span_us": span, "idle_us_total": idle_tot,
+            "idle_e6": idle_tot * 1_000_000 // np.maximum(span, 1)})
+
+    return grouped_apply(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        [conv_col], per_bucket, num_buckets=num_buckets)

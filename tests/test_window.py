@@ -913,3 +913,48 @@ def test_group_mad_exact():
     assert out.loc["t", "n_rows"] == 4
     assert out.loc["t", "median"] == 2
     assert out.loc["t", "mad"] == 1
+
+
+def test_forecast_error_seasonal_beats_naive():
+    """Perfect 24h-periodic series: seasonal SAE = 0 (mase 0); naive SAE
+    counts every step change over the zero-filled grid."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import forecast_error
+
+    H = 3_600_000_000
+    ts = []
+    for day in range(3):
+        for h, c in ((0, 2), (1, 5)):
+            ts += [(day * 24 + h) * H] * c
+    t = pa.table({"event_type": pa.array(["e"] * len(ts)),
+                  "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us"))})
+    out = forecast_error(rd.from_arrow(t), num_buckets=2).to_pandas().iloc[0]
+    # grid covers hours 0..49 (n=50); pattern 2,5,0,0,...
+    assert out["n_hours"] == 50
+    assert out["sae_seasonal"] == 0 and out["mase_e6"] == 0
+    # diffs: (3+5) day0 tail, (2+3+5) at each of 2 day boundaries, but the
+    # grid stops at hour 49 so day2 contributes only 2+3 -> 8+10+5 = 23
+    assert out["sae_naive"] == 23
+
+
+def test_conv_idle_share_gaps():
+    """Turns at 0s, 60s, 1060s: one 1000s idle gap (>300s) of a 1060s
+    span; idle_e6 = floor(1000/1060 * 1e6)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import conv_idle_share
+
+    S = 1_000_000
+    t = pa.table({"conv_id": pa.array(["c"] * 3),
+                  "turn_idx": pa.array([0, 1, 2], pa.int64()),
+                  "ts": pa.array([0, 60 * S, 1060 * S],
+                                 pa.int64()).cast(pa.timestamp("us"))})
+    out = (conv_idle_share(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("conv_id"))
+    assert out.loc["c", "n_turns"] == 3
+    assert out.loc["c", "span_us"] == 1060 * S
+    assert out.loc["c", "idle_us_total"] == 1000 * S
+    assert out.loc["c", "idle_e6"] == 1000 * S * 1_000_000 // (1060 * S)
