@@ -212,6 +212,9 @@ SECONDARY = [
     "cdc_field_diff",
     "forecast_error",
     "conv_idle_share",
+    "embedding_norms",
+    "lang_script_check",
+    "brand_pairs",
 ]
 
 

@@ -4491,6 +4491,54 @@ def q_conv_idle_share(sf_dir: str):
         return conv_idle_share(ds)
 
 
+@_hinted("embeddings")
+def q_embedding_norms(sf_dir: str):
+    """Embedding-norm health histogram per label (bit_length buckets of
+    the exact quantized squared norm)."""
+    from .stages.similarity import embedding_norms
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    return embedding_norms(ds)
+
+
+def q_lang_script_check(sf_dir: str):
+    """Language-ID vs CJK-script cross-audit over the dirtied unicode
+    fixture (mislabel / mojibake detector)."""
+    from .stages.aggregate import input_rows_hint
+    from .stages.clean import ensure_unicode_docs
+    from .stages.textstats import lang_script_check
+
+    udir = ensure_unicode_docs(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = read_parquet(udir, columns=["doc_id", "text"])
+    with input_rows_hint(n):
+        return lang_script_check(ds)
+
+
+@_hinted("lineitem")
+def q_brand_pairs(sf_dir: str):
+    """Market-basket brand co-occurrence within orders: part brands
+    broadcast onto lineitem, then the pair_cooccurrence kernel grouped
+    by order key."""
+    from .stages.aggregate import pair_cooccurrence
+    from .stages.join import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    li = broadcast_join(li, part, left_on="l_partkey",
+                        right_on="p_partkey", take_cols=["p_brand"])
+    pairs = pair_cooccurrence(li, group_col="l_orderkey",
+                              item_col="p_brand", num_buckets=32)
+    return pairs.map_batches(
+        lambda t: pa.table({"brand_a": t.column("tool_a"),
+                            "brand_b": t.column("tool_b"),
+                            "n_orders": t.column("n_groups")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @_hinted("events")
 def q_stickiness_daily(sf_dir: str):
     """DAU/WAU stickiness per day: chained-distinct user-day grain, the
@@ -4835,6 +4883,9 @@ QUERIES = {
     "cdc_field_diff": q_cdc_field_diff,
     "forecast_error": q_forecast_error,
     "conv_idle_share": q_conv_idle_share,
+    "embedding_norms": q_embedding_norms,
+    "lang_script_check": q_lang_script_check,
+    "brand_pairs": q_brand_pairs,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8540,6 +8591,38 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                                          - arg_min(us, turn_idx), 0), 1)
                     AS BIGINT) AS idle_e6
         FROM g GROUP BY conv_id"""
+    sql["embedding_norms"] = """
+        WITH q AS (
+          SELECT vec_id, label,
+                 CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0)
+                      AS BIGINT) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        n2 AS (SELECT vec_id, label, sum(x * x) AS n2
+               FROM q GROUP BY 1, 2)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(CASE WHEN n2 = 0 THEN 0
+                    ELSE length(bin(n2)) END AS BIGINT) AS norm2_bucket,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(n2) AS BIGINT) AS min_norm2,
+               CAST(max(n2) AS BIGINT) AS max_norm2
+        FROM n2 GROUP BY 1, 2"""
+    sql["lang_script_check"] = f"""
+        WITH l AS ({lang_id_oracle_sql(f"read_parquet('{_unidir}/*.parquet')")}),
+        c AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                          '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 AS BIGINT)
+                       AS has_cjk
+              FROM read_parquet('{_unidir}/*.parquet'))
+        SELECT l.lang_pred, c.has_cjk, CAST(count(*) AS BIGINT) AS n_docs
+        FROM l JOIN c USING (doc_id) GROUP BY 1, 2"""
+    sql["brand_pairs"] = """
+        WITH d AS (SELECT DISTINCT l_orderkey, p_brand
+                   FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                         AND a.p_brand < b.p_brand
+        GROUP BY 1, 2"""
     sql["stickiness_daily"] = """
         WITH g AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 AS day

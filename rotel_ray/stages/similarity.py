@@ -903,3 +903,35 @@ def label_scatter(ds, *, scale: float = 1000.0, emb_col: str = "embedding",
                      "within_avg": pa.array(wit, pa.int64()),
                      "between_avg": pa.array(bet, pa.int64()),
                      "fisher_e6": pa.array(fis, pa.int64())})
+
+
+def embedding_norms(ds, *, scale: float = 1000.0, emb_col: str = "embedding",
+                    label_col: str = "label", num_buckets: int = 4):
+    """Embedding-norm health histogram per label: vectors int-quantize
+    as floor(float64(x)·scale) and bucket by bit_length of the exact
+    squared norm — the cheap detector for degenerate (near-zero) or
+    exploding embeddings before any ANN index is built. Output
+    (label, norm2_bucket, n_vecs, min_norm2, max_norm2).
+
+    Scale shape: stateless per-batch quantize + row-sum into a
+    (labels × ≤64 buckets) two-phase reduce."""
+    from .aggregate import two_phase_aggregate
+
+    powers = np.left_shift(np.int64(1), np.arange(63))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column(emb_col)).astype(np.float64)
+        x = np.floor(m * scale).astype(np.int64)
+        n2 = (x * x).sum(axis=1)
+        k = np.searchsorted(powers, n2, side="right").astype(np.int64)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({label_col: pa.array(lab),
+                         "norm2_bucket": pa.array(k),
+                         "one": pa.array(np.ones(len(k), np.int64)),
+                         "n2": pa.array(n2)})
+
+    return two_phase_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [label_col, "norm2_bucket"],
+        [("one", "sum", "n_vecs"), ("n2", "min", "min_norm2"),
+         ("n2", "max", "max_norm2")], num_buckets=num_buckets)

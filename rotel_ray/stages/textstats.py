@@ -1958,3 +1958,28 @@ def hapax_rate(ds, *, group_col: str = "role", text_col: str = "text",
 
     return agg.map_batches(final, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def lang_script_check(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int = 4):
+    """Language-ID vs script cross-audit: for every predicted language,
+    how many docs do / don't contain a CJK codepoint — the consistency
+    check that catches mislabeled or mojibake docs (a `zh` prediction
+    without CJK, or CJK inside an `en` stream). Composes the lang_id
+    kernel with one extra RE2 count. Output
+    (lang_pred, has_cjk, n_docs)."""
+    from .aggregate import two_phase_aggregate
+
+    def f(t: pa.Table) -> pa.Table:
+        scored = lang_id_batch(t, text_col, id_col)
+        cjk = pc.count_substring_regex(
+            t.column(text_col).combine_chunks(), r"[\x{4e00}-\x{9fff}]")
+        return pa.table({
+            "lang_pred": scored.column("lang_pred"),
+            "has_cjk": pc.cast(pc.greater(cjk, 0), pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return two_phase_aggregate(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang_pred", "has_cjk"], [("one", "sum", "n_docs")],
+        num_buckets=num_buckets)

@@ -586,3 +586,22 @@ def test_label_scatter_separable_labels(ray_session):
     b = sum((s * 4 - gd * 2) ** 2 for s, gd in zip(s0, g)) // (4 * 16 * 2)
     assert out.loc[0, "between_avg"] == b
     assert out.loc[0, "fisher_e6"] == b * 1_000_000
+
+
+def test_embedding_norms_buckets(ray_session):
+    """Quantized norms bucket by bit_length: [0.001,0]->n2=1 (bucket 1);
+    [1,0]->n2=1e6 (bucket 20); zero vector -> bucket 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.similarity import embedding_norms
+
+    vecs = [[0.001, 0.0], [1.0, 0.0], [0.0, 0.0]]
+    t = pa.table({"embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array([0, 0, 1], pa.int32())})
+    out = (embedding_norms(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index(["label", "norm2_bucket"]).sort_index())
+    assert out.loc[(0, 1), "n_vecs"] == 1      # n2 = 1 -> bit_length 1
+    assert out.loc[(0, 20), "n_vecs"] == 1     # n2 = 1e6 -> bit_length 20
+    assert out.loc[(1, 0), "n_vecs"] == 1      # zero norm -> bucket 0
+    assert out.loc[(0, 20), "max_norm2"] == 1_000_000

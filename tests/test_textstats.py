@@ -713,3 +713,22 @@ def test_hapax_rate_singletons(ray_session):
     assert out.loc["u", "n_tokens"] == 2 and out.loc["u", "n_hapax"] == 1
     assert out.loc["u", "hapax_e6"] == 500_000
     assert out.loc["a", "n_tokens"] == 3 and out.loc["a", "n_hapax"] == 0
+
+
+def test_lang_script_check_combos(ray_session):
+    """CJK-bearing doc counts under has_cjk=1 regardless of the winning
+    language; pure-ASCII English counts under (en, 0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import lang_script_check
+
+    docs = ["the and of to in the",            # en, no CJK
+            "中文中文中文",                      # zh, CJK
+            "the and 中文"]                     # en markers beat 1 CJK? 2 vs 2 -> en (first max)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                                 "text": pa.array(docs)}))
+    out = (lang_script_check(ds, num_buckets=2).to_pandas()
+           .set_index(["lang_pred", "has_cjk"]).sort_index())
+    assert out.loc[("en", 0), "n_docs"] == 1
+    assert out.loc[("zh", 1), "n_docs"] == 1
