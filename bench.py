@@ -215,6 +215,9 @@ SECONDARY = [
     "embedding_norms",
     "lang_script_check",
     "brand_pairs",
+    "top_unshipped_orders",
+    "order_priority_check",
+    "big_orders",
 ]
 
 

@@ -4221,6 +4221,175 @@ def q_ship_delay(sf_dir: str):
         key="o_orderpriority", value_col="delay_days", percents=(50, 95))
 
 
+@_hinted("lineitem")
+def q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3-shaped shipping backlog: BUILDING-segment orders placed
+    before the cutoff whose lines are still shipping after it, ranked by
+    outstanding revenue (exact cents). The segment filter rides a
+    broadcast semi-join, the fact⋈fact side is the bucketed orderkey
+    join, and the global top-10 uses the bounded topk kernel
+    (revenue desc, orderkey asc — deterministic)."""
+    import datetime
+
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import broadcast_join, bucket_hash_join
+    from .stages.window import topk_per_group
+
+    CUT = datetime.datetime(1998, 1, 1)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate"), pa.scalar(CUT)))
+        us = pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "o_orderdate_us": us})
+
+    orders = broadcast_join(
+        orders.map_batches(o_prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust.select(["c_custkey"]), left_on="o_custkey",
+        right_on="c_custkey", take_cols=[])
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate_us"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_shipdate",
+                               "l_extendedprice", "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(CUT)))
+        rev = _cents_arr(pc.multiply(t.column("l_extendedprice"),
+                                     pc.subtract(1.0, t.column("l_discount"))))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev_cents": rev})
+
+    j = bucket_hash_join(
+        li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True),
+        orders, on="l_orderkey", right_on="o_orderkey", num_buckets=32)
+    per_order = two_phase_aggregate(
+        j, ["l_orderkey"],
+        [("rev_cents", "sum", "revenue_cents"),
+         ("o_orderdate_us", "min", "o_orderdate_us")], num_buckets=32)
+    top = topk_per_group(
+        per_order.map_batches(
+            lambda t: t.append_column(
+                "g", pa.nulls(t.num_rows, pa.int64()).fill_null(0)),
+            batch_format="pyarrow", zero_copy_batch=True),
+        key="g", order_col="revenue_cents", id_col="l_orderkey", k=10,
+        cols=["g", "revenue_cents", "l_orderkey", "o_orderdate_us"])
+    return top.map_batches(
+        lambda t: t.select(["l_orderkey", "revenue_cents", "o_orderdate_us"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_hinted("lineitem")
+def q_order_priority_check(sf_dir: str):
+    """TPC-H Q4-shaped order-priority SLA check: per priority, how many
+    orders have at least one line shipped more than 90 days after the
+    order date (the EXISTS semi-join, restated as a per-order max flag
+    over the bucketed orderkey join, then a tiny priority rollup with an
+    e6 late share)."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import bucket_hash_join
+
+    DAY = 86_400_000_000
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"])
+    j = bucket_hash_join(li, orders, on="l_orderkey",
+                         right_on="o_orderkey", num_buckets=32)
+
+    def flag(t: pa.Table) -> pa.Table:
+        s = (t.column("l_shipdate").combine_chunks()
+             .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy())
+        o = (t.column("o_orderdate").combine_chunks()
+             .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy())
+        late = (s - o > 90 * DAY).astype(np.int64)
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "o_orderpriority": t.column("o_orderpriority"),
+                         "late": pa.array(late)})
+
+    per_order = two_phase_aggregate(
+        j.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "o_orderpriority"], [("late", "max", "late")],
+        num_buckets=32)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "late": t.column("late"),
+                         "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    agg = two_phase_aggregate(
+        per_order.map_batches(ones, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["o_orderpriority"],
+        [("one", "sum", "n_orders"), ("late", "sum", "n_late")],
+        num_buckets=4)
+
+    def share(t: pa.Table) -> pa.Table:
+        n = t.column("n_orders").to_numpy(zero_copy_only=False)
+        l = t.column("n_late").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "late_e6", pa.array((l * 1_000_000 // n).astype(np.int64)))
+
+    return agg.map_batches(share, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@_hinted("lineitem")
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume orders: orders whose integer
+    line-quantity sum exceeds 250 (the per-batch pre-combined two-phase
+    sum keyed by orderkey, a map-side HAVING filter, then the bucketed
+    join back to orders for customer/date/price)."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import bucket_hash_join
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "qty": pc.cast(t.column("l_quantity"), pa.int64())})
+
+    sums = two_phase_aggregate(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], [("qty", "sum", "sum_qty")], num_buckets=32)
+    big = sums.map_batches(
+        lambda t: t.filter(pc.greater(t.column("sum_qty"), 250)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate", "o_totalprice"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "o_orderdate_us": us,
+                         "total_cents": _cents_arr(t.column("o_totalprice"))})
+
+    j = bucket_hash_join(
+        big, orders.map_batches(o_prep, batch_format="pyarrow",
+                                zero_copy_batch=True),
+        on="l_orderkey", right_on="o_orderkey", num_buckets=32)
+    return j.map_batches(
+        lambda t: t.select(["l_orderkey", "o_custkey", "o_orderdate_us",
+                            "total_cents", "sum_qty"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_trending_tokens(sf_dir: str):
     """Daily trending terms over the transcript stream: tokens whose
     e6-quantized daily share beats 1.5× their corpus share at ≥5
@@ -4886,6 +5055,9 @@ QUERIES = {
     "embedding_norms": q_embedding_norms,
     "lang_script_check": q_lang_script_check,
     "brand_pairs": q_brand_pairs,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "order_priority_check": q_order_priority_check,
+    "big_orders": q_big_orders,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8298,6 +8470,45 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(min(CASE WHEN cum >= 95 * (tot - 1) // 100 + 1
                         THEN v END) AS BIGINT) AS p95
         FROM r GROUP BY o_orderpriority"""
+    sql["top_unshipped_orders"] = f"""
+        WITH r AS (
+          SELECT l_orderkey,
+                 CAST(sum({cents.format(
+                     expr='l_extendedprice * (1 - l_discount)')})
+                      AS BIGINT) AS revenue_cents,
+                 CAST(min(epoch_us(o_orderdate)) AS BIGINT)
+                   AS o_orderdate_us
+          FROM customer JOIN orders ON c_custkey = o_custkey
+               JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY l_orderkey)
+        SELECT l_orderkey, revenue_cents, o_orderdate_us FROM r
+        QUALIFY row_number() OVER (
+            ORDER BY revenue_cents DESC, l_orderkey) <= 10"""
+    sql["order_priority_check"] = """
+        WITH p AS (
+          SELECT o_orderkey, o_orderpriority,
+                 max(CAST(epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                          > 90 * 86400000000 AS BIGINT)) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(late) AS BIGINT) AS n_late,
+               CAST(sum(late) * 1000000 // count(*) AS BIGINT) AS late_e6
+        FROM p GROUP BY 1"""
+    sql["big_orders"] = f"""
+        WITH s AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        SELECT l_orderkey, o_custkey,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+               {cents.format(expr='o_totalprice')} AS total_cents, sum_qty
+        FROM s JOIN orders ON l_orderkey = o_orderkey"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,
