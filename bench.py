@@ -218,6 +218,9 @@ SECONDARY = [
     "top_unshipped_orders",
     "order_priority_check",
     "big_orders",
+    "knn_classify",
+    "k_anonymity",
+    "funnel_steps",
 ]
 
 

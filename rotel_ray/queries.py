@@ -4345,6 +4345,43 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("embeddings")
+def q_knn_classify(sf_dir: str):
+    """Exact brute-force k-NN majority-vote classification over the
+    embeddings table: every 10th vector is a query, classified by the
+    majority label of its 5 nearest neighbors under the quantized-int
+    dot product (deterministic similarity and vote tiebreaks)."""
+    from .stages.similarity import knn_classify
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    return knn_classify(ds, k=5, query_mod=10)
+
+
+@_hinted("events")
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit of the event stream under the
+    (user_id, event_type) quasi-identifier: equivalence-class size
+    histogram with the at-risk (< 5) classes flagged."""
+    from .stages.profile import k_anonymity
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type"])
+    return k_anonymity(ds, ["user_id", "event_type"], k=5)
+
+
+@_hinted("events")
+def q_funnel_steps(sf_dir: str):
+    """Ordered signup→view→click→purchase funnel: users reaching each
+    step strictly after their earliest previous-step completion (greedy
+    min-ts chain), with floor-e6 conversion vs step 0."""
+    from .stages.window import ordered_funnel
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type", "ts"])
+    return ordered_funnel(ds, ["signup", "view", "click", "purchase"])
+
+
 @_hinted("lineitem")
 def q_big_orders(sf_dir: str):
     """TPC-H Q18-shaped large-volume orders: orders whose integer
@@ -5058,6 +5095,9 @@ QUERIES = {
     "top_unshipped_orders": q_top_unshipped_orders,
     "order_priority_check": q_order_priority_check,
     "big_orders": q_big_orders,
+    "knn_classify": q_knn_classify,
+    "k_anonymity": q_k_anonymity,
+    "funnel_steps": q_funnel_steps,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8509,6 +8549,57 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
                {cents.format(expr='o_totalprice')} AS total_cents, sum_qty
         FROM s JOIN orders ON l_orderkey = o_orderkey"""
+    # knn: quantized entries ≤ ~530 so each 64-dim int dot ≤ 1.8e7 — the
+    # DOUBLE list_inner_product sums integers far below 2^53, hence exact
+    sql["knn_classify"] = """
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                     x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS q
+          FROM embeddings),
+        qs AS (SELECT vec_id AS qid, q FROM e WHERE vec_id % 10 = 0),
+        d AS (SELECT qid, n.vec_id AS nid, n.label,
+                     CAST(list_inner_product(qs.q, n.q) AS BIGINT) AS dot
+              FROM qs JOIN e n ON n.vec_id != qs.qid),
+        topk AS (SELECT * FROM d QUALIFY row_number() OVER (
+                     PARTITION BY qid ORDER BY dot DESC, nid) <= 5),
+        v AS (SELECT qid, label, count(*) AS c FROM topk GROUP BY 1, 2)
+        SELECT qid AS vec_id, CAST(label AS BIGINT) AS pred_label,
+               CAST(c AS BIGINT) AS n_votes
+        FROM v QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY c DESC, label) = 1"""
+    sql["k_anonymity"] = """
+        WITH g AS (SELECT user_id, event_type, count(*) AS gs
+                   FROM events GROUP BY 1, 2)
+        SELECT CAST(gs AS BIGINT) AS group_size,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(gs * count(*) AS BIGINT) AS n_rows,
+               CAST(gs < 5 AS BIGINT) AS at_risk
+        FROM g GROUP BY gs"""
+    sql["funnel_steps"] = """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                   FROM events
+                   WHERE event_type IN ('signup','view','click','purchase')),
+        s0 AS (SELECT user_id, min(t) AS t FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        s1 AS (SELECT e.user_id, min(e.t) AS t FROM e
+               JOIN s0 ON e.user_id = s0.user_id AND e.t > s0.t
+               WHERE e.event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.t) AS t FROM e
+               JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t
+               WHERE e.event_type = 'click' GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.t) AS t FROM e
+               JOIN s2 ON e.user_id = s2.user_id AND e.t > s2.t
+               WHERE e.event_type = 'purchase' GROUP BY 1),
+        u AS (SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+                     CAST(count(*) AS BIGINT) AS n_users FROM s0
+              UNION ALL SELECT 1, 'view', count(*) FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+        c0 AS (SELECT greatest(count(*), 1) AS n0 FROM s0)
+        SELECT step_idx, step, n_users,
+               CAST(n_users * 1000000 // n0 AS BIGINT) AS conv_e6
+        FROM u, c0"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -190,3 +190,46 @@ def skew_report(ds, *, key: str = "user_id", num_buckets: int = 32):
                      "n_rows": pa.array([t_rows], pa.int64()),
                      "max_count": pa.array([mx], pa.int64()),
                      "gini_e6": pa.array([gini_e6], pa.int64())})
+
+
+def k_anonymity(ds, qi_cols: list[str], *, k: int = 5,
+                num_buckets: int = 16):
+    """k-anonymity audit over a quasi-identifier combination: the
+    group-size histogram of the QI equivalence classes, flagging sizes
+    below ``k`` (the re-identification-risk classes a release would have
+    to suppress or generalize). Output
+    (group_size, n_groups, n_rows, at_risk).
+
+    Scale shape: two chained two-phase reduces — per-batch pre-combined
+    QI counts (shuffle = distinct QI combos per batch), then a ≤
+    max-group-size histogram reduce; no row ever carries more than the
+    QI columns."""
+    def ones(t: pa.Table) -> pa.Table:
+        t = t.select(qi_cols)
+        return t.append_column(
+            "one", pa.nulls(t.num_rows, pa.int64()).fill_null(1))
+
+    sizes = two_phase_aggregate(
+        ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        qi_cols, [("one", "sum", "group_size")], num_buckets=num_buckets)
+
+    def drop_keys(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "group_size": t.column("group_size"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    hist = two_phase_aggregate(
+        sizes.map_batches(drop_keys, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["group_size"], [("one", "sum", "n_groups")], num_buckets=4)
+
+    def flag(t: pa.Table) -> pa.Table:
+        gs = t.column("group_size").to_numpy(zero_copy_only=False)
+        ng = t.column("n_groups").to_numpy(zero_copy_only=False)
+        return pa.table({"group_size": t.column("group_size"),
+                         "n_groups": t.column("n_groups"),
+                         "n_rows": pa.array(gs * ng),
+                         "at_risk": pa.array((gs < k).astype(np.int64))})
+
+    return hist.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -935,3 +935,104 @@ def embedding_norms(ds, *, scale: float = 1000.0, emb_col: str = "embedding",
         [label_col, "norm2_bucket"],
         [("one", "sum", "n_vecs"), ("n2", "min", "min_norm2"),
          ("n2", "max", "max_norm2")], num_buckets=num_buckets)
+
+
+def knn_classify(ds, *, k: int = 5, query_mod: int = 10,
+                 scale: float = 1000.0, emb_col: str = "embedding",
+                 id_col: str = "vec_id", label_col: str = "label",
+                 num_buckets: int = 8):
+    """Exact brute-force k-NN majority-vote classification: every vector
+    whose id is divisible by ``query_mod`` is a query, classified by the
+    majority label of its k nearest neighbors under the quantized-int
+    dot product floor(float64(x)·scale). Fully deterministic: similarity
+    ties break by neighbor id asc, vote ties by label asc. Output
+    (vec_id, pred_label, n_votes).
+
+    Scale shape: the query matrix (n/query_mod × d int64) is built by
+    streaming blocks once and broadcast via one ray.put; each batch does
+    a single integer GEMM against it and keeps only rows at-or-above the
+    kth best dot per query (a superset of the true top-k, so the shuffle
+    is ≤ batches × (k + boundary ties) rows per query); the per-query
+    finisher re-ranks exactly and votes with rank-run algebra — no
+    Python loop over queries anywhere."""
+    import ray
+
+    from .aggregate import grouped_apply
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return t.select([id_col, emb_col, label_col])
+
+    # query side: one streaming pass, ids % query_mod == 0 only
+    qparts = []
+    for b in ds.map_batches(narrow, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        keep = ids % query_mod == 0
+        if keep.any():
+            qparts.append((ids[keep],
+                           np.floor(embedding_matrix(b.column(emb_col))
+                                    .astype(np.float64)[keep] * scale)
+                           .astype(np.int64)))
+    qids = np.concatenate([p[0] for p in qparts])
+    qmat = np.concatenate([p[1] for p in qparts])
+    order = np.argsort(qids)
+    qids, qmat = qids[order], qmat[order]
+    qref = ray.put((qids, qmat.T.copy()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from .join import _fetch_broadcast
+
+        qids_, qmat_t = _fetch_broadcast(qref)
+        x = np.floor(embedding_matrix(t.column(emb_col))
+                     .astype(np.float64) * scale).astype(np.int64)
+        nids = t.column(id_col).to_numpy(zero_copy_only=False)
+        labs = t.column(label_col).to_numpy(zero_copy_only=False)
+        d = x @ qmat_t                       # (batch, nq) exact int64
+        sentinel = np.int64(-(2 ** 62))
+        d[nids[:, None] == qids_[None, :]] = sentinel  # exclude self pair
+        if d.shape[0] > k:
+            kth = np.partition(d, d.shape[0] - k, axis=0)[d.shape[0] - k]
+            mask = d >= kth[None, :]
+        else:
+            mask = np.ones_like(d, bool)
+        mask &= d > sentinel
+        r, c = np.nonzero(mask)
+        return pa.table({"qid": pa.array(qids_[c].astype(np.int64)),
+                         "nid": pa.array(nids[r].astype(np.int64)),
+                         "lab": pa.array(labs[r].astype(np.int64)),
+                         "dot": pa.array(d[r, c])})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def _rank_within(keys: np.ndarray) -> np.ndarray:
+        # position - first position of each run (keys pre-sorted)
+        first = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        starts = np.repeat(first, np.diff(np.r_[first, len(keys)]))
+        return np.arange(len(keys)) - starts
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("qid", "ascending"),
+                                            ("dot", "descending"),
+                                            ("nid", "ascending")])
+        t = t.take(idx)
+        q = t.column("qid").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(_rank_within(q) < k))
+        # vote: count per (qid, label), argmax by (count desc, label asc)
+        q = t.column("qid").to_numpy(zero_copy_only=False)
+        l = t.column("lab").to_numpy(zero_copy_only=False)
+        o = np.lexsort((l, q))
+        q, l = q[o], l[o]
+        new = np.r_[True, (q[1:] != q[:-1]) | (l[1:] != l[:-1])]
+        gq, gl = q[new], l[new]
+        cnt = np.diff(np.r_[np.flatnonzero(new), len(q)])
+        o2 = np.lexsort((gl, -cnt, gq))
+        gq, gl, cnt = gq[o2], gl[o2], cnt[o2]
+        win = _rank_within(gq) == 0
+        return pa.table({"vec_id": pa.array(gq[win]),
+                         "pred_label": pa.array(gl[win]),
+                         "n_votes": pa.array(cnt[win])})
+
+    return grouped_apply(cand, ["qid"], finish, num_buckets=num_buckets,
+                         batch_format="pyarrow")

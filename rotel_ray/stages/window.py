@@ -2525,3 +2525,81 @@ def conv_idle_share(ds, *, conv_col: str = "conv_id",
     return grouped_apply(
         ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
         [conv_col], per_bucket, num_buckets=num_buckets)
+
+
+def ordered_funnel(ds, steps: list[str], *, user_col: str = "user_id",
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   num_buckets: int = 32):
+    """Ordered multi-step funnel: a user reaches step i when they have a
+    step-i event strictly after their earliest step-(i-1) completion
+    time (greedy min-ts chaining — earliest completion is optimal, so
+    this counts exactly the users with an ordered occurrence of the
+    step sequence). Output (step_idx, step, n_users, conv_e6) where
+    conv_e6 is the floor-e6 share of step-0 users.
+
+    Scale shape: one pruned pass keeps only funnel-step events as
+    (user, step_idx, ts_us) ints, grouped by hashed user bucket; inside
+    each bucket the chain is len(steps) vectorized segment-min passes
+    (no Python loop over users); the exchange after that is ≤
+    len(steps) rows per bucket."""
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column(type_col), value_set=pa.array(steps))
+        t = t.filter(mask)
+        si = pc.index_in(t.column(type_col).combine_chunks(),
+                         pa.array(steps))
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({user_col: t.column(user_col),
+                         "si": pc.cast(si, pa.int64()), "ts_us": us})
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def chain(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(user_col, "ascending"),
+                                            ("ts_us", "ascending")])
+        t = t.take(idx)
+        u = t.column(user_col).to_numpy(zero_copy_only=False)
+        si = t.column("si").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        first = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        seg = np.repeat(np.arange(len(first)), np.diff(np.r_[first, len(u)]))
+        n_seg = len(first)
+        BIG = np.int64(2 ** 62)
+        cur = np.full(n_seg, -BIG)          # step -1 "completed" at -inf
+        counts = np.zeros(len(steps), np.int64)
+        for i in range(len(steps)):
+            ok = (si == i) & (ts > cur[seg])
+            nxt = np.full(n_seg, BIG)
+            np.minimum.at(nxt, seg[ok], ts[ok])
+            cur = nxt
+            counts[i] = int((nxt < BIG).sum())
+        return pa.table({"step_idx": pa.array(np.arange(len(steps),
+                                                        dtype=np.int64)),
+                         "n_users": pa.array(counts)})
+
+    per_bucket = grouped_apply(narrow, [user_col], chain,
+                               num_buckets=num_buckets,
+                               batch_format="pyarrow")
+    agg = two_phase_aggregate(per_bucket, ["step_idx"],
+                              [("n_users", "sum", "n_users")],
+                              num_buckets=1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("step_idx", "ascending")])
+        t = t.take(idx)
+        i = t.column("step_idx").to_numpy(zero_copy_only=False)
+        n = t.column("n_users").to_numpy(zero_copy_only=False)
+        n0 = max(int(n[0]) if len(n) and i[0] == 0 else 0, 1)
+        return pa.table({
+            "step_idx": t.column("step_idx"),
+            "step": pa.array([steps[j] for j in i]),
+            "n_users": t.column("n_users"),
+            "conv_e6": pa.array(n * 1_000_000 // n0)})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          zero_copy_batch=True)

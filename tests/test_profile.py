@@ -63,3 +63,20 @@ def test_skew_report_extremes_and_mirror():
     r = run(skewed)
     assert r.max_count == 91
     assert r.gini_e6 == mirror(skewed) > 700_000
+
+
+def test_k_anonymity_histogram(ray_session):
+    """(a,x) appears 3x, (a,y) 1x, (b,x) 1x -> sizes {3:1 group, 1:2
+    groups}; k=2 flags the singletons."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.profile import k_anonymity
+
+    t = pa.table({"u": pa.array(["a", "a", "a", "a", "b"]),
+                  "e": pa.array(["x", "x", "x", "y", "x"])})
+    out = (k_anonymity(rd.from_arrow(t), ["u", "e"], k=2, num_buckets=2)
+           .to_pandas().set_index("group_size").sort_index())
+    assert out.loc[1, "n_groups"] == 2 and out.loc[1, "at_risk"] == 1
+    assert out.loc[1, "n_rows"] == 2
+    assert out.loc[3, "n_groups"] == 1 and out.loc[3, "at_risk"] == 0

@@ -605,3 +605,33 @@ def test_embedding_norms_buckets(ray_session):
     assert out.loc[(0, 20), "n_vecs"] == 1     # n2 = 1e6 -> bit_length 20
     assert out.loc[(1, 0), "n_vecs"] == 1      # zero norm -> bucket 0
     assert out.loc[(0, 20), "max_norm2"] == 1_000_000
+
+
+def test_knn_classify_majority_and_ties(ray_session):
+    """Query 0 has 3 label-1 / 2 label-0 neighbors among its top-5 by
+    quantized dot; vote tie at k=2 breaks toward the smaller label."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.similarity import knn_classify
+
+    # query at e0; neighbors along e0 with decaying dot; labels planted
+    vecs = [[1.0, 0.0]]                      # vec_id 0 = query
+    labs = [9]
+    for i, (s, l) in enumerate(zip([0.9, 0.8, 0.7, 0.6, 0.5, 0.4],
+                                   [1, 1, 1, 0, 0, 0])):
+        vecs.append([s, 0.1]); labs.append(l)
+    t = pa.table({"vec_id": pa.array(range(7), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array(labs, pa.int32())})
+    out = knn_classify(rd.from_arrow(t), k=5, query_mod=7,
+                       num_buckets=2).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "vec_id"] == 0
+    assert out.loc[0, "pred_label"] == 1 and out.loc[0, "n_votes"] == 3
+    # k=2: top-2 are labels 1,1 -> still 1; k=4 -> 3x1+1x0 -> 1;
+    # k=6 would tie 3-3 -> smaller label 0 wins
+    out6 = knn_classify(rd.from_arrow(t), k=6, query_mod=7,
+                        num_buckets=2).to_pandas()
+    assert out6.loc[0, "pred_label"] == 0 and out6.loc[0, "n_votes"] == 3

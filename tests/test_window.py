@@ -958,3 +958,32 @@ def test_conv_idle_share_gaps():
     assert out.loc["c", "span_us"] == 1060 * S
     assert out.loc["c", "idle_us_total"] == 1000 * S
     assert out.loc["c", "idle_e6"] == 1000 * S * 1_000_000 // (1060 * S)
+
+
+def test_ordered_funnel_strict_order(ray_session):
+    """User 1 completes a->b->c in order; user 2 has b BEFORE a (b never
+    re-fires) so stops at step a; user 3 never signs up."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import ordered_funnel
+
+    T = datetime.datetime(2024, 1, 1)
+    def ts(m):
+        return T + datetime.timedelta(minutes=m)
+    rows = [(1, "a", ts(0)), (1, "b", ts(1)), (1, "c", ts(2)),
+            (2, "b", ts(0)), (2, "a", ts(1)), (2, "c", ts(2)),
+            (3, "b", ts(0)), (3, "c", ts(1))]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[1] for r in rows]),
+                  "ts": pa.array([r[2] for r in rows],
+                                 pa.timestamp("us"))})
+    out = (ordered_funnel(rd.from_arrow(t), ["a", "b", "c"],
+                          num_buckets=2).to_pandas()
+           .set_index("step_idx").sort_index())
+    assert list(out["n_users"]) == [2, 1, 1]
+    assert list(out["step"]) == ["a", "b", "c"]
+    assert out.loc[0, "conv_e6"] == 1_000_000
+    assert out.loc[2, "conv_e6"] == 500_000
