@@ -221,6 +221,9 @@ SECONDARY = [
     "knn_classify",
     "k_anonymity",
     "funnel_steps",
+    "winnow_matches",
+    "join_cardinality",
+    "pii_density",
 ]
 
 

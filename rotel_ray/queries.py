@@ -4345,6 +4345,51 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("documents")
+def q_winnow_matches(sf_dir: str):
+    """MOSS-style winnowing near-copy candidates over the corpus: doc
+    pairs sharing >= 3 winnow fingerprints (k=16 char grams, window 8)
+    after dropping hashes shared by > 8 docs as boilerplate."""
+    from .stages.textstats import winnow_matches
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return winnow_matches(ds, k=16, w=8, max_docs_per_hash=8,
+                          min_shared=3)
+
+
+@_hinted("lineitem")
+def q_join_cardinality(sf_dir: str):
+    """Exact lineitem⋈orders join-size diagnostic without running the
+    join: per-key count tables joined bucket-wise, Σ cl·cr plus matched
+    keys and the max per-key fan-out."""
+    from .stages.profile import join_cardinality
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey"])
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey"])
+    return join_cardinality(li, orders, left_on="l_orderkey",
+                            right_on="o_orderkey")
+
+
+def q_pii_density(sf_dir: str):
+    """Per-role PII exposure rollup over the transcript stream: match
+    counts for the scrubber's email/IPv4/phone patterns, total chars,
+    and the integer per-billion-chars rate."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.pii import pii_density
+
+    tdir = ensure_transcripts(sf_dir)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(_glob.glob(f"{tdir}/*.parquet")))
+    ds = read_parquet(tdir, columns=["role", "text"])
+    with input_rows_hint(n):
+        return pii_density(ds, group_col="role")
+
+
 @_hinted("embeddings")
 def q_knn_classify(sf_dir: str):
     """Exact brute-force k-NN majority-vote classification over the
@@ -5098,6 +5143,9 @@ QUERIES = {
     "knn_classify": q_knn_classify,
     "k_anonymity": q_k_anonymity,
     "funnel_steps": q_funnel_steps,
+    "winnow_matches": q_winnow_matches,
+    "join_cardinality": q_join_cardinality,
+    "pii_density": q_pii_density,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8600,6 +8648,79 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT step_idx, step, n_users,
                CAST(n_users * 1000000 // n0 AS BIGINT) AS conv_e6
         FROM u, c0"""
+    # winnow_matches: same FNV polynomial as doc_fingerprint but k=16
+    # grams / window 8, the SET of window minima (not the combined
+    # digest), 63-bit-masked before DISTINCT exactly like the engine
+    _B, _P, _M = 0xCBF29CE484222325, 1_099_511_628_211, 1 << 64
+    sql["winnow_matches"] = f"""
+        WITH raw AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        byt AS (
+          SELECT doc_id, n, list_transform(range(1, n + 1),
+            i -> CAST(16 * (ascii(substr(hx, 2*i-1, 1))
+                            - CASE WHEN substr(hx, 2*i-1, 1) >= 'A'
+                              THEN 55 ELSE 48 END)
+                      + ascii(substr(hx, 2*i, 1))
+                      - CASE WHEN substr(hx, 2*i, 1) >= 'A'
+                        THEN 55 ELSE 48 END
+                      AS HUGEINT)) AS bs
+          FROM raw),
+        gr AS (
+          SELECT doc_id,
+            CASE WHEN n < 16 THEN
+              [list_reduce(list_prepend(CAST({_B} AS HUGEINT), bs),
+                           (h, x) -> xor(h, x) * {_P} % {_M}::HUGEINT)]
+            ELSE list_transform(range(1, n - 14),
+              i -> list_reduce(list_prepend(CAST({_B} AS HUGEINT),
+                                            list_slice(bs, i, i + 15)),
+                               (h, x) -> xor(h, x) * {_P}
+                                         % {_M}::HUGEINT)) END AS grams
+          FROM byt),
+        wn AS (
+          SELECT doc_id,
+            CASE WHEN len(grams) <= 8 THEN [list_min(grams)]
+                 ELSE list_transform(range(1, len(grams) - 6),
+                      i -> least(grams[i], grams[i+1], grams[i+2],
+                                 grams[i+3], grams[i+4], grams[i+5],
+                                 grams[i+6], grams[i+7])) END AS wins
+          FROM gr),
+        fp AS (
+          SELECT DISTINCT doc_id,
+                 CAST(u.x % {1 << 63} AS BIGINT) AS h
+          FROM wn, unnest(wins) AS u(x)),
+        keep AS (
+          SELECT h FROM fp GROUP BY h HAVING count(*) <= 8),
+        f2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM f2 a JOIN f2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3"""
+    sql["join_cardinality"] = """
+        WITH l AS (SELECT l_orderkey AS k, count(*) AS c
+                   FROM lineitem GROUP BY 1),
+        r AS (SELECT o_orderkey AS k, count(*) AS c
+              FROM orders GROUP BY 1),
+        j AS (SELECT l.c * r.c AS p FROM l JOIN r USING (k))
+        SELECT CAST(sum(p) AS BIGINT) AS n_join_rows,
+               CAST(count(*) AS BIGINT) AS n_matched_keys,
+               CAST(max(p) AS BIGINT) AS max_key_fanout
+        FROM j"""
+    sql["pii_density"] = f"""
+        WITH c AS (
+          SELECT role, {_pii_counts},
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM {T})
+        SELECT role,
+               CAST(sum(n_email) AS BIGINT) AS n_email,
+               CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+               CAST(sum(n_phone) AS BIGINT) AS n_phone,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST((sum(n_email) + sum(n_ipv4) + sum(n_phone))
+                    * 1000000000 // greatest(sum(n_chars), 1)
+                    AS BIGINT) AS pii_e9
+        FROM c GROUP BY 1"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -57,3 +57,45 @@ def pii_scrub_stage(ds, *, text_col: str = "text", keep_cols: list[str] | None =
         return pa.table(cols)
 
     return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_density(ds, *, text_col: str = "text", group_col: str = "role",
+                patterns: list[tuple[str, str, str]] = DEFAULT_PII_PATTERNS,
+                num_buckets: int = 4):
+    """Per-group PII exposure rollup — the governance dashboard view over
+    the same RE2 patterns pii_scrub masks: per ``group_col``, match
+    counts per pattern, total characters, and the integer
+    per-billion-chars rate pii_e9 = floor(1e9·total_matches/chars).
+    Counts are taken per batch and pre-combined, so only one narrow row
+    per (group, batch) ever shuffles."""
+    from .aggregate import two_phase_aggregate
+
+    names = [name for name, _, _ in patterns]
+
+    def prep(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        cols = {group_col: t.column(group_col)}
+        for name, pat, _ in patterns:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pattern=pat), pa.int64())
+        cols["n_chars"] = pc.cast(pc.utf8_length(text), pa.int64())
+        return pa.table(cols)
+
+    agg = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        [(f"n_{n}", "sum", f"n_{n}") for n in names]
+        + [("n_chars", "sum", "n_chars")], num_buckets=num_buckets)
+
+    def rate(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        total = sum(t.column(f"n_{n}").to_numpy(zero_copy_only=False)
+                    for n in names)
+        ch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pii_e9",
+            pa.array(total * 1_000_000_000 // np.maximum(ch, 1)))
+
+    return agg.map_batches(rate, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -233,3 +233,50 @@ def k_anonymity(ds, qi_cols: list[str], *, k: int = 5,
 
     return hist.map_batches(flag, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def join_cardinality(left, right, *, left_on: str, right_on: str,
+                     num_buckets: int = 32):
+    """Exact equi-join cardinality estimate WITHOUT materializing the
+    join — the optimizer-style diagnostic that tells you whether a
+    planned fact⋈fact join explodes: per-key counts on each side
+    (pre-combined per batch), a bucketed join of the two COUNT tables
+    (narrow: key + one int each), then Σ cl·cr. Output one row
+    (n_join_rows, n_matched_keys, max_key_fanout)."""
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    def ones(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": t.column(col),
+                "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+        return f
+
+    cl = two_phase_aggregate(
+        left.map_batches(ones(left_on), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["k"], [("one", "sum", "cl")], num_buckets=num_buckets)
+    cr = two_phase_aggregate(
+        right.map_batches(ones(right_on), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["k"], [("one", "sum", "cr")], num_buckets=num_buckets)
+    j = bucket_hash_join(cl, cr, on="k", num_buckets=num_buckets)
+
+    def product(t: pa.Table) -> pa.Table:
+        p = (t.column("cl").to_numpy(zero_copy_only=False)
+             * t.column("cr").to_numpy(zero_copy_only=False))
+        return pa.table({"g": pa.nulls(len(p), pa.int64()).fill_null(0),
+                         "p": pa.array(p),
+                         "one": pa.nulls(len(p), pa.int64()).fill_null(1)})
+
+    agg = two_phase_aggregate(
+        j.map_batches(product, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["g"], [("p", "sum", "n_join_rows"), ("one", "sum",
+                                              "n_matched_keys"),
+                ("p", "max", "max_key_fanout")], num_buckets=1)
+    return agg.map_batches(
+        lambda t: t.select(["n_join_rows", "n_matched_keys",
+                            "max_key_fanout"]),
+        batch_format="pyarrow", zero_copy_batch=True)

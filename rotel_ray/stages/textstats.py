@@ -1983,3 +1983,105 @@ def lang_script_check(ds, *, text_col: str = "text", id_col: str = "doc_id",
         ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
         ["lang_pred", "has_cjk"], [("one", "sum", "n_docs")],
         num_buckets=num_buckets)
+
+
+def winnow_matches(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 16, w: int = 8, max_docs_per_hash: int = 8,
+                   min_shared: int = 3, num_buckets: int = 32):
+    """MOSS-style winnowing match detection: each doc's winnow SET (the
+    distinct window-minima of its rolling FNV k-gram hashes — same
+    polynomial as :func:`doc_fingerprint`, which keeps only the combined
+    digest) is exploded to (hash, doc) rows; hashes shared by more than
+    ``max_docs_per_hash`` docs are dropped as boilerplate (the MOSS
+    common-code rule — decided on the globally co-located group, so the
+    cut is exact); surviving hash groups explode into doc pairs and
+    pairs sharing >= ``min_shared`` fingerprints emit
+    (doc_a, doc_b, n_shared) — the plagiarism/near-copy candidate view
+    that span_dedup's drop-everywhere rule doesn't give you.
+
+    Scale shape: only (hash, doc_id) int rows ever shuffle; the pair
+    fan-out per hash is capped at C(max_docs_per_hash, 2) and the final
+    exchange is pre-aggregated pair counts."""
+    import pandas as pd
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    MASK = (1 << 63) - 1
+    P = np.uint64(1_099_511_628_211)
+    BASIS = np.uint64(0xCBF29CE484222325)
+
+    def winset(text: str) -> np.ndarray:
+        data = (text or "").encode()
+        n = len(data)
+        if n < k:
+            grams = np.array([_fnv_bytes(data)], dtype=np.uint64)
+        else:
+            arr = np.frombuffer(data, dtype=np.uint8)
+            acc = np.full(n - k + 1, BASIS, dtype=np.uint64)
+            for j in range(k):
+                acc = (acc ^ arr[j:n - k + 1 + j].astype(np.uint64)) * P
+            grams = acc
+        if len(grams) <= w:
+            mins = np.array([grams.min()], dtype=np.uint64)
+        else:
+            mins = sliding_window_view(grams, w).min(axis=1)
+        # mask to 63 bits BEFORE the distinct so both engines dedup in
+        # the same value space (the oracle masks with % 2^63 pre-DISTINCT)
+        return np.unique(mins & np.uint64(MASK))
+
+    def explode_fps(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, tx in zip(t.column(id_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            s = winset(tx)
+            ids.append(np.full(len(s), did, np.int64))
+            hs.append(s.astype(np.int64))
+        return pa.table({
+            "h": pa.array(np.concatenate(hs) if hs else
+                          np.array([], np.int64)),
+            id_col: pa.array(np.concatenate(ids) if ids else
+                             np.array([], np.int64))})
+
+    fps = ds.map_batches(explode_fps, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "n_shared": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        g = g.sort_values(["h", id_col], kind="mergesort")
+        hv = g["h"].to_numpy()
+        dv = g[id_col].to_numpy()
+        seg_first = np.flatnonzero(np.r_[True, hv[1:] != hv[:-1]])
+        sizes = np.diff(np.r_[seg_first, len(hv)])
+        keep = np.repeat(sizes <= max_docs_per_hash, sizes)
+        hv, dv = hv[keep], dv[keep]
+        if not len(hv):
+            return empty
+        seg_first = np.flatnonzero(np.r_[True, hv[1:] != hv[:-1]])
+        sizes = np.diff(np.r_[seg_first, len(hv)])
+        row_seg_start = np.repeat(seg_first, sizes)
+        li = np.arange(len(hv)) - row_seg_start
+        right_rows = np.repeat(np.arange(len(hv)), li)
+        grp_start = np.repeat(np.cumsum(li) - li, li)
+        left_rows = np.repeat(row_seg_start, li) + (
+            np.arange(int(li.sum())) - grp_start)
+        out = (pd.DataFrame({"doc_a": dv[left_rows],
+                             "doc_b": dv[right_rows]})
+               .groupby(["doc_a", "doc_b"], sort=False).size()
+               .rename("n_shared").reset_index())
+        return out.astype({"doc_a": np.int64, "doc_b": np.int64,
+                           "n_shared": np.int64})
+
+    per_bucket = grouped_apply(fps, ["h"], pairs, num_buckets=num_buckets)
+    agg = two_phase_aggregate(per_bucket, ["doc_a", "doc_b"],
+                              [("n_shared", "sum", "n_shared")],
+                              num_buckets=num_buckets)
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_shared"),
+                                            min_shared)),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -80,3 +80,21 @@ def test_k_anonymity_histogram(ray_session):
     assert out.loc[1, "n_groups"] == 2 and out.loc[1, "at_risk"] == 1
     assert out.loc[1, "n_rows"] == 2
     assert out.loc[3, "n_groups"] == 1 and out.loc[3, "at_risk"] == 0
+
+
+def test_join_cardinality_exact(ray_session):
+    """Keys 1 (2x3 rows), 2 (1x1); key 3 unmatched -> 7 join rows, 2
+    matched keys, max fanout 6."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.profile import join_cardinality
+
+    l = rd.from_arrow(pa.table({"a": pa.array([1, 1, 2, 3], pa.int64())}))
+    r = rd.from_arrow(pa.table({"b": pa.array([1, 1, 1, 2], pa.int64())}))
+    out = join_cardinality(l, r, left_on="a", right_on="b",
+                           num_buckets=2).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_join_rows"] == 7
+    assert out.loc[0, "n_matched_keys"] == 2
+    assert out.loc[0, "max_key_fanout"] == 6

@@ -732,3 +732,48 @@ def test_lang_script_check_combos(ray_session):
            .set_index(["lang_pred", "has_cjk"]).sort_index())
     assert out.loc[("en", 0), "n_docs"] == 1
     assert out.loc[("zh", 1), "n_docs"] == 1
+
+
+def test_winnow_matches_planted_copy(ray_session):
+    """Two near-identical long docs share winnow fingerprints; an
+    unrelated doc pairs with neither; the boilerplate cap drops hashes
+    shared by too many docs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import winnow_matches
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    docs = [base + "alpha ending one",
+            base + "omega ending two",          # near-copy of doc 0
+            "completely different content " * 25]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(docs)}))
+    out = winnow_matches(ds, k=16, w=8, max_docs_per_hash=8,
+                         min_shared=3, num_buckets=2).to_pandas()
+    assert set(map(tuple, out[["doc_a", "doc_b"]].values)) == {(0, 1)}
+    assert (out["n_shared"] >= 3).all()
+    # cap=1 drops every shared hash -> no pairs survive
+    out_cap = winnow_matches(ds, k=16, w=8, max_docs_per_hash=1,
+                             min_shared=1, num_buckets=2).to_pandas()
+    assert len(out_cap) == 0
+
+
+def test_pii_density_rates(ray_session):
+    """Role a: one email + one ip in 100 chars -> pii_e9 = 2e9/100;
+    role b clean."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.pii import pii_density
+
+    ta = ("contact bob@example.com from 10.0.0.1 " + "x" * 62)[:100]
+    t = pa.table({"role": pa.array(["a", "b"]),
+                  "text": pa.array([ta, "clean text here"])})
+    out = (pii_density(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("role").sort_index())
+    assert out.loc["a", "n_email"] == 1 and out.loc["a", "n_ipv4"] == 1
+    assert out.loc["a", "n_chars"] == 100
+    assert out.loc["a", "pii_e9"] == 2 * 1_000_000_000 // 100
+    assert out.loc["b", "pii_e9"] == 0 and out.loc["b", "n_phone"] == 0
