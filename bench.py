@@ -224,6 +224,9 @@ SECONDARY = [
     "winnow_matches",
     "join_cardinality",
     "pii_density",
+    "mm_neardup",
+    "user_breadth",
+    "conv_verbosity",
 ]
 
 

@@ -4345,6 +4345,90 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_mm_neardup(sf_dir: str):
+    """Image near-duplicate pairs over REAL decoded payloads: banded
+    dHash (4×16-bit bands — pigeonhole-complete for Hamming ≤ 3) with
+    XOR-popcount verification, over the planted near-dup PNG fixture."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import (MediaDecoder, dhash_images,
+                                    dhash_neardup_pairs,
+                                    ensure_neardup_media)
+
+    nd_dir = ensure_neardup_media(sf_from_dir(sf_dir))
+    ds = read_parquet(nd_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    ds = ds.map_batches(dhash_images, batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    return dhash_neardup_pairs(ds, max_hamming=3)
+
+
+@_hinted("events")
+def q_user_breadth(sf_dir: str):
+    """Behavioral breadth histogram: distinct event types per user
+    (chained two-phase distinct), rolled up to (n_types, n_users)."""
+    from .stages.aggregate import two_phase_aggregate
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type"])
+    distinct = two_phase_aggregate(
+        ds.map_batches(
+            lambda t: t.select(["user_id", "event_type"]).append_column(
+                "one", pa.nulls(t.num_rows, pa.int64()).fill_null(1)),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"], [("one", "max", "one")], num_buckets=16)
+    per_user = two_phase_aggregate(distinct, ["user_id"],
+                                   [("one", "sum", "n_types")],
+                                   num_buckets=16)
+    return two_phase_aggregate(
+        per_user.map_batches(
+            lambda t: pa.table({
+                "n_types": t.column("n_types"),
+                "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["n_types"], [("one", "sum", "n_users")], num_buckets=4)
+
+
+def q_conv_verbosity(sf_dir: str):
+    """Per-conversation verbosity balance: assistant vs user character
+    mass (counted per batch BEFORE the shuffle — text never moves) and
+    the floor-e6 assistant/user ratio."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint, two_phase_aggregate
+
+    tdir = ensure_transcripts(sf_dir)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(_glob.glob(f"{tdir}/*.parquet")))
+    ds = read_parquet(tdir, columns=["conv_id", "role", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ch = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        is_a = pc.cast(pc.equal(t.column("role"), "assistant"), pa.int64())
+        is_u = pc.cast(pc.equal(t.column("role"), "user"), pa.int64())
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "a_chars": pc.multiply(ch, is_a),
+            "u_chars": pc.multiply(ch, is_u)})
+
+    with input_rows_hint(n):
+        agg = two_phase_aggregate(
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["conv_id"],
+            [("a_chars", "sum", "a_chars"), ("u_chars", "sum", "u_chars")],
+            num_buckets=16)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        a = t.column("a_chars").to_numpy(zero_copy_only=False)
+        u = t.column("u_chars").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ratio_e6", pa.array(a * 1_000_000 // np.maximum(u, 1)))
+
+    return agg.map_batches(ratio, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 @_hinted("documents")
 def q_winnow_matches(sf_dir: str):
     """MOSS-style winnowing near-copy candidates over the corpus: doc
@@ -5146,6 +5230,9 @@ QUERIES = {
     "winnow_matches": q_winnow_matches,
     "join_cardinality": q_join_cardinality,
     "pii_density": q_pii_density,
+    "mm_neardup": q_mm_neardup,
+    "user_breadth": q_user_breadth,
+    "conv_verbosity": q_conv_verbosity,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8721,6 +8808,58 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     * 1000000000 // greatest(sum(n_chars), 1)
                     AS BIGINT) AS pii_e9
         FROM c GROUP BY 1"""
+    # mm_neardup: replay dHash from the fixture's pre-encode body_hex
+    # (same _dh_gv grid math as mm_dhash) and brute-force ALL pairs at
+    # Hamming <= 3 — the engine's 4x16-bit banding is pigeonhole-complete
+    # at that radius, so the two sets must be identical
+    from .stages.multimodal import neardup_media_path as _ndmp
+
+    _nd_dir = _ndmp(_sfd(sf_dir))
+    sql["mm_neardup"] = f"""
+        WITH img AS (
+          SELECT media_id, body_hex AS hx, width AS w, height AS h,
+                 channels AS ch
+          FROM read_parquet('{_nd_dir}/*.parquet')),
+        g AS (
+          SELECT media_id, u.i AS gi, v.j AS gj, {_dh_gv} AS gv
+          FROM img, unnest(range(0, 8)) AS u(i), unnest(range(0, 9)) AS v(j)),
+        bits AS (
+          SELECT a.media_id, a.gi * 8 + a.gj AS p,
+                 CASE WHEN a.gv > c.gv THEN 1 ELSE 0 END AS bit
+          FROM g a JOIN g c ON c.media_id = a.media_id AND c.gi = a.gi
+                           AND c.gj = a.gj + 1
+          WHERE a.gj < 8),
+        hsh AS (
+          SELECT media_id,
+                 CAST(sum(CASE WHEN p >= 32 THEN bit * (1::BIGINT << (p - 32))
+                          ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN p < 32 THEN bit * (1::BIGINT << p)
+                          ELSE 0 END) AS BIGINT) AS lo
+          FROM bits GROUP BY media_id)
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)) <= 3"""
+    sql["user_breadth"] = """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        pu AS (SELECT user_id, count(*) AS nt FROM d GROUP BY 1)
+        SELECT CAST(nt AS BIGINT) AS n_types,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM pu GROUP BY 1"""
+    sql["conv_verbosity"] = f"""
+        SELECT conv_id,
+               CAST(sum(CASE WHEN role = 'assistant' THEN length(text)
+                        ELSE 0 END) AS BIGINT) AS a_chars,
+               CAST(sum(CASE WHEN role = 'user' THEN length(text)
+                        ELSE 0 END) AS BIGINT) AS u_chars,
+               CAST(sum(CASE WHEN role = 'assistant' THEN length(text)
+                        ELSE 0 END) * 1000000
+                    // greatest(sum(CASE WHEN role = 'user'
+                                    THEN length(text) ELSE 0 END), 1)
+                    AS BIGINT) AS ratio_e6
+        FROM {T} GROUP BY 1"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

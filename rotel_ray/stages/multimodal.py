@@ -813,3 +813,170 @@ def audio_zero_crossings(t: pa.Table, frame: int = 64) -> pa.Table:
     return pa.table({"media_id": pa.array(ids, pa.int64()),
                      "frame_idx": pa.array(fidx, pa.int64()),
                      "n_cross": pa.array(zc, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# planted near-duplicate image fixture + banded-dHash pair detection
+# ---------------------------------------------------------------------------
+
+NEARDUP_PARTNER_BASE = 500_000_000
+
+
+def neardup_media_path(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path of the near-dup image fixture (no build side
+    effect) — oracle_sql() embeds this; q_mm_neardup ensure_*s it."""
+    return os.path.join(root, f"ndmedia_v1_sf{sf:g}")
+
+
+def generate_neardup_media(n: int, shard: int = 0) -> pa.Table:
+    """All-image fixture with planted near-duplicate partners: every 4th
+    image is re-encoded with its center pixel nudged +1 (mod 256) on
+    channel 0 under media_id NEARDUP_PARTNER_BASE + id. The decoded
+    grids differ in at most one sampled cell, so each planted pair's
+    dHash Hamming distance is <= 2 (0 when the pixel misses the 8x9
+    sample grid); organic random images collide at ~2^-50 odds, so the
+    expected pair set IS the planted set — brute-force-oracle-able."""
+    rng = np.random.default_rng(SEED + 77_000 + shard)
+    variants = [(0, 1), (2, 3), (6, 4)]  # (PNG color type, channels)
+    cols: dict[str, list] = {k: [] for k in (
+        "media_id", "payload", "width", "height", "channels",
+        "mean_byte", "body_hex")}
+
+    def add(mid: int, px: np.ndarray, ctype: int) -> None:
+        body = px.tobytes()
+        cols["media_id"].append(mid)
+        cols["payload"].append(encode_png(px, ctype=ctype))
+        cols["width"].append(px.shape[1])
+        cols["height"].append(px.shape[0])
+        cols["channels"].append(px.shape[2] if px.ndim == 3 else 1)
+        cols["mean_byte"].append(
+            float(np.frombuffer(body, np.uint8).mean()))
+        cols["body_hex"].append(body.hex().upper())
+
+    for i in range(n):
+        ctype, ch = variants[i % 3]
+        w, h = int(rng.integers(16, 65)), int(rng.integers(16, 65))
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        mid = shard * 10_000_000 + i
+        add(mid, px, ctype)
+        if i % 4 == 0:
+            px2 = px.copy()
+            if ch == 1:
+                px2[h // 2, w // 2] += np.uint8(1)
+            else:
+                px2[h // 2, w // 2, 0] += np.uint8(1)
+            add(NEARDUP_PARTNER_BASE + mid, px2, ctype)
+
+    nr = len(cols["media_id"])
+    return pa.table({
+        "media_id": pa.array(cols["media_id"], pa.int64()),
+        "kind": pa.array(["image"] * nr),
+        "codec": pa.array(["png"] * nr),
+        "payload": pa.array(cols["payload"], pa.binary()),
+        "width": pa.array(cols["width"], pa.int32()),
+        "height": pa.array(cols["height"], pa.int32()),
+        "nframes": pa.array([1] * nr, pa.int32()),
+        "channels": pa.array(cols["channels"], pa.int32()),
+        "mean_byte": pa.array(cols["mean_byte"], pa.float64()),
+        "body_hex": pa.array(cols["body_hex"], pa.string()),
+    }, schema=MEDIA_SCHEMA)
+
+
+def ensure_neardup_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
+    out = neardup_media_path(sf, root)
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    n = max(160, int(sf * 12_000))
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    per = 1000
+    for s in range((n + per - 1) // per):
+        tbl = generate_neardup_media(min(per, n - s * per), shard=s)
+        pq.write_table(tbl, os.path.join(tmp, f"part-{s:04d}.parquet"))
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def dhash_neardup_pairs(ds, *, max_hamming: int = 3, num_buckets: int = 32,
+                        max_band_group: int = 4096):
+    """Image near-duplicate pairs via banded dHash: the 64-bit hash
+    splits into 4 disjoint 16-bit bands; by pigeonhole any pair with
+    Hamming distance <= 3 leaves at least one band untouched, so the
+    banded candidate filter is COMPLETE — exact, not approximate — for
+    ``max_hamming`` <= 3. Candidates verify with XOR + 16-bit-LUT
+    popcount and pairs surfacing in several bands dedup through a
+    min-reduce. Expects dhash_images output columns; emits
+    (media_a, media_b, hamming).
+
+    Scale shape: only (band_key, media_id, hi, lo) ints shuffle, 4 rows
+    per image; a band group larger than ``max_band_group`` raises (the
+    simhash max_bucket rule — candidate fan-out is data-dependent and a
+    degenerate all-identical corpus must fail loudly, not OOM)."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+    from .dedup import _popcount64
+
+    if max_hamming > 3:
+        raise ValueError("banded filter is only complete for max_hamming <= 3")
+
+    def explode(t: pa.Table) -> pa.Table:
+        hi = t.column("dhash_hi").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = t.column("dhash_lo").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mid = t.column("media_id").to_numpy(zero_copy_only=False)
+        M = np.uint64(0xFFFF)
+        bands = np.stack([lo & M, (lo >> np.uint64(16)) & M,
+                          hi & M, (hi >> np.uint64(16)) & M])
+        n = len(mid)
+        bk = (np.repeat(np.arange(4, dtype=np.int64), n) * 65_536
+              + bands.reshape(-1).astype(np.int64))
+        return pa.table({"bk": pa.array(bk),
+                         "media_id": pa.array(np.tile(mid, 4)),
+                         "hi": pa.array(np.tile(hi.astype(np.int64), 4)),
+                         "lo": pa.array(np.tile(lo.astype(np.int64), 4))})
+
+    cand = ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"media_a": pd.Series([], dtype=np.int64),
+                              "media_b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        g = g.sort_values(["bk", "media_id"], kind="mergesort")
+        bk = g["bk"].to_numpy()
+        mid = g["media_id"].to_numpy()
+        hi = g["hi"].to_numpy().astype(np.uint64)
+        lo = g["lo"].to_numpy().astype(np.uint64)
+        seg_first = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        sizes = np.diff(np.r_[seg_first, len(bk)])
+        if sizes.max() > max_band_group:
+            raise ValueError(
+                f"dhash band group of {sizes.max()} rows exceeds "
+                f"max_band_group={max_band_group} — near-identical-image "
+                "skew; raise the cap or pre-dedup exact duplicates")
+        row_seg_start = np.repeat(seg_first, sizes)
+        li = np.arange(len(bk)) - row_seg_start
+        right = np.repeat(np.arange(len(bk)), li)
+        grp_start = np.repeat(np.cumsum(li) - li, li)
+        left = np.repeat(row_seg_start, li) + (
+            np.arange(int(li.sum())) - grp_start)
+        ham = (_popcount64(hi[left] ^ hi[right])
+               + _popcount64(lo[left] ^ lo[right])).astype(np.int64)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"media_a": mid[left[keep]],
+                             "media_b": mid[right[keep]],
+                             "hamming": ham[keep]}).astype(np.int64)
+
+    per_bucket = grouped_apply(cand, ["bk"], pairs, num_buckets=num_buckets)
+    return two_phase_aggregate(per_bucket, ["media_a", "media_b"],
+                               [("hamming", "min", "hamming")],
+                               num_buckets=num_buckets)

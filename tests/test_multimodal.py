@@ -481,3 +481,35 @@ def test_audio_zero_crossings_frames(ray_session):
     assert out.loc[(1, 0), "n_cross"] == 63
     assert out.loc[(1, 1), "n_cross"] == 63
     assert out.loc[(2, 0), "n_cross"] == 0
+
+
+def test_dhash_neardup_pairs_pigeonhole(ray_session):
+    """Pairs at Hamming 0/3 are found even when the differing bits spread
+    across 3 different bands (pigeonhole: one band stays equal); a pair
+    at Hamming 4 with one bit per band is correctly invisible."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.multimodal import dhash_neardup_pairs
+
+    base_hi, base_lo = 0x12345678, 0x0BCDEF01
+    rows = [
+        (0, base_hi, base_lo),                       # anchor
+        (1, base_hi, base_lo),                       # ham 0
+        (2, base_hi ^ 0x00010001, base_lo ^ 0x1),    # ham 3, 3 bands hit
+        (3, base_hi ^ 0x00010001, base_lo ^ 0x00010001),  # ham 4, all bands
+    ]
+    t = pa.table({"media_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "dhash_hi": pa.array([r[1] for r in rows], pa.int64()),
+                  "dhash_lo": pa.array([r[2] for r in rows], pa.int64())})
+    out = dhash_neardup_pairs(rd.from_arrow(t), max_hamming=3,
+                              num_buckets=2).to_pandas()
+    got = {(a, b): h for a, b, h in
+           out[["media_a", "media_b", "hamming"]].values}
+    assert got[(0, 1)] == 0 and got[(1, 2)] == 3 and got[(0, 2)] == 3
+    # media 3 differs from 0/1 in every band (ham 4): not a candidate
+    assert (0, 3) not in got and (1, 3) not in got
+    # 2 vs 3: identical hi perturbations cancel, lo XOR = 0x1^0x00010001
+    # = one bit -> ham 1, found
+    assert got[(2, 3)] == 1
+    assert len(got) == 4
