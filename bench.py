@@ -227,6 +227,9 @@ SECONDARY = [
     "mm_neardup",
     "user_breadth",
     "conv_verbosity",
+    "value_twap",
+    "value_mode",
+    "type_correlation",
 ]
 
 

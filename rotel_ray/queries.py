@@ -4345,6 +4345,64 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("events")
+def q_value_twap(sf_dir: str):
+    """Time-weighted average value per event type (gauge averaging):
+    each user-stream gap weights the previous event's cents value,
+    rolled up per type with exact integer sums."""
+    from .stages.window import value_twap
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "event_type",
+                               "value", "ts"])
+    return value_twap(ds)
+
+
+@_hinted("events")
+def q_value_mode(sf_dir: str):
+    """Most frequent cents-quantized value per event type (mode with
+    deterministic smaller-value tiebreak) via the bounded topk kernel
+    over the pre-combined (type, cents) count table."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.window import topk_per_group
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": _cents_arr(t.column("value")),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    counts = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "cents"], [("one", "sum", "n")], num_buckets=16)
+    # topk orders (n desc, cents asc): mode with smaller-value tiebreak.
+    # NOTE: cents as id_col requires non-negative values for the tie rule
+    # to match SQL's ORDER BY n DESC, cents — true for the events fixture
+    top = topk_per_group(counts, key="event_type", order_col="n",
+                         id_col="cents", k=1,
+                         cols=["event_type", "n", "cents"])
+    return top.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "mode_cents": t.column("cents"),
+                            "n_mode": t.column("n")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_hinted("events")
+def q_type_correlation(sf_dir: str):
+    """Pairwise Pearson moments between hourly count series of event
+    types over the zero-filled hour grid — exact integer terms, r left
+    to the consumer."""
+    from .stages.profile import type_correlation
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts"])
+    return type_correlation(ds)
+
+
 def q_mm_neardup(sf_dir: str):
     """Image near-duplicate pairs over REAL decoded payloads: banded
     dHash (4×16-bit bands — pigeonhole-complete for Hamming ≤ 3) with
@@ -5233,6 +5291,9 @@ QUERIES = {
     "mm_neardup": q_mm_neardup,
     "user_breadth": q_user_breadth,
     "conv_verbosity": q_conv_verbosity,
+    "value_twap": q_value_twap,
+    "value_mode": q_value_mode,
+    "type_correlation": q_type_correlation,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8860,6 +8921,49 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                                     THEN length(text) ELSE 0 END), 1)
                     AS BIGINT) AS ratio_e6
         FROM {T} GROUP BY 1"""
+    sql["value_twap"] = f"""
+        WITH e AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+                 {cents.format(expr='value')} AS c
+          FROM events),
+        l AS (
+          SELECT event_type, c,
+                 (lead(t) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) - t) // 1000 AS dt
+          FROM e)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(c * dt) AS BIGINT) AS sum_vdt_cms,
+               CAST(sum(dt) AS BIGINT) AS sum_dt_ms,
+               CAST(sum(c * dt) // greatest(sum(dt), 1) AS BIGINT)
+                 AS twap_cents
+        FROM l WHERE dt IS NOT NULL GROUP BY 1"""
+    sql["value_mode"] = f"""
+        WITH c AS (
+          SELECT event_type, {cents.format(expr='value')} AS cents,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, CAST(cents AS BIGINT) AS mode_cents,
+               CAST(n AS BIGINT) AS n_mode
+        FROM c QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY n DESC, cents) = 1"""
+    sql["type_correlation"] = """
+        WITH c AS (SELECT event_type AS t,
+                          epoch_us(ts) // 3600000000 AS h,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        s AS (SELECT t, sum(n) AS sx, sum(n * n) AS sxx FROM c GROUP BY 1),
+        g AS (SELECT max(h) - min(h) + 1 AS nh FROM c),
+        p AS (SELECT a.t AS ta, b.t AS tb, sum(a.n * b.n) AS sxy
+              FROM c a JOIN c b ON a.h = b.h AND a.t < b.t GROUP BY 1, 2)
+        SELECT sa.t AS type_a, sb.t AS type_b,
+               CAST(nh AS BIGINT) AS n_hours,
+               CAST(coalesce(p.sxy, 0) AS BIGINT) AS sxy,
+               CAST(sa.sx AS BIGINT) AS sx_a, CAST(sb.sx AS BIGINT) AS sx_b,
+               CAST(sa.sxx AS BIGINT) AS sxx_a,
+               CAST(sb.sxx AS BIGINT) AS sxx_b
+        FROM s sa JOIN s sb ON sa.t < sb.t
+        LEFT JOIN p ON p.ta = sa.t AND p.tb = sb.t, g"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -280,3 +280,125 @@ def join_cardinality(left, right, *, left_on: str, right_on: str,
         lambda t: t.select(["n_join_rows", "n_matched_keys",
                             "max_key_fanout"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def type_correlation(ds, *, type_col: str = "event_type", ts_col: str = "ts",
+                     num_buckets: int = 32):
+    """Pairwise Pearson terms between the hourly count series of every
+    type pair, over the zero-filled global hour grid — emitted as exact
+    integer moments (n_hours, sxy, sx, sy, sxx, syy) so the consumer
+    computes r without any float leaving the engine. Zero hours never
+    materialize: sxy only needs hours where both series are nonzero
+    (per-hour pair products), the marginals come from per-type sums, and
+    the grid size from the global hour min/max.
+
+    Scale shape: one two-phase count to (type, hour), a pair explosion
+    inside hour-keyed buckets (≤ C(T,2) rows per hour), and three tiny
+    unioned partials finishing in a single-row task."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def hours(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                    pa.int64())
+        return pa.table({
+            "t": t.column(type_col),
+            "h": pc.divide(h, 3_600_000_000),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    counts = two_phase_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True),
+        ["t", "h"], [("one", "sum", "n")], num_buckets=num_buckets)
+
+    def pair_products(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"kind": pd.Series([], dtype=str),
+                              "a": pd.Series([], dtype=str),
+                              "b": pd.Series([], dtype=str),
+                              "v1": pd.Series([], dtype=np.int64),
+                              "v2": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        g = g.sort_values(["h", "t"], kind="mergesort")
+        hv = g["h"].to_numpy()
+        tv = g["t"].to_numpy()
+        nv = g["n"].to_numpy().astype(np.int64)
+        seg_first = np.flatnonzero(np.r_[True, hv[1:] != hv[:-1]])
+        sizes = np.diff(np.r_[seg_first, len(hv)])
+        row_seg_start = np.repeat(seg_first, sizes)
+        li = np.arange(len(hv)) - row_seg_start
+        right = np.repeat(np.arange(len(hv)), li)
+        grp_start = np.repeat(np.cumsum(li) - li, li)
+        left = np.repeat(row_seg_start, li) + (
+            np.arange(int(li.sum())) - grp_start)
+        out = (pd.DataFrame({"a": tv[left], "b": tv[right],
+                             "v1": nv[left] * nv[right]})
+               .groupby(["a", "b"], sort=False)["v1"].sum().reset_index())
+        out["kind"] = "sxy"
+        out["v2"] = np.int64(0)
+        return out[["kind", "a", "b", "v1", "v2"]].astype(
+            {"v1": np.int64, "v2": np.int64})
+
+    sxy = two_phase_aggregate(
+        grouped_apply(counts, ["h"], pair_products,
+                      num_buckets=num_buckets),
+        ["kind", "a", "b"], [("v1", "sum", "v1"), ("v2", "max", "v2")],
+        num_buckets=4)
+
+    def sq(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"t": t.column("t"), "n": t.column("n"),
+                         "nn": pa.array(n * n)})
+
+    sums = two_phase_aggregate(
+        counts.map_batches(sq, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["t"], [("n", "sum", "sx"), ("nn", "sum", "sxx")], num_buckets=4)
+    sums = sums.map_batches(
+        lambda t: pa.table({
+            "kind": pa.array(["sums"] * t.num_rows),
+            "a": t.column("t"), "b": pa.array([""] * t.num_rows),
+            "v1": t.column("sx"), "v2": t.column("sxx")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    grid = two_phase_aggregate(
+        counts.map_batches(
+            lambda t: pa.table({"g": pa.nulls(t.num_rows,
+                                              pa.int64()).fill_null(0),
+                                "h": t.column("h")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [("h", "min", "hmin"), ("h", "max", "hmax")], num_buckets=1)
+    grid = grid.map_batches(
+        lambda t: pa.table({
+            "kind": pa.array(["grid"] * t.num_rows),
+            "a": pa.array([""] * t.num_rows),
+            "b": pa.array([""] * t.num_rows),
+            "v1": t.column("hmin"), "v2": t.column("hmax")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = df[df["kind"] == "sums"].set_index("a")
+        types = sorted(s.index)
+        gr = df[df["kind"] == "grid"]
+        nh = int(gr["v2"].iloc[0] - gr["v1"].iloc[0] + 1) if len(gr) else 0
+        px = {(r.a, r.b): int(r.v1)
+              for r in df[df["kind"] == "sxy"].itertuples()}
+        rows = [(a, b, nh, px.get((a, b), 0),
+                 int(s.loc[a, "v1"]), int(s.loc[b, "v1"]),
+                 int(s.loc[a, "v2"]), int(s.loc[b, "v2"]))
+                for i, a in enumerate(types) for b in types[i + 1:]]
+        cols = list(zip(*rows)) if rows else [[]] * 8
+        return pa.table({
+            "type_a": pa.array(list(cols[0]), pa.string()),
+            "type_b": pa.array(list(cols[1]), pa.string()),
+            "n_hours": pa.array(list(cols[2]), pa.int64()),
+            "sxy": pa.array(list(cols[3]), pa.int64()),
+            "sx_a": pa.array(list(cols[4]), pa.int64()),
+            "sx_b": pa.array(list(cols[5]), pa.int64()),
+            "sxx_a": pa.array(list(cols[6]), pa.int64()),
+            "sxx_b": pa.array(list(cols[7]), pa.int64())})
+
+    return (sxy.union(sums).union(grid).repartition(1)
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))

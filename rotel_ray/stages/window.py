@@ -2603,3 +2603,62 @@ def ordered_funnel(ds, steps: list[str], *, user_col: str = "user_id",
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def value_twap(ds, *, key: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", value_col: str = "value",
+               id_col: str = "event_id", num_buckets: int = 64):
+    """Time-weighted average value (TWAP) per type: each inter-event gap
+    in a user's stream weights the PREVIOUS event's cents-quantized
+    value (the step-function integral behind gauge averaging — the
+    state_dwell shape with a value payload). Output
+    (event_type, n_intervals, sum_vdt_cms, sum_dt_ms, twap_cents) where
+    sum_vdt_cms = Σ value_cents·gap_ms (gaps floored to ms BEFORE the
+    multiply, identically in both engines, so the running sums keep
+    ~3 orders of int64 headroom at corpus scale) and twap_cents floors
+    the ratio.
+
+    Exact int64 throughout; per-bucket partial sums so only
+    (type, n, Σ) rows shuffle after the user-keyed pass."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({type_col: pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "sum_vdt_cms": pd.Series([], dtype=np.int64),
+                                 "sum_dt_ms": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        same = (g[key] == g[key].shift(-1)).to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dt = np.r_[(us[1:] - us[:-1]) // 1000, 0]   # whole milliseconds
+        cents = np.floor(g[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        out = (pd.DataFrame({type_col: g[type_col].to_numpy()[same],
+                             "vdt": (cents * dt)[same], "dt": dt[same]})
+               .groupby(type_col, sort=False)
+               .agg(n=("dt", "size"), sum_vdt_cms=("vdt", "sum"),
+                    sum_dt_ms=("dt", "sum"))
+               .reset_index())
+        return out.astype({"n": np.int64, "sum_vdt_cms": np.int64,
+                           "sum_dt_ms": np.int64})
+
+    partials = grouped_apply(ds, [key], per_bucket,
+                             select=[key, ts_col, type_col, value_col,
+                                     id_col],
+                             num_buckets=num_buckets)
+    rolled = two_phase_aggregate(partials, [type_col],
+                                 [("n", "sum", "n_intervals"),
+                                  ("sum_vdt_cms", "sum", "sum_vdt_cms"),
+                                  ("sum_dt_ms", "sum", "sum_dt_ms")],
+                                 num_buckets=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column("sum_vdt_cms").to_numpy(zero_copy_only=False)
+        d = t.column("sum_dt_ms").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "twap_cents", pa.array(v // np.maximum(d, 1)))
+
+    return rolled.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -98,3 +98,33 @@ def test_join_cardinality_exact(ray_session):
     assert out.loc[0, "n_join_rows"] == 7
     assert out.loc[0, "n_matched_keys"] == 2
     assert out.loc[0, "max_key_fanout"] == 6
+
+
+def test_type_correlation_moments(ray_session):
+    """Two types over a 3-hour grid: a=(2,1,0 at h0,h1), b=(3 at h1,
+    1 at h2) -> sxy = 1*3 (only h1 overlaps), marginals and grid exact;
+    a pair with no common hour emits sxy=0."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.profile import type_correlation
+
+    T = datetime.datetime(2024, 1, 1)
+    def ts(h):
+        return T + datetime.timedelta(hours=h)
+    rows = ([("a", ts(0))] * 2 + [("a", ts(1))]
+            + [("b", ts(1))] * 3 + [("b", ts(2))]
+            + [("c", ts(2))])                 # c never shares an hour w/ a
+    t = pa.table({"event_type": pa.array([r[0] for r in rows]),
+                  "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))})
+    out = (type_correlation(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index(["type_a", "type_b"]).sort_index())
+    ab = out.loc[("a", "b")]
+    assert ab["n_hours"] == 3 and ab["sxy"] == 3
+    assert ab["sx_a"] == 3 and ab["sxx_a"] == 5
+    assert ab["sx_b"] == 4 and ab["sxx_b"] == 10
+    assert out.loc[("a", "c"), "sxy"] == 0
+    assert out.loc[("b", "c"), "sxy"] == 1 * 1
+    assert len(out) == 3

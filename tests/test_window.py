@@ -987,3 +987,34 @@ def test_ordered_funnel_strict_order(ray_session):
     assert list(out["step"]) == ["a", "b", "c"]
     assert out.loc[0, "conv_e6"] == 1_000_000
     assert out.loc[2, "conv_e6"] == 500_000
+
+
+def test_value_twap_step_integral(ray_session):
+    """User 1: value 2.00 held 1000ms then 4.00 held 3000ms ->
+    twap = (200*1000 + 400*3000)/4000 = 350 cents; last event open-ended
+    (dropped); single-event user contributes nothing."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import value_twap
+
+    T = datetime.datetime(2024, 1, 1)
+    def ts(ms):
+        return T + datetime.timedelta(milliseconds=ms)
+    rows = [(0, 1, "g", 2.0, ts(0)), (1, 1, "g", 4.0, ts(1000)),
+            (2, 1, "g", 9.0, ts(4000)),      # open-ended tail
+            (3, 2, "g", 7.0, ts(0))]          # single event: no interval
+    t = pa.table({"event_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[2] for r in rows]),
+                  "value": pa.array([r[3] for r in rows], pa.float64()),
+                  "ts": pa.array([r[4] for r in rows], pa.timestamp("us"))})
+    out = value_twap(rd.from_arrow(t), num_buckets=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_intervals"] == 2
+    assert r["sum_vdt_cms"] == 200 * 1000 + 400 * 3000
+    assert r["sum_dt_ms"] == 4000
+    assert r["twap_cents"] == 350
