@@ -230,6 +230,9 @@ SECONDARY = [
     "value_twap",
     "value_mode",
     "type_correlation",
+    "mmr_select",
+    "path_ngrams",
+    "label_centroids",
 ]
 
 

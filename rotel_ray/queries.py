@@ -4345,6 +4345,43 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("embeddings")
+def q_mmr_select(sf_dir: str):
+    """Maximal Marginal Relevance top-5 vs the vec_id=0 query (λ=0.7 in
+    e3): diversity-aware retrieval over quantized-int dot products, k
+    greedy streaming rounds with deterministic tiebreaks."""
+    from .stages.similarity import mmr_select
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    return mmr_select(ds, k=5, lam_e3=700, query_id=0)
+
+
+@_hinted("events")
+def q_path_ngrams(sf_dir: str):
+    """Frequent behavior trigrams: every 3 consecutive events inside a
+    gap session joined as 'a>b>c', counted corpus-wide. 240-min gap (vs
+    sessionize's 30) — the fixture's ~43-min inter-arrival would leave
+    almost every session shorter than a trigram at 30."""
+    from .stages.window import path_ngrams
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type", "event_id"])
+    return path_ngrams(ds, n=3, gap_minutes=240.0)
+
+
+@_hinted("embeddings")
+def q_label_centroids(sf_dir: str):
+    """Pairwise label-centroid separation over quantized embeddings —
+    division-free exact ints (the cross term (s_a·c_b − s_b·c_a) scales
+    the centroid difference by c_a·c_b)."""
+    from .stages.similarity import label_centroids
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    return label_centroids(ds)
+
+
 @_hinted("events")
 def q_value_twap(sf_dir: str):
     """Time-weighted average value per event type (gauge averaging):
@@ -5294,6 +5331,9 @@ QUERIES = {
     "value_twap": q_value_twap,
     "value_mode": q_value_mode,
     "type_correlation": q_type_correlation,
+    "mmr_select": q_mmr_select,
+    "path_ngrams": q_path_ngrams,
+    "label_centroids": q_label_centroids,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -8964,6 +9004,89 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(sb.sxx AS BIGINT) AS sxx_b
         FROM s sa JOIN s sb ON sa.t < sb.t
         LEFT JOIN p ON p.ta = sa.t AND p.tb = sb.t, g"""
+    # mmr_select: generated chained-CTE greedy program, one pick CTE per
+    # round (the bpe_train pattern) — round 1 has no penalty (max over the
+    # empty selected set is 0), later rounds re-rank the remaining
+    # candidates with max-sim penalties against every pick so far
+    _MK, _ML = 5, 700
+    _mmr = ["""e AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding,
+              x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS q
+          FROM embeddings)""",
+            """rel AS MATERIALIZED (
+          SELECT e.vec_id, CAST(list_inner_product(
+              e.q, (SELECT q FROM e WHERE vec_id = 0)) AS BIGINT) AS r
+          FROM e WHERE e.vec_id != 0)"""]
+    _picked: list[int] = []
+    for _r in range(1, _MK + 1):
+        if not _picked:
+            _mmr.append(f"""p1 AS (
+          SELECT rel.vec_id, CAST({_ML} * rel.r AS BIGINT) AS score
+          FROM rel
+          QUALIFY row_number() OVER (
+              ORDER BY {_ML} * rel.r DESC, rel.vec_id) = 1)""")
+        else:
+            _sel = " UNION ALL ".join(f"SELECT vec_id FROM p{i}"
+                                      for i in _picked)
+            _mmr.append(f"""pen{_r} AS (
+          SELECT rel.vec_id, rel.r,
+                 max(CAST(list_inner_product(ce.q, se.q) AS BIGINT)) AS p
+          FROM rel JOIN e ce ON ce.vec_id = rel.vec_id,
+               (SELECT q FROM e WHERE vec_id IN ({_sel})) se
+          WHERE rel.vec_id NOT IN ({_sel})
+          GROUP BY 1, 2)""")
+            _mmr.append(f"""p{_r} AS (
+          SELECT vec_id,
+                 CAST({_ML} * r - {1000 - _ML} * p AS BIGINT) AS score
+          FROM pen{_r}
+          QUALIFY row_number() OVER (
+              ORDER BY {_ML} * r - {1000 - _ML} * p DESC, vec_id) = 1)""")
+        _picked.append(_r)
+    _mmr_final = " UNION ALL ".join(
+        f"SELECT {i} AS mmr_rank, vec_id, score FROM p{i}" for i in _picked)
+    sql["mmr_select"] = ("WITH " + ",\n        ".join(_mmr)
+                         + f"""
+        SELECT CAST(mmr_rank AS BIGINT) AS rank, vec_id, score
+        FROM ({_mmr_final})""")
+    sql["path_ngrams"] = """
+        WITH o AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 14400000000 THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        g AS (SELECT user_id, event_type, t, event_id,
+                     sum(ns) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS s
+              FROM o),
+        tri AS (
+          SELECT event_type || '>' || lead(event_type, 1) OVER w
+                 || '>' || lead(event_type, 2) OVER w AS path,
+                 s, lead(s, 2) OVER w AS s2
+          FROM g WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM tri WHERE s = s2 GROUP BY 1"""
+    sql["label_centroids"] = """
+        WITH q AS (
+          SELECT label, t.i - 1 AS dim,
+                 CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0)
+                      AS BIGINT) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        s AS (SELECT label, dim, sum(x) AS s, count(*) AS c
+              FROM q GROUP BY 1, 2)
+        SELECT CAST(a.label AS BIGINT) AS label_a,
+               CAST(b.label AS BIGINT) AS label_b,
+               CAST(max(a.c) AS BIGINT) AS n_a,
+               CAST(max(b.c) AS BIGINT) AS n_b,
+               CAST(sum((CAST(a.s AS HUGEINT) * b.c - CAST(b.s AS HUGEINT)
+                         * a.c) * (CAST(a.s AS HUGEINT) * b.c
+                                   - CAST(b.s AS HUGEINT) * a.c))
+                    // (CAST(max(a.c) AS HUGEINT) * max(b.c)
+                        * max(a.c) * max(b.c)) AS BIGINT) AS dist2_q
+        FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -1036,3 +1036,145 @@ def knn_classify(ds, *, k: int = 5, query_mod: int = 10,
 
     return grouped_apply(cand, ["qid"], finish, num_buckets=num_buckets,
                          batch_format="pyarrow")
+
+
+def mmr_select(ds, *, k: int = 5, lam_e3: int = 700, scale: float = 1000.0,
+               query_id: int = 0, emb_col: str = "embedding",
+               id_col: str = "vec_id"):
+    """Maximal Marginal Relevance selection — the diversity-aware
+    retrieval pass that keeps a result set from collapsing onto near
+    duplicates: k greedy rounds, each picking the candidate maximizing
+    lam_e3·rel − (1000−lam_e3)·max_sim_to_selected over quantized-int
+    dot products (floor(float64(x)·scale)); round 1's penalty is 0 (max
+    over the empty set). Fully deterministic: score ties break by
+    smaller id. The query is the ``query_id`` vector, which is excluded
+    from the candidates. Output (rank, vec_id, score).
+
+    Scale shape: each round is ONE streaming pass — the selected set
+    (≤ k vectors) rides the task closure, every batch does one integer
+    GEMM against it and emits a single best row, and the driver reduces
+    the ≤ #blocks partial winners (the kmeans_fit_int iterative-driver
+    pattern). Nothing is materialized; k passes total."""
+    def narrow(t: pa.Table) -> pa.Table:
+        m = np.floor(embedding_matrix(t.column(emb_col))
+                     .astype(np.float64) * scale).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "q": pa.array(list(m), pa.list_(pa.int64()))})
+
+    cand = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    # one tiny pull: the query vector itself (vectorized batch filter +
+    # limit pushdown — never a per-row Python filter)
+    qrows = cand.map_batches(
+        lambda t: t.filter(pc.equal(t.column(id_col), query_id)),
+        batch_format="pyarrow", zero_copy_batch=True).take(1)
+    if not qrows:
+        raise ValueError(f"query vector {id_col}={query_id} not found")
+    qv = np.asarray(qrows[0]["q"], dtype=np.int64)
+
+    selected: list[tuple[int, int]] = []   # (vec_id, score)
+    sel_vecs: list[np.ndarray] = []
+
+    for _ in range(k):
+        smat = np.stack(sel_vecs).T.copy() if sel_vecs else None
+        taken = frozenset(i for i, _ in selected)
+
+        def best(t: pa.Table, _smat=smat, _taken=taken) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            e = embedding_matrix(t.column("q")).astype(np.int64)
+            rel = e @ qv
+            pen = (e @ _smat).max(axis=1) if _smat is not None \
+                else np.zeros(len(ids), np.int64)
+            score = lam_e3 * rel - (1000 - lam_e3) * pen
+            mask = ids != query_id
+            if _taken:
+                mask &= ~np.isin(ids, np.fromiter(_taken, np.int64))
+            if not mask.any():
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.int64()),
+                                 "q": pa.array([], pa.list_(pa.int64()))})
+            idx = np.flatnonzero(mask)
+            # best under (score desc, id asc)
+            o = idx[np.lexsort((ids[idx], -score[idx]))[0]]
+            return pa.table({id_col: pa.array([ids[o]], pa.int64()),
+                             "score": pa.array([score[o]], pa.int64()),
+                             "q": pa.array([e[o]], pa.list_(pa.int64()))})
+
+        part = cand.map_batches(best, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+        if not len(part):
+            break
+        part = part.sort_values(["score", id_col],
+                                ascending=[False, True],
+                                kind="mergesort").iloc[0]
+        selected.append((int(part[id_col]), int(part["score"])))
+        sel_vecs.append(np.asarray(part["q"], dtype=np.int64))
+
+    return pa.table({
+        "rank": pa.array(range(1, len(selected) + 1), pa.int64()),
+        "vec_id": pa.array([i for i, _ in selected], pa.int64()),
+        "score": pa.array([s for _, s in selected], pa.int64())})
+
+
+def label_centroids(ds, *, scale: float = 1000.0, emb_col: str = "embedding",
+                    label_col: str = "label", num_buckets: int = 8):
+    """Pairwise label-centroid separation, division-free and exact: with
+    per-label quantized sums s and counts c, the cross term
+    (s_a·c_b − s_b·c_a) per dimension is (c_a·c_b)·(centroid_a −
+    centroid_b), so dist2_q = Σ_d (s_a·c_b − s_b·c_a)² // (c_a·c_b)²
+    is the floored squared centroid distance in quantized units — no
+    intermediate float, the big squares run in Python arbitrary
+    precision inside the tiny finisher. Output
+    (label_a, label_b, n_a, n_b, dist2_q).
+
+    Scale shape: one per-batch np.add.at reduction to (label, dim)
+    partial sums, a bounded two-phase (labels × dims rows), and a
+    single-task pairwise finisher."""
+    from .aggregate import two_phase_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.floor(embedding_matrix(t.column(emb_col))
+                     .astype(np.float64) * scale).astype(np.int64)
+        labs = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(labs, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(ulab), d), np.int64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            label_col: pa.array(np.repeat(ulab, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ulab))),
+            "s": pa.array(sums.ravel()),
+            "c": pa.array(np.repeat(cnt, d))})
+
+    agg = two_phase_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [label_col, "dim"], [("s", "sum", "s"), ("c", "sum", "c")],
+        num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([label_col, "dim"])
+        labs = sorted(df[label_col].unique())
+        vec = {l: df[df[label_col] == l].sort_values("dim")["s"]
+               .astype(object).tolist() for l in labs}
+        cnt = {l: int(df[df[label_col] == l]["c"].iloc[0]) for l in labs}
+        rows = []
+        for i, a in enumerate(labs):
+            for b in labs[i + 1:]:
+                na, nb = cnt[a], cnt[b]
+                d2 = sum((int(sa) * nb - int(sb) * na) ** 2
+                         for sa, sb in zip(vec[a], vec[b]))
+                rows.append((int(a), int(b), na, nb,
+                             d2 // (na * nb) ** 2))
+        cols = list(zip(*rows)) if rows else [[]] * 5
+        return pa.table({
+            "label_a": pa.array(list(cols[0]), pa.int64()),
+            "label_b": pa.array(list(cols[1]), pa.int64()),
+            "n_a": pa.array(list(cols[2]), pa.int64()),
+            "n_b": pa.array(list(cols[3]), pa.int64()),
+            "dist2_q": pa.array(list(cols[4]), pa.int64())})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          zero_copy_batch=True)

@@ -2662,3 +2662,50 @@ def value_twap(ds, *, key: str = "user_id", ts_col: str = "ts",
 
     return rolled.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def path_ngrams(ds, *, n: int = 3, key: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type", id_col: str = "event_id",
+                gap_minutes: float = 30.0, num_buckets: int = 64):
+    """Frequent behavior n-grams: every run of ``n`` CONSECUTIVE events
+    inside one gap-session (same break rule as :func:`sessionize`),
+    joined as 'a>b>c' and counted corpus-wide — the sequence-mining
+    sibling of session_paths (which keeps only each session's entry
+    path). Output (path, n_occurrences).
+
+    Scale shape: one bucketed user-keyed pass assembles n-grams
+    vectorized across every session in the bucket; the shuffle after it
+    moves (path, n) partials bounded by |event_types|^n."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < n:
+            return pd.DataFrame({"path": pd.Series([], dtype=str),
+                                 "n_occurrences": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        gap_break = ((g[ts_col] - g[ts_col].shift()) > gap).to_numpy()
+        sess_id = np.cumsum(key_change | gap_break)
+        types = g[type_col].to_numpy()
+        ok = sess_id[: len(sess_id) - n + 1] == sess_id[n - 1:]
+        if not ok.any():
+            return pd.DataFrame({"path": pd.Series([], dtype=str),
+                                 "n_occurrences": pd.Series([], dtype=np.int64)})
+        parts = [pd.Series(types[j: len(types) - n + 1 + j][ok])
+                 for j in range(n)]
+        path = parts[0].str.cat(parts[1:], sep=">")
+        out = (path.value_counts().rename_axis("path")
+               .rename("n_occurrences").reset_index())
+        out["n_occurrences"] = out["n_occurrences"].astype(np.int64)
+        return out
+
+    partials = grouped_apply(ds, [key], per_bucket,
+                             select=[key, ts_col, type_col, id_col],
+                             num_buckets=num_buckets)
+    return two_phase_aggregate(partials, ["path"],
+                               [("n_occurrences", "sum", "n_occurrences")],
+                               num_buckets=4)

@@ -635,3 +635,47 @@ def test_knn_classify_majority_and_ties(ray_session):
     out6 = knn_classify(rd.from_arrow(t), k=6, query_mod=7,
                         num_buckets=2).to_pandas()
     assert out6.loc[0, "pred_label"] == 0 and out6.loc[0, "n_votes"] == 3
+
+
+def test_mmr_select_diversity(ray_session):
+    """Pure relevance would pick the two near-identical top vectors;
+    MMR's penalty forces the diverse orthogonal pick at rank 2."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.similarity import mmr_select
+
+    vecs = [[1.0, 0.0],        # 0 = query
+            [0.9, 0.3],        # 1: rel 899k (f32 0.9 floors to 899)
+            [0.9, 0.31],       # 2: rel tied with 1 but sim(2,1) > rel
+            [0.6, -0.6]]       # 3: lower rel, low sim to 1
+    t = pa.table({"vec_id": pa.array(range(4), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    out = mmr_select(rd.from_arrow(t), k=3, lam_e3=500,
+                     query_id=0).to_pandas()
+    assert list(out["rank"]) == [1, 2, 3]
+    # round 1: rel tie 899000 between 1 and 2 -> smaller id; round 2:
+    # 2's penalty (899*899+310*300=901201) exceeds its rel, 3's doesn't
+    assert list(out["vec_id"]) == [1, 3, 2]
+    assert out.loc[0, "score"] == 500 * 899_000   # pure relevance round 1
+    assert out.loc[1, "score"] == 500 * (600_000 - (600 * 899 - 601 * 300))
+    assert out.loc[2, "score"] == 500 * (899_000 - 901_201)
+
+
+def test_label_centroids_exact(ray_session):
+    """Two labels with hand-computable centroids: a at (1,0)x2, b at
+    (0,2)x1 -> dist2_q = ((2000*1-0)^2 + (0-2000*2)^2) // (2*1)^2."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.similarity import label_centroids
+
+    t = pa.table({"embedding": pa.array([[1.0, 0.0], [1.0, 0.0],
+                                         [0.0, 2.0]],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([0, 0, 1], pa.int32())})
+    out = label_centroids(rd.from_arrow(t), num_buckets=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["label_a"], r["label_b"], r["n_a"], r["n_b"]) == (0, 1, 2, 1)
+    assert r["dist2_q"] == ((2000 * 1) ** 2 + (2000 * 2) ** 2) // 4

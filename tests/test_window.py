@@ -1018,3 +1018,27 @@ def test_value_twap_step_integral(ray_session):
     assert r["sum_vdt_cms"] == 200 * 1000 + 400 * 3000
     assert r["sum_dt_ms"] == 4000
     assert r["twap_cents"] == 350
+
+
+def test_path_ngrams_session_breaks(ray_session):
+    """Trigrams never cross a gap break or a user boundary."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import path_ngrams
+
+    T = datetime.datetime(2024, 1, 1)
+    def ts(m):
+        return T + datetime.timedelta(minutes=m)
+    rows = [(1, "a", ts(0)), (1, "b", ts(1)), (1, "c", ts(2)),
+            (1, "d", ts(90)),                  # gap break before d
+            (2, "a", ts(0)), (2, "b", ts(1))]  # too short for a trigram
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[1] for r in rows]),
+                  "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                  "event_id": pa.array(range(len(rows)), pa.int64())})
+    out = path_ngrams(rd.from_arrow(t), n=3, gap_minutes=30.0,
+                      num_buckets=2).to_pandas()
+    assert dict(zip(out["path"], out["n_occurrences"])) == {"a>b>c": 1}
