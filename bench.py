@@ -233,6 +233,9 @@ SECONDARY = [
     "mmr_select",
     "path_ngrams",
     "label_centroids",
+    "nation_trade_volume",
+    "returned_revenue",
+    "doc_vectors",
 ]
 
 

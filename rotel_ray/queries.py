@@ -4345,6 +4345,137 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("lineitem")
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7-shaped trade-lane volume: revenue between every
+    (supplier nation, customer nation) pair per ship year. Supplier and
+    nation ride broadcasts (dimensions); orders and customer are the
+    real fact⋈fact legs — two bucketed joins on different keys
+    (orderkey then custkey), the honest Q7 exchange shape."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import broadcast_join, bucket_hash_join
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                               "l_extendedprice", "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        rev = _cents_arr(pc.multiply(t.column("l_extendedprice"),
+                                     pc.subtract(1.0, t.column("l_discount"))))
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "ship_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+            "rev_cents": rev})
+
+    li = broadcast_join(
+        li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True),
+        supp, left_on="l_suppkey", right_on="s_suppkey",
+        take_cols=["s_nationkey"])
+    li = li.map_batches(
+        lambda t: t.select(["l_orderkey", "ship_year", "rev_cents",
+                            "s_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    j = bucket_hash_join(li, orders, on="l_orderkey",
+                         right_on="o_orderkey", num_buckets=32)
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    j = bucket_hash_join(j, cust, on="o_custkey", right_on="c_custkey",
+                         num_buckets=32)
+    agg = two_phase_aggregate(
+        j.map_batches(
+            lambda t: t.select(["s_nationkey", "c_nationkey", "ship_year",
+                                "rev_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["s_nationkey", "c_nationkey", "ship_year"],
+        [("rev_cents", "sum", "revenue_cents")], num_buckets=16)
+    agg = broadcast_join(agg, nation, left_on="s_nationkey",
+                         right_on="n_nationkey", take_cols=["n_name"])
+    agg = agg.map_batches(
+        lambda t: t.rename_columns(
+            [c if c != "n_name" else "supp_nation"
+             for c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = broadcast_join(agg, nation, left_on="c_nationkey",
+                         right_on="n_nationkey", take_cols=["n_name"])
+    return agg.map_batches(
+        lambda t: pa.table({"supp_nation": t.column("supp_nation"),
+                            "cust_nation": t.column("n_name"),
+                            "ship_year": t.column("ship_year"),
+                            "revenue_cents": t.column("revenue_cents")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_hinted("lineitem")
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: top-20 customers by
+    revenue lost to returned lineitems (flag 'R'), with nation names —
+    filter → bucketed orderkey join → custkey rollup → bucketed
+    customer join → bounded global top-k."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import broadcast_join, bucket_hash_join
+    from .stages.window import topk_per_group
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_returnflag",
+                               "l_extendedprice", "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        rev = _cents_arr(pc.multiply(t.column("l_extendedprice"),
+                                     pc.subtract(1.0, t.column("l_discount"))))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev_cents": rev})
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    j = bucket_hash_join(
+        li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True),
+        orders, on="l_orderkey", right_on="o_orderkey", num_buckets=32)
+    per_cust = two_phase_aggregate(
+        j, ["o_custkey"], [("rev_cents", "sum", "revenue_cents")],
+        num_buckets=32)
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name", "c_nationkey"])
+    j2 = bucket_hash_join(per_cust, cust, on="o_custkey",
+                          right_on="c_custkey", num_buckets=32)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    j2 = broadcast_join(j2, nation, left_on="c_nationkey",
+                        right_on="n_nationkey", take_cols=["n_name"])
+    top = topk_per_group(
+        j2.map_batches(
+            lambda t: t.append_column(
+                "g", pa.nulls(t.num_rows, pa.int64()).fill_null(0)),
+            batch_format="pyarrow", zero_copy_batch=True),
+        key="g", order_col="revenue_cents", id_col="o_custkey", k=20,
+        cols=["g", "revenue_cents", "o_custkey", "c_name", "n_name"])
+    return top.map_batches(
+        lambda t: pa.table({"c_custkey": t.column("o_custkey"),
+                            "c_name": t.column("c_name"),
+                            "n_name": t.column("n_name"),
+                            "revenue_cents": t.column("revenue_cents")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_hinted("documents")
+def q_doc_vectors(sf_dir: str):
+    """Feature-hashed bag-of-words document vectors (md5 % 32 dims,
+    sparse exploded rows) — the text→vector bridge with a bit-exact
+    md5-mirror oracle."""
+    from .stages.textstats import doc_vectors
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return doc_vectors(ds, dims=32)
+
+
 @_hinted("embeddings")
 def q_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance top-5 vs the vec_id=0 query (λ=0.7 in
@@ -5334,6 +5465,9 @@ QUERIES = {
     "mmr_select": q_mmr_select,
     "path_ngrams": q_path_ngrams,
     "label_centroids": q_label_centroids,
+    "nation_trade_volume": q_nation_trade_volume,
+    "returned_revenue": q_returned_revenue,
+    "doc_vectors": q_doc_vectors,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -9087,6 +9221,44 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                         * max(a.c) * max(b.c)) AS BIGINT) AS dist2_q
         FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
         GROUP BY 1, 2"""
+    sql["nation_trade_volume"] = f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(sum({cents.format(
+                   expr='l_extendedprice * (1 - l_discount)')})
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        GROUP BY 1, 2, 3"""
+    sql["returned_revenue"] = f"""
+        WITH r AS (
+          SELECT o_custkey,
+                 CAST(sum({cents.format(
+                     expr='l_extendedprice * (1 - l_discount)')})
+                      AS BIGINT) AS revenue_cents
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R' GROUP BY 1)
+        SELECT c_custkey, c_name, n_name, revenue_cents
+        FROM r JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+        QUALIFY row_number() OVER (
+            ORDER BY revenue_cents DESC, c_custkey) <= 20"""
+    # doc_vectors: dim = first 48 md5 bits of the token, mod 32 — the
+    # _MD5H hex-walk fragment defined above for the bloom/cms replays
+    _DVH = _MD5H.format(off=1).replace("md5(g)", "md5(tok)")
+    sql["doc_vectors"] = rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x != '')) AS tok
+          FROM documents)
+        SELECT doc_id, CAST({_DVH} % 32 AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -2085,3 +2085,49 @@ def winnow_matches(ds, *, text_col: str = "text", id_col: str = "doc_id",
         lambda t: t.filter(pc.greater_equal(t.column("n_shared"),
                                             min_shared)),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_vectors(ds, *, dims: int = 32, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Feature-hashed bag-of-words document vectors — the text→vector
+    bridge when no embedding model is in the loop: each whitespace token
+    hashes to dim = (first 48 md5 bits) % dims and term frequencies sum
+    per dim. Output EXPLODED (doc_id, dim, tf) sparse rows (only nonzero
+    dims emit — the quantize_embeddings convention). Map-only, no
+    shuffle; the per-batch md5 work runs once per DISTINCT token in the
+    batch, not per occurrence."""
+    import hashlib
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids_out, dims_out, tf_out = [], [], []
+        memo: dict[str, int] = {}
+        for did, tx in zip(t.column(id_col).to_pylist(), texts):
+            toks = (tx or "").split()
+            if not toks:
+                continue
+            utok, cnt = np.unique(np.asarray(toks, dtype=object),
+                                  return_counts=True)
+            d = np.empty(len(utok), np.int64)
+            for i, tok in enumerate(utok):
+                h = memo.get(tok)
+                if h is None:
+                    h = memo[tok] = int(
+                        hashlib.md5(tok.encode()).hexdigest()[:12],
+                        16) % dims
+                d[i] = h
+            tf = np.zeros(dims, np.int64)
+            np.add.at(tf, d, cnt)
+            nz = np.flatnonzero(tf)
+            ids_out.append(np.full(len(nz), did, np.int64))
+            dims_out.append(nz.astype(np.int64))
+            tf_out.append(tf[nz])
+        if not ids_out:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.table({id_col: pa.array(np.concatenate(ids_out)),
+                         "dim": pa.array(np.concatenate(dims_out)),
+                         "tf": pa.array(np.concatenate(tf_out))})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -777,3 +777,24 @@ def test_pii_density_rates(ray_session):
     assert out.loc["a", "n_chars"] == 100
     assert out.loc["a", "pii_e9"] == 2 * 1_000_000_000 // 100
     assert out.loc["b", "pii_e9"] == 0 and out.loc["b", "n_phone"] == 0
+
+
+def test_doc_vectors_hashing(ray_session):
+    """Repeated tokens sum into one dim; dims follow md5 % 32; empty
+    docs emit nothing."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import doc_vectors
+
+    h = lambda tok: int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % 32
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["foo bar foo", ""])}))
+    out = doc_vectors(ds, dims=32).to_pandas()
+    got = {(r.doc_id, r.dim): r.tf for r in out.itertuples()}
+    assert got[(0, h("foo"))] == 2
+    assert got[(0, h("bar"))] == 1
+    assert len(out) == (1 if h("foo") == h("bar") else 2)
