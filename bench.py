@@ -236,6 +236,9 @@ SECONDARY = [
     "nation_trade_volume",
     "returned_revenue",
     "doc_vectors",
+    "tool_chains",
+    "new_unique_docs",
+    "first_response",
 ]
 
 

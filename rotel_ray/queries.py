@@ -4345,6 +4345,70 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_tool_chains(sf_dir: str):
+    """Frequent tool-call trigrams within conversations: the path_ngrams
+    kernel re-keyed on conv_id over non-empty tool turns (one session
+    per conversation — the gap never fires)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.window import path_ngrams
+
+    tdir = ensure_transcripts(sf_dir)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(_glob.glob(f"{tdir}/*.parquet")))
+    ds = read_parquet(tdir, columns=["conv_id", "tool", "ts", "turn_idx"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.is_valid(t.column("tool")),
+                                   pc.not_equal(t.column("tool"), ""))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with input_rows_hint(n):
+        # ~95 years: pd.Timedelta caps near 1.5e8 minutes, 1e9 overflows
+        return path_ngrams(ds, n=3, key="conv_id", type_col="tool",
+                           id_col="turn_idx", gap_minutes=5e7)
+
+
+@_hinted("documents")
+def q_new_unique_docs(sf_dir: str):
+    """Incremental-ingest dedup: v2-snapshot docs whose content md5 has
+    NO match anywhere in v1 (new or rewritten content only — the rows an
+    incremental crawl actually re-processes), via the bucketed
+    anti-join; raw text never shuffles."""
+    from .stages.enrich import _hash_values
+    from .stages.join import bucket_anti_join
+    from .stages.mix import ensure_docs_v2
+
+    v2 = read_parquet(ensure_docs_v2(sf_dir),
+                      columns=["doc_id", "source", "text"])
+    v1 = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    v2h = v2.map_batches(
+        lambda t: pa.table({"h": _hash_values(t.column("text"), "md5"),
+                            "doc_id": t.column("doc_id"),
+                            "source": t.column("source")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    v1h = v1.map_batches(
+        lambda t: pa.table({"h": _hash_values(t.column("text"), "md5")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return bucket_anti_join(v2h, v1h, on="h", num_buckets=32)
+
+
+def q_first_response(sf_dir: str):
+    """Per-conversation first-response SLA: the first assistant turn
+    strictly after the first user turn and the wall-clock gap between
+    them."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.window import first_response
+
+    tdir = ensure_transcripts(sf_dir)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(_glob.glob(f"{tdir}/*.parquet")))
+    ds = read_parquet(tdir, columns=["conv_id", "role", "turn_idx", "ts"])
+    with input_rows_hint(n):
+        return first_response(ds)
+
+
 @_hinted("lineitem")
 def q_nation_trade_volume(sf_dir: str):
     """TPC-H Q7-shaped trade-lane volume: revenue between every
@@ -5468,6 +5532,9 @@ QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "returned_revenue": q_returned_revenue,
     "doc_vectors": q_doc_vectors,
+    "tool_chains": q_tool_chains,
+    "new_unique_docs": q_new_unique_docs,
+    "first_response": q_first_response,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -9259,6 +9326,37 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT doc_id, CAST({_DVH} % 32 AS BIGINT) AS dim,
                CAST(count(*) AS BIGINT) AS tf
         FROM toks GROUP BY 1, 2"""
+    sql["tool_chains"] = f"""
+        WITH f AS (SELECT conv_id, tool, epoch_us(ts) AS t, turn_idx
+                   FROM {T} WHERE tool IS NOT NULL AND tool != ''),
+        tri AS (
+          SELECT tool || '>' || lead(tool, 1) OVER w
+                 || '>' || lead(tool, 2) OVER w AS path
+          FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx))
+        SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM tri WHERE path IS NOT NULL GROUP BY 1"""
+    sql["new_unique_docs"] = f"""
+        WITH v1 AS (SELECT md5(text) AS h FROM documents),
+        v2 AS (SELECT md5(text) AS h, doc_id, source
+               FROM read_parquet('{_v2dir}/*.parquet'))
+        SELECT h, doc_id, source FROM v2
+        WHERE h NOT IN (SELECT h FROM v1)"""
+    sql["first_response"] = f"""
+        WITH b AS (SELECT conv_id, turn_idx, role, epoch_us(ts) AS us
+                   FROM {T}),
+        u AS (SELECT conv_id, turn_idx AS fu, us AS fu_us FROM b
+              WHERE role = 'user'
+              QUALIFY row_number() OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) = 1),
+        a AS (SELECT b.conv_id, b.turn_idx AS fa, b.us AS fa_us
+              FROM b JOIN u USING (conv_id)
+              WHERE role = 'assistant' AND b.turn_idx > u.fu
+              QUALIFY row_number() OVER (
+                  PARTITION BY b.conv_id ORDER BY b.turn_idx) = 1)
+        SELECT u.conv_id, CAST(u.fu AS BIGINT) AS user_turn,
+               CAST(a.fa AS BIGINT) AS assist_turn,
+               CAST(a.fa_us - u.fu_us AS BIGINT) AS response_us
+        FROM u JOIN a USING (conv_id)"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -2709,3 +2709,48 @@ def path_ngrams(ds, *, n: int = 3, key: str = "user_id", ts_col: str = "ts",
     return two_phase_aggregate(partials, ["path"],
                                [("n_occurrences", "sum", "n_occurrences")],
                                num_buckets=4)
+
+
+def first_response(ds, *, conv_col: str = "conv_id", role_col: str = "role",
+                   turn_col: str = "turn_idx", ts_col: str = "ts",
+                   num_buckets: int = 64):
+    """First-response SLA per conversation: the first assistant turn
+    strictly after the first user turn (turn order, not wall clock,
+    decides "after" — ties are impossible on the unique turn index) and
+    the wall-clock latency between them. Convs with no user turn or no
+    assistant follow-up drop. Output
+    (conv_id, user_turn, assist_turn, response_us).
+
+    Scale shape: conv-keyed buckets; inside each bucket the firsts are
+    drop_duplicates over the sorted frame — vectorized across convs."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({conv_col: pd.Series([], dtype=str),
+                              "user_turn": pd.Series([], dtype=np.int64),
+                              "assist_turn": pd.Series([], dtype=np.int64),
+                              "response_us": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        g = g.sort_values([conv_col, turn_col], kind="mergesort")
+        g["us"] = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = (g[g[role_col] == "user"]
+             .drop_duplicates(conv_col)[[conv_col, turn_col, "us"]]
+             .rename(columns={turn_col: "fu", "us": "fu_us"}))
+        a = g[g[role_col] == "assistant"].merge(u, on=conv_col)
+        a = (a[a[turn_col] > a["fu"]].sort_values([conv_col, turn_col],
+                                                  kind="mergesort")
+             .drop_duplicates(conv_col))
+        if not len(a):
+            return empty
+        return pd.DataFrame({
+            conv_col: a[conv_col].to_numpy(),
+            "user_turn": a["fu"].to_numpy().astype(np.int64),
+            "assist_turn": a[turn_col].to_numpy().astype(np.int64),
+            "response_us": (a["us"] - a["fu_us"]).to_numpy().astype(np.int64)})
+
+    return grouped_apply(ds, [conv_col], per_bucket,
+                         select=[conv_col, role_col, turn_col, ts_col],
+                         num_buckets=num_buckets)

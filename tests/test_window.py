@@ -1042,3 +1042,33 @@ def test_path_ngrams_session_breaks(ray_session):
     out = path_ngrams(rd.from_arrow(t), n=3, gap_minutes=30.0,
                       num_buckets=2).to_pandas()
     assert dict(zip(out["path"], out["n_occurrences"])) == {"a>b>c": 1}
+
+
+def test_first_response_turn_order(ray_session):
+    """Assistant turn BEFORE the first user turn doesn't count; the
+    latency is wall-clock between the two chosen turns."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import first_response
+
+    T = datetime.datetime(2024, 1, 1)
+    def ts(s):
+        return T + datetime.timedelta(seconds=s)
+    rows = [("c1", 0, "assistant", ts(0)),   # pre-user: ignored
+            ("c1", 1, "user", ts(10)),
+            ("c1", 2, "tool", ts(15)),
+            ("c1", 3, "assistant", ts(22)),
+            ("c2", 0, "user", ts(0)),        # no assistant: drops
+            ("c3", 0, "assistant", ts(0))]   # no user: drops
+    t = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                  "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+                  "role": pa.array([r[2] for r in rows]),
+                  "ts": pa.array([r[3] for r in rows], pa.timestamp("us"))})
+    out = first_response(rd.from_arrow(t), num_buckets=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["conv_id"], r["user_turn"], r["assist_turn"]) == ("c1", 1, 3)
+    assert r["response_us"] == 12_000_000
