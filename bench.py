@@ -239,6 +239,9 @@ SECONDARY = [
     "tool_chains",
     "new_unique_docs",
     "first_response",
+    "mm_clipping",
+    "local_supplier_volume",
+    "depth_profile",
 ]
 
 

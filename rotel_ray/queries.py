@@ -4345,6 +4345,111 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_mm_clipping(sf_dir: str):
+    """Audio clipping audit over real WAV decodes: rail-sample counts
+    and the longest consecutive clipped run per clip."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import MediaDecoder, audio_clipping, ensure_media
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    return ds.map_batches(audio_clipping, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
+@_hinted("lineitem")
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped local-supplier revenue: lanes where customer and
+    supplier share a nation (the correlated-equality filter on the Q7
+    join chain), grouped by nation and ship year."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import broadcast_join, bucket_hash_join
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                               "l_extendedprice", "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        rev = _cents_arr(pc.multiply(t.column("l_extendedprice"),
+                                     pc.subtract(1.0, t.column("l_discount"))))
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "ship_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+            "rev_cents": rev})
+
+    li = broadcast_join(
+        li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True),
+        supp, left_on="l_suppkey", right_on="s_suppkey",
+        take_cols=["s_nationkey"])
+    li = li.map_batches(
+        lambda t: t.select(["l_orderkey", "ship_year", "rev_cents",
+                            "s_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    j = bucket_hash_join(li, orders, on="l_orderkey",
+                         right_on="o_orderkey", num_buckets=32)
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    j = bucket_hash_join(j, cust, on="o_custkey", right_on="c_custkey",
+                         num_buckets=32)
+    local = j.map_batches(
+        lambda t: t.filter(pc.equal(t.column("s_nationkey"),
+                                    t.column("c_nationkey"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = two_phase_aggregate(
+        local.map_batches(
+            lambda t: t.select(["s_nationkey", "ship_year", "rev_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["s_nationkey", "ship_year"],
+        [("rev_cents", "sum", "revenue_cents")], num_buckets=8)
+    agg = broadcast_join(agg, nation, left_on="s_nationkey",
+                         right_on="n_nationkey", take_cols=["n_name"])
+    return agg.map_batches(
+        lambda t: pa.table({"n_name": t.column("n_name"),
+                            "ship_year": t.column("ship_year"),
+                            "revenue_cents": t.column("revenue_cents")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_depth_profile(sf_dir: str):
+    """Conversation depth profile: per (role, capped turn depth) the
+    turn count and character mass — how responses grow or shrink as a
+    conversation deepens."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint, two_phase_aggregate
+
+    tdir = ensure_transcripts(sf_dir)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(_glob.glob(f"{tdir}/*.parquet")))
+    ds = read_parquet(tdir, columns=["role", "turn_idx", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        depth = pc.min_element_wise(
+            pc.cast(t.column("turn_idx"), pa.int64()), 16)
+        return pa.table({
+            "role": t.column("role"),
+            "depth": depth,
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64())})
+
+    with input_rows_hint(n):
+        return two_phase_aggregate(
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["role", "depth"],
+            [("one", "sum", "n_turns"), ("chars", "sum", "sum_chars")],
+            num_buckets=8)
+
+
 def q_tool_chains(sf_dir: str):
     """Frequent tool-call trigrams within conversations: the path_ngrams
     kernel re-keyed on conv_id over non-empty tool turns (one session
@@ -5535,6 +5640,9 @@ QUERIES = {
     "tool_chains": q_tool_chains,
     "new_unique_docs": q_new_unique_docs,
     "first_response": q_first_response,
+    "mm_clipping": q_mm_clipping,
+    "local_supplier_volume": q_local_supplier_volume,
+    "depth_profile": q_depth_profile,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -9357,6 +9465,47 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(a.fa AS BIGINT) AS assist_turn,
                CAST(a.fa_us - u.fu_us AS BIGINT) AS response_us
         FROM u JOIN a USING (conv_id)"""
+    # mm_clipping: replay rail samples (0x00 / 0xFF) from the pre-encode
+    # body_hex; clip runs become gap-and-island groups (i - row_number)
+    sql["mm_clipping"] = f"""
+        WITH au AS (
+          SELECT media_id, body_hex AS hx, width AS w
+          FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'audio'),
+        b AS (
+          SELECT media_id, w, t.i AS i,
+                 {_hd.format(p='2 * t.i + 1')} AS byte
+          FROM au, unnest(range(0, w)) AS t(i)),
+        c AS (SELECT media_id, i FROM b WHERE byte IN (0, 255)),
+        r AS (SELECT media_id,
+                     i - row_number() OVER (PARTITION BY media_id
+                                            ORDER BY i) AS grp
+              FROM c),
+        runs AS (SELECT media_id, grp, count(*) AS run_len
+                 FROM r GROUP BY 1, 2),
+        agg AS (SELECT media_id, CAST(max(run_len) AS BIGINT) AS max_run,
+                       CAST(sum(run_len) AS BIGINT) AS n_clip
+                FROM runs GROUP BY 1)
+        SELECT au.media_id, CAST(au.w AS BIGINT) AS n_samples,
+               coalesce(agg.n_clip, 0) AS n_clipped,
+               coalesce(agg.max_run, 0) AS max_clip_run
+        FROM au LEFT JOIN agg ON au.media_id = agg.media_id"""
+    sql["local_supplier_volume"] = f"""
+        SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(sum({cents.format(
+                   expr='l_extendedprice * (1 - l_discount)')})
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_nationkey = c_nationkey
+        GROUP BY 1, 2"""
+    sql["depth_profile"] = f"""
+        SELECT role, CAST(least(turn_idx, 16) AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        FROM {T} GROUP BY 1, 2"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

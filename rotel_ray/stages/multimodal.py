@@ -980,3 +980,34 @@ def dhash_neardup_pairs(ds, *, max_hamming: int = 3, num_buckets: int = 32,
     return two_phase_aggregate(per_bucket, ["media_a", "media_b"],
                                [("hamming", "min", "hamming")],
                                num_buckets=num_buckets)
+
+
+def audio_clipping(t: pa.Table) -> pa.Table:
+    """Audio clipping audit over REAL decoded u8 sample bodies: count of
+    rail samples (0 or 255) and the longest consecutive clipped run —
+    the distortion signal an audio-curation pass gates on (sustained
+    rails mean clipped recordings, isolated ones are noise). Non-audio
+    rows drop; one vectorized run-length pass per clip, no Python over
+    samples. Output (media_id, n_samples, n_clipped, max_clip_run)."""
+    ids, ns, nc, mr = [], [], [], []
+    for mid, kind, body in zip(t.column("media_id").to_pylist(),
+                               t.column("kind").to_pylist(),
+                               t.column("body").to_pylist()):
+        if kind != "audio" or not body:
+            continue
+        arr = np.frombuffer(body, np.uint8)
+        clip = (arr == 0) | (arr == 255)
+        ids.append(mid)
+        ns.append(arr.size)
+        nc.append(int(clip.sum()))
+        if clip.any():
+            # run lengths: boundaries of the padded 0/1 sequence
+            d = np.diff(np.r_[0, clip.astype(np.int8), 0])
+            mr.append(int((np.flatnonzero(d == -1)
+                           - np.flatnonzero(d == 1)).max()))
+        else:
+            mr.append(0)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "n_samples": pa.array(ns, pa.int64()),
+                     "n_clipped": pa.array(nc, pa.int64()),
+                     "max_clip_run": pa.array(mr, pa.int64())})

@@ -513,3 +513,27 @@ def test_dhash_neardup_pairs_pigeonhole(ray_session):
     # = one bit -> ham 1, found
     assert got[(2, 3)] == 1
     assert len(got) == 4
+
+
+def test_audio_clipping_runs(ray_session):
+    """Rail samples count; the longest consecutive run is measured, a
+    clean clip reports zeros; image rows drop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.multimodal import audio_clipping
+
+    a = np.array([0, 255, 255, 255, 7, 0, 0, 9], np.uint8)   # runs 4, 2
+    b = np.array([1, 2, 3, 4], np.uint8)                     # clean
+    t = pa.table({"media_id": pa.array([1, 2, 3], pa.int64()),
+                  "kind": pa.array(["audio", "audio", "image"]),
+                  "body": pa.array([a.tobytes(), b.tobytes(), b"\x00"],
+                                   pa.binary())})
+    out = (rd.from_arrow(t)
+           .map_batches(audio_clipping, batch_format="pyarrow")
+           .to_pandas().set_index("media_id"))
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "n_clipped"] == 6 and out.loc[1, "max_clip_run"] == 4
+    assert out.loc[1, "n_samples"] == 8
+    assert out.loc[2, "n_clipped"] == 0 and out.loc[2, "max_clip_run"] == 0
