@@ -242,6 +242,9 @@ SECONDARY = [
     "mm_clipping",
     "local_supplier_volume",
     "depth_profile",
+    "forecast_revenue",
+    "source_top_terms",
+    "mm_decode_errors",
 ]
 
 

@@ -4345,6 +4345,90 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("lineitem")
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped revenue-change forecast: one filtered global sum
+    of price·discount cents for 1998 shipments at discount 5–7% and
+    quantity < 24 (the pure scan-filter-aggregate shape — zero
+    shuffle beyond one tiny partial exchange)."""
+    from .stages.aggregate import two_phase_aggregate
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_shipdate", "l_extendedprice",
+                               "l_discount", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.equal(pc.year(t.column("l_shipdate")), 1998),
+                    pc.less(t.column("l_quantity"), 24.0)),
+            pc.and_(pc.greater_equal(t.column("l_discount"), 0.05),
+                    pc.less_equal(t.column("l_discount"), 0.07)))
+        t = t.filter(keep)
+        return pa.table({
+            "g": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "rev": _cents_arr(pc.multiply(t.column("l_extendedprice"),
+                                          t.column("l_discount")))})
+
+    agg = two_phase_aggregate(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [("one", "sum", "n_lines"), ("rev", "sum", "revenue_cents")],
+        num_buckets=1)
+    return agg.map_batches(
+        lambda t: t.select(["n_lines", "revenue_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_hinted("documents")
+def q_source_top_terms(sf_dir: str):
+    """Top-5 terms per source by term frequency (deterministic token-asc
+    tiebreak) — the corpus-exploration view behind per-source content
+    drift triage; pre-combined (source, token) counts feed the bounded
+    topk kernel."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.window import topk_per_group
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        srcs, out_tok, out_n = [], [], []
+        for src, tx in zip(t.column("source").to_pylist(),
+                           t.column("text").to_pylist()):
+            parts = (tx or "").split()
+            if not parts:
+                continue
+            u, c = np.unique(np.asarray(parts, dtype=object),
+                             return_counts=True)
+            srcs.extend([src] * len(u))
+            out_tok.extend(u.tolist())
+            out_n.extend(c.tolist())
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "tok": pa.array(out_tok, pa.string()),
+                         "n": pa.array(np.asarray(out_n, np.int64))})
+
+    counts = two_phase_aggregate(
+        ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "tok"], [("n", "sum", "n")], num_buckets=16)
+    return topk_per_group(counts, key="source", order_col="n",
+                          id_col="tok", k=5, cols=["source", "n", "tok"])
+
+
+def q_mm_decode_errors(sf_dir: str):
+    """Decode-failure accounting over a deterministically corrupted
+    payload overlay (every 5th media truncated to 20 bytes): the lenient
+    audit pass a real ingest runs before strict decode."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import decode_audit, ensure_corrupt_media
+
+    cdir = ensure_corrupt_media(sf_from_dir(sf_dir))
+    ds = read_parquet(cdir, columns=["media_id", "codec", "payload"])
+    return ds.map_batches(decode_audit, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
 def q_mm_clipping(sf_dir: str):
     """Audio clipping audit over real WAV decodes: rail-sample counts
     and the longest consecutive clipped run per clip."""
@@ -5643,6 +5727,9 @@ QUERIES = {
     "mm_clipping": q_mm_clipping,
     "local_supplier_volume": q_local_supplier_volume,
     "depth_profile": q_depth_profile,
+    "forecast_revenue": q_forecast_revenue,
+    "source_top_terms": q_source_top_terms,
+    "mm_decode_errors": q_mm_decode_errors,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -9506,6 +9593,35 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_turns,
                CAST(sum(length(text)) AS BIGINT) AS sum_chars
         FROM {T} GROUP BY 1, 2"""
+    sql["forecast_revenue"] = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum({cents.format(
+                   expr='l_extendedprice * l_discount')}) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem
+        WHERE year(l_shipdate) = 1998 AND l_quantity < 24
+          AND l_discount >= 0.05 AND l_discount <= 0.07"""
+    sql["source_top_terms"] = r"""
+        WITH tk AS (
+          SELECT source,
+                 unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x != '')) AS tok
+          FROM documents),
+        c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+              FROM tk GROUP BY 1, 2)
+        SELECT source, n, tok FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY n DESC, tok) <= 5"""
+    # mm_decode_errors: the corruption overlay is deterministic
+    # (media_id % 5 truncated below every container's minimum parseable
+    # size), so ok replays directly from the id
+    from .stages.multimodal import corrupt_media_path as _cmp
+
+    _cm_dir = _cmp(_sfd(sf_dir))
+    sql["mm_decode_errors"] = f"""
+        SELECT media_id, codec,
+               CAST(media_id % 5 != 0 AS BIGINT) AS ok
+        FROM read_parquet('{_cm_dir}/*.parquet')"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

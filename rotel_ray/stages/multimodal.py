@@ -1011,3 +1011,62 @@ def audio_clipping(t: pa.Table) -> pa.Table:
                      "n_samples": pa.array(ns, pa.int64()),
                      "n_clipped": pa.array(nc, pa.int64()),
                      "max_clip_run": pa.array(mr, pa.int64())})
+
+
+def corrupt_media_path(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
+    """Pure cache path of the corrupted-payload fixture (no build side
+    effect)."""
+    return os.path.join(root, f"corruptmedia_v1_sf{sf:g}")
+
+
+def ensure_corrupt_media(sf: float, root: str = "/tmp/rotel_ray_data") -> str:
+    """Deterministic corruption overlay on the media fixture: every
+    media_id % 5 == 0 payload is truncated to its first 20 bytes — short
+    enough that each container fails its own structural check (PNG loses
+    IHDR, WAV loses fmt/data, FVID fails the body-size check). Pure
+    function of the base fixture, cached with the usual atomic rename."""
+    out = corrupt_media_path(sf, root)
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    src = ensure_media(sf, root)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        t = pq.read_table(os.path.join(src, fname))
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        pay = t.column("payload").to_pylist()
+        pay = [p[:20] if i % 5 == 0 else p for i, p in zip(ids, pay)]
+        t = t.set_column(t.column_names.index("payload"), "payload",
+                         pa.array(pay, pa.binary()))
+        pq.write_table(t, os.path.join(tmp, fname))
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def decode_audit(t: pa.Table) -> pa.Table:
+    """Lenient decode audit — the failure-accounting pass a real ingest
+    runs BEFORE the strict decode stage: attempt every payload, emit
+    ok/failed per row instead of raising. Any exception class counts as
+    a failure (truncated containers raise ValueError, short headers
+    struct.error, corrupt magic KeyError — an audit wants them all).
+    Output (media_id, codec, ok)."""
+    dec = MediaDecoder(strict=True)
+    ids, codecs, oks = [], [], []
+    for mid, codec, payload in zip(t.column("media_id").to_pylist(),
+                                   t.column("codec").to_pylist(),
+                                   t.column("payload").to_pylist()):
+        try:
+            dec._decode_body(payload)
+            ok = 1
+        except Exception:
+            ok = 0
+        ids.append(mid)
+        codecs.append(codec)
+        oks.append(ok)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "codec": pa.array(codecs),
+                     "ok": pa.array(oks, pa.int64())})

@@ -537,3 +537,26 @@ def test_audio_clipping_runs(ray_session):
     assert out.loc[1, "n_clipped"] == 6 and out.loc[1, "max_clip_run"] == 4
     assert out.loc[1, "n_samples"] == 8
     assert out.loc[2, "n_clipped"] == 0 and out.loc[2, "max_clip_run"] == 0
+
+
+def test_decode_audit_corruption(ray_session):
+    """Truncated payloads of every container type report ok=0; intact
+    ones decode; nothing raises."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.multimodal import decode_audit, generate_media
+
+    t = generate_media(9)  # 3 images, 3 audio, 3 video
+    pay = t.column("payload").to_pylist()
+    ids = t.column("media_id").to_pylist()
+    pay = [p[:20] if i % 3 == 0 else p for i, p in zip(ids, pay)]
+    t = t.set_column(t.column_names.index("payload"), "payload",
+                     pa.array(pay, pa.binary()))
+    out = (rd.from_arrow(t.select(["media_id", "codec", "payload"]))
+           .map_batches(decode_audit, batch_format="pyarrow")
+           .to_pandas().set_index("media_id").sort_index())
+    assert len(out) == 9
+    for i in range(9):
+        assert out.loc[i, "ok"] == (0 if i % 3 == 0 else 1), i
+    assert set(out["codec"]) == {"png", "wav", "fvid"}
