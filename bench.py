@@ -245,6 +245,9 @@ SECONDARY = [
     "forecast_revenue",
     "source_top_terms",
     "mm_decode_errors",
+    "control_char_audit",
+    "mix_entropy",
+    "mm_dup_clusters",
 ]
 
 

@@ -4345,6 +4345,62 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_control_char_audit(sf_dir: str):
+    """Ingest hygiene: per-source control / zero-width character counts
+    over the dirtied unicode fixture, attributed through a bucketed
+    doc_id join back to the documents table."""
+    from .stages.aggregate import input_rows_hint
+    from .stages.clean import control_char_audit, ensure_unicode_docs
+
+    udir = ensure_unicode_docs(sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = read_parquet(udir, columns=["doc_id", "text"])
+    srcs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source"])
+    with input_rows_hint(n):
+        return control_char_audit(ds, srcs)
+
+
+@_hinted("documents")
+def q_mix_entropy(sf_dir: str):
+    """Corpus mixture entropy by source TOKEN mass (exact micro-nats;
+    effective-source-count diagnostic for training-mix design)."""
+    from .stages.mix import mix_entropy
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    return mix_entropy(ds)
+
+
+def q_mm_dup_clusters(sf_dir: str):
+    """Transitive image near-dup clusters: the banded-dHash pair set fed
+    through the min-label connected-components kernel, rolled up to
+    (cluster_id, n_members)."""
+    from .generator import sf_from_dir
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.dedup import connected_components
+    from .stages.multimodal import (MediaDecoder, dhash_images,
+                                    dhash_neardup_pairs,
+                                    ensure_neardup_media)
+
+    nd_dir = ensure_neardup_media(sf_from_dir(sf_dir))
+    ds = read_parquet(nd_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    ds = ds.map_batches(dhash_images, batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    pairs = dhash_neardup_pairs(ds, max_hamming=3)
+    labels = connected_components(pairs, a_col="media_a", b_col="media_b",
+                                  id_col="media_id",
+                                  label_col="cluster_id")
+    return two_phase_aggregate(
+        labels.map_batches(
+            lambda t: t.append_column(
+                "one", pa.nulls(t.num_rows, pa.int64()).fill_null(1)),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["cluster_id"], [("one", "sum", "n_members")], num_buckets=8)
+
+
 @_hinted("lineitem")
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6-shaped revenue-change forecast: one filtered global sum
@@ -5730,6 +5786,9 @@ QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "source_top_terms": q_source_top_terms,
     "mm_decode_errors": q_mm_decode_errors,
+    "control_char_audit": q_control_char_audit,
+    "mix_entropy": q_mix_entropy,
+    "mm_dup_clusters": q_mm_dup_clusters,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -9622,6 +9681,49 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT media_id, codec,
                CAST(media_id % 5 != 0 AS BIGINT) AS ok
         FROM read_parquet('{_cm_dir}/*.parquet')"""
+    sql["control_char_audit"] = f"""
+        WITH z AS (
+          SELECT u.doc_id, d.source,
+                 CAST(len(regexp_extract_all(u.text, '{_ZAP}'))
+                      AS BIGINT) AS zap,
+                 CAST(length(u.text) AS BIGINT) AS chars
+          FROM read_parquet('{_unidir}/*.parquet') u
+          JOIN documents d USING (doc_id))
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(zap > 0 AS BIGINT)) AS BIGINT)
+                 AS n_docs_affected,
+               CAST(sum(zap) AS BIGINT) AS n_zap_chars,
+               CAST(sum(chars) AS BIGINT) AS n_chars
+        FROM z GROUP BY 1"""
+    sql["mix_entropy"] = r"""
+        WITH c AS (
+          SELECT source,
+                 sum(len(regexp_extract_all(text, '\S+'))) AS c
+          FROM documents GROUP BY 1),
+        n AS (SELECT sum(c) AS n FROM c)
+        SELECT CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(max(n.n) AS BIGINT) AS n_tokens,
+               CAST(sum(c * CAST(floor(ln(CAST(n.n AS DOUBLE) / c) * 1e6)
+                    AS BIGINT)) AS BIGINT) AS ent_unat
+        FROM c, n"""
+    # mm_dup_clusters: min-label CC over the mm_neardup pair set — the
+    # token_canonical recursive-walk construction (components here are
+    # planted 2-cliques, so the walk stays tiny)
+    sql["mm_dup_clusters"] = f"""
+        WITH RECURSIVE prs AS (
+          SELECT media_a, media_b FROM ({sql["mm_neardup"]})),
+        edges AS (SELECT media_a AS src, media_b AS dst FROM prs
+                  UNION SELECT media_b, media_a FROM prs),
+        walk(id, lbl) AS (
+          SELECT * FROM (SELECT src AS id, dst AS lbl FROM edges
+                         UNION SELECT src, src FROM edges)
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+        ),
+        lab AS (SELECT id AS media_id, MIN(lbl) AS cluster_id
+                FROM walk GROUP BY id)
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM lab GROUP BY 1"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

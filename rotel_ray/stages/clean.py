@@ -189,3 +189,47 @@ def script_mix(texts, sources, *, id_col: str = "doc_id",
          ("n_w2", "sum", "n_w2"), ("n_w3", "sum", "n_w3"),
          ("n_w4", "sum", "n_w4")],
         num_buckets=8)
+
+
+def control_char_audit(ds, sources, *, text_col: str = "text",
+                       id_col: str = "doc_id", source_col: str = "source",
+                       num_buckets: int = 8):
+    """Ingest hygiene audit: per source, how many control / zero-width
+    characters (the ZAP_PATTERN set text_normalize strips) arrive, and
+    how many docs carry any — the dashboard that catches a feed gone
+    mojibake BEFORE normalization hides it. ``sources`` is the
+    (doc_id, source) dataset to attribute against (the dirtied fixture
+    itself carries no source column). Output
+    (source, n_docs, n_docs_affected, n_zap_chars, n_chars).
+
+    Scale shape: the regex count runs map-side; only (doc_id, 3 ints)
+    join rows shuffle into the bucketed doc_id join, then a tiny
+    per-source reduce."""
+    from .aggregate import two_phase_aggregate
+    from .join import bucket_hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        zap = pc.cast(pc.count_substring_regex(text, pattern=ZAP_PATTERN),
+                      pa.int64())
+        return pa.table({
+            id_col: t.column(id_col),
+            "zap": zap,
+            "affected": pc.cast(pc.greater(zap, 0), pa.int64()),
+            "chars": pc.cast(pc.utf8_length(text), pa.int64())})
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    j = bucket_hash_join(narrow, sources, on=id_col,
+                         num_buckets=num_buckets)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.nulls(t.num_rows, pa.int64()).fill_null(1))
+
+    return two_phase_aggregate(
+        j.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        [source_col],
+        [("one", "sum", "n_docs"), ("affected", "sum", "n_docs_affected"),
+         ("zap", "sum", "n_zap_chars"), ("chars", "sum", "n_chars")],
+        num_buckets=4)

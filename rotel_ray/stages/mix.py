@@ -575,3 +575,40 @@ def cdc_field_diff(v1, v2, *, id_col: str = "doc_id",
         "n_common": pa.array([int(r["n_common"])] * len(fields), pa.int64()),
         "n_changed": pa.array([int(r["chg_" + c]) for c in fields],
                               pa.int64())})
+
+
+def mix_entropy(ds, *, source_col: str = "source", text_col: str = "text",
+                num_buckets: int = 8):
+    """Mixture-entropy diagnostic of the corpus source distribution by
+    TOKEN mass (not doc count — long sources dominate training): one row
+    (n_sources, n_tokens, ent_unat) with
+
+        ent_unat = Σ_s c_s · floor(ln(N / c_s) · 1e6)
+
+    exact int64 micro-nats (the char_entropy floor-absorbs-ulp
+    convention; exp(ent_unat / N / 1e6) downstream is the effective
+    source count). Map-side regex token counts pre-combine per batch;
+    the finisher sees one row per source."""
+    from .aggregate import two_phase_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t.column(text_col),
+                                                pattern=r"\S+"), pa.int64())
+        return pa.table({source_col: t.column(source_col), "toks": toks})
+
+    agg = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [source_col], [("toks", "sum", "c")], num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(c.sum())
+        terms = c * np.floor(
+            np.log(np.float64(n) / c) * 1e6).astype(np.int64)
+        return pa.table({
+            "n_sources": pa.array([len(c)], pa.int64()),
+            "n_tokens": pa.array([n], pa.int64()),
+            "ent_unat": pa.array([int(terms.sum())], pa.int64())})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          zero_copy_batch=True)
