@@ -248,6 +248,9 @@ SECONDARY = [
     "control_char_audit",
     "mix_entropy",
     "mm_dup_clusters",
+    "session_durations",
+    "cumulative_users",
+    "dup_rate_curve",
 ]
 
 

@@ -4345,6 +4345,46 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("events")
+def q_session_durations(sf_dir: str):
+    """Session-length distribution (p50/p95/max whole seconds) over
+    30-min gap sessions — exact percentiles from the bounded seconds
+    histogram."""
+    from .stages.window import session_durations
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id"])
+    return session_durations(ds, gap_minutes=30.0)
+
+
+@_hinted("events")
+def q_cumulative_users(sf_dir: str):
+    """Exact user growth curve: new users per day plus the cumulative
+    distinct-user count over the bounded day grid."""
+    from .stages.window import cumulative_users
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+    return cumulative_users(ds)
+
+
+def q_dup_rate_curve(sf_dir: str):
+    """Duplication growth over time: per day, the share of turns whose
+    text already appeared on an earlier day (first-day per content
+    hash, strictly-earlier rule)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.dedup import dup_rate_curve
+
+    tdir = ensure_transcripts(sf_dir)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(_glob.glob(f"{tdir}/*.parquet")))
+    ds = read_parquet(tdir, columns=["text", "ts"])
+    with input_rows_hint(n):
+        return dup_rate_curve(ds)
+
+
 def q_control_char_audit(sf_dir: str):
     """Ingest hygiene: per-source control / zero-width character counts
     over the dirtied unicode fixture, attributed through a bucketed
@@ -5789,6 +5829,9 @@ QUERIES = {
     "control_char_audit": q_control_char_audit,
     "mix_entropy": q_mix_entropy,
     "mm_dup_clusters": q_mm_dup_clusters,
+    "session_durations": q_session_durations,
+    "cumulative_users": q_cumulative_users,
+    "dup_rate_curve": q_dup_rate_curve,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -9724,6 +9767,50 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                 FROM walk GROUP BY id)
         SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
         FROM lab GROUP BY 1"""
+    sql["session_durations"] = """
+        WITH o AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800000000 THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        g AS (SELECT user_id, t,
+                     sum(ns) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS s
+              FROM o),
+        d AS (SELECT (max(t) - min(t)) // 1000000 AS v
+              FROM g GROUP BY user_id, s),
+        c AS (SELECT v, count(*) AS n FROM d GROUP BY 1),
+        tt AS (SELECT sum(n) AS tot FROM c),
+        r AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum, tot FROM c, tt)
+        SELECT CAST(max(tot) AS BIGINT) AS n_sessions,
+               CAST(min(CASE WHEN cum >= 50 * (tot - 1) // 100 + 1
+                        THEN v END) AS BIGINT) AS p50_s,
+               CAST(min(CASE WHEN cum >= 95 * (tot - 1) // 100 + 1
+                        THEN v END) AS BIGINT) AS p95_s,
+               CAST(max(v) AS BIGINT) AS max_s
+        FROM r"""
+    sql["cumulative_users"] = """
+        WITH f AS (SELECT user_id,
+                          min(epoch_us(ts) // 86400000000) AS d
+                   FROM events GROUP BY 1),
+        p AS (SELECT d AS day, count(*) AS n_new FROM f GROUP BY 1)
+        SELECT CAST(day AS BIGINT) AS day, CAST(n_new AS BIGINT) AS n_new,
+               CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS n_cum
+        FROM p"""
+    sql["dup_rate_curve"] = f"""
+        WITH h AS (SELECT md5(text) AS h,
+                          epoch_us(ts) // 86400000000 AS day
+                   FROM {T}),
+        f AS (SELECT h, min(day) AS fd FROM h GROUP BY 1)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(day > fd AS BIGINT)) AS BIGINT) AS n_dups,
+               CAST(sum(CAST(day > fd AS BIGINT)) * 1000000 // count(*)
+                    AS BIGINT) AS dup_e6
+        FROM h JOIN f USING (h) GROUP BY 1"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -1952,3 +1952,54 @@ def dedup_rate_by_source(ds, *, source_col: str = "source",
 
     return rolled.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def dup_rate_curve(ds, *, text_col: str = "text", ts_col: str = "ts",
+                   num_buckets: int = 32):
+    """Crawl-duplication growth curve over the TIME axis: a row is a
+    duplicate when its content hash already appeared on ANY earlier day
+    (first-day per hash, strictly-earlier rule — deterministic without a
+    global sequence), and the per-day duplicate rate shows whether the
+    ingest frontier is saturating. Output (day, n_rows, n_dups, dup_e6).
+
+    Scale shape: content md5s reduce to (hash, min day); a bucketed hash
+    join flags each row against its hash's first day; only
+    (hash, day) rows shuffle — text never moves."""
+    from .aggregate import two_phase_aggregate
+    from .enrich import _hash_values
+    from .join import bucket_hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"h": _hash_values(t.column(text_col), "md5"),
+                         "day": pc.divide(us, 86_400_000_000)})
+
+    hashed = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    firsts = two_phase_aggregate(hashed, ["h"],
+                                 [("day", "min", "first_day")],
+                                 num_buckets=num_buckets)
+    j = bucket_hash_join(hashed, firsts, on="h", num_buckets=num_buckets)
+
+    def flag(t: pa.Table) -> pa.Table:
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        fd = t.column("first_day").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": t.column("day"),
+            "one": pa.nulls(len(d), pa.int64()).fill_null(1),
+            "dup": pa.array((d > fd).astype(np.int64))})
+
+    agg = two_phase_aggregate(
+        j.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], [("one", "sum", "n_rows"), ("dup", "sum", "n_dups")],
+        num_buckets=4)
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t.column("n_rows").to_numpy(zero_copy_only=False)
+        d = t.column("n_dups").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dup_e6", pa.array(d * 1_000_000 // np.maximum(n, 1)))
+
+    return agg.map_batches(rate, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -2754,3 +2754,102 @@ def first_response(ds, *, conv_col: str = "conv_id", role_col: str = "role",
     return grouped_apply(ds, [conv_col], per_bucket,
                          select=[conv_col, role_col, turn_col, ts_col],
                          num_buckets=num_buckets)
+
+
+def session_durations(ds, *, key: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id", gap_minutes: float = 30.0,
+                      num_buckets: int = 64):
+    """Session-duration distribution: gap sessions (the sessionize break
+    rule), each session's wall-clock span in whole seconds, reduced to
+    exact percentiles over the bounded seconds histogram — the
+    engagement metric product analytics quotes (p50/p95 session length).
+    Single-event sessions count with duration 0. Output one row
+    (n_sessions, p50_s, p95_s, max_s).
+
+    Scale shape: user-keyed buckets compute per-session spans vectorized
+    (reduceat over session segments); the exchange after that is
+    (seconds, count) histogram partials."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"dur_s": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        new_sess = ((g[key] != g[key].shift())
+                    | ((g[ts_col] - g[ts_col].shift()) > gap)).to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(us)] - 1
+        dur = (us[ends] - us[starts]) // 1_000_000
+        u, c = np.unique(dur, return_counts=True)
+        return pd.DataFrame({"dur_s": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    hist = two_phase_aggregate(
+        grouped_apply(ds, [key], per_bucket,
+                      select=[key, ts_col, id_col],
+                      num_buckets=num_buckets),
+        ["dur_s"], [("n", "sum", "n")], num_buckets=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("dur_s", "ascending")])
+        t = t.take(idx)
+        d = t.column("dur_s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        tot = int(n.sum())
+        cum = np.cumsum(n)
+        # nearest-rank on the value histogram (the group_quantiles rule)
+        def pick(p):
+            r = p * (tot - 1) // 100 + 1
+            return int(d[np.searchsorted(cum, r)])
+        return pa.table({"n_sessions": pa.array([tot], pa.int64()),
+                         "p50_s": pa.array([pick(50)], pa.int64()),
+                         "p95_s": pa.array([pick(95)], pa.int64()),
+                         "max_s": pa.array([int(d[-1])], pa.int64())})
+
+    return hist.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+
+
+def cumulative_users(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                     num_buckets: int = 32):
+    """User growth curve: per day, the number of NEW users (first-ever
+    activity that day) and the cumulative distinct-user count — exact,
+    no approximate sketch. Output (day, n_new, n_cum).
+
+    Scale shape: a two-phase min-day per user (distinct-pair mass), a
+    tiny per-day count, then the cumulative sum over the bounded day
+    grid in a single-row-group task."""
+    from .aggregate import two_phase_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({user_col: t.column(user_col),
+                         "day": pc.divide(us, 86_400_000_000)})
+
+    first = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [user_col], [("day", "min", "first_day")], num_buckets=num_buckets)
+    per_day = two_phase_aggregate(
+        first.map_batches(
+            lambda t: pa.table({
+                "day": t.column("first_day"),
+                "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], [("one", "sum", "n_new")], num_buckets=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("day", "ascending")])
+        t = t.take(idx)
+        n = t.column("n_new").to_numpy(zero_copy_only=False)
+        return t.append_column("n_cum", pa.array(np.cumsum(n)))
+
+    return per_day.repartition(1).map_batches(finish,
+                                              batch_format="pyarrow",
+                                              zero_copy_batch=True)

@@ -1072,3 +1072,55 @@ def test_first_response_turn_order(ray_session):
     r = out.iloc[0]
     assert (r["conv_id"], r["user_turn"], r["assist_turn"]) == ("c1", 1, 3)
     assert r["response_us"] == 12_000_000
+
+
+def test_session_durations_histogram(ray_session):
+    """User 1: one 2-event session (90 s) + a singleton (0 s); user 2: a
+    3-event session (120 s) -> p50 over {0, 90, 120} = 90."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import session_durations
+
+    T = datetime.datetime(2024, 1, 1)
+    def ts(s):
+        return T + datetime.timedelta(seconds=s)
+    rows = [(1, ts(0)), (1, ts(90)),          # session A: 90 s
+            (1, ts(10_000)),                  # session B: singleton, 0 s
+            (2, ts(0)), (2, ts(60)), (2, ts(120))]  # session C: 120 s
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                  "event_id": pa.array(range(len(rows)), pa.int64())})
+    out = session_durations(rd.from_arrow(t), gap_minutes=30.0,
+                            num_buckets=2).to_pandas()
+    r = out.iloc[0]
+    assert r["n_sessions"] == 3
+    # nearest-rank: r_p = p*(n-1)//100 + 1 -> p95 over 3 values is rank
+    # 2 (the same rule group_quantiles/ship_delay use), i.e. 90
+    assert r["p50_s"] == 90 and r["p95_s"] == 90 and r["max_s"] == 120
+
+
+def test_cumulative_users_growth(ray_session):
+    """First-activity day decides newness; n_cum is the running total."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import cumulative_users
+
+    T = datetime.datetime(2024, 1, 1)
+    def ts(d):
+        return T + datetime.timedelta(days=d)
+    rows = [(1, ts(0)), (2, ts(0)), (1, ts(1)),   # day1: user 1 returns
+            (3, ts(1)), (3, ts(2))]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))})
+    out = (cumulative_users(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("day"))
+    d0 = out.index.min()
+    assert out.loc[d0, "n_new"] == 2 and out.loc[d0, "n_cum"] == 2
+    assert out.loc[d0 + 1, "n_new"] == 1 and out.loc[d0 + 1, "n_cum"] == 3
+    assert len(out) == 2
