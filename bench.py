@@ -251,6 +251,9 @@ SECONDARY = [
     "session_durations",
     "cumulative_users",
     "dup_rate_curve",
+    "role_vocab_overlap",
+    "mm_silence",
+    "conv_roundtrips",
 ]
 
 

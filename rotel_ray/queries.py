@@ -4345,6 +4345,72 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_role_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between speaker roles: the
+    audience_overlap kernel re-keyed on (token, role) — how much the
+    assistant's lexicon overlaps the user's vs the tool stream's."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.window import audience_overlap
+
+    tdir = ensure_transcripts(sf_dir)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(_glob.glob(f"{tdir}/*.parquet")))
+    ds = read_parquet(tdir, columns=["role", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        roles_out, toks_out = [], []
+        for role, tx in zip(t.column("role").to_pylist(),
+                            t.column("text").to_pylist()):
+            u = np.unique(np.asarray((tx or "").split(), dtype=object))
+            roles_out.extend([role] * len(u))
+            toks_out.extend(u.tolist())
+        return pa.table({"tok": pa.array(toks_out, pa.string()),
+                         "role": pa.array(roles_out, pa.string())})
+
+    with input_rows_hint(n):
+        out = audience_overlap(
+            ds.map_batches(toks, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            user_col="tok", type_col="role")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["role_a" if c == "type_a" else
+             "role_b" if c == "type_b" else c for c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_mm_silence(sf_dir: str):
+    """Quiet-frame share per audio clip (64-sample frames below the
+    energy threshold) over real WAV decodes — the silence-trim gate."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import MediaDecoder, audio_silence, ensure_media
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    return ds.map_batches(audio_silence, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
+def q_conv_roundtrips(sf_dir: str):
+    """SFT round-trip histogram: adjacent user→assistant turn pairs per
+    conversation, rolled up to (n_roundtrips, n_convs)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.window import conv_roundtrips
+
+    tdir = ensure_transcripts(sf_dir)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(_glob.glob(f"{tdir}/*.parquet")))
+    ds = read_parquet(tdir, columns=["conv_id", "role", "turn_idx"])
+    with input_rows_hint(n):
+        return conv_roundtrips(ds)
+
+
 @_hinted("events")
 def q_session_durations(sf_dir: str):
     """Session-length distribution (p50/p95/max whole seconds) over
@@ -5832,6 +5898,9 @@ QUERIES = {
     "session_durations": q_session_durations,
     "cumulative_users": q_cumulative_users,
     "dup_rate_curve": q_dup_rate_curve,
+    "role_vocab_overlap": q_role_vocab_overlap,
+    "mm_silence": q_mm_silence,
+    "conv_roundtrips": q_conv_roundtrips,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -9811,6 +9880,53 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(sum(CAST(day > fd AS BIGINT)) * 1000000 // count(*)
                     AS BIGINT) AS dup_e6
         FROM h JOIN f USING (h) GROUP BY 1"""
+    sql["role_vocab_overlap"] = rf"""
+        WITH d AS (
+          SELECT DISTINCT role,
+                 unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x != '')) AS tok
+          FROM {T}),
+        n AS (SELECT role, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        p AS (SELECT a.role AS role_a, b.role AS role_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM d a JOIN d b ON a.tok = b.tok AND a.role < b.role
+              GROUP BY 1, 2)
+        SELECT role_a, role_b, n_common, na.n AS n_a, nb.n AS n_b,
+               CAST(n_common * 1000000 // (na.n + nb.n - n_common)
+                    AS BIGINT) AS jac_e6
+        FROM p JOIN n na ON na.role = role_a
+               JOIN n nb ON nb.role = role_b"""
+    sql["mm_silence"] = f"""
+        WITH au AS (
+          SELECT media_id, body_hex AS hx, width AS w
+          FROM read_parquet('{media_dir}/*.parquet')
+          WHERE kind = 'audio' AND w >= 64),
+        e AS (
+          SELECT media_id, t.i // 64 AS f,
+                 sum(({_hd.format(p='2 * t.i + 1')} - 128)
+                     * ({_hd.format(p='2 * t.i + 1')} - 128)) AS energy
+          FROM au, unnest(range(0, (w // 64) * 64)) AS t(i)
+          GROUP BY 1, 2),
+        c AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+                     CAST(sum(CAST(energy < 300000 AS BIGINT)) AS BIGINT)
+                       AS n_quiet
+              FROM e GROUP BY 1)
+        SELECT media_id, n_frames, n_quiet,
+               CAST(n_quiet * 1000000 // n_frames AS BIGINT) AS quiet_e6
+        FROM c"""
+    sql["conv_roundtrips"] = f"""
+        WITH b AS (
+          SELECT conv_id, role,
+                 lead(role) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) AS nxt
+          FROM {T}),
+        per AS (SELECT conv_id,
+                       CAST(sum(CASE WHEN role = 'user'
+                                AND nxt = 'assistant' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS r
+                FROM b GROUP BY 1)
+        SELECT r AS n_roundtrips, CAST(count(*) AS BIGINT) AS n_convs
+        FROM per GROUP BY 1"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

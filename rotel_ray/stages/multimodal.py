@@ -1070,3 +1070,33 @@ def decode_audit(t: pa.Table) -> pa.Table:
     return pa.table({"media_id": pa.array(ids, pa.int64()),
                      "codec": pa.array(codecs),
                      "ok": pa.array(oks, pa.int64())})
+
+
+def audio_silence(t: pa.Table, frame: int = 64,
+                  threshold: int = 300_000) -> pa.Table:
+    """Quiet-frame share per clip: frames (the audio_frame_energy
+    convention — 64 samples, trailing partial drops) whose exact integer
+    energy sum((s-128)^2) falls below ``threshold`` count as quiet; the
+    e6 share is the silence-trim signal a speech pipeline gates on.
+    Output (media_id, n_frames, n_quiet, quiet_e6). Non-audio rows
+    drop."""
+    ids, nf, nq, sh = [], [], [], []
+    for mid, kind, body, w in zip(
+            t.column("media_id").to_pylist(), t.column("kind").to_pylist(),
+            t.column("body").to_pylist(), t.column("width").to_pylist()):
+        if kind != "audio":
+            continue
+        n = (w // frame) * frame
+        if n == 0:
+            continue
+        arr = np.frombuffer(body, np.uint8)[:n].astype(np.int64) - 128
+        e = (arr * arr).reshape(-1, frame).sum(axis=1)
+        q = int((e < threshold).sum())
+        ids.append(mid)
+        nf.append(len(e))
+        nq.append(q)
+        sh.append(q * 1_000_000 // len(e))
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "n_frames": pa.array(nf, pa.int64()),
+                     "n_quiet": pa.array(nq, pa.int64()),
+                     "quiet_e6": pa.array(sh, pa.int64())})

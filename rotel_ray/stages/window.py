@@ -2853,3 +2853,42 @@ def cumulative_users(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     return per_day.repartition(1).map_batches(finish,
                                               batch_format="pyarrow",
                                               zero_copy_batch=True)
+
+
+def conv_roundtrips(ds, *, conv_col: str = "conv_id", role_col: str = "role",
+                    turn_col: str = "turn_idx", num_buckets: int = 64):
+    """Round-trip histogram: a round trip is an ADJACENT user→assistant
+    turn pair (turn order) inside one conversation — the SFT exchange
+    count a fine-tuning mix is balanced on. Output
+    (n_roundtrips, n_convs).
+
+    Scale shape: conv-keyed buckets count transitions vectorized across
+    every conversation in the bucket; the exchange after that is a
+    bounded (count, n) histogram."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"n_roundtrips": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([conv_col, turn_col], kind="mergesort")
+        cv = g[conv_col].to_numpy()
+        rl = g[role_col].to_numpy()
+        same = cv[1:] == cv[:-1]
+        rt = same & (rl[:-1] == "user") & (rl[1:] == "assistant")
+        seg_first = np.flatnonzero(np.r_[True, cv[1:] != cv[:-1]])
+        seg = np.repeat(np.arange(len(seg_first)),
+                        np.diff(np.r_[seg_first, len(cv)]))
+        per_conv = np.zeros(len(seg_first), np.int64)
+        np.add.at(per_conv, seg[:-1][rt], 1)
+        u, c = np.unique(per_conv, return_counts=True)
+        return pd.DataFrame({"n_roundtrips": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    hist = grouped_apply(ds, [conv_col], per_bucket,
+                         select=[conv_col, role_col, turn_col],
+                         num_buckets=num_buckets)
+    return two_phase_aggregate(hist, ["n_roundtrips"],
+                               [("n", "sum", "n_convs")], num_buckets=4)

@@ -560,3 +560,27 @@ def test_decode_audit_corruption(ray_session):
     for i in range(9):
         assert out.loc[i, "ok"] == (0 if i % 3 == 0 else 1), i
     assert set(out["codec"]) == {"png", "wav", "fvid"}
+
+
+def test_audio_silence_threshold(ray_session):
+    """A flat-128 clip is all-quiet; a loud square wave is not; the
+    trailing partial frame drops."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.multimodal import audio_silence
+
+    quiet = np.full(130, 128, np.uint8)            # 2 frames + partial
+    loud = np.tile(np.array([0, 255], np.uint8), 64)  # energy 64*127.5^2ish
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "kind": pa.array(["audio", "audio"]),
+                  "width": pa.array([130, 128], pa.int32()),
+                  "body": pa.array([quiet.tobytes(), loud.tobytes()],
+                                   pa.binary())})
+    out = (rd.from_arrow(t)
+           .map_batches(audio_silence, batch_format="pyarrow")
+           .to_pandas().set_index("media_id"))
+    assert out.loc[1, "n_frames"] == 2 and out.loc[1, "n_quiet"] == 2
+    assert out.loc[1, "quiet_e6"] == 1_000_000
+    assert out.loc[2, "n_quiet"] == 0

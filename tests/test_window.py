@@ -1124,3 +1124,26 @@ def test_cumulative_users_growth(ray_session):
     assert out.loc[d0, "n_new"] == 2 and out.loc[d0, "n_cum"] == 2
     assert out.loc[d0 + 1, "n_new"] == 1 and out.loc[d0 + 1, "n_cum"] == 3
     assert len(out) == 2
+
+
+def test_conv_roundtrips_adjacent_only(ray_session):
+    """Only ADJACENT user→assistant pairs count; tool turns in between
+    break the pair; cross-conv adjacency never counts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import conv_roundtrips
+
+    rows = [("c1", 0, "user"), ("c1", 1, "assistant"),    # rt 1
+            ("c1", 2, "user"), ("c1", 3, "tool"),         # broken
+            ("c1", 4, "assistant"),
+            ("c2", 0, "user"),                            # conv ends: 0 rt
+            ("c3", 0, "assistant"), ("c3", 1, "user"),
+            ("c3", 2, "assistant")]                       # rt 1
+    t = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                  "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+                  "role": pa.array([r[2] for r in rows])})
+    out = (conv_roundtrips(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("n_roundtrips").sort_index())
+    assert out.loc[0, "n_convs"] == 1          # c2
+    assert out.loc[1, "n_convs"] == 2          # c1, c3
