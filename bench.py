@@ -254,6 +254,9 @@ SECONDARY = [
     "role_vocab_overlap",
     "mm_silence",
     "conv_roundtrips",
+    "shard_balance",
+    "order_seasonality",
+    "tenure_mix",
 ]
 
 

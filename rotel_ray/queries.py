@@ -4345,6 +4345,137 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("documents")
+def q_shard_balance(sf_dir: str):
+    """Training-shard balance audit: per md5 shard (the shard_assign
+    rule), doc count, token mass and the e6 share of total tokens — the
+    skew check a 16-way export needs before anyone trains on it."""
+    from .stages.aggregate import two_phase_aggregate
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        from .stages.enrich import _hash_values
+
+        h = _hash_values(t.column("text"), "md5")
+        shard = np.array([int(x[:4], 16) % 16 for x in h.to_pylist()],
+                         np.int64)
+        toks = pc.cast(pc.count_substring_regex(t.column("text"),
+                                                pattern=r"\S+"), pa.int64())
+        return pa.table({"shard": pa.array(shard),
+                         "one": pa.nulls(t.num_rows,
+                                         pa.int64()).fill_null(1),
+                         "toks": toks})
+
+    agg = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["shard"], [("one", "sum", "n_docs"), ("toks", "sum", "n_tokens")],
+        num_buckets=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        tot = max(int(n.sum()), 1)
+        return t.append_column("share_e6",
+                               pa.array(n * 1_000_000 // tot))
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+@_hinted("orders")
+def q_order_seasonality(sf_dir: str):
+    """Order seasonality per nation: month-of-year counts with the
+    within-nation e6 share (customer bucket join + nation broadcast)."""
+    from .stages.aggregate import grouped_apply, two_phase_aggregate
+    from .stages.join import broadcast_join, bucket_hash_join
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "month": pc.cast(pc.month(t.column("o_orderdate")), pa.int64()),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    j = bucket_hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust, on="o_custkey", right_on="c_custkey", num_buckets=32)
+    agg = two_phase_aggregate(j, ["c_nationkey", "month"],
+                              [("one", "sum", "n_orders")], num_buckets=8)
+
+    import pandas as pd
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"c_nationkey": pd.Series([], np.int64),
+                                 "month": pd.Series([], np.int64),
+                                 "n_orders": pd.Series([], np.int64),
+                                 "share_e6": pd.Series([], np.int64)})
+        g = g.copy()
+        tot = g.groupby("c_nationkey")["n_orders"].transform("sum")
+        g["share_e6"] = (g["n_orders"] * 1_000_000 // tot).astype(np.int64)
+        return g[["c_nationkey", "month", "n_orders", "share_e6"]]
+
+    shared = grouped_apply(agg, ["c_nationkey"], share, num_buckets=4)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    out = broadcast_join(shared, nation, left_on="c_nationkey",
+                         right_on="n_nationkey", take_cols=["n_name"])
+    return out.map_batches(
+        lambda t: t.select(["n_name", "month", "n_orders", "share_e6"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_hinted("events")
+def q_tenure_mix(sf_dir: str):
+    """Behavioral drift by user tenure: event-type counts bucketed by
+    days since the user's first-ever event (0 / 1–7 / 8–30 / 30+) — do
+    users stop exploring after week one. First days ride a bucketed
+    user join; no row carries more than 3 ints."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import bucket_hash_join
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_type": t.column("event_type"),
+                         "day": pc.divide(us, 86_400_000_000)})
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    firsts = two_phase_aggregate(
+        narrow.map_batches(lambda t: t.select(["user_id", "day"]),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("day", "min", "first_day")], num_buckets=16)
+    j = bucket_hash_join(narrow, firsts, on="user_id", num_buckets=16)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        d = (t.column("day").to_numpy(zero_copy_only=False)
+             - t.column("first_day").to_numpy(zero_copy_only=False))
+        b = np.where(d == 0, 0, np.where(d <= 7, 1,
+                                         np.where(d <= 30, 2, 3)))
+        return pa.table({
+            "tenure_bucket": pa.array(b.astype(np.int64)),
+            "event_type": t.column("event_type"),
+            "one": pa.nulls(len(d), pa.int64()).fill_null(1)})
+
+    return two_phase_aggregate(
+        j.map_batches(bucketize, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["tenure_bucket", "event_type"], [("one", "sum", "n_events")],
+        num_buckets=4)
+
+
 def q_role_vocab_overlap(sf_dir: str):
     """Pairwise vocabulary Jaccard between speaker roles: the
     audience_overlap kernel re-keyed on (token, role) — how much the
@@ -5901,6 +6032,9 @@ QUERIES = {
     "role_vocab_overlap": q_role_vocab_overlap,
     "mm_silence": q_mm_silence,
     "conv_roundtrips": q_conv_roundtrips,
+    "shard_balance": q_shard_balance,
+    "order_seasonality": q_order_seasonality,
+    "tenure_mix": q_tenure_mix,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -9927,6 +10061,48 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                 FROM b GROUP BY 1)
         SELECT r AS n_roundtrips, CAST(count(*) AS BIGINT) AS n_convs
         FROM per GROUP BY 1"""
+    sql["shard_balance"] = """
+        WITH h AS (
+          SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substr(md5(text), 1, 4), ''),
+                     c -> CAST(ascii(c) - CASE WHEN c >= 'a' THEN 87
+                               ELSE 48 END AS BIGINT))),
+                 (h, x) -> h * 16 + x) % 16 AS shard,
+                 len(regexp_extract_all(text, '\\S+')) AS toks
+          FROM documents),
+        s AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(toks) AS BIGINT) AS n_tokens
+              FROM h GROUP BY 1),
+        t AS (SELECT greatest(sum(n_tokens), 1) AS tot FROM s)
+        SELECT shard, n_docs, n_tokens,
+               CAST(n_tokens * 1000000 // tot AS BIGINT) AS share_e6
+        FROM s, t"""
+    sql["order_seasonality"] = """
+        WITH m AS (
+          SELECT n_name, CAST(month(o_orderdate) AS BIGINT) AS month,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT n_name, month, n_orders,
+               CAST(n_orders * 1000000
+                    // sum(n_orders) OVER (PARTITION BY n_name)
+                    AS BIGINT) AS share_e6
+        FROM m"""
+    sql["tenure_mix"] = """
+        WITH d AS (SELECT user_id, event_type,
+                          epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY 1),
+        b AS (SELECT CASE WHEN day - fd = 0 THEN 0
+                          WHEN day - fd <= 7 THEN 1
+                          WHEN day - fd <= 30 THEN 2 ELSE 3 END
+                       AS tenure_bucket,
+                     event_type
+              FROM d JOIN f USING (user_id))
+        SELECT CAST(tenure_bucket AS BIGINT) AS tenure_bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM b GROUP BY 1, 2"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -1147,3 +1147,38 @@ def test_conv_roundtrips_adjacent_only(ray_session):
            .set_index("n_roundtrips").sort_index())
     assert out.loc[0, "n_convs"] == 1          # c2
     assert out.loc[1, "n_convs"] == 2          # c1, c3
+
+
+def test_tenure_mix_buckets(ray_session):
+    """Tenure is measured from each user's own first day; buckets split
+    at 0 / 7 / 30 days."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.queries import QUERIES  # noqa: F401  (import path check)
+    from rotel_ray.stages.aggregate import two_phase_aggregate  # noqa
+
+    import rotel_ray.queries as q
+
+    T = datetime.datetime(2024, 1, 1)
+    def ts(d):
+        return T + datetime.timedelta(days=d)
+    rows = [(1, "a", ts(10)), (1, "b", ts(10)),   # user 1 starts day 10
+            (1, "a", ts(15)), (1, "a", ts(45)),   # +5 -> 1-7, +35 -> 30+
+            (2, "b", ts(0)), (2, "b", ts(8))]     # +8 -> 8-30
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[1] for r in rows]),
+                  "ts": pa.array([r[2] for r in rows], pa.timestamp("us"))})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (q.QUERIES["tenure_mix"](d).to_pandas()
+               .set_index(["tenure_bucket", "event_type"]).sort_index())
+    assert out.loc[(0, "a"), "n_events"] == 1
+    assert out.loc[(0, "b"), "n_events"] == 2   # user1 day0 b + user2 day0 b
+    assert out.loc[(1, "a"), "n_events"] == 1
+    assert out.loc[(2, "b"), "n_events"] == 1
+    assert out.loc[(3, "a"), "n_events"] == 1
