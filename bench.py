@@ -257,6 +257,9 @@ SECONDARY = [
     "shard_balance",
     "order_seasonality",
     "tenure_mix",
+    "user_mix_kl",
+    "conversion_delay",
+    "lang_confusion",
 ]
 
 

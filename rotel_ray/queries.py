@@ -4345,6 +4345,51 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("events")
+def q_user_mix_kl(sf_dir: str):
+    """Per-user behavioral KL vs the global event-type mix (exact
+    micro-nats) — the bot/outlier score."""
+    from .stages.window import user_mix_kl
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type"])
+    return user_mix_kl(ds)
+
+
+@_hinted("events")
+def q_conversion_delay(sf_dir: str):
+    """Signup→purchase conversion-delay percentiles (first purchase
+    strictly after the first signup, whole hours, nearest rank)."""
+    from .stages.window import conversion_delay
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type", "ts"])
+    return conversion_delay(ds)
+
+
+@_hinted("documents")
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: the heuristic classifier's
+    prediction vs the labeled lang column, counted per (label, pred)
+    cell — the eval view that calibrates lang-gated curation."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.textstats import lang_id_batch
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        scored = lang_id_batch(t, "text", "doc_id")
+        return pa.table({
+            "lang": t.column("lang"),
+            "lang_pred": scored.column("lang_pred"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    return two_phase_aggregate(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "lang_pred"], [("one", "sum", "n_docs")], num_buckets=4)
+
+
 @_hinted("documents")
 def q_shard_balance(sf_dir: str):
     """Training-shard balance audit: per md5 shard (the shard_assign
@@ -6035,6 +6080,9 @@ QUERIES = {
     "shard_balance": q_shard_balance,
     "order_seasonality": q_order_seasonality,
     "tenure_mix": q_tenure_mix,
+    "user_mix_kl": q_user_mix_kl,
+    "conversion_delay": q_conversion_delay,
+    "lang_confusion": q_lang_confusion,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -10103,6 +10151,44 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT CAST(tenure_bucket AS BIGINT) AS tenure_bucket, event_type,
                CAST(count(*) AS BIGINT) AS n_events
         FROM b GROUP BY 1, 2"""
+    sql["user_mix_kl"] = """
+        WITH c AS (SELECT user_id, event_type, count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        g AS (SELECT event_type, sum(c) AS ct FROM c GROUP BY 1),
+        n AS (SELECT sum(ct) AS n FROM g),
+        t AS (SELECT user_id, c.c, g.ct,
+                     sum(c.c) OVER (PARTITION BY user_id) AS nu
+              FROM c JOIN g USING (event_type))
+        SELECT user_id, CAST(max(nu) AS BIGINT) AS n_events,
+               CAST(sum(c * CAST(floor(ln((CAST(c AS DOUBLE) * n.n)
+                    / (CAST(nu AS DOUBLE) * ct)) * 1e6) AS BIGINT))
+                    AS BIGINT) AS kl_unat
+        FROM t, n GROUP BY user_id"""
+    sql["conversion_delay"] = """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                   FROM events
+                   WHERE event_type IN ('signup', 'purchase')),
+        s AS (SELECT user_id, min(us) AS s_us FROM e
+              WHERE event_type = 'signup' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.us) AS p_us FROM e
+              JOIN s ON e.user_id = s.user_id AND e.us > s.s_us
+              WHERE e.event_type = 'purchase' GROUP BY 1),
+        d AS (SELECT (p_us - s_us) // 3600000000 AS v
+              FROM p JOIN s USING (user_id)),
+        c AS (SELECT v, count(*) AS n FROM d GROUP BY 1),
+        tt AS (SELECT sum(n) AS tot FROM c),
+        r AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum, tot FROM c, tt)
+        SELECT CAST(max(tot) AS BIGINT) AS n_converted,
+               CAST(min(CASE WHEN cum >= 50 * (tot - 1) // 100 + 1
+                        THEN v END) AS BIGINT) AS p50_h,
+               CAST(min(CASE WHEN cum >= 95 * (tot - 1) // 100 + 1
+                        THEN v END) AS BIGINT) AS p95_h,
+               CAST(max(v) AS BIGINT) AS max_h
+        FROM r"""
+    sql["lang_confusion"] = f"""
+        WITH l AS ({lang_id_oracle_sql("documents")})
+        SELECT d.lang, l.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN l USING (doc_id) GROUP BY 1, 2"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -2892,3 +2892,116 @@ def conv_roundtrips(ds, *, conv_col: str = "conv_id", role_col: str = "role",
                          num_buckets=num_buckets)
     return two_phase_aggregate(hist, ["n_roundtrips"],
                                [("n", "sum", "n_convs")], num_buckets=4)
+
+
+def user_mix_kl(ds, *, user_col: str = "user_id",
+                type_col: str = "event_type", num_buckets: int = 32):
+    """Per-user behavioral divergence: exact-integer micro-nat KL of the
+    user's event-type mix against the GLOBAL mix — the bot/outlier
+    detector that catches users whose behavior doesn't look like the
+    population (0 = perfectly typical). Terms use the cross-multiplied
+    log ln((c_ut·N)/(n_u·C_t)) with the floor-absorbs-ulp convention, so
+    both engines agree bit-for-bit. Output (user_id, n_events, kl_unat).
+
+    Scale shape: one two-phase (user, type) count; the |types|-row
+    global table is a driver-side constant (the kmeans centroid-loop
+    rule); the per-user reduce is vectorized across the bucket."""
+    import pandas as pd
+
+    from .aggregate import two_phase_aggregate
+
+    counts = two_phase_aggregate(
+        ds.map_batches(lambda t: t.select([user_col, type_col]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        [user_col, type_col], [(type_col, "count", "c")],
+        num_buckets=num_buckets)
+    gl = two_phase_aggregate(
+        ds.map_batches(lambda t: t.select([type_col]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        [type_col], [(type_col, "count", "ct")], num_buckets=1).to_pandas()
+    ct = dict(zip(gl[type_col], gl["ct"].astype(np.int64)))
+    n_total = int(gl["ct"].sum())
+
+    from .aggregate import grouped_apply
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({user_col: pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "kl_unat": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(user_col, kind="mergesort")
+        u = g[user_col].to_numpy()
+        c = g["c"].to_numpy().astype(np.int64)
+        gt = g[type_col].map(ct).to_numpy().astype(np.int64)
+        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        k = np.diff(np.r_[seg, len(u)])
+        n_u = np.repeat(np.add.reduceat(c, seg), k)
+        terms = c * np.floor(np.log(
+            (c.astype(np.float64) * n_total) / (n_u.astype(np.float64) * gt)
+        ) * 1e6).astype(np.int64)
+        return pd.DataFrame({
+            user_col: u[seg],
+            "n_events": np.add.reduceat(c, seg).astype(np.int64),
+            "kl_unat": np.add.reduceat(terms, seg).astype(np.int64)})
+
+    return grouped_apply(counts, [user_col], per_user,
+                         num_buckets=num_buckets)
+
+
+def conversion_delay(ds, *, user_col: str = "user_id",
+                     type_col: str = "event_type", ts_col: str = "ts",
+                     from_type: str = "signup", to_type: str = "purchase",
+                     num_buckets: int = 64):
+    """Time-to-convert distribution: per user, the gap from the first
+    ``from_type`` event to the first ``to_type`` event strictly after
+    it, reduced to exact nearest-rank percentiles over a whole-hours
+    histogram. Output one row (n_converted, p50_h, p95_h, max_h)."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"delay_h": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        g = g.sort_values([user_col, ts_col], kind="mergesort")
+        g["us"] = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        s = (g[g[type_col] == from_type].drop_duplicates(user_col)
+             [[user_col, "us"]].rename(columns={"us": "s_us"}))
+        p = g[g[type_col] == to_type].merge(s, on=user_col)
+        p = (p[p["us"] > p["s_us"]].sort_values([user_col, "us"],
+                                                kind="mergesort")
+             .drop_duplicates(user_col))
+        if not len(p):
+            return empty
+        d = ((p["us"] - p["s_us"]) // 3_600_000_000).to_numpy()
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"delay_h": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    hist = two_phase_aggregate(
+        grouped_apply(ds, [user_col], per_bucket,
+                      select=[user_col, type_col, ts_col],
+                      num_buckets=num_buckets),
+        ["delay_h"], [("n", "sum", "n")], num_buckets=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("delay_h", "ascending")])
+        t = t.take(idx)
+        d = t.column("delay_h").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        tot = int(n.sum())
+        cum = np.cumsum(n)
+
+        def pick(p):
+            r = p * (tot - 1) // 100 + 1
+            return int(d[np.searchsorted(cum, r)])
+
+        return pa.table({"n_converted": pa.array([tot], pa.int64()),
+                         "p50_h": pa.array([pick(50)], pa.int64()),
+                         "p95_h": pa.array([pick(95)], pa.int64()),
+                         "max_h": pa.array([int(d[-1])], pa.int64())})
+
+    return hist.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                           zero_copy_batch=True)

@@ -1182,3 +1182,29 @@ def test_tenure_mix_buckets(ray_session):
     assert out.loc[(1, "a"), "n_events"] == 1
     assert out.loc[(2, "b"), "n_events"] == 1
     assert out.loc[(3, "a"), "n_events"] == 1
+
+
+def test_user_mix_kl_typical_vs_skewed(ray_session):
+    """A user matching the global mix scores ~0; a single-type user
+    scores the positive ln ratio exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.window import user_mix_kl
+
+    # global: a 6x, b 2x -> user 1 is 3a+1b (same mix), user 2 is 3a+1b,
+    # user 3... build: users 1,2 mirror global; user 3 all-a
+    rows = (["a"] * 3 + ["b"]) * 2 + ["a"] * 4
+    users = [1] * 4 + [2] * 4 + [3] * 4
+    t = pa.table({"user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(rows)})
+    out = (user_mix_kl(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("user_id").sort_index())
+    # global: a=10, b=2, N=12. user1: a 3/4 vs 10/12, b 1/4 vs 2/12
+    t1 = 3 * int(np.floor(np.log((3.0 * 12) / (4.0 * 10)) * 1e6)) \
+        + 1 * int(np.floor(np.log((1.0 * 12) / (4.0 * 2)) * 1e6))
+    assert out.loc[1, "kl_unat"] == t1 and out.loc[2, "kl_unat"] == t1
+    t3 = 4 * int(np.floor(np.log((4.0 * 12) / (4.0 * 10)) * 1e6))
+    assert out.loc[3, "kl_unat"] == t3
+    assert out.loc[3, "kl_unat"] > out.loc[1, "kl_unat"]
