@@ -260,6 +260,9 @@ SECONDARY = [
     "user_mix_kl",
     "conversion_delay",
     "lang_confusion",
+    "template_drift",
+    "length_gini",
+    "revenue_grouping_sets",
 ]
 
 

@@ -4345,6 +4345,106 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_template_drift(sf_dir: str):
+    """Log-shape regression detector: PSI between first- and second-half
+    template distributions over the transcript stream (midpoint from
+    footer stats)."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint
+    from .stages.compact import footer_min_max
+    from .stages.parse import template_drift
+
+    tdir = ensure_transcripts(sf_dir)
+    files = sorted(_glob.glob(f"{tdir}/*.parquet"))
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    mms = [footer_min_max(f, ["ts"]) for f in files]
+    mid = (min(m["ts_min"] for m in mms) + max(m["ts_max"] for m in mms)) // 2
+    ds = read_parquet(tdir, columns=["text", "ts"])
+    with input_rows_hint(n):
+        return template_drift(ds, mid)
+
+
+@_hinted("documents")
+def q_length_gini(sf_dir: str):
+    """Per-source doc-length inequality: exact-integer Gini of token
+    counts — the chunking-policy signal."""
+    from .stages.textstats import length_gini
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    return length_gini(ds)
+
+
+@_hinted("orders")
+def q_revenue_grouping_sets(sf_dir: str):
+    """Multi-grain revenue rollup via GROUPING SETS semantics:
+    (nation, year) / nation / year / grand total from ONE base grid
+    (coarser grains re-aggregate the bounded base cells — no second
+    pass over the facts). NULL means 'all' exactly like SQL."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import broadcast_join, bucket_hash_join
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_orderdate",
+                                   "o_totalprice"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "order_year": pc.cast(pc.year(t.column("o_orderdate")),
+                                  pa.int64()),
+            "cents": _cents_arr(t.column("o_totalprice"))})
+
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    j = bucket_hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust, on="o_custkey", right_on="c_custkey", num_buckets=32)
+    base = two_phase_aggregate(j, ["c_nationkey", "order_year"],
+                               [("cents", "sum", "revenue_cents")],
+                               num_buckets=8)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    base = broadcast_join(base, nation, left_on="c_nationkey",
+                          right_on="n_nationkey", take_cols=["n_name"])
+
+    def grains(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        out = []
+        out.append(pd.DataFrame({
+            "grouping_id": 0, "n_name": df["n_name"],
+            "order_year": df["order_year"],
+            "revenue_cents": df["revenue_cents"]}))
+        g1 = df.groupby("n_name", as_index=False)["revenue_cents"].sum()
+        out.append(pd.DataFrame({
+            "grouping_id": 1, "n_name": g1["n_name"],
+            "order_year": pd.array([None] * len(g1), dtype="Int64"),
+            "revenue_cents": g1["revenue_cents"]}))
+        g2 = df.groupby("order_year", as_index=False)["revenue_cents"].sum()
+        out.append(pd.DataFrame({
+            "grouping_id": 2, "n_name": [None] * len(g2),
+            "order_year": g2["order_year"],
+            "revenue_cents": g2["revenue_cents"]}))
+        out.append(pd.DataFrame({
+            "grouping_id": [3], "n_name": [None],
+            "order_year": pd.array([None], dtype="Int64"),
+            "revenue_cents": [df["revenue_cents"].sum()]}))
+        res = pd.concat(out, ignore_index=True)
+        return pa.table({
+            "grouping_id": pa.array(res["grouping_id"].astype(np.int64)),
+            "n_name": pa.array(res["n_name"], pa.string()),
+            "order_year": pa.array(res["order_year"], pa.int64()),
+            "revenue_cents": pa.array(
+                res["revenue_cents"].astype(np.int64))})
+
+    return base.repartition(1).map_batches(grains, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+
+
 @_hinted("events")
 def q_user_mix_kl(sf_dir: str):
     """Per-user behavioral KL vs the global event-type mix (exact
@@ -6083,6 +6183,9 @@ QUERIES = {
     "user_mix_kl": q_user_mix_kl,
     "conversion_delay": q_conversion_delay,
     "lang_confusion": q_lang_confusion,
+    "template_drift": q_template_drift,
+    "length_gini": q_length_gini,
+    "revenue_grouping_sets": q_revenue_grouping_sets,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -10189,6 +10292,69 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         WITH l AS ({lang_id_oracle_sql("documents")})
         SELECT d.lang, l.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
         FROM documents d JOIN l USING (doc_id) GROUP BY 1, 2"""
+    # template_drift: same masks as log_templates, same sign-safe PSI as
+    # value_psi, bins = templates
+    from .stages.parse import TEMPLATE_MASKS as _TM
+
+    _tm_expr = "text"
+    for _pat, _repl in _TM:
+        _pq = _pat.replace("'", "''")
+        _tm_expr = f"regexp_replace({_tm_expr}, '{_pq}', '{_repl}', 'g')"
+    sql["template_drift"] = f"""
+        WITH mm AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                      AS mid FROM {T}),
+        g AS (
+          SELECT {_tm_expr} AS template,
+                 sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END) AS c2
+          FROM {T}, mm GROUP BY 1),
+        n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+        terms AS (
+          SELECT CAST(c1 > 0 AND c2 > 0 AS BIGINT) AS common,
+                 CAST(c1 > 0 AND c2 = 0 AS BIGINT) AS only1,
+                 CAST(c1 = 0 AND c2 > 0 AS BIGINT) AS only2,
+                 CASE WHEN c1 > 0 AND c2 > 0 THEN
+                   (c1 * n.n2 - c2 * n.n1)
+                   * CAST(floor(ln(CAST(c1 * n.n2 AS DOUBLE)
+                                   / CAST(c2 * n.n1 AS DOUBLE)) * 1e6)
+                          AS HUGEINT)
+                 ELSE 0 END AS num
+          FROM g, n)
+        SELECT CAST(sum(common) AS BIGINT) AS n_templates_common,
+               CAST(sum(only1) AS BIGINT) AS n_only_first,
+               CAST(sum(only2) AS BIGINT) AS n_only_second,
+               CAST(sum(num) // (max(n.n1) * max(n.n2)) AS BIGINT)
+                 AS psi_e6
+        FROM terms, n"""
+    sql["length_gini"] = r"""
+        WITH v AS (SELECT source,
+                          CAST(len(regexp_extract_all(text, '\S+'))
+                               AS BIGINT) AS v
+                   FROM documents),
+        r AS (SELECT source, v, row_number() OVER (
+                  PARTITION BY source ORDER BY v) AS i FROM v),
+        a AS (SELECT source, count(*) AS n, sum(v) AS t,
+                     sum(i * v) AS s1
+              FROM r GROUP BY 1)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               CAST(t AS BIGINT) AS token_sum,
+               CAST((2 * s1 - (n + 1) * t) * 1000000
+                    // greatest(n * t, 1) AS BIGINT) AS gini_e6
+        FROM a"""
+    sql["revenue_grouping_sets"] = f"""
+        SELECT CAST(CASE WHEN GROUPING(n_name) = 0 AND GROUPING(yr) = 0
+                         THEN 0
+                         WHEN GROUPING(n_name) = 0 THEN 1
+                         WHEN GROUPING(yr) = 0 THEN 2
+                         ELSE 3 END AS BIGINT) AS grouping_id,
+               n_name, CAST(yr AS BIGINT) AS order_year,
+               CAST(sum(c) AS BIGINT) AS revenue_cents
+        FROM (
+          SELECT n_name, year(o_orderdate) AS yr,
+                 {cents.format(expr='o_totalprice')} AS c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey)
+        GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ())"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

@@ -307,3 +307,58 @@ def mine_log_templates(ds, *, text_col: str = "text",
                            num_buckets=num_buckets, batch_format="pyarrow")
     return rolled.sort(["n_lines", "template"],
                        descending=[True, False]).limit(k)
+
+
+def template_drift(ds, mid_us: int, *, text_col: str = "text",
+                   ts_col: str = "ts", num_buckets: int = 8):
+    """Log-shape regression detector: PSI between the first- and
+    second-half TEMPLATE distributions (same masks as
+    mine_log_templates) — a deploy that changes what the service logs
+    moves this number even when volume stays flat. Same sign-safe exact
+    integer PSI as value_psi, bins = templates. Output one row
+    (n_templates_common, n_only_first, n_only_second, psi_e6).
+
+    Scale shape: one masked two-phase (template, half) count collapses
+    the stream to the template grid; the big-int scoring runs
+    driver-side over that bounded grid."""
+    import math
+
+    from .aggregate import two_phase_aggregate
+
+    def mask(t: pa.Table) -> pa.Table:
+        tpl = t.column(text_col)
+        for pat, repl in TEMPLATE_MASKS:
+            tpl = pc.replace_substring_regex(tpl, pattern=pat,
+                                             replacement=repl)
+        us = (t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        h1 = (us < mid_us).astype(np.int64)
+        return pa.table({"template": tpl, "c1": pa.array(h1),
+                         "c2": pa.array(1 - h1)})
+
+    grid = two_phase_aggregate(
+        ds.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True),
+        ["template"], [("c1", "sum", "c1"), ("c2", "sum", "c2")],
+        num_buckets=num_buckets).take_all()
+
+    n1 = sum(int(r["c1"]) for r in grid)
+    n2 = sum(int(r["c2"]) for r in grid)
+    common = only1 = only2 = 0
+    num = 0
+    for r in grid:
+        c1, c2 = int(r["c1"]), int(r["c2"])
+        if c1 > 0 and c2 > 0:
+            common += 1
+            x, y = c1 * n2, c2 * n1
+            # float(x)/float(y) mirrors DuckDB's two HUGEINT→DOUBLE casts
+            num += (x - y) * math.floor(math.log(float(x) / float(y)) * 1e6)
+        elif c1 > 0:
+            only1 += 1
+        else:
+            only2 += 1
+    psi = num // (n1 * n2) if n1 and n2 else 0
+    return pa.table({
+        "n_templates_common": pa.array([common], pa.int64()),
+        "n_only_first": pa.array([only1], pa.int64()),
+        "n_only_second": pa.array([only2], pa.int64()),
+        "psi_e6": pa.array([psi], pa.int64())})

@@ -2131,3 +2131,52 @@ def doc_vectors(ds, *, dims: int = 32, text_col: str = "text",
                          "tf": pa.array(np.concatenate(tf_out))})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def length_gini(ds, *, text_col: str = "text", source_col: str = "source",
+                num_buckets: int = 16):
+    """Per-source length inequality: the exact-integer Gini coefficient
+    of per-doc token counts (skew_report's rank formula, grouped) —
+    a source whose mass hides in a few giant docs needs different
+    chunking than a uniform one. Output
+    (source, n_docs, token_sum, gini_e6) with
+    gini_e6 = (2·S1 − (n+1)·T)·1e6 // (n·T), S1 = Σ i·v_(i) ascending.
+
+    Scale shape: the map side reduces docs to (source, n_tokens) ints;
+    per-source rank sums run vectorized across all sources in a
+    bucket."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t.column(text_col),
+                                                pattern=r"\S+"), pa.int64())
+        return pa.table({source_col: t.column(source_col), "v": toks})
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({source_col: pd.Series([], dtype=str),
+                                 "n_docs": pd.Series([], dtype=np.int64),
+                                 "token_sum": pd.Series([], dtype=np.int64),
+                                 "gini_e6": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([source_col, "v"], kind="mergesort")
+        s = g[source_col].to_numpy()
+        v = g["v"].to_numpy().astype(np.int64)
+        seg = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        k = np.diff(np.r_[seg, len(s)])
+        rank = np.arange(len(s)) - np.repeat(seg, k) + 1
+        t_sum = np.add.reduceat(v, seg)
+        s1 = np.add.reduceat(rank * v, seg)
+        denom = np.maximum(k * t_sum, 1)
+        gini = (2 * s1 - (k + 1) * t_sum) * 1_000_000 // denom
+        return pd.DataFrame({source_col: s[seg],
+                             "n_docs": k.astype(np.int64),
+                             "token_sum": t_sum.astype(np.int64),
+                             "gini_e6": gini.astype(np.int64)})
+
+    return grouped_apply(narrow, [source_col], per_bucket,
+                         num_buckets=num_buckets)

@@ -798,3 +798,22 @@ def test_doc_vectors_hashing(ray_session):
     assert got[(0, h("foo"))] == 2
     assert got[(0, h("bar"))] == 1
     assert len(out) == (1 if h("foo") == h("bar") else 2)
+
+
+def test_length_gini_extremes(ray_session):
+    """Uniform lengths -> gini 0; maximal concentration -> near 1e6."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.textstats import length_gini
+
+    uni = ["a b c"] * 4                          # all length 3
+    conc = ["w"] * 3 + ["x " * 500]              # one giant doc
+    t = pa.table({"source": pa.array(["u"] * 4 + ["c"] * 4),
+                  "text": pa.array(uni + conc)})
+    out = (length_gini(rd.from_arrow(t), num_buckets=2).to_pandas()
+           .set_index("source"))
+    assert out.loc["u", "gini_e6"] == 0
+    # concentrated: v = [1,1,1,500]; S1=1+2+3+2000; T=503; n=4
+    s1, tt, n = 1 + 2 + 3 + 4 * 500, 503, 4
+    assert out.loc["c", "gini_e6"] == (2 * s1 - (n + 1) * tt) * 10**6 // (n * tt)
