@@ -263,6 +263,7 @@ SECONDARY = [
     "template_drift",
     "length_gini",
     "revenue_grouping_sets",
+    "corpus_health",
 ]
 
 

@@ -4345,6 +4345,97 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("documents")
+def q_corpus_health(sf_dir: str):
+    """One-row corpus health report — the composed dashboard a curation
+    run prints first: doc/source/token counts, source-mix entropy
+    (micro-nats), the hottest source's e6 token share, distinct content
+    hashes (exact-dup detector: n_docs − n_content = dup mass) and the
+    control-char count (should be 0 on a clean corpus). Three bounded
+    partial streams union into a single-row finisher."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.clean import ZAP_PATTERN
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        from .stages.enrich import _hash_values
+
+        toks = pc.cast(pc.count_substring_regex(t.column("text"),
+                                                pattern=r"\S+"), pa.int64())
+        zap = pc.cast(pc.count_substring_regex(t.column("text"),
+                                               pattern=ZAP_PATTERN),
+                      pa.int64())
+        return pa.table({"source": t.column("source"),
+                         "h": _hash_values(t.column("text"), "md5"),
+                         "toks": toks, "zap": zap,
+                         "one": pa.nulls(t.num_rows,
+                                         pa.int64()).fill_null(1)})
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    per_source = two_phase_aggregate(
+        narrow.map_batches(
+            lambda t: t.select(["source", "toks", "zap", "one"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("one", "sum", "n_docs"), ("toks", "sum", "n_tokens"),
+         ("zap", "sum", "n_zap")], num_buckets=4)
+    per_source = per_source.map_batches(
+        lambda t: pa.table({
+            "kind": pa.array(["src"] * t.num_rows),
+            "v1": t.column("n_docs"), "v2": t.column("n_tokens"),
+            "v3": t.column("n_zap")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hashes = two_phase_aggregate(
+        narrow.map_batches(
+            lambda t: t.select(["h"]).append_column(
+                "one", pa.nulls(t.num_rows, pa.int64()).fill_null(1)),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], [("one", "max", "one")], num_buckets=16)
+    n_content = two_phase_aggregate(
+        hashes.map_batches(
+            lambda t: pa.table({
+                "g": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+                "one": t.column("one")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [("one", "sum", "n")], num_buckets=1)
+    n_content = n_content.map_batches(
+        lambda t: pa.table({"kind": pa.array(["content"] * t.num_rows),
+                            "v1": t.column("n"),
+                            "v2": pa.nulls(t.num_rows,
+                                           pa.int64()).fill_null(0),
+                            "v3": pa.nulls(t.num_rows,
+                                           pa.int64()).fill_null(0)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        src = df[df["kind"] == "src"]
+        n_docs = int(src["v1"].sum())
+        n_tokens = int(src["v2"].sum())
+        n_zap = int(src["v3"].sum())
+        c = src["v2"].to_numpy().astype(np.int64)
+        ent = int((c * np.floor(
+            np.log(np.float64(max(n_tokens, 1)) / np.maximum(c, 1))
+            * 1e6).astype(np.int64)).sum()) if len(c) else 0
+        top = int(c.max()) * 1_000_000 // max(n_tokens, 1) if len(c) else 0
+        nc = int(df[df["kind"] == "content"]["v1"].sum())
+        return pa.table({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_sources": pa.array([len(src)], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "mix_ent_unat": pa.array([ent], pa.int64()),
+            "top_source_share_e6": pa.array([top], pa.int64()),
+            "n_content_hashes": pa.array([nc], pa.int64()),
+            "n_zap_chars": pa.array([n_zap], pa.int64())})
+
+    return (per_source.union(n_content).repartition(1)
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def q_template_drift(sf_dir: str):
     """Log-shape regression detector: PSI between first- and second-half
     template distributions over the transcript stream (midpoint from
@@ -6186,6 +6277,7 @@ QUERIES = {
     "template_drift": q_template_drift,
     "length_gini": q_length_gini,
     "revenue_grouping_sets": q_revenue_grouping_sets,
+    "corpus_health": q_corpus_health,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -10355,6 +10447,25 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
           FROM orders JOIN customer ON o_custkey = c_custkey
                JOIN nation ON c_nationkey = n_nationkey)
         GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ())"""
+    sql["corpus_health"] = rf"""
+        WITH s AS (
+          SELECT source, count(*) AS n_docs,
+                 sum(len(regexp_extract_all(text, '\S+'))) AS c,
+                 sum(len(regexp_extract_all(text, '{_ZAP}'))) AS zap
+          FROM documents GROUP BY 1),
+        t AS (SELECT sum(c) AS n FROM s),
+        h AS (SELECT count(DISTINCT md5(text)) AS nc FROM documents)
+        SELECT CAST(sum(s.n_docs) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(max(t.n) AS BIGINT) AS n_tokens,
+               CAST(sum(s.c * CAST(floor(ln(CAST(greatest(t.n, 1) AS DOUBLE)
+                    / greatest(s.c, 1)) * 1e6) AS BIGINT)) AS BIGINT)
+                 AS mix_ent_unat,
+               CAST(max(s.c) * 1000000 // greatest(max(t.n), 1) AS BIGINT)
+                 AS top_source_share_e6,
+               CAST(max(h.nc) AS BIGINT) AS n_content_hashes,
+               CAST(sum(s.zap) AS BIGINT) AS n_zap_chars
+        FROM s, t, h"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,
