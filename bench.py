@@ -264,6 +264,9 @@ SECONDARY = [
     "length_gini",
     "revenue_grouping_sets",
     "corpus_health",
+    "mm_sharpness",
+    "value_outliers",
+    "market_concentration",
 ]
 
 

@@ -4345,6 +4345,59 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_mm_sharpness(sf_dir: str):
+    """Blur/sharpness census over real decoded images: squared-Laplacian
+    mass on the 16×16 integer-luma floor grid (dHash conventions)."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import MediaDecoder, ensure_media, image_sharpness
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    return ds.map_batches(image_sharpness, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
+@_hinted("events")
+def q_value_outliers(sf_dir: str):
+    """Tukey-fence outlier census of event values per type (exact
+    nearest-rank quartiles over the cents histogram)."""
+    from .stages.window import value_outliers
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "value"])
+    return value_outliers(ds)
+
+
+@_hinted("orders")
+def q_market_concentration(sf_dir: str):
+    """Per-nation HHI of customer spend (1e12 = one customer owns the
+    market): exact big-int squares over per-customer cents totals."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.profile import market_concentration
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("o_custkey"),
+                         "cents": _cents_arr(t.column("o_totalprice"))})
+
+    spend = two_phase_aggregate(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["k"], [("cents", "sum", "cents")], num_buckets=16)
+    members = read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    members = members.map_batches(
+        lambda t: pa.table({"k": t.column("c_custkey"),
+                            "c_nationkey": pc.cast(t.column("c_nationkey"),
+                                                   pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return market_concentration(spend, members)
+
+
 @_hinted("documents")
 def q_corpus_health(sf_dir: str):
     """One-row corpus health report — the composed dashboard a curation
@@ -6278,6 +6331,9 @@ QUERIES = {
     "length_gini": q_length_gini,
     "revenue_grouping_sets": q_revenue_grouping_sets,
     "corpus_health": q_corpus_health,
+    "mm_sharpness": q_mm_sharpness,
+    "value_outliers": q_value_outliers,
+    "market_concentration": q_market_concentration,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -10466,6 +10522,78 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                CAST(max(h.nc) AS BIGINT) AS n_content_hashes,
                CAST(sum(s.zap) AS BIGINT) AS n_zap_chars
         FROM s, t, h"""
+    # mm_sharpness: the dHash luma/floor-grid rules at 16x16, Laplacian
+    # via 4 neighbor self-joins over the grid interior
+    _sh_b = [_hd.format(
+        p=f"2 * ((((u.i * h) // 16 * w + (v.j * w) // 16) * ch + {c}) "
+          f"+ 0) + 1") for c in (0, 1, 2)]
+    _sh_gv = (f"CASE WHEN ch >= 3 THEN (299 * {_sh_b[0]} + 587 * {_sh_b[1]}"
+              f" + 114 * {_sh_b[2]}) // 1000 ELSE {_sh_b[0]} END")
+    sql["mm_sharpness"] = f"""
+        WITH img AS (
+          SELECT media_id, body_hex AS hx, width AS w, height AS h,
+                 channels AS ch
+          FROM read_parquet('{media_dir}/*.parquet') WHERE kind = 'image'),
+        g AS (
+          SELECT media_id, u.i AS gi, v.j AS gj, {_sh_gv} AS gv
+          FROM img, unnest(range(0, 16)) AS u(i),
+               unnest(range(0, 16)) AS v(j)),
+        lap AS (
+          SELECT c.media_id,
+                 4 * c.gv - up.gv - dn.gv - lf.gv - rt.gv AS l
+          FROM g c
+          JOIN g up ON up.media_id = c.media_id AND up.gi = c.gi - 1
+                    AND up.gj = c.gj
+          JOIN g dn ON dn.media_id = c.media_id AND dn.gi = c.gi + 1
+                    AND dn.gj = c.gj
+          JOIN g lf ON lf.media_id = c.media_id AND lf.gi = c.gi
+                    AND lf.gj = c.gj - 1
+          JOIN g rt ON rt.media_id = c.media_id AND rt.gi = c.gi
+                    AND rt.gj = c.gj + 1
+          WHERE c.gi BETWEEN 1 AND 14 AND c.gj BETWEEN 1 AND 14)
+        SELECT media_id, CAST(count(*) AS BIGINT) AS n_interior,
+               CAST(sum(l * l) AS BIGINT) AS lap_sq_sum
+        FROM lap GROUP BY 1"""
+    sql["value_outliers"] = f"""
+        WITH c AS (SELECT event_type, {cents.format(expr='value')} AS v,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1),
+        r AS (SELECT c.event_type, v, n,
+                     sum(n) OVER (PARTITION BY c.event_type
+                                  ORDER BY v) AS cum, tot
+              FROM c JOIN t USING (event_type)),
+        q AS (SELECT event_type,
+                     min(CASE WHEN cum >= 25 * (tot - 1) // 100 + 1
+                         THEN v END) AS q1,
+                     min(CASE WHEN cum >= 75 * (tot - 1) // 100 + 1
+                         THEN v END) AS q3,
+                     max(tot) AS tot
+              FROM r GROUP BY 1)
+        SELECT q.event_type, CAST(q.q1 AS BIGINT) AS q1_cents,
+               CAST(q.q3 AS BIGINT) AS q3_cents,
+               CAST(coalesce(sum(CASE WHEN c.v < q.q1
+                        - 3 * (q.q3 - q.q1) // 2 THEN c.n END), 0)
+                    AS BIGINT) AS n_low,
+               CAST(coalesce(sum(CASE WHEN c.v > q.q3
+                        + 3 * (q.q3 - q.q1) // 2 THEN c.n END), 0)
+                    AS BIGINT) AS n_high,
+               CAST(max(q.tot) AS BIGINT) AS n_total
+        FROM q JOIN c USING (event_type) GROUP BY 1, q.q1, q.q3"""
+    sql["market_concentration"] = f"""
+        WITH s AS (SELECT o_custkey AS k,
+                          CAST(sum({cents.format(expr='o_totalprice')})
+                               AS HUGEINT) AS c
+                   FROM orders GROUP BY 1),
+        j AS (SELECT c_nationkey, c FROM s
+              JOIN customer ON k = c_custkey)
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(c) AS BIGINT) AS total_cents,
+               CAST(CASE WHEN sum(c) > 0 THEN
+                    sum(c * c) * 1000000000000 // (sum(c) * sum(c))
+                    ELSE 0 END AS BIGINT) AS hhi_e12
+        FROM j GROUP BY 1"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

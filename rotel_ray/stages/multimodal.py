@@ -1100,3 +1100,39 @@ def audio_silence(t: pa.Table, frame: int = 64,
                      "n_frames": pa.array(nf, pa.int64()),
                      "n_quiet": pa.array(nq, pa.int64()),
                      "quiet_e6": pa.array(sh, pa.int64())})
+
+
+def image_sharpness(t: pa.Table, grid: int = 16) -> pa.Table:
+    """Blur/sharpness proxy over REAL decoded images: the integer-luma
+    16x16 floor-subsample grid (the dHash convention) reduced to the sum
+    of squared 4-neighbor Laplacians over its interior — blurred frames
+    score low, busy ones high; a curation pass gates on it exactly.
+    Output (media_id, n_interior, lap_sq_sum). Non-image rows and images
+    smaller than the grid interior drop nothing (the floor grid always
+    exists for w, h >= 1; interior needs grid >= 3)."""
+    ids, ni, ls = [], [], []
+    chs = (t.column("channels").to_pylist() if "channels" in t.column_names
+           else [1] * t.num_rows)
+    for mid, kind, body, w, h, ch in zip(
+            t.column("media_id").to_pylist(), t.column("kind").to_pylist(),
+            t.column("body").to_pylist(), t.column("width").to_pylist(),
+            t.column("height").to_pylist(), chs):
+        if kind != "image":
+            continue
+        arr = np.frombuffer(body, np.uint8).reshape(h, w, ch).astype(np.int64)
+        if ch >= 3:
+            g = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                 + 114 * arr[:, :, 2]) // 1000
+        else:
+            g = arr[:, :, 0]
+        si = (np.arange(grid) * h) // grid
+        sj = (np.arange(grid) * w) // grid
+        gg = g[si][:, sj]
+        lap = (4 * gg[1:-1, 1:-1] - gg[:-2, 1:-1] - gg[2:, 1:-1]
+               - gg[1:-1, :-2] - gg[1:-1, 2:])
+        ids.append(mid)
+        ni.append(lap.size)
+        ls.append(int((lap * lap).sum()))
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "n_interior": pa.array(ni, pa.int64()),
+                     "lap_sq_sum": pa.array(ls, pa.int64())})

@@ -402,3 +402,41 @@ def type_correlation(ds, *, type_col: str = "event_type", ts_col: str = "ts",
     return (sxy.union(sums).union(grid).repartition(1)
             .map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+def market_concentration(spend, members, *, key: str = "k",
+                         group_col: str = "c_nationkey",
+                         num_buckets: int = 16):
+    """Herfindahl–Hirschman market concentration per group: with
+    per-member spend c_i (cents) inside each group,
+    hhi_e12 = (Σ c_i²)·1e12 // (Σ c_i)² — 1e12 means one member owns the
+    market. The big squares run in Python arbitrary precision inside the
+    per-group finisher (the label_scatter rule). ``spend`` is the
+    (key, cents) per-member table, ``members`` maps key → group. Output
+    (group, n_members, total_cents, hhi_e12)."""
+    import pandas as pd
+
+    from .join import bucket_hash_join
+
+    j = bucket_hash_join(spend, members, on=key, num_buckets=num_buckets)
+
+    from .aggregate import grouped_apply
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({group_col: pd.Series([], dtype=np.int64),
+                                 "n_members": pd.Series([], dtype=np.int64),
+                                 "total_cents": pd.Series([], dtype=np.int64),
+                                 "hhi_e12": pd.Series([], dtype=np.int64)})
+        rows = []
+        for grp, sub in g.groupby(group_col, sort=False):
+            c = [int(x) for x in sub["cents"]]
+            tot = sum(c)
+            hhi = (sum(x * x for x in c) * 10**12 // (tot * tot)
+                   if tot else 0)
+            rows.append((int(grp), len(c), tot, hhi))
+        out = pd.DataFrame(rows, columns=[group_col, "n_members",
+                                          "total_cents", "hhi_e12"])
+        return out.astype(np.int64)
+
+    return grouped_apply(j, [group_col], per_group, num_buckets=4)

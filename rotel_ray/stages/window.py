@@ -3005,3 +3005,60 @@ def conversion_delay(ds, *, user_col: str = "user_id",
 
     return hist.repartition(1).map_batches(finish, batch_format="pyarrow",
                                            zero_copy_batch=True)
+
+
+def value_outliers(ds, *, type_col: str = "event_type",
+                   val_col: str = "value", num_buckets: int = 16):
+    """Tukey-fence outlier census per type: exact nearest-rank Q1/Q3
+    over the cents histogram, integer fences Q1 − 3·IQR//2 and
+    Q3 + 3·IQR//2, and the counts outside them — computed entirely FROM
+    the histogram (no second pass over the rows). Output
+    (event_type, q1_cents, q3_cents, n_low, n_high, n_total)."""
+    import pandas as pd
+
+    from .aggregate import grouped_apply, two_phase_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column(val_col).to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({type_col: t.column(type_col),
+                         "cents": pa.array(cents),
+                         "one": pa.nulls(len(cents),
+                                         pa.int64()).fill_null(1)})
+
+    hist = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [type_col, "cents"], [("one", "sum", "n")],
+        num_buckets=num_buckets)
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({type_col: pd.Series([], dtype=str),
+                                 "q1_cents": pd.Series([], dtype=np.int64),
+                                 "q3_cents": pd.Series([], dtype=np.int64),
+                                 "n_low": pd.Series([], dtype=np.int64),
+                                 "n_high": pd.Series([], dtype=np.int64),
+                                 "n_total": pd.Series([], dtype=np.int64)})
+        rows = []
+        for ty, sub in g.groupby(type_col, sort=False):
+            sub = sub.sort_values("cents", kind="mergesort")
+            v = sub["cents"].to_numpy()
+            n = sub["n"].to_numpy().astype(np.int64)
+            tot = int(n.sum())
+            cum = np.cumsum(n)
+
+            def pick(p):
+                r = p * (tot - 1) // 100 + 1
+                return int(v[np.searchsorted(cum, r)])
+
+            q1, q3 = pick(25), pick(75)
+            iqr3h = 3 * (q3 - q1) // 2
+            lo, hi = q1 - iqr3h, q3 + iqr3h
+            rows.append((ty, q1, q3, int(n[v < lo].sum()),
+                         int(n[v > hi].sum()), tot))
+        out = pd.DataFrame(rows, columns=[type_col, "q1_cents", "q3_cents",
+                                          "n_low", "n_high", "n_total"])
+        return out.astype({c: np.int64 for c in out.columns
+                           if c != type_col})
+
+    return grouped_apply(hist, [type_col], per_type, num_buckets=4)

@@ -584,3 +584,30 @@ def test_audio_silence_threshold(ray_session):
     assert out.loc[1, "n_frames"] == 2 and out.loc[1, "n_quiet"] == 2
     assert out.loc[1, "quiet_e6"] == 1_000_000
     assert out.loc[2, "n_quiet"] == 0
+
+
+def test_image_sharpness_flat_vs_checker(ray_session):
+    """A flat image has zero Laplacian mass; a checkerboard maximizes
+    it; grayscale uses the first byte directly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.multimodal import image_sharpness
+
+    flat = np.full((16, 16, 1), 100, np.uint8)
+    checker = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "kind": pa.array(["image", "image"]),
+                  "width": pa.array([16, 16], pa.int32()),
+                  "height": pa.array([16, 16], pa.int32()),
+                  "channels": pa.array([1, 1], pa.int32()),
+                  "body": pa.array([flat.tobytes(), checker.tobytes()],
+                                   pa.binary())})
+    out = (rd.from_arrow(t)
+           .map_batches(image_sharpness, batch_format="pyarrow")
+           .to_pandas().set_index("media_id"))
+    assert out.loc[1, "lap_sq_sum"] == 0
+    assert out.loc[1, "n_interior"] == 14 * 14
+    # checker: every interior cell is 4*c - 4*opposite = ±4*255 -> 1040400
+    assert out.loc[2, "lap_sq_sum"] == 14 * 14 * (4 * 255) ** 2
