@@ -267,6 +267,9 @@ SECONDARY = [
     "mm_sharpness",
     "value_outliers",
     "market_concentration",
+    "mm_colorfulness",
+    "cross_table_overlap",
+    "price_ladder",
 ]
 
 

@@ -4345,6 +4345,92 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_mm_colorfulness(sf_dir: str):
+    """Colorfulness census over real RGB/RGBA decodes: exact integer
+    Hasler–Süsstrunk opponent moments (rg = R−G, yb = R+G−2B sums and
+    squares); the float colorfulness score stays with the consumer."""
+    from .generator import sf_from_dir
+    from .stages.multimodal import (MediaDecoder, ensure_media,
+                                    image_colorfulness)
+
+    media_dir = ensure_media(sf_from_dir(sf_dir))
+    ds = read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ds.map_batches(MediaDecoder(), batch_format="pyarrow",
+                        batch_size=256, zero_copy_batch=True)
+    return ds.map_batches(image_colorfulness, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True)
+
+
+def q_cross_table_overlap(sf_dir: str):
+    """Cross-table contamination: per source, how many document texts
+    appear verbatim (content md5) anywhere in the transcript stream —
+    the eval-leak check across modalities; only hashes shuffle."""
+    import glob as _glob
+
+    from .stages.aggregate import input_rows_hint, two_phase_aggregate
+    from .stages.enrich import _hash_values
+    from .stages.join import bucket_hash_join
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+    dh = docs.map_batches(
+        lambda t: pa.table({"h": _hash_values(t.column("text"), "md5"),
+                            "source": t.column("source")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tdir = ensure_transcripts(sf_dir)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(_glob.glob(f"{tdir}/*.parquet")))
+    turns = read_parquet(tdir, columns=["text"])
+    with input_rows_hint(n):
+        th = two_phase_aggregate(
+            turns.map_batches(
+                lambda t: pa.table({
+                    "h": _hash_values(t.column("text"), "md5"),
+                    "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["h"], [("one", "max", "hit")], num_buckets=16)
+    j = bucket_hash_join(dh, th, on="h", how="left", fill={"hit": 0},
+                         num_buckets=16)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.nulls(t.num_rows, pa.int64()).fill_null(1))
+
+    return two_phase_aggregate(
+        j.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("one", "sum", "n_docs"), ("hit", "sum", "n_leaked")],
+        num_buckets=4)
+
+
+@_hinted("lineitem")
+def q_price_ladder(sf_dir: str):
+    """Revenue grid by quantity band (8-unit steps) × discount cents —
+    the price-ladder contingency a pricing analysis reads; exact cents,
+    one bounded two-phase grid."""
+    from .stages.aggregate import two_phase_aggregate
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_quantity", "l_discount",
+                               "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = pc.cast(t.column("l_quantity"), pa.int64())
+        return pa.table({
+            "qty_band": pc.divide(q, 8),
+            "disc_cents": _cents_arr(t.column("l_discount")),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "rev_cents": _cents_arr(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(1.0, t.column("l_discount"))))})
+
+    return two_phase_aggregate(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["qty_band", "disc_cents"],
+        [("one", "sum", "n_lines"), ("rev_cents", "sum", "revenue_cents")],
+        num_buckets=8)
+
+
 def q_mm_sharpness(sf_dir: str):
     """Blur/sharpness census over real decoded images: squared-Laplacian
     mass on the 16×16 integer-luma floor grid (dHash conventions)."""
@@ -6334,6 +6420,9 @@ QUERIES = {
     "mm_sharpness": q_mm_sharpness,
     "value_outliers": q_value_outliers,
     "market_concentration": q_market_concentration,
+    "mm_colorfulness": q_mm_colorfulness,
+    "cross_table_overlap": q_cross_table_overlap,
+    "price_ladder": q_price_ladder,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -10594,6 +10683,40 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                     sum(c * c) * 1000000000000 // (sum(c) * sum(c))
                     ELSE 0 END AS BIGINT) AS hhi_e12
         FROM j GROUP BY 1"""
+    # mm_colorfulness: per-pixel opponent components replayed from the
+    # decoded-blob hex (ch >= 3 images only; alpha ignored by the math)
+    _cf_b = [_hd.format(p=f"2 * ((q.k * ch) + {c}) + 1") for c in (0, 1, 2)]
+    sql["mm_colorfulness"] = f"""
+        WITH img AS (
+          SELECT media_id, body_hex AS hx, width AS w, height AS h,
+                 channels AS ch
+          FROM read_parquet('{media_dir}/*.parquet')
+          WHERE kind = 'image' AND channels >= 3),
+        px AS (
+          SELECT media_id, w * h AS n_pixels,
+                 {_cf_b[0]} - {_cf_b[1]} AS rg,
+                 {_cf_b[0]} + {_cf_b[1]} - 2 * {_cf_b[2]} AS yb
+          FROM img, unnest(range(0, w * h)) AS q(k))
+        SELECT media_id, CAST(max(n_pixels) AS BIGINT) AS n_pixels,
+               CAST(sum(rg) AS BIGINT) AS rg_sum,
+               CAST(sum(rg * rg) AS BIGINT) AS rg_sq_sum,
+               CAST(sum(yb) AS BIGINT) AS yb_sum,
+               CAST(sum(yb * yb) AS BIGINT) AS yb_sq_sum
+        FROM px GROUP BY 1"""
+    sql["cross_table_overlap"] = f"""
+        WITH th AS (SELECT DISTINCT md5(text) AS h FROM {T})
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN md5(d.text) IN (SELECT h FROM th)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        FROM documents d GROUP BY 1"""
+    sql["price_ladder"] = f"""
+        SELECT CAST(CAST(l_quantity AS BIGINT) // 8 AS BIGINT) AS qty_band,
+               {cents.format(expr='l_discount')} AS disc_cents,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum({cents.format(
+                   expr='l_extendedprice * (1 - l_discount)')})
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem GROUP BY 1, 2"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

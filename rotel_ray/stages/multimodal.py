@@ -1136,3 +1136,37 @@ def image_sharpness(t: pa.Table, grid: int = 16) -> pa.Table:
     return pa.table({"media_id": pa.array(ids, pa.int64()),
                      "n_interior": pa.array(ni, pa.int64()),
                      "lap_sq_sum": pa.array(ls, pa.int64())})
+
+
+def image_colorfulness(t: pa.Table) -> pa.Table:
+    """Colorfulness moments per RGB(A) image — the Hasler–Süsstrunk
+    opponent components as EXACT integers over the decoded pixels:
+    rg = R − G and yb = R + G − 2B per pixel (the 2× form keeps every
+    term integral), reduced to per-image sums and sum-of-squares; the
+    float M = sqrt(var_rg + var_yb) + 0.3·sqrt(mean_rg² + mean_yb²) is
+    left to the consumer. Grayscale/non-image rows drop. Output
+    (media_id, n_pixels, rg_sum, rg_sq_sum, yb_sum, yb_sq_sum)."""
+    ids, npx, rs, rss, ys, yss = [], [], [], [], [], []
+    chs = (t.column("channels").to_pylist() if "channels" in t.column_names
+           else [1] * t.num_rows)
+    for mid, kind, body, w, h, ch in zip(
+            t.column("media_id").to_pylist(), t.column("kind").to_pylist(),
+            t.column("body").to_pylist(), t.column("width").to_pylist(),
+            t.column("height").to_pylist(), chs):
+        if kind != "image" or ch < 3:
+            continue
+        arr = np.frombuffer(body, np.uint8).reshape(h, w, ch).astype(np.int64)
+        rg = arr[:, :, 0] - arr[:, :, 1]
+        yb = arr[:, :, 0] + arr[:, :, 1] - 2 * arr[:, :, 2]
+        ids.append(mid)
+        npx.append(w * h)
+        rs.append(int(rg.sum()))
+        rss.append(int((rg * rg).sum()))
+        ys.append(int(yb.sum()))
+        yss.append(int((yb * yb).sum()))
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "n_pixels": pa.array(npx, pa.int64()),
+                     "rg_sum": pa.array(rs, pa.int64()),
+                     "rg_sq_sum": pa.array(rss, pa.int64()),
+                     "yb_sum": pa.array(ys, pa.int64()),
+                     "yb_sq_sum": pa.array(yss, pa.int64())})

@@ -611,3 +611,32 @@ def test_image_sharpness_flat_vs_checker(ray_session):
     assert out.loc[1, "n_interior"] == 14 * 14
     # checker: every interior cell is 4*c - 4*opposite = ±4*255 -> 1040400
     assert out.loc[2, "lap_sq_sum"] == 14 * 14 * (4 * 255) ** 2
+
+
+def test_image_colorfulness_moments(ray_session):
+    """Hand-checkable opponent moments; grayscale rows drop; alpha is
+    ignored by the rg/yb math."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.multimodal import image_colorfulness
+
+    px = np.array([[[200, 50, 10], [10, 10, 10]]], np.uint8)  # 1x2 RGB
+    gray = np.full((2, 2, 1), 7, np.uint8)
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "kind": pa.array(["image", "image"]),
+                  "width": pa.array([2, 2], pa.int32()),
+                  "height": pa.array([1, 2], pa.int32()),
+                  "channels": pa.array([3, 1], pa.int32()),
+                  "body": pa.array([px.tobytes(), gray.tobytes()],
+                                   pa.binary())})
+    out = (rd.from_arrow(t)
+           .map_batches(image_colorfulness, batch_format="pyarrow")
+           .to_pandas())
+    assert list(out["media_id"]) == [1]
+    r = out.iloc[0]
+    # rg = [150, 0], yb = [200+50-20=230, 10+10-20=0]
+    assert r["rg_sum"] == 150 and r["rg_sq_sum"] == 150 * 150
+    assert r["yb_sum"] == 230 and r["yb_sq_sum"] == 230 * 230
+    assert r["n_pixels"] == 2

@@ -87,3 +87,43 @@ def test_oracle_sql_has_no_fixture_side_effects(monkeypatch):
         monkeypatch.setattr(mod, name, _boom)
     sqls = oracle_sql(SF)
     assert len(sqls) >= 153
+
+
+def test_cross_table_overlap_hit_path(ray_session):
+    """The leak audit's hit branch: a planted verbatim copy counts, a
+    unique doc doesn't (the fixture corpora are disjoint, so the
+    registry query legitimately reports zeros — this test proves the
+    positive path)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rotel_ray.stages.aggregate import two_phase_aggregate
+    from rotel_ray.stages.enrich import _hash_values
+    from rotel_ray.stages.join import bucket_hash_join
+
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["a", "a", "b"]),
+        "text": pa.array(["leaked text", "unique one", "leaked text"])}))
+    turns = rd.from_arrow(pa.table({
+        "text": pa.array(["noise", "leaked text", "noise 2"])}))
+    dh = docs.map_batches(
+        lambda t: pa.table({"h": _hash_values(t.column("text"), "md5"),
+                            "source": t.column("source")}),
+        batch_format="pyarrow")
+    th = two_phase_aggregate(
+        turns.map_batches(
+            lambda t: pa.table({
+                "h": _hash_values(t.column("text"), "md5"),
+                "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+            batch_format="pyarrow"),
+        ["h"], [("one", "max", "hit")], num_buckets=2)
+    j = bucket_hash_join(dh, th, on="h", how="left", fill={"hit": 0},
+                         num_buckets=2)
+    out = two_phase_aggregate(
+        j.map_batches(lambda t: t.append_column(
+            "one", pa.nulls(t.num_rows, pa.int64()).fill_null(1)),
+            batch_format="pyarrow"),
+        ["source"], [("one", "sum", "n_docs"), ("hit", "sum", "n_leaked")],
+        num_buckets=2).to_pandas().set_index("source")
+    assert out.loc["a", "n_docs"] == 2 and out.loc["a", "n_leaked"] == 1
+    assert out.loc["b", "n_leaked"] == 1
