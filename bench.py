@@ -270,6 +270,9 @@ SECONDARY = [
     "mm_colorfulness",
     "cross_table_overlap",
     "price_ladder",
+    "column_sizes",
+    "churn_flags",
+    "repeat_purchase_rate",
 ]
 
 

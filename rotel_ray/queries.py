@@ -4345,6 +4345,94 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("events")
+def q_column_sizes(sf_dir: str):
+    """Column-level storage audit of the events table from parquet
+    footers only (per-column compressed/uncompressed bytes and ratio —
+    the encoding/sort-order planning view)."""
+    import os as _os
+
+    from .stages.compact import column_sizes
+
+    return column_sizes(_os.path.dirname(f"{sf_dir}/events.parquet")
+                        or sf_dir, pattern="events.parquet")
+
+
+@_hinted("events")
+def q_churn_flags(sf_dir: str):
+    """Inactivity census anchored at the corpus max timestamp (footer
+    stats): users idle > 30 days are churned. One row
+    (n_users, n_churned, churn_e6)."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.compact import footer_min_max
+
+    mm = footer_min_max(f"{sf_dir}/events.parquet", ["ts"])
+    cutoff = mm["ts_max"] - 30 * 86_400_000_000
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "us": us})
+
+    last = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("us", "max", "last_us")], num_buckets=16)
+
+    def flag(t: pa.Table) -> pa.Table:
+        lu = t.column("last_us").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.nulls(len(lu), pa.int64()).fill_null(0),
+            "one": pa.nulls(len(lu), pa.int64()).fill_null(1),
+            "churned": pa.array((lu < cutoff).astype(np.int64))})
+
+    agg = two_phase_aggregate(
+        last.map_batches(flag, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["g"], [("one", "sum", "n_users"), ("churned", "sum", "n_churned")],
+        num_buckets=1)
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t.column("n_users").to_numpy(zero_copy_only=False)
+        c = t.column("n_churned").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_users": t.column("n_users"),
+            "n_churned": t.column("n_churned"),
+            "churn_e6": pa.array(c * 1_000_000 // np.maximum(n, 1))})
+
+    return agg.map_batches(rate, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@_hinted("events")
+def q_repeat_purchase_rate(sf_dir: str):
+    """Repeat-purchase census: among purchasing users, the share with
+    ≥2 purchases plus the purchase-count histogram grain (one row per
+    purchase count)."""
+    from .stages.aggregate import two_phase_aggregate
+
+    ds = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table({"user_id": t.column("user_id"),
+                         "one": pa.nulls(t.num_rows,
+                                         pa.int64()).fill_null(1)})
+
+    per_user = two_phase_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("one", "sum", "n_purchases")], num_buckets=16)
+    return two_phase_aggregate(
+        per_user.map_batches(
+            lambda t: pa.table({
+                "n_purchases": t.column("n_purchases"),
+                "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["n_purchases"], [("one", "sum", "n_users")], num_buckets=2)
+
+
 def q_mm_colorfulness(sf_dir: str):
     """Colorfulness census over real RGB/RGBA decodes: exact integer
     Hasler–Süsstrunk opponent moments (rg = R−G, yb = R+G−2B sums and
@@ -6423,6 +6511,9 @@ QUERIES = {
     "mm_colorfulness": q_mm_colorfulness,
     "cross_table_overlap": q_cross_table_overlap,
     "price_ladder": q_price_ladder,
+    "column_sizes": q_column_sizes,
+    "churn_flags": q_churn_flags,
+    "repeat_purchase_rate": q_repeat_purchase_rate,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -10717,6 +10808,35 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
                    expr='l_extendedprice * (1 - l_discount)')})
                     AS BIGINT) AS revenue_cents
         FROM lineitem GROUP BY 1, 2"""
+    sql["column_sizes"] = f"""
+        SELECT path_in_schema AS column,
+               CAST(sum(num_values) AS BIGINT) AS n_values,
+               CAST(sum(total_compressed_size) AS BIGINT)
+                 AS compressed_bytes,
+               CAST(sum(total_uncompressed_size) AS BIGINT)
+                 AS uncompressed_bytes,
+               CAST(sum(total_compressed_size) * 1000000
+                    // greatest(sum(total_uncompressed_size), 1)
+                    AS BIGINT) AS ratio_e6
+        FROM parquet_metadata('{sf_dir}/events.parquet')
+        GROUP BY 1"""
+    sql["churn_flags"] = """
+        WITH b AS (SELECT max(epoch_us(ts)) - 30 * 86400000000 AS cutoff
+                   FROM events),
+        l AS (SELECT user_id, max(epoch_us(ts)) AS last_us
+              FROM events GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CAST(last_us < cutoff AS BIGINT)) AS BIGINT)
+                 AS n_churned,
+               CAST(sum(CAST(last_us < cutoff AS BIGINT)) * 1000000
+                    // greatest(count(*), 1) AS BIGINT) AS churn_e6
+        FROM l, b"""
+    sql["repeat_purchase_rate"] = """
+        WITH p AS (SELECT user_id, count(*) AS n_purchases
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT CAST(n_purchases AS BIGINT) AS n_purchases,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM p GROUP BY 1"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,

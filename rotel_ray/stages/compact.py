@@ -296,3 +296,57 @@ def footer_min_max(input_dir_or_file: str, columns: list[str],
                 hi[c] = max(hi.get(c, mx), mx)
     return {**{f"{c}_min": lo[c] for c in columns},
             **{f"{c}_max": hi[c] for c in columns}}
+
+
+def column_sizes(input_dir: str, *, pattern: str = "*.parquet"):
+    """Column-level storage audit from parquet footers only: per column,
+    the compressed and uncompressed byte totals and the e6 compression
+    ratio — the view that decides encoding/sort-order work (a column
+    whose compressed size ~ uncompressed is the one to dictionary-encode
+    or Z-order first). Footer reads fan out as a Ray map; no data pages
+    are ever read. Output
+    (column, n_values, compressed_bytes, uncompressed_bytes, ratio_e6)."""
+    import ray.data as rd
+
+    from .aggregate import two_phase_aggregate
+
+    files = sorted(glob.glob(os.path.join(input_dir, pattern)))
+    if not files:
+        raise FileNotFoundError(f"no {pattern} under {input_dir}")
+
+    def meta(batch: dict) -> dict:
+        cols, nv, cb, ub = [], [], [], []
+        for p in batch["item"]:
+            md = pq.ParquetFile(p).metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(md.num_columns):
+                    c = rg.column(j)
+                    cols.append(md.schema.column(j).name)
+                    nv.append(c.num_values)
+                    cb.append(c.total_compressed_size)
+                    ub.append(c.total_uncompressed_size)
+        return {"column": np.array(cols, dtype=object),
+                "n_values": np.array(nv, np.int64),
+                "compressed_bytes": np.array(cb, np.int64),
+                "uncompressed_bytes": np.array(ub, np.int64)}
+
+    per_chunk = rd.from_items(files).map_batches(meta)
+    agg = two_phase_aggregate(
+        per_chunk, ["column"],
+        [("n_values", "sum", "n_values"),
+         ("compressed_bytes", "sum", "compressed_bytes"),
+         ("uncompressed_bytes", "sum", "uncompressed_bytes")],
+        num_buckets=2)
+
+    def ratio(t):
+        import pyarrow as pa
+
+        cbv = t.column("compressed_bytes").to_numpy(zero_copy_only=False)
+        ubv = t.column("uncompressed_bytes").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ratio_e6",
+            pa.array(cbv * 1_000_000 // np.maximum(ubv, 1)))
+
+    return agg.map_batches(ratio, batch_format="pyarrow",
+                           zero_copy_batch=True)
