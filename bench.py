@@ -273,6 +273,9 @@ SECONDARY = [
     "column_sizes",
     "churn_flags",
     "repeat_purchase_rate",
+    "totalprice_audit",
+    "orphan_orders",
+    "order_status_trend",
 ]
 
 

@@ -4345,6 +4345,132 @@ def q_order_priority_check(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_hinted("lineitem")
+def q_totalprice_audit(sf_dir: str):
+    """Billing integrity audit: per order, the signed cents gap between
+    o_totalprice and Σ line extendedprice·(1+tax)·(1−discount), rolled
+    into a bit_length-of-|gap| histogram — the reconciliation report a
+    finance pipeline runs nightly (the synthetic corpus mismatches by
+    design, so every magnitude bucket binds)."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import bucket_hash_join
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_extendedprice",
+                               "l_discount", "l_tax"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        amt = _cents_arr(pc.multiply(
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.add(1.0, t.column("l_tax"))),
+            pc.subtract(1.0, t.column("l_discount"))))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "line_cents": amt})
+
+    per_order = two_phase_aggregate(
+        li.map_batches(l_prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey"], [("line_cents", "sum", "line_cents")],
+        num_buckets=32)
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": t.column("o_orderkey"),
+                            "total_cents": _cents_arr(
+                                t.column("o_totalprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = bucket_hash_join(per_order, orders, on="l_orderkey",
+                         right_on="o_orderkey", num_buckets=32)
+
+    _powers = np.left_shift(np.int64(1), np.arange(63))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        gap = (t.column("total_cents").to_numpy(zero_copy_only=False)
+               - t.column("line_cents").to_numpy(zero_copy_only=False))
+        a = np.abs(gap)
+        # exact integer bit_length (0 for exact match) — the
+        # length_buckets searchsorted idiom, no float log anywhere
+        b = np.searchsorted(_powers, a, side="right").astype(np.int64)
+        return pa.table({
+            "gap_bucket": pa.array(b),
+            "one": pa.nulls(len(a), pa.int64()).fill_null(1),
+            "abs_gap": pa.array(a)})
+
+    return two_phase_aggregate(
+        j.map_batches(bucketize, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["gap_bucket"],
+        [("one", "sum", "n_orders"), ("abs_gap", "sum", "sum_abs_gap")],
+        num_buckets=4)
+
+
+@_hinted("orders")
+def q_orphan_orders(sf_dir: str):
+    """Referential-integrity audit that actually binds: orders with NO
+    lineitems (the bucketed anti-join), counted per order year — the
+    orphan-row report an ingest reconciliation emits."""
+    from .stages.aggregate import two_phase_aggregate
+    from .stages.join import bucket_anti_join
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "order_year": pc.cast(pc.year(t.column("o_orderdate")),
+                                  pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey"])
+    orphans = bucket_anti_join(orders, li, on="o_orderkey",
+                               right_on="l_orderkey", num_buckets=32)
+    return two_phase_aggregate(
+        orphans.map_batches(
+            lambda t: pa.table({
+                "order_year": t.column("order_year"),
+                "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["order_year"], [("one", "sum", "n_orphans")], num_buckets=4)
+
+
+@_hinted("orders")
+def q_order_status_trend(sf_dir: str):
+    """Order-status mix per year with within-year e6 shares (the
+    fulfillment trend view)."""
+    from .stages.aggregate import grouped_apply, two_phase_aggregate
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderstatus", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "order_year": pc.cast(pc.year(t.column("o_orderdate")),
+                                  pa.int64()),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    agg = two_phase_aggregate(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["order_year", "o_orderstatus"], [("one", "sum", "n_orders")],
+        num_buckets=8)
+
+    import pandas as pd
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"order_year": pd.Series([], np.int64),
+                                 "o_orderstatus": pd.Series([], str),
+                                 "n_orders": pd.Series([], np.int64),
+                                 "share_e6": pd.Series([], np.int64)})
+        g = g.copy()
+        tot = g.groupby("order_year")["n_orders"].transform("sum")
+        g["share_e6"] = (g["n_orders"] * 1_000_000 // tot).astype(np.int64)
+        return g[["order_year", "o_orderstatus", "n_orders", "share_e6"]]
+
+    return grouped_apply(agg, ["order_year"], share, num_buckets=4)
+
+
 @_hinted("events")
 def q_column_sizes(sf_dir: str):
     """Column-level storage audit of the events table from parquet
@@ -6514,6 +6640,9 @@ QUERIES = {
     "column_sizes": q_column_sizes,
     "churn_flags": q_churn_flags,
     "repeat_purchase_rate": q_repeat_purchase_rate,
+    "totalprice_audit": q_totalprice_audit,
+    "orphan_orders": q_orphan_orders,
+    "order_status_trend": q_order_status_trend,
     "late_events": q_late_events,
     "quantile_sketch": q_quantile_sketch,
     "source_lang_rollup": q_source_lang_rollup,
@@ -10837,6 +10966,41 @@ def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         SELECT CAST(n_purchases AS BIGINT) AS n_purchases,
                CAST(count(*) AS BIGINT) AS n_users
         FROM p GROUP BY 1"""
+    sql["totalprice_audit"] = f"""
+        WITH l AS (
+          SELECT l_orderkey,
+                 sum({cents.format(
+                     expr='l_extendedprice * (1 + l_tax) '
+                          '* (1 - l_discount)')}) AS line_cents
+          FROM lineitem GROUP BY 1),
+        g AS (
+          SELECT abs({cents.format(expr='o_totalprice')} - line_cents)
+                   AS a
+          FROM orders JOIN l ON o_orderkey = l_orderkey),
+        b AS (SELECT CASE WHEN a = 0 THEN 0
+                          ELSE length(bin(a)) END AS gap_bucket, a
+              FROM g)
+        SELECT CAST(gap_bucket AS BIGINT) AS gap_bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(a) AS BIGINT) AS sum_abs_gap
+        FROM b GROUP BY 1"""
+    sql["orphan_orders"] = """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(count(*) AS BIGINT) AS n_orphans
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey)
+        GROUP BY 1"""
+    sql["order_status_trend"] = """
+        WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                          o_orderstatus,
+                          CAST(count(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY 1, 2)
+        SELECT order_year, o_orderstatus, n_orders,
+               CAST(n_orders * 1000000
+                    // sum(n_orders) OVER (PARTITION BY order_year)
+                    AS BIGINT) AS share_e6
+        FROM m"""
     sql["trending_tokens"] = rf"""
         WITH tk AS (
           SELECT epoch_us(ts) // 86400000000 AS day,
